@@ -15,8 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Full reference dataflow (parse -> filter -> embed -> vector table;
+    SURVEY.md section 0) + the retrieval the reference delegates to
+    OpenSearch: top-k documents by cosine similarity to a query text.
+    """
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.pipeline import (
+        flagship_topk,
+    )
+
+    return flagship_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

