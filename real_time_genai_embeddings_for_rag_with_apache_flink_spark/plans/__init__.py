@@ -1,0 +1,9 @@
+from .registry import QuerySpec, all_specs, get_spec, query
+
+# Importing these modules populates the registry.
+from . import catalog  # noqa: E402,F401
+from . import llmops  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+
+__all__ = ["QuerySpec", "all_specs", "get_spec", "query"]

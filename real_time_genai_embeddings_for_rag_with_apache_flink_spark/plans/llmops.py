@@ -1,0 +1,668 @@
+"""Training-data-pipeline operators: dedup, similarity, text analysis.
+
+None of these exist in the reference (its only text op is the empty
+filter, ``KDS-P/.../DataStreamJob.java:146``; similarity is delegated to
+OpenSearch HNSW) — they are the engine's north-star additions, built so
+the hot path stays in whole-stage codegen:
+
+- hashing (md5/crc) and shingling run as higher-order array expressions,
+  JVM-side, zero Python crossings;
+- MinHash signatures are computed per-row with transform/array_min —
+  no explode, no shuffle until the LSH band join;
+- the LSH band join shuffles only (band_idx, band_key) pairs, the
+  at-scale alternative to the O(n^2) pairwise join;
+- embedding near-dup joins are blocked on a coarse key (label) so the
+  self-join never goes quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    CJK_PATTERN,
+    doc_fingerprint,
+    normalized_text,
+    quality_score,
+    token_count,
+)
+from ..functions.vector import cosine_similarity
+from ..sources.batch import load_table
+from .registry import query
+
+# Shared SQL fragment: canonical whitespace-normalized lowercase text.
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Exact + fuzzy deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d01_exact_dedup",
+    oracle=f"""
+SELECT md5({_SQL_NORM}) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("dedup", "text"),
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of normalized text):
+    group-by-hash with min-id survivor selection. One shuffle on the
+    16-byte fingerprint regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _trigrams(tokens: Column) -> Column:
+    """Distinct token 3-gram shingles from a token array (empty-safe)."""
+    return F.when(F.size(tokens) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tokens, i + 1),
+                    F.element_at(tokens, i + 2),
+                    F.element_at(tokens, i + 3),
+                ),
+            )
+        )
+    )
+
+
+_SQL_TRIGRAMS = """
+CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+     ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END
+"""
+
+
+@query(
+    "d02_ngram_jaccard",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+        ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) END, 6) AS jaccard
+FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + 1
+""",
+    tags=("dedup", "similarity", "text"),
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-trigram Jaccard similarity between adjacent document pairs.
+    Shingling is a per-row array expression; only the 1:1 pair join
+    shuffles. (The all-pairs version is d04's LSH candidate join.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                inter.cast("double") / union
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+_N_MINHASH = 16
+_N_BANDS = 4  # 4 bands x 4 rows
+
+
+def _minhash_signature(spark_grams: Column) -> Column:
+    """MinHash signature: for each seed s, min over shingles of a 60-bit
+    md5-derived hash of '<s>:<shingle>'. Pure higher-order expression —
+    computed per row with no explode/shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                spark_grams,
+                lambda g: F.conv(
+                    F.substring(F.md5(F.concat_ws(":", s.cast("string"), g)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+_SQL_MINHASH = f"""
+list_transform(generate_series(0, {_N_MINHASH - 1}),
+  s -> list_min(list_transform(grams,
+         g -> CAST(concat('0x', substr(md5(concat_ws(':', s, g)), 1, 15)) AS BIGINT))))
+"""
+
+
+def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    return docs.select("doc_id", _trigrams(toks).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+
+
+@query(
+    "d03_minhash_signatures",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+)
+SELECT doc_id, {_SQL_MINHASH.strip()} AS signature
+FROM shingled WHERE len(grams) > 0
+""",
+    tags=("dedup", "minhash"),
+)
+def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (16 permutations via seeded
+    md5-derived hashes — engine-portable, unlike murmur)."""
+    return _minhash_docs(spark, sf_dir).select(
+        "doc_id", _minhash_signature(F.col("grams")).alias("signature")
+    )
+
+
+@query(
+    "d04_minhash_lsh_pairs",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+), sigs AS (
+  SELECT doc_id, {_SQL_MINHASH.strip()} AS sig
+  FROM shingled WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b.band_idx,
+         concat_ws(',', sig[b.band_idx*4+1], sig[b.band_idx*4+2],
+                        sig[b.band_idx*4+3], sig[b.band_idx*4+4]) AS band_key
+  FROM sigs, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_idx) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
+    rows), shuffle only (band_idx, band_key), join within buckets.
+    This is the scale path — candidates ~ O(dups), not O(n^2)."""
+    sigs = d03_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.element_at(F.col("signature"), bi * 4 + 1),
+                        F.element_at(F.col("signature"), bi * 4 + 2),
+                        F.element_at(F.col("signature"), bi * 4 + 3),
+                        F.element_at(F.col("signature"), bi * 4 + 4),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+_N_SIMHASH_BITS = 60
+
+
+@query(
+    "d05_simhash",
+    oracle=f"""
+SELECT doc_id,
+  CAST(list_sum(list_transform(generate_series(0, {_N_SIMHASH_BITS - 1}),
+    i -> CASE WHEN list_sum(list_transform(hashes,
+                h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id,
+    list_transform(list_distinct(regexp_split_to_array({_SQL_NORM}, '\\s+')),
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hashes
+  FROM documents WHERE {_SQL_NORM} != ''
+)
+""",
+    tags=("dedup", "simhash"),
+)
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from distinct-token md5 hashes —
+    entirely nested higher-order expressions, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        normalized_text(F.col("text")) != ""
+    )
+    hashes = F.transform(
+        F.array_distinct(F.split(normalized_text(F.col("text")), r"\s+")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    simhash = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {_N_SIMHASH_BITS - 1}),
+            i -> IF(aggregate(hashes,
+                      0L, (acc, h) -> acc + IF((h >> i) & 1 = 1, 1L, -1L)) > 0,
+                    shiftleft(1L, i), 0L)),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+    return docs.select("doc_id", hashes.alias("hashes")).select(
+        "doc_id", simhash.alias("simhash")
+    )
+
+
+@query(
+    "d06_simhash_hamming_pairs",
+    oracle=f"""
+WITH sims AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(0, {_N_SIMHASH_BITS - 1}),
+      i -> CASE WHEN list_sum(list_transform(hashes,
+                  h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+      list_transform(list_distinct(regexp_split_to_array({_SQL_NORM}, '\\s+')),
+        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hashes
+    FROM documents WHERE {_SQL_NORM} != ''
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+""",
+    tags=("dedup", "simhash"),
+)
+def d06_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming distance between SimHashes of nearby document pairs
+    (banded id window stands in for an LSH prefix-bucket join)."""
+    sims = d05_simhash(spark, sf_dir)
+    a, b = sims.alias("a"), sims.alias("b")
+    return a.join(
+        b,
+        (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 3),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+            "hamming"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t01_text_stats",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  length(text) AS n_chars_actual,
+  n_chars AS n_chars_declared,
+  md5({_SQL_NORM}) AS fingerprint
+FROM documents
+""",
+    tags=("text",),
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char counts + content fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_declared"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _sql_lang_guess() -> str:
+    counts = {
+        k: f"len(regexp_extract_all(lower(text), '{p}'))"
+        for k, p in LANG_MARKERS.items()
+    }
+    best = f"greatest({counts['en']}, {counts['de']}, {counts['fr']}, {counts['es']})"
+    return f"""
+CASE WHEN len(regexp_extract_all(text, '{CJK_PATTERN}')) > 0 THEN 'zh'
+     WHEN {best} = 0 THEN 'unknown'
+     WHEN {counts['en']} = {best} THEN 'en'
+     WHEN {counts['de']} = {best} THEN 'de'
+     WHEN {counts['fr']} = {best} THEN 'fr'
+     ELSE 'es' END
+"""
+
+
+@query(
+    "t02_language_id",
+    oracle=f"""
+SELECT lang AS declared_lang, {_sql_lang_guess().strip()} AS guessed_lang,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+    tags=("text", "language-id"),
+)
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: stopword-marker heuristic vs the
+    declared lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import language_guess
+
+    return docs.groupBy(
+        F.col("lang").alias("declared_lang"),
+        language_guess(F.col("text")).alias("guessed_lang"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "t03_quality_scores",
+    oracle=r"""
+SELECT doc_id,
+  ROUND(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0 ELSE
+    0.4 * least(CAST(length(trim(text)) AS DOUBLE) / 500.0, 1.0)
+  + 0.4 * (CASE WHEN length(trim(text)) > 0
+           THEN CAST(length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) AS DOUBLE)
+                / length(trim(text)) ELSE 0.0 END)
+  + 0.2 * least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+           THEN CAST(length(trim(text)) AS DOUBLE)
+                / (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+           ELSE 0.0 END) / 8.0, 1.0)
+  END, 6) AS quality
+FROM documents
+""",
+    tags=("text", "quality"),
+)
+def t03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/alpha-ratio/word-length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_topk_cosine",
+    oracle="""
+SELECT b.vec_id,
+  ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.vec_id != 0
+ORDER BY sim DESC, b.vec_id LIMIT 10
+""",
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def s01_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 by cosine to one query vector: single
+    narrow corpus pass + TakeOrderedAndProject (no global sort)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    return (
+        em.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "s02_knn_join",
+    oracle="""
+SELECT q_id, vec_id, sim, rank FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+  JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c ON true
+) WHERE rank <= 5
+""",
+    tags=("similarity", "knn"),
+)
+def s02_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (8 queries x corpus, k=5): broadcast the query
+    side, score map-side, per-query window top-k."""
+    from ..operators.similarity import knn_join
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 8)
+    return knn_join(queries, corpus, k=5)
+
+
+@query(
+    "s03_embedding_near_dup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.2
+""",
+    tags=("similarity", "dedup"),
+)
+def s03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on label so the
+    self-join is per-block (the blocking key is what keeps this from
+    going quadratic at 100 TB; swap label for an LSH bucket in the
+    unblocked case)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a, b = em.alias("a"), em.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(sim > 0.2)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+@query(
+    "s04_label_centroids",
+    oracle="""
+SELECT label, pos,
+  ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS centroid_val
+FROM (
+  SELECT label, u.val, u.pos
+  FROM embeddings, UNNEST(embedding) WITH ORDINALITY AS u(val, pos)
+)
+GROUP BY label, pos
+""",
+    tags=("similarity", "aggregation"),
+)
+def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (dimension-wise mean) via posexplode +
+    re-aggregate — the IVF coarse-quantizer training step."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+@query(
+    "s05_ivf_search",
+    oracle=None,  # multi-stage centroid-pruned search; verified rows-only + pytest
+    tags=("similarity", "ann"),
+)
+def s05_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned ANN: assign every corpus vector to its nearest
+    label-centroid (coarse quantizer), then search only the query's
+    nprobe=2 closest cells. At scale the corpus is pre-partitioned by
+    cell, so a query touches 2/K of the data instead of all of it."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        em.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cval"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform(F.col("pairs"), lambda p: p.cval.cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+    cents_b = F.broadcast(cents)
+    # assign corpus vectors to nearest centroid cell
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.col("cell")
+    )
+    assigned = (
+        em.crossJoin(cents_b)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "csim")
+    )
+    # queries probe their 2 nearest cells
+    queries = em.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.col("cell"))
+    probes = (
+        queries.crossJoin(cents_b)
+        .select(
+            "q_id",
+            "q_vec",
+            "cell",
+            cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_vec", "cell")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pipeline (UDF-backed; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p01_pipeline_sink_docs",
+    oracle=None,  # embedding UDF is not SQL-expressible
+    tags=("pipeline", "embedding"),
+    bench=True,
+)
+def p01_pipeline_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference dataflow in batch form: documents -> empty-text
+    filter -> deterministic embedding (Arrow-batched pandas UDF) ->
+    sink projection {passage_embedding, date, text}."""
+    from ..pipeline import sink_documents
+
+    return sink_documents(spark, sf_dir)
+
+
+@query(
+    "p02_flagship_retrieval",
+    oracle=None,
+    tags=("pipeline", "similarity"),
+)
+def p02_flagship_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed corpus + query with the same model, return top-10 by cosine
+    (the end-to-end RAG retrieval path)."""
+    from ..pipeline import flagship_topk
+
+    return flagship_topk(spark, sf_dir)
