@@ -34,7 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    return {name: spec.build for name, spec in plans.all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -44,4 +46,10 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    return {
+        name: spec.oracle
+        for name, spec in plans.all_specs().items()
+        if spec.oracle is not None
+    }

@@ -133,15 +133,22 @@ def embed(
                     embeddings.extend(vecs)
                     errors.extend([None] * len(chunk))
                 except Exception as e:  # noqa: BLE001 - dead-letter policy
+                    if on_error == "fail":
+                        raise
                     embeddings.extend([None] * len(chunk))
                     errors.extend([f"{type(e).__name__}: {e}"] * len(chunk))
             yield pd.DataFrame({"embedding": embeddings, "error": errors})
 
+    if on_error not in ("dead-letter", "drop", "fail"):
+        raise ValueError(f"unknown on_error policy {on_error!r}")
     out = df.withColumn("_emb", _embed(F.col(text_col))).select(
         "*", F.col("_emb.embedding").alias("embedding"), F.col("_emb.error").alias("error")
     ).drop("_emb")
     if on_error == "drop":
         out = out.filter(F.col("error").isNull()).drop("error")
     elif on_error == "fail":
-        pass  # caller inspects; reference behavior (emit null) intentionally not offered
+        # fail-fast: the UDF re-raises on the worker, so the job errors
+        # instead of silently dead-lettering (never emits null like the
+        # reference, BedRockEmbeddingModelAsyncCustomMessage.java:109-112).
+        out = out.drop("error")
     return out

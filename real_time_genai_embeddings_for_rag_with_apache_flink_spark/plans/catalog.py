@@ -32,7 +32,11 @@ def dec(c: str | Column, prec: int = 12, scale: int = 2) -> Column:
     return col.cast(f"decimal({prec},{scale})")
 
 
-ONE = F.lit(1).cast("decimal(3,2)")
+def one() -> Column:
+    """Exact DECIMAL literal 1.00, built lazily so importing this module
+    never touches the JVM (F.lit at module scope requires an active
+    SparkContext; query builders only run with a session in hand)."""
+    return F.lit(1).cast("decimal(3,2)")
 
 # ---------------------------------------------------------------------------
 # Filters / projection / scan pushdown
@@ -67,8 +71,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy filter + hash aggregate. Partial
     aggregation collapses 6 M rows/SF to 6 groups before the shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (ONE - dec("l_discount"))
-    charge = disc_price * (ONE + dec("l_tax"))
+    disc_price = dec("l_extendedprice") * (one() - dec("l_discount"))
+    charge = disc_price * (one() + dec("l_tax"))
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -114,7 +118,7 @@ def q02_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_linenumber",
-        (dec("l_extendedprice") * (ONE - dec("l_discount")))
+        (dec("l_extendedprice") * (one() - dec("l_discount")))
         .cast("double")
         .alias("disc_price"),
         "l_returnflag",
@@ -192,7 +196,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
         .agg(
-            F.sum(dec("l_extendedprice") * (ONE - dec("l_discount")))
+            F.sum(dec("l_extendedprice") * (one() - dec("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -246,7 +250,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
         .agg(
-            F.sum(dec("l_extendedprice") * (ONE - dec("l_discount")))
+            F.sum(dec("l_extendedprice") * (one() - dec("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -823,16 +827,19 @@ SELECT o_orderkey AS orderkey,
   year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
   quarter(o_orderdate) AS q,
   date_trunc('month', o_orderdate) AS month_start,
-  CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
   date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-  CAST(o_orderdate AS DATE) AS order_date
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
 FROM orders WHERE o_orderkey < 2000
 """,
     tags=("functions", "datetime"),
 )
 def q25_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar coverage on TIMESTAMP_NTZ (timezone-free, so
-    results are independent of the session timezone)."""
+    results are independent of the session timezone). DATE-typed results
+    are emitted as ISO strings so both engines hash the identical
+    representation (a bare DATE round-trips as date-at-midnight through
+    some pandas paths)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     d = F.col("o_orderdate").cast("date")
     return o.select(
@@ -842,9 +849,9 @@ def q25_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         F.quarter("o_orderdate").alias("q"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.date_add(d, 30).alias("due_date"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
         F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
-        d.alias("order_date"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
     )
 
 

@@ -534,8 +534,9 @@ def s03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label, pos,
   ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS centroid_val
 FROM (
-  SELECT label, u.val, u.pos
-  FROM embeddings, UNNEST(embedding) WITH ORDINALITY AS u(val, pos)
+  SELECT label, unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
 )
 GROUP BY label, pos
 """,

@@ -1,0 +1,235 @@
+"""Structured Streaming catalog entries.
+
+The reference is a pure streaming job (source -> map -> filter -> async
+embed -> sink, ``KDS-P/.../msf/DataStreamJob.java:133-177``) with no
+watermarks (``MSK-S/...:163``). These entries run the engine's streaming
+surface for real — ``readStream`` over the testdata parquet, micro-batched
+with ``Trigger.AvailableNow``, results landed in a memory sink and
+returned as a DataFrame — so the driver's oracle checks actual streaming
+output, not a batch stand-in.
+
+Semantics notes (what the oracle SQL mirrors):
+- availableNow processes all existing input then stops; a trailing
+  no-data micro-batch advances the watermark so append-mode aggregations
+  flush every window whose end <= max(event_time) - delay. Windows past
+  that frontier stay in state forever (they'd emit on the next batch in a
+  live stream) — the oracle replicates the cutoff exactly.
+- complete-mode aggregation emits all windows, so its oracle is the plain
+  batch aggregation.
+- dropDuplicates keys state by the dedup columns; with a watermark the
+  state is bounded. Output order is micro-batch-dependent, so the checked
+  projection is the surviving key set, not the surviving row.
+
+At scale the same code runs against Kafka/Kinesis by swapping the source
+format; state lives in the checkpointed state store, partitioned by the
+grouping key across executors.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .registry import query
+
+# Read schema for the events parquet (ts is TIMESTAMP(NANOS) on disk,
+# surfaced as bigint under spark.sql.legacy.parquet.nanosAsLong).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_DOCS_RAW = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded file-stream source.
+
+    The event-time column must be TIMESTAMP (watermarks reject NTZ), so
+    ts is rebuilt from the on-disk nanos as epoch microseconds; with the
+    engine's UTC session timezone the wall-clock values match the batch
+    loader's TIMESTAMP_NTZ exactly. basePath pins partition discovery to
+    the sf dir (the path itself is a single file, which the file-stream
+    source would otherwise reject as a base)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("basePath", sf_dir)
+        .parquet(_single_file_glob(sf_dir, "events.parquet"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _single_file_glob(sf_dir: str, filename: str) -> str:
+    """Glob matching exactly one file. The file-stream source force-sets
+    basePath to the path itself when the path is NOT a glob — a file base
+    is then rejected with 'basePath must be a directory' — but leaves the
+    caller's basePath option alone for glob paths, so wrap the last char
+    in [] to make the path a (singleton) glob."""
+    return os.path.join(sf_dir, f"{filename[:-1]}[{filename[-1]}]")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_DOCS_RAW)
+        .option("basePath", sf_dir)
+        .parquet(_single_file_glob(sf_dir, "documents.parquet"))
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink contents as a batch DataFrame."""
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), sink)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink)
+
+
+@query(
+    "st01_stream_tumbling_complete",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "window-time"),
+)
+def st01_stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, complete output mode: the
+    memory sink holds every window, so the oracle is the batch
+    aggregation verbatim."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return run_to_memory(agg, "st01", "complete")
+
+
+@query(
+    "st02_stream_watermark_append",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+HAVING window_start + INTERVAL '1 hour'
+       <= (SELECT max_ts FROM mx) - INTERVAL '10 minutes'
+""",
+    tags=("streaming", "watermark", "late-data"),
+)
+def st02_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed count under a 10-minute watermark: only
+    windows wholly below the final watermark (max event time - 10 min)
+    are emitted; the trailing open window correctly stays in state. The
+    oracle replays exactly that frontier."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return run_to_memory(agg, "st02", "append")
+
+
+@query(
+    "st03_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dropDuplicates on (user_id, event_type): state
+    keyed by the pair, first arrival wins, appended once. The checked
+    output is the surviving key set (arrival order varies with partition
+    scheduling, so survivors' other columns are not part of the
+    contract)."""
+    ev = stream_events(spark, sf_dir)
+    dedup = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(dedup, "st03", "append")
+
+
+@query(
+    "st04_stream_filter_project",
+    oracle="""
+SELECT event_id, user_id, ROUND(value * 2, 6) AS value2
+FROM events WHERE event_type = 'purchase' AND value > 50
+""",
+    tags=("streaming", "filter", "projection"),
+)
+def st04_stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming filter + projection (the reference's F1/M2
+    stages, DataStreamJob.java:144-146, as a micro-batched stream)."""
+    ev = stream_events(spark, sf_dir)
+    out = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("event_id", "user_id", F.round(F.col("value") * 2, 6).alias("value2"))
+    )
+    return run_to_memory(out, "st04", "append")
+
+
+@query(
+    "st05_stream_embed_pipeline",
+    oracle=None,  # embedding UDF is not SQL-expressible; rows-only check
+    tags=("streaming", "pipeline", "embedding"),
+)
+def st05_stream_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference dataflow as a stream: documents file-source ->
+    empty-text filter (DataStreamJob.java:146) -> deterministic embedding
+    pandas UDF (A1) -> sink projection {passage_embedding, date, text}
+    (DataStreamJob.java:185-187) through a memory sink."""
+    from ..operators.embed import embed
+
+    docs = stream_documents(spark, sf_dir)
+    filtered = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    embedded = embed(filtered, on_error="drop")
+    out = embedded.select(
+        F.col("embedding").alias("passage_embedding"),
+        F.current_timestamp().alias("date"),
+        F.col("text"),
+    )
+    return run_to_memory(out, "st05", "append")

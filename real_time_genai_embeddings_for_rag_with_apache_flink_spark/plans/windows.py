@@ -1,0 +1,201 @@
+"""Event-time windowing catalog (SURVEY.md section 2B streaming rows).
+
+The reference attaches ``WatermarkStrategy.noWatermarks()`` and never
+windows anything (``MSK-S/.../msf/DataStreamJob.java:163``); these queries
+declare the engine's event-time surface. They run the *same* window
+expressions batch-mode over the ``events`` table so the DuckDB oracle can
+verify values; ``plans/streaming_queries.py`` re-runs the identical
+aggregations through Structured Streaming micro-batches.
+
+Scale notes:
+- tumbling/sliding windows are plain group-bys on a derived bucket key —
+  one shuffle, map-side partial aggregation applies as usual;
+- a sliding window of length L sliding S duplicates each row L/S times
+  (Spark's Expand node); keep L/S small at scale or pre-aggregate into
+  S-sized tumbling buckets first and roll them up;
+- session windows shuffle once on the session key (user) and sort within
+  partitions; skewed users are the hazard, AQE skew-split handles it;
+- the interval join is an equi-join on the entity key with the time range
+  as a residual predicate — a hash join, never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import query
+
+
+@query(
+    "w01_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("window-time", "aggregation"),
+    bench=True,
+)
+def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type. The window is
+    just a derived grouping key, so the plan is an ordinary two-phase
+    hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "w02_sliding_window",
+    oracle="""
+SELECT wstart AS window_start, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT e.*,
+    unnest([time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart
+  FROM events e
+)
+GROUP BY 1
+""",
+    tags=("window-time", "aggregation"),
+)
+def w02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, length 1 h sliding 30 min: every event lands in
+    exactly 2 windows (Catalyst Expand with factor L/S = 2 — the factor
+    to keep small at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "w03_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL '5 minutes'
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+""",
+    tags=("window-time", "session"),
+)
+def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap, using
+    Spark's native session_window (events merge while the gap to the
+    previous event is < 5 min; the oracle replays the same gaps-and-
+    islands semantics with window functions). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "sum_value")
+    )
+
+
+@query(
+    "w04_interval_join",
+    oracle="""
+SELECT e.event_id, COUNT(c.event_id) AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts
+GROUP BY e.event_id
+""",
+    tags=("window-time", "join", "interval-join"),
+)
+def w04_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: for each error, clicks by the same user
+    in the preceding 10 minutes. The equi key (user_id) hashes; the time
+    band is a residual predicate inside each bucket — the batch twin of
+    a stream-stream interval join with watermarked state."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    return (
+        err.join(
+            clk,
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("c_event_id").alias("n_clicks_10m"))
+    )
+
+
+@query(
+    "w05_windowed_topk_users",
+    oracle="""
+SELECT window_start, user_id, n, rn FROM (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts)
+                            ORDER BY COUNT(*) DESC, user_id) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn <= 3
+""",
+    tags=("window-time", "window", "topk"),
+)
+def w05_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per 6-hour window: windowed aggregation
+    feeding a rank — the aggregate shrinks the data before the window
+    sort, so the rank shuffle is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "user_id")
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

@@ -49,8 +49,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     independent of the session timezone."""
     from pyspark.sql import functions as F
 
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis while the conf is set
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     ts_field = dict(df.dtypes).get("ts")
     if ts_field == "bigint":
         df = df.withColumn(
