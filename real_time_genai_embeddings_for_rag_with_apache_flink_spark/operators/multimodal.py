@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted through Arrow-batched mapInPandas.
+
+The reference is text-only (SURVEY.md §1.3: no binary type anywhere), so
+this is pure engine surface for training-data pipelines: images/audio/
+video ride along as ``binary`` columns with a metadata struct, and every
+per-payload transform is a mapInPandas over Arrow batches — one
+JVM→Python crossing per batch, never per row.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode step is split:
+- the *plumbing* (schemas, batch iteration, partitioning, UDF signatures)
+  is real and tested;
+- the *codec* is pluggable: ``decode_image(real_codec=True)`` raises
+  NotImplementedError until a codec backend is installed, while the
+  default deterministic fake derives plausible dimensions from the bytes
+  themselves (pure arithmetic on byte length, so the DuckDB oracle can
+  verify the full Spark-side dataflow end to end).
+
+At 100 TB: binary payloads dominate row size — keep them in their own
+parquet column chunk (columnar pruning skips them unless selected), size
+``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits in
+worker memory, and never collect payload columns to the driver.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    FloatType,
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Payload + typed metadata, the multimodal row shape.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+_DECODED = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal rows: the UTF-8 text bytes stand in for an
+    encoded media payload (deterministic, so tests and oracle agree);
+    media_type cycles by doc_id."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+    )
+
+
+def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Decode payloads to (width, height, n_frames) via mapInPandas.
+
+    The fake codec derives dimensions from byte length only (SQL-mirrored
+    by the oracle); a real codec would do PIL.Image.open / ffprobe on
+    ``payload`` inside the same batch loop — identical plumbing, one
+    library call swapped in.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_codec:
+            raise NotImplementedError(
+                "no media codec in this container; install PIL/ffmpeg and "
+                "replace the fake dimension derivation below"
+            )
+        for pdf in batches:
+            n = pdf["n_bytes"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": (32 + n % 608).astype("int32"),
+                    "height": (32 + (n // 7) % 608).astype("int32"),
+                    "n_frames": pd.Series(
+                        [1] * len(pdf), index=pdf.index, dtype="int32"
+                    ).where(pdf["media_type"] != "video", (1 + n % 240).astype("int32")),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_DECODED)
+
+
+def sample_frames(decoded: DataFrame, stride: int = 30) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    index (0, stride, 2*stride, ...). Pure Catalyst explode — the frame
+    *extraction* would join these indices back against the payload in a
+    codec-backed mapInPandas."""
+    vids = decoded.filter(F.col("media_type") == "video")
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(stride)
+    )
+    return vids.select(
+        "doc_id", "n_frames", F.explode(idx).alias("frame_idx")
+    )
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Per-payload feature vector via mapInPandas: a deterministic byte
+    histogram folded into ``dim`` buckets (crc of position-tagged chunks).
+    Same Arrow-batched shape a real image/audio encoder would use."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                buckets = [0.0] * dim
+                if payload is not None:
+                    for i in range(0, len(payload), 64):
+                        chunk = bytes(payload[i : i + 64])
+                        h = zlib.crc32(chunk)
+                        buckets[h % dim] += 1.0
+                    total = sum(buckets)
+                    if total > 0:
+                        buckets = [b / total for b in buckets]
+                feats.append(buckets)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.mapInPandas(featurize, schema=_FEATURES)

@@ -1,0 +1,196 @@
+"""UDF-surface catalog: grouped-agg pandas UDAF, mapInPandas UDTF,
+keyed-state streaming, and the multimodal column pipeline.
+
+SURVEY.md §2B rows: UDF/UDAF/UDTF (the reference's only "UDF" is the
+async embedding call, ``BedRockEmbeddingModelAsyncCustomMessage.java:
+26-119``) and the north-star multimodal additions. Everything crossing
+into Python is Arrow-batched; the multimodal fake codec is arithmetic on
+byte length precisely so the DuckDB oracle can verify the full dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..sources.batch import load_table
+from .registry import query
+
+
+@query(
+    "u01_grouped_agg_udaf",
+    oracle="""
+SELECT l_returnflag AS returnflag,
+  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("udf", "udaf", "aggregation"),
+)
+def u01_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF as a grouped-aggregate pandas UDF: quantity-weighted
+    average price per return flag. Arrow ships each group's columns to
+    Python once; numpy does the reduction vectorized. (Partial
+    aggregation does NOT apply to pandas UDAFs — each group's rows
+    co-locate first — so at scale prefer built-in expressions when the
+    algebra allows; this exists to prove the extension point.)"""
+
+    @F.pandas_udf(DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return round(float(np.sum(price * qty) / np.sum(qty)), 4)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
+    )
+
+
+@query(
+    "u02_mapinpandas_tokens",
+    oracle="""
+SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+       unnest(toks) AS token
+FROM (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                               ' ') AS toks
+  FROM documents
+  WHERE doc_id < 50 AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) != ''
+)
+""",
+    tags=("udf", "udtf", "text"),
+)
+def u02_mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-style 1->N row expansion with mapInPandas: tokenize each
+    document into (doc_id, pos, token) rows. The Python worker streams
+    Arrow batches in and yields differently-shaped batches out — the
+    engine's table-function extension point (a pure-Catalyst explode
+    would also work for this particular case; the point is the shape)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("token", StringType()),
+        ]
+    )
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, toks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                norm = " ".join(str(text).lower().split())
+                if not norm:
+                    continue
+                for i, tok in enumerate(norm.split(" "), start=1):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    toks.append(tok)
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "token": toks})
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(tokenize, schema=out_schema)
+
+
+@query(
+    "st06_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 6) AS sum_value
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "udf"),
+)
+def st06_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed-state streaming operator (applyInPandasWithState):
+    per-user lifetime totals emitted after each micro-batch. The testdata
+    arrives as one micro-batch, so the emitted totals equal the batch
+    GROUP BY — which is what the oracle verifies."""
+    from ..operators.stateful import user_running_totals
+    from .streaming_queries import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    totals = user_running_totals(ev)
+    return run_to_memory(totals, "st06", "append")
+
+
+@query(
+    "m01_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  CAST(32 + octet_length(encode(text)) % 608 AS INT) AS width,
+  CAST(32 + (octet_length(encode(text)) // 7) % 608 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 240
+            ELSE 1 END AS INT) AS n_frames
+FROM documents
+""",
+    tags=("multimodal", "udf"),
+)
+def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload column + typed metadata
+    -> mapInPandas decode stub -> dimensions. The fake codec is pure
+    arithmetic on byte length, so the oracle verifies the whole Spark
+    dataflow (payload attach, Arrow batching, schema) end to end."""
+    from ..operators.multimodal import attach_fake_payload, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_fake_payload(docs))
+
+
+@query(
+    "m02_frame_sampling",
+    oracle="""
+SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 30)) AS frame_idx
+FROM (
+  SELECT doc_id,
+    1 + octet_length(encode(text)) % 240 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+    tags=("multimodal",),
+)
+def m02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 30th frame index per video payload,
+    as a Catalyst sequence+explode (no Python in the hot path; the codec
+    joins these indices in a real deployment)."""
+    from ..operators.multimodal import (
+        attach_fake_payload,
+        decode_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_media(attach_fake_payload(docs)), stride=30)
+
+
+@query(
+    "m03_media_features",
+    oracle=None,  # crc32-folded byte histogram is not SQL-expressible
+    tags=("multimodal", "udf"),
+)
+def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature extraction via mapInPandas (deterministic byte
+    histogram standing in for an image/audio encoder); rows-only check."""
+    from ..operators.multimodal import attach_fake_payload, media_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return media_features(attach_fake_payload(docs))

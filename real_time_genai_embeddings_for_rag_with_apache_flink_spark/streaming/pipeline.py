@@ -1,0 +1,115 @@
+"""The reference dataflow as a Structured Streaming job.
+
+Reference job (all three variants): stream source -> JSON parse -> project
++ uuid -> empty-text filter -> async Bedrock embed -> OpenSearch bulk sink
+(``KDS-P/.../msf/DataStreamJob.java:133-177``). Here the same stages are
+one declarative streaming plan:
+
+- source: Kafka (``format("kafka")``, the MSK variant's KafkaSource,
+  ``MSK-S/.../DataStreamJob.java:127-135``), a JSON-lines file stream (the
+  test/default source standing in for Kinesis), or the rate source for
+  load generation. Start position (reference divergence: Kinesis LATEST at
+  ``KDS-P/...:130`` vs Kafka earliest at ``MSK-S/...:132``) is
+  ``PipelineConfig.start_position``.
+- parse/normalize/filter: ``from_json`` + select + filter — fused by
+  whole-stage codegen into one stage per micro-batch (the analogue of
+  Flink operator chaining, ``KDS-P/lib/....ts:230-235``).
+- embed: Arrow-batched pandas UDF (operators/embed.py); micro-batch
+  parallelism across partitions replaces the reference's 1000-deep async
+  pool.
+- sink: ``foreachBatch`` bulk-writing the vector table (parquet append)
+  and dead-letter rows separately — at-least-once, same guarantee as the
+  reference's bulk OpenSearch sink, with checkpoint-based recovery
+  (MSF snapshots, ``KDS-P/lib/....ts:213-215``).
+
+At scale: source partitions (Kafka partitions / file chunks) set the
+parallelism; the only stateful pieces are the source offsets in the
+checkpoint — the pipeline itself is embarrassingly parallel, so it scales
+linearly with executors as long as the embedding backend keeps up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import PipelineConfig
+from ..operators.embed import DeterministicEmbedder, embed
+from ..operators.normalize import filter_nonempty_text, normalize, parse_raw
+from .sinks import foreach_batch_writer
+
+
+def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Streaming source -> RAW(value: string) per schemas.RAW_SCHEMA."""
+    if cfg.source_format == "kafka":
+        if not (cfg.kafka_bootstrap and cfg.kafka_topic):
+            raise ValueError("kafka source needs kafka_bootstrap and kafka_topic")
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
+            .option("subscribe", cfg.kafka_topic)
+            .option("startingOffsets", cfg.start_position)
+            .load()
+            .select(F.col("value").cast("string").alias("value"))
+        )
+    if cfg.source_format == "rate":
+        # Load generator: fabricate wire-format JSON records at a fixed
+        # rows/sec (stands in for the producer Lambda,
+        # kds-producer-lambda/lambda_function.py:10-33).
+        rate = spark.readStream.format("rate").option(
+            "rowsPerSecond", str(cfg.extra.get("rows_per_second", 100))
+        ).load()
+        return rate.select(
+            F.to_json(
+                F.struct(
+                    F.concat(F.lit("synthetic text "), F.col("value")).alias("text"),
+                    F.date_format(
+                        F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+                    ).alias("created_at"),
+                )
+            ).alias("value")
+        )
+    if cfg.source_format == "json":
+        if not cfg.source_path:
+            raise ValueError("json source needs source_path")
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", str(cfg.extra.get("max_files", 10)))
+            .load(cfg.source_path)
+        )
+    raise ValueError(f"unknown source_format {cfg.source_format!r}")
+
+
+def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """source -> RAW -> MSG -> DOC -> EMB as one streaming plan."""
+    raw = build_source(spark, cfg)
+    msg = parse_raw(raw, "value")
+    msg = msg.filter(~F.col("_corrupt")).drop("_corrupt")
+    doc = normalize(msg, id_strategy=cfg.extra.get("id_strategy", "uuid"))
+    doc = filter_nonempty_text(doc)
+    return embed(
+        doc,
+        text_col="text",
+        embedder_factory=DeterministicEmbedder,
+        dim=cfg.resolved_dim(),
+        batch_size=cfg.embed_batch_size,
+        on_error=cfg.on_error,
+    )
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> StreamingQuery:
+    """Start the streaming job; returns the StreamingQuery handle.
+
+    With ``trigger_interval=None`` the job drains available input and
+    stops (availableNow) — the test/batch-replay mode; with an interval it
+    runs continuously like the reference job."""
+    emb = build_pipeline(spark, cfg)
+    writer = emb.writeStream.foreachBatch(foreach_batch_writer(cfg))
+    if cfg.checkpoint_dir:
+        writer = writer.option("checkpointLocation", cfg.checkpoint_dir)
+    if cfg.trigger_interval:
+        writer = writer.trigger(processingTime=cfg.trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

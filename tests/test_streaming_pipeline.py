@@ -1,0 +1,99 @@
+"""End-to-end Structured Streaming pipeline test (SURVEY.md §5.2/5.3).
+
+Replays the reference dataflow over a JSON-lines file stream: wire JSON
+-> parse -> normalize -> empty-text filter -> embed -> parquet vector
+sink, with corrupt records and empty texts dropped along the way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.config import (
+    PipelineConfig,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming import (
+    build_source,
+    run_pipeline,
+)
+
+
+@pytest.fixture()
+def wire_dir(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    records = [
+        {"text": "the quick brown fox", "created_at": "2024-01-01T00:00:00.000Z"},
+        {"text": "jumps over the lazy dog", "created_at": "2024-01-01T00:01:00.000Z"},
+        {"text": "", "created_at": "2024-01-01T00:02:00.000Z"},  # F1 drops
+        {"text": "packs my box", "created_at": "2024-01-01T00:03:00.000Z"},
+    ]
+    with open(src / "batch1.jsonl", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not valid json\n")  # corrupt record, dropped not crashed
+    return str(src)
+
+
+def test_pipeline_end_to_end(spark, wire_dir, tmp_path):
+    sink = str(tmp_path / "vectors")
+    cfg = PipelineConfig(
+        source_format="json",
+        source_path=wire_dir,
+        sink_format="parquet",
+        sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        embedding_dim=32,
+        extra={"id_strategy": "deterministic"},
+    )
+    q = run_pipeline(spark, cfg)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    out = spark.read.parquet(sink)
+    assert sorted(out.columns) == ["date", "passage_embedding", "text"]
+    rows = out.collect()
+    # 5 wire records: 1 corrupt + 1 empty dropped -> 3 embedded docs
+    assert len(rows) == 3
+    assert {r.text for r in rows} == {
+        "the quick brown fox",
+        "jumps over the lazy dog",
+        "packs my box",
+    }
+    assert all(len(r.passage_embedding) == 32 for r in rows)
+    assert all(r.date is not None for r in rows)
+    # no embedding failures -> no dead-letter table
+    assert not os.path.exists(sink + "_dead_letter")
+
+
+def test_pipeline_restart_is_exactly_once_over_checkpoint(
+    spark, wire_dir, tmp_path
+):
+    """Re-running with the same checkpoint must not re-process drained
+    input (source offsets are the only state, as in the reference)."""
+    sink = str(tmp_path / "vectors")
+    cfg = PipelineConfig(
+        source_format="json",
+        source_path=wire_dir,
+        sink_format="parquet",
+        sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        embedding_dim=16,
+    )
+    run_pipeline(spark, cfg).awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    run_pipeline(spark, cfg).awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1 == 3
+
+
+def test_kafka_source_requires_config(spark):
+    with pytest.raises(ValueError, match="kafka"):
+        build_source(spark, PipelineConfig(source_format="kafka"))
+
+
+def test_unknown_source_format(spark):
+    with pytest.raises(ValueError, match="unknown source_format"):
+        build_source(spark, PipelineConfig(source_format="bogus"))
