@@ -38,6 +38,39 @@ def token_count(text: Column) -> Column:
     ).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# BPE-ish subword pre-tokenization: runs of letters, runs of digits, or a
+# single non-space symbol — the split GPT-style BPE applies before merges.
+# Character classes only, so the Java and RE2 regex dialects agree exactly.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-style pre-token count (letter runs + digit runs + symbols);
+    0 for null/empty text. An upper bound on merged-BPE token count and
+    the standard cheap proxy for LLM corpus token accounting."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    )
+
+
+# Rolling-hash parameters (shared with the DuckDB oracle SQL): classic
+# polynomial hash, base 31 mod 1e9+7 — acc stays < 3.3e10, inside BIGINT.
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash of the normalized text's code points:
+    h = (h*31 + ascii(ch)) mod 1e9+7, folded left with the aggregate
+    higher-order function — no UDF, no shuffle, engine-portable."""
+    chars = F.split(normalized_text(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -588,6 +588,7 @@ SELECT custkey, orderkey, totalprice, rn FROM (
 ) WHERE rn <= 3
 """,
     tags=("window", "topk"),
+    bench=True,
 )
 def q17_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price: the window-rank top-k idiom

