@@ -1,0 +1,168 @@
+"""Reshaping + statistical aggregates: pivot, unpivot, percentiles,
+deterministic sampling.
+
+None exist in the reference (SURVEY.md §0 — its job is a linear
+dataflow); they round out the §2B relational surface. All are plain
+Catalyst plans:
+
+- pivot is a conditional aggregation (one shuffle, same as the group-by);
+- unpivot is Catalyst's Expand (rows x n_measures, no shuffle);
+- exact percentiles use linear interpolation (identical definition to
+  DuckDB's quantile_cont, so the oracle matches); at 100 TB swap in
+  approx_percentile — same plan shape, fixed-size sketch;
+- sampling is hash-mod on a key: deterministic, reproducible across
+  engines and runs, and pushable — unlike TABLESAMPLE's RNG, this is the
+  form a training-data pipeline can re-materialize bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import query
+
+
+@query(
+    "q34_pivot",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS spend_f
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("pivot", "aggregation"),
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = conditional aggregation over an explicit value list (the
+    explicit list keeps the plan single-pass; an unlisted pivot needs an
+    extra distinct scan to discover columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1)), F.lit(0)
+        ).alias("n_f"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1)), F.lit(0)
+        ).alias("n_o"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1)), F.lit(0)
+        ).alias("n_p"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(12,2)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("spend_f"),
+    )
+
+
+@query(
+    "q34b_pivot_native",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("pivot", "aggregation"),
+)
+def q34b_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame pivot() operator itself (explicit value list; count
+    of empty cells is NULL on both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@query(
+    "q35_unpivot",
+    oracle="""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, 'quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS val
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+FROM lineitem WHERE l_orderkey < 500
+""",
+    tags=("unpivot",),
+)
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide measures into (measure, val) rows — a Catalyst
+    Expand node: rows x 3 with no shuffle (the oracle spells it as the
+    equivalent UNION ALL)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    ).unpivot(
+        ["orderkey", "linenumber"],
+        ["quantity", "discount", "tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "q36_percentiles",
+    oracle="""
+SELECT o_orderstatus AS status,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("aggregation", "percentile"),
+)
+def q36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont, both linear interpolation). Exact percentile
+    materializes each group's values — fine per-group here; at 100 TB
+    use approx_percentile (t-digest sketch, same call shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "d07_hash_sample",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10 = 0
+""",
+    tags=("sampling", "dedup"),
+)
+def d07_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash (md5 mod 10). Reproducible
+    across engines/runs/partitionings — the sampling primitive a
+    training pipeline needs for held-out splits (TABLESAMPLE's RNG is
+    none of those things)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
