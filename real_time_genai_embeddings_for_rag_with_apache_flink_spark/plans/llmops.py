@@ -744,6 +744,23 @@ def s05_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s06_kmeans_cells",
+    oracle=None,  # iterative (3 Lloyd's steps); pinned by a numpy reference test
+    tags=("similarity", "iterative", "clustering"),
+)
+def s06_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means cell assignment over the embedding corpus
+    (operators/kmeans.py): per-iteration narrow argmin assignment + one
+    (cell, pos) shuffle for re-estimation; centroids stay driver-side.
+    Deterministic init (k lowest ids) — correctness pinned against numpy
+    in tests/test_kmeans_skew.py."""
+    from ..operators.kmeans import kmeans_assign
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(em, k=8, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Embedding pipeline (UDF-backed; rows-only checks)
 # ---------------------------------------------------------------------------

@@ -213,6 +213,53 @@ def st04_stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st07_stream_stream_join",
+    oracle="""
+SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts
+""",
+    tags=("streaming", "join", "interval-join"),
+)
+def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join with watermarks on both sides:
+    clicks within the 10 minutes before each error by the same user.
+    Inner matches append as both sides arrive (emission never waits on
+    the watermark — the watermark only bounds join state), so the full
+    replay emits exactly the batch join's pairs, which is what the
+    oracle checks. State is keyed by user_id across executors; the time
+    bound lets expired rows be evicted."""
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 minute")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+    ).select("err_id", "click_id", "user_id")
+    return run_to_memory(joined, "st07", "append")
+
+
+@query(
     "st05_stream_embed_pipeline",
     oracle=None,  # embedding UDF is not SQL-expressible; rows-only check
     tags=("streaming", "pipeline", "embedding"),

@@ -110,6 +110,55 @@ def u02_mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u03_grouped_map_zscore",
+    oracle="""
+SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+  ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+        / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS zscore
+FROM orders
+""",
+    tags=("udf", "grouped-map"),
+)
+def u03_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score normalization of order value
+    within each status group. Each group's rows co-locate on one worker
+    and arrive as a single pandas frame — the arbitrary per-group
+    transform extension point (a window expression would also express
+    this particular case; the point is the API shape). At scale group
+    cardinality bounds parallelism and the largest group must fit one
+    worker — prefer window/agg expressions when the algebra allows."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("orderkey", LongType()),
+            StructField("status", StringType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "orderkey": pdf["o_orderkey"],
+                "status": pdf["o_orderstatus"],
+                "zscore": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(zscore, schema=out_schema)
+
+
+@query(
     "st06_stateful_user_totals",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,

@@ -1,0 +1,112 @@
+"""Iterative k-means vs a numpy reference, and skew-salting equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+    kmeans_assign,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.skew import (
+    salted_count_sum,
+    salted_join,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+    load_table,
+)
+
+
+def _numpy_kmeans(ids, X, k, iterations):
+    order = np.argsort(ids)
+    ids, X = np.asarray(ids)[order], np.asarray(X, dtype=np.float64)[order]
+    cents = X[:k].copy()
+    assign = None
+    for _ in range(iterations):
+        scaled = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-300
+        )
+        sims = X @ scaled.T
+        # ties -> lowest index, matching the engine's strict > fold
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return dict(zip(ids.tolist(), assign.tolist()))
+
+
+def test_kmeans_matches_numpy(spark):
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    rows = em.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = [list(map(float, r.embedding)) for r in rows]
+    expected = _numpy_kmeans(ids, X, k=8, iterations=3)
+
+    got = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(em, k=8, iterations=3).collect()
+    }
+    mismatches = {i for i in expected if expected[i] != got[i]}
+    assert not mismatches, f"{len(mismatches)} assignment mismatches"
+
+
+def test_kmeans_uses_all_cells(spark):
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cells = {r.cell for r in kmeans_assign(em, k=4, iterations=2).collect()}
+    assert len(cells) > 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    plain = o.join(c, "custkey").select("o_orderkey", "c_name")
+    salted = salted_join(o, c, "custkey", salt=8).select("o_orderkey", "c_name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    # restrict the lookup side so some orders have no match
+    c = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    plain = o.join(c, "custkey", "left")
+    salted = salted_join(o, c, "custkey", how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("c_name").isNull()).count()
+        == plain.filter(F.col("c_name").isNull()).count()
+    )
+
+
+def test_salted_join_rejects_bad_how(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, o, "o_orderkey", how="full")
+
+
+def test_salted_count_sum_equals_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    salted = salted_count_sum(ev, "event_type", "value", salt=8).collect()
+    p = {r.event_type: (r.n, round(r.total, 6)) for r in plain}
+    s = {r.event_type: (r.n, round(r.total, 6)) for r in salted}
+    assert p == s
