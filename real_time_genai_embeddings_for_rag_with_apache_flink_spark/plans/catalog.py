@@ -1034,3 +1034,98 @@ def q33_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("totalprice"),
         )
     )
+
+
+@query(
+    "q44_window_navigation",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "navigation"),
+)
+def q44_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/nth value, percent_rank,
+    cume_dist (last_value over the full-partition frame — the default
+    running frame is the classic SQL footgun the engine keeps explicit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cume"),
+    )
+
+
+@query(
+    "q45_map_functions",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+  CASE o_orderstatus WHEN 'F' THEN 'fulfilled' WHEN 'O' THEN 'open'
+       WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_label,
+  CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END AS known_status
+FROM orders WHERE o_orderkey < 2000
+""",
+    tags=("functions", "map"),
+)
+def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column surface: literal map build, element_at lookup with
+    null-safe default, map_contains_key (the oracle spells the same
+    lookups as CASE — DuckDB's MAP literals aren't needed to check the
+    values)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    labels = F.create_map(
+        F.lit("F"), F.lit("fulfilled"),
+        F.lit("O"), F.lit("open"),
+        F.lit("P"), F.lit("pending"),
+    )
+    lookup = F.element_at(labels, F.col("o_orderstatus"))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.coalesce(lookup, F.lit("unknown")).alias("status_label"),
+        F.map_contains_key(labels, F.col("o_orderstatus"))
+        .cast("int")
+        .alias("known_status"),
+    )
+
+
+@query(
+    "q46_try_functions",
+    oracle="""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+  l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_excess,
+  TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+FROM lineitem WHERE l_orderkey < 1000
+""",
+    tags=("functions", "error-handling"),
+)
+def q46_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide / try_cast return null
+    instead of failing the job — the engine-wide analogue of the
+    dead-letter policy (the reference crashes on malformed input,
+    SURVEY.md 1.2)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25
+        ).alias("price_per_excess"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )
