@@ -65,7 +65,9 @@ def kmeans_assign(
     re-estimation) and return (id, cell). Deterministic: initial
     centroids are the k lowest-id vectors, ties break to the lowest
     cell index."""
-    vecs = df.select(id_col, vec_col)
+    # Each iteration scans the corpus twice (assign + re-estimate);
+    # cache the narrow (id, vector) projection once instead.
+    vecs = df.select(id_col, vec_col).cache()
     init = (
         vecs.orderBy(id_col)
         .limit(k)

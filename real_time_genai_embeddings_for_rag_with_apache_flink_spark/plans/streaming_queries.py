@@ -260,6 +260,48 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st08_stream_session_append",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL '5 minutes'
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+), agg AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sess_id
+)
+SELECT user_id, session_start, n_events FROM agg
+WHERE last_event + INTERVAL '5 minutes'
+      <= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+""",
+    tags=("streaming", "session", "watermark"),
+)
+def st08_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (5-minute gap) under a 10-minute
+    watermark, append mode: a session is emitted once it can no longer
+    grow — its end (last event + gap) is at or below the final
+    watermark. The oracle replays the same gaps-and-islands sessions and
+    the same emission frontier."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    return run_to_memory(agg, "st08", "append")
+
+
+@query(
     "st05_stream_embed_pipeline",
     oracle=None,  # embedding UDF is not SQL-expressible; rows-only check
     tags=("streaming", "pipeline", "embedding"),
