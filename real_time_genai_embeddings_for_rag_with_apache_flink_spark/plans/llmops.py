@@ -218,10 +218,8 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures_df(spark, sf_dir)
 
 
-@query(
-    "d04_minhash_lsh_pairs",
-    oracle=f"""
-WITH shingled AS (
+_SQL_LSH_CTES = f"""
+shingled AS (
   SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
   FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
         FROM documents)
@@ -233,12 +231,18 @@ WITH shingled AS (
          concat_ws(',', sig[b.band_idx*4+1], sig[b.band_idx*4+2],
                         sig[b.band_idx*4+3], sig[b.band_idx*4+4]) AS band_key
   FROM sigs, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_idx) b
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id
-""",
+"""
+
+
+@query(
+    "d04_minhash_lsh_pairs",
+    oracle=f"WITH {_SQL_LSH_CTES.strip()}\nSELECT id_a, id_b FROM lsh_pairs",
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
@@ -276,6 +280,76 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+@query(
+    "d08_dup_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+""",
+    tags=("dedup", "iterative", "graph"),
+)
+def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from the LSH candidate pairs: connected
+    components by iterative min-label propagation (label = smallest
+    reachable doc_id), the survivor-selection step after candidate
+    generation. Converges in graph-diameter iterations with early stop;
+    lineage is truncated with localCheckpoint each round so the plan
+    doesn't grow with the iteration count (at scale: same loop, with
+    the label table checkpointed to reliable storage instead). The
+    oracle computes the same components via a recursive CTE."""
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("u").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; early-stops long before
+        neigh = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("ncomp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 _N_SIMHASH_BITS = 60
