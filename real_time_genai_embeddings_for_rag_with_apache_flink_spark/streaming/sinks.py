@@ -40,17 +40,36 @@ def foreach_batch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None
 def _parquet_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     sink_path, dead_path = cfg.sink_path, f"{cfg.sink_path}_dead_letter"
     has_error = cfg.on_error == "dead-letter"
+    idempotent = bool(cfg.extra.get("idempotent_sink", False))
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        # foreachBatch may replay a batch on recovery -> at-least-once,
-        # matching the reference's bulk sink guarantee.
+        # Plain append -> at-least-once on replay (the reference's bulk
+        # sink guarantee). With idempotent_sink, each micro-batch lands
+        # in its own _batch=<id> partition via dynamic partition
+        # overwrite: a replayed batch REPLACES its partition instead of
+        # appending a second copy -> effectively exactly-once output.
         good = batch
         if has_error:
             bad = batch.filter(F.col("error").isNotNull())
             if not bad.isEmpty():
                 bad.write.mode("append").parquet(dead_path)
             good = batch.filter(F.col("error").isNull())
-        to_sink_docs(good).write.mode("append").parquet(sink_path)
+        docs = to_sink_docs(good)
+        if idempotent:
+            spark = batch.sparkSession
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    docs.withColumn("_batch", F.lit(batch_id))
+                    .write.partitionBy("_batch")
+                    .mode("overwrite")
+                    .parquet(sink_path)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            docs.write.mode("append").parquet(sink_path)
 
     return write_batch
 

@@ -97,3 +97,55 @@ def test_kafka_source_requires_config(spark):
 def test_unknown_source_format(spark):
     with pytest.raises(ValueError, match="unknown source_format"):
         build_source(spark, PipelineConfig(source_format="bogus"))
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, wire_dir, tmp_path):
+    """With idempotent_sink, re-running a replayed batch overwrites its
+    _batch partition instead of appending a second copy."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        foreach_batch_writer,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",)], ["text"]
+    ).withColumn("created_at", F.current_timestamp())
+    emb = embed(docs, dim=8)
+    cfg = PipelineConfig(
+        sink_format="parquet",
+        sink_path=str(tmp_path / "vec"),
+        extra={"idempotent_sink": True},
+    )
+    writer = foreach_batch_writer(cfg)
+    writer(emb, 0)
+    writer(emb, 0)  # replay of the same batch id
+    out = spark.read.parquet(str(tmp_path / "vec"))
+    assert out.count() == 2  # not 4
+    writer(emb, 1)  # a genuinely new batch appends
+    assert spark.read.parquet(str(tmp_path / "vec")).count() == 4
+
+
+def test_cli_entrypoint_runs_pipeline(spark, wire_dir, tmp_path):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.__main__ import (
+        main,
+    )
+
+    rc = main(
+        [
+            "--source-path", wire_dir,
+            "--sink-path", str(tmp_path / "vectors"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--dim", "16",
+            "--idempotent",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "vectors"))
+    assert out.count() == 3
+    assert sorted(c for c in out.columns if c != "_batch") == [
+        "date", "passage_embedding", "text",
+    ]
