@@ -75,3 +75,83 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Coarse-quantizer cells from the corpus's label column: per-label
+    dimension-wise mean, returned as (cell, centroid array<float>).
+    Swap the label for a k-means assignment (operators/kmeans.py) when
+    no labeling exists."""
+    return (
+        corpus.select("label", F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform(F.col("pairs"), lambda p: p.cval.cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF-pruned ANN: nearest-centroid cell assignment for the corpus,
+    nprobe-nearest cells per query, exact scoring only inside probed
+    cells, per-query top-k.
+
+    At scale the assignment is precomputed and the corpus is stored
+    partitioned/bucketed by cell, so a query batch scans nprobe/K of the
+    data; centroids and probe lists are broadcast. Recall scales with
+    nprobe — on data with no cluster structure it approaches the honest
+    lower bound nprobe/K (tests/test_ann_recall.py pins the tradeoff)."""
+    cents_b = F.broadcast(label_centroids(corpus))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cell"))
+    assigned = (
+        corpus.crossJoin(cents_b)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "csim")
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(F.desc("qsim"), F.col("cell"))
+    probes = (
+        queries.crossJoin(cents_b)
+        .select(
+            query_id,
+            query_vec,
+            "cell",
+            cosine_similarity(F.col(query_vec), F.col("centroid")).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col(query_id))
+        .select(
+            query_id,
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col(query_vec)), 6
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )

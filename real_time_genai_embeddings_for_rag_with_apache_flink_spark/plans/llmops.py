@@ -584,6 +584,113 @@ def t05_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@query(
+    "t06_doc_chunking",
+    oracle=f"""
+SELECT doc_id, CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+  array_to_string(toks[s+1 : s+{_CHUNK_SIZE}], ' ') AS chunk_text,
+  least({_CHUNK_SIZE}, len(toks) - s) AS n_tokens
+FROM (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1, {_CHUNK_STRIDE})) AS s
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents WHERE {_SQL_NORM} != '')
+)
+""",
+    tags=("text", "chunking", "rag"),
+)
+def t06_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking: overlapping 32-token windows with a
+    24-token stride (8-token overlap) — the passage-splitting stage the
+    reference skips by embedding whole messages. Pure sequence+slice
+    expressions; one output row per chunk, no Python. At scale this runs
+    before the embed stage, multiplying rows by ~n_tokens/stride —
+    budget the embed batch size accordingly."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    docs = docs.filter(norm != "").select(
+        "doc_id", F.split(norm, r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))).alias("s"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_SIZE))
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("s")).alias("n_tokens"),
+    )
+
+
+@query(
+    "s07_scalar_quantization",
+    oracle="""
+SELECT vec_id,
+  ROUND(amin, 6) AS qmin, ROUND(amax, 6) AS qmax,
+  ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+    list_reduce(list_prepend(0.0,
+      list_transform(e, x -> abs(amin + round((x - amin) / scale) * scale - x))),
+      (acc, x) -> acc + x) / len(e) END, 6) AS mean_abs_err
+FROM (
+  SELECT vec_id, e, amin, amax, (amax - amin) / 255.0 AS scale
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_min(CAST(embedding AS DOUBLE[])) AS amin,
+           list_max(CAST(embedding AS DOUBLE[])) AS amax
+    FROM embeddings
+  )
+)
+""",
+    tags=("similarity", "quantization"),
+)
+def s07_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding column (per-vector
+    min/max codebook) with reconstruction-error accounting — the 4x
+    storage cut that matters when 100 TB of vectors hit the disk/network.
+    Quantize/dequantize/error stay elementwise array expressions; the
+    oracle replays the identical arithmetic."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sides = em.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_min(e).alias("amin"),
+        F.array_max(e).alias("amax"),
+    ).select(
+        "vec_id", "e", "amin", "amax",
+        ((F.col("amax") - F.col("amin")) / 255.0).alias("scale"),
+    )
+    err = F.aggregate(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                F.col("amin")
+                + F.round((x - F.col("amin")) / F.col("scale"), 0) * F.col("scale")
+                - x
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("e")
+    return sides.select(
+        "vec_id",
+        F.round("amin", 6).alias("qmin"),
+        F.round("amax", 6).alias("qmax"),
+        F.round(
+            F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(err), 6
+        ).alias("mean_abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -742,80 +849,24 @@ def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s05_ivf_search",
-    oracle=None,  # multi-stage centroid-pruned search; verified rows-only + pytest
+    oracle=None,  # multi-stage centroid-pruned search; quality pinned by tests/test_ann_recall.py
     tags=("similarity", "ann"),
 )
 def s05_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style pruned ANN: assign every corpus vector to its nearest
-    label-centroid (coarse quantizer), then search only the query's
-    nprobe=2 closest cells. At scale the corpus is pre-partitioned by
-    cell, so a query touches 2/K of the data instead of all of it."""
+    """IVF-style pruned ANN (operators/similarity.py ivf_search): assign
+    every corpus vector to its nearest label-centroid cell, then search
+    only each query's nprobe=2 closest cells — a query touches
+    nprobe/K of the corpus instead of all of it. Recall follows the
+    pruning honestly (~nprobe/K on unclustered data, far higher when
+    cells match real structure); tests/test_ann_recall.py measures both
+    the recall-vs-nprobe tradeoff and the candidate pruning factor."""
+    from ..operators.similarity import ivf_search
+
     em = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        em.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "cval"))
-            ).alias("pairs")
-        )
-        .select(
-            F.col("label").alias("cell"),
-            F.transform(F.col("pairs"), lambda p: p.cval.cast("float")).alias(
-                "centroid"
-            ),
-        )
-    )
-    cents_b = F.broadcast(cents)
-    # assign corpus vectors to nearest centroid cell
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.col("cell")
-    )
-    assigned = (
-        em.crossJoin(cents_b)
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "csim")
-    )
-    # queries probe their 2 nearest cells
     queries = em.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    w_probe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.col("cell"))
-    probes = (
-        queries.crossJoin(cents_b)
-        .select(
-            "q_id",
-            "q_vec",
-            "cell",
-            cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("qsim"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select("q_id", "q_vec", "cell")
-    )
-    w_rank = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
-    return (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
-            ).alias("sim"),
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 5)
-    )
+    return ivf_search(em, queries, nprobe=2, k=5)
 
 
 @query(
