@@ -958,8 +958,8 @@ def q28_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
   len(embedding) AS dim,
-  embedding[1] AS first_elem,
-  embedding[1:4] AS head4,
+  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+  list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head4,
   ROUND(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6) AS vec_sum,
   ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6) AS vec_max,
   len(list_filter(embedding, x -> x > 0)) AS n_positive
@@ -968,14 +968,19 @@ FROM embeddings WHERE vec_id < 200
     tags=("functions", "array"),
 )
 def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array/higher-order-function coverage over the embedding column."""
+    """Array/higher-order-function coverage over the embedding column.
+    Float32 cells are rounded through DOUBLE on both sides — raw
+    float32 survives toPandas differently with and without Arrow, so a
+    raw float column can never be value-hash-stable."""
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return em.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_elem"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)
+        ).alias("head4"),
         F.round(
             F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("vec_sum"),
