@@ -166,3 +166,50 @@ def d07_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 10
     )
     return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "r01_salted_join",
+    oracle="""
+SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    tags=("join", "skew"),
+)
+def r01_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators/skew.py): the fact side's
+    hot keys spread over 8 salt buckets, the dimension replicated per
+    bucket. The oracle is the PLAIN join — salting must be invisible in
+    the result, which is exactly what the value-hash check proves."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    return salted_join(o, c, "custkey", salt=8).select(
+        F.col("o_orderkey").alias("orderkey"), F.col("c_name").alias("cust_name")
+    )
+
+
+@query(
+    "r02_salted_aggregation",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+FROM events GROUP BY event_type
+""",
+    tags=("aggregation", "skew"),
+)
+def r02_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot grouping keys
+    (operators/skew.py): partial per (key, salt) then final per key.
+    The oracle is the plain GROUP BY — associativity makes the salting
+    invisible."""
+    from ..operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_sum(ev, "event_type", "value", salt=8).select(
+        "event_type", "n", F.round("total", 6).alias("total")
+    )
