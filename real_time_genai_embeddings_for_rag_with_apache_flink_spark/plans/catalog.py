@@ -1134,3 +1134,85 @@ def q46_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
     )
+
+
+@query(
+    "q47_hash_bit_functions",
+    oracle="""
+SELECT p_partkey AS partkey,
+  md5(p_name) AS name_md5,
+  sha256(p_name) AS name_sha256,
+  base64(encode(p_name)) AS name_b64,
+  p_size & 12 AS size_and,
+  p_size | 3 AS size_or,
+  xor(p_size, 255) AS size_xor,
+  p_size << 2 AS size_shl,
+  p_size >> 1 AS size_shr,
+  bit_count(CAST(p_size AS BIGINT)) AS size_bits
+FROM part WHERE p_partkey < 500
+""",
+    tags=("functions", "hash", "bitwise"),
+)
+def q47_hash_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash and bitwise scalar coverage (md5/sha-256/
+    base64; and/or/xor/shifts/popcount) — the hashing primitives the
+    dedup stack builds on, exposed directly."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    size = F.col("p_size")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.base64(F.encode(F.col("p_name"), "UTF-8")).alias("name_b64"),
+        size.bitwiseAND(12).alias("size_and"),
+        size.bitwiseOR(3).alias("size_or"),
+        size.bitwiseXOR(255).alias("size_xor"),
+        F.shiftleft(size, 2).alias("size_shl"),
+        F.shiftright(size, 1).alias("size_shr"),
+        F.bit_count(size.cast("bigint")).alias("size_bits"),
+    )
+
+
+@query(
+    "q48_null_semantics",
+    oracle="""
+WITH derived AS (
+  SELECT c_custkey,
+    CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation,
+    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+  FROM customer
+)
+SELECT c_custkey AS custkey,
+  odd_nation IS NOT DISTINCT FROM pos_bal AS null_safe_eq,
+  (odd_nation = 5) AS three_valued,
+  odd_nation IS DISTINCT FROM 5 AS distinct_from_5,
+  COALESCE(odd_nation, -1) AS null_filled,
+  (odd_nation IN (3, 7)) AS in_with_null_lhs
+FROM derived
+""",
+    tags=("functions", "null-semantics"),
+)
+def q48_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic made explicit: null-safe equality (<=>),
+    IS DISTINCT FROM, null-propagating comparison and IN — the
+    semantics the reference leaves to JSONException crashes
+    (SURVEY.md 1.2), pinned as first-class engine behavior."""
+    c = load_table(spark, sf_dir, "customer")
+    derived = c.select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("odd_nation"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("pos_bal"),
+    )
+    odd = F.col("odd_nation")
+    return derived.select(
+        F.col("c_custkey").alias("custkey"),
+        odd.eqNullSafe(F.col("pos_bal")).alias("null_safe_eq"),
+        (odd == 5).alias("three_valued"),
+        (~odd.eqNullSafe(F.lit(5))).alias("distinct_from_5"),
+        F.coalesce(odd, F.lit(-1)).alias("null_filled"),
+        odd.isin(3, 7).alias("in_with_null_lhs"),
+    )
