@@ -81,8 +81,14 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     raise ValueError(f"unknown source_format {cfg.source_format!r}")
 
 
-def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """source -> RAW -> MSG -> DOC -> EMB as one streaming plan."""
+def build_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, embedder_factory=None
+) -> DataFrame:
+    """source -> RAW -> MSG -> DOC -> EMB as one streaming plan.
+
+    ``embedder_factory`` defaults to the deterministic local embedder;
+    production passes a client-backed factory (the open()-once analogue,
+    operators/embed.py)."""
     raw = build_source(spark, cfg)
     msg = parse_raw(raw, "value")
     msg = msg.filter(~F.col("_corrupt")).drop("_corrupt")
@@ -91,20 +97,22 @@ def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     return embed(
         doc,
         text_col="text",
-        embedder_factory=DeterministicEmbedder,
+        embedder_factory=embedder_factory or DeterministicEmbedder,
         dim=cfg.resolved_dim(),
         batch_size=cfg.embed_batch_size,
         on_error=cfg.on_error,
     )
 
 
-def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> StreamingQuery:
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, embedder_factory=None
+) -> StreamingQuery:
     """Start the streaming job; returns the StreamingQuery handle.
 
     With ``trigger_interval=None`` the job drains available input and
     stops (availableNow) — the test/batch-replay mode; with an interval it
     runs continuously like the reference job."""
-    emb = build_pipeline(spark, cfg)
+    emb = build_pipeline(spark, cfg, embedder_factory=embedder_factory)
     writer = emb.writeStream.foreachBatch(foreach_batch_writer(cfg))
     if cfg.checkpoint_dir:
         writer = writer.option("checkpointLocation", cfg.checkpoint_dir)

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY.md §5.4) over the engine's pure-Python
+and column-function kernels, via hypothesis."""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+from hypothesis import given, settings, strategies as st
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+    DeterministicEmbedder,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+)
+
+TEXTS = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=200,
+)
+
+
+@given(TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_embedder_always_unit_norm_or_zero(text):
+    vec = DeterministicEmbedder(dim=16).embed_batch([text])[0]
+    assert len(vec) == 16
+    n = math.sqrt(sum(x * x for x in vec))
+    # all-whitespace/empty text hashes to the zero vector; else unit norm
+    assert n == 0.0 or abs(n - 1.0) < 1e-5
+
+
+def _reference_embed(text: str, dim: int) -> list[float]:
+    """Independent reimplementation of the documented embedder spec:
+    crc32-hashed bag of tokens, bucket h%dim, weight 1+(h>>16)%7,
+    L2-normalized."""
+    vec = [0.0] * dim
+    for tok in text.lower().split():
+        h = zlib.crc32(tok.encode("utf-8"))
+        vec[h % dim] += 1.0 + (h >> 16) % 7
+    n = math.sqrt(sum(x * x for x in vec))
+    if n > 0:
+        vec = [x / n for x in vec]
+    return vec
+
+
+@given(TEXTS)
+@settings(max_examples=150, deadline=None)
+def test_embedder_matches_independent_reference(text):
+    got = DeterministicEmbedder(dim=32).embed_batch([text])[0]
+    expected = _reference_embed(text, 32)
+    assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected))
+
+
+@given(st.lists(st.text(alphabet="abcdef ", max_size=20), max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_embedder_batch_equals_singles(texts):
+    e = DeterministicEmbedder(dim=8)
+    batch = e.embed_batch(texts)
+    singles = [e.embed_batch([t])[0] for t in texts]
+    assert batch == singles
+
+
+def _py_rolling_hash(norm: str) -> int:
+    h = 0
+    for ch in norm:
+        h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    return h
+
+
+def test_rolling_hash_matches_python_reference(spark):
+    """The Catalyst fold must equal the obvious sequential definition."""
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        normalized_text,
+        rolling_hash,
+    )
+
+    samples = [
+        "hello world", "  Mixed   CASE  text ", "a", "", "héllo wörld",
+        "tabs\tand\nnewlines", "numbers 123 456", "ümlaut ünicode",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    rows = df.select(
+        "text",
+        normalized_text(F.col("text")).alias("norm"),
+        rolling_hash(F.col("text")).alias("h"),
+    ).collect()
+    for r in rows:
+        expected = _py_rolling_hash(r.norm) if r.norm else 0
+        assert r.h == expected, f"{r.text!r}: {r.h} != {expected}"

@@ -149,3 +149,42 @@ def test_cli_entrypoint_runs_pipeline(spark, wire_dir, tmp_path):
     assert sorted(c for c in out.columns if c != "_batch") == [
         "date", "passage_embedding", "text",
     ]
+
+
+def test_pipeline_dead_letters_embedding_failures(spark, wire_dir, tmp_path):
+    """A failing embedder backend must dead-letter rows into the side
+    table, not crash the stream or emit nulls (the reference's failure
+    mode)."""
+    def exploding_factory():
+        class Exploding:
+            def __init__(self, dim):
+                self.dim = dim
+
+            def embed_batch(self, texts):
+                raise RuntimeError("backend down")
+
+        return Exploding
+
+    sink = str(tmp_path / "vectors")
+    cfg = PipelineConfig(
+        source_format="json",
+        source_path=wire_dir,
+        sink_format="parquet",
+        sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        embedding_dim=8,
+        on_error="dead-letter",
+    )
+    q = run_pipeline(spark, cfg, embedder_factory=exploding_factory())
+    q.awaitTermination(120)
+
+    dead = spark.read.parquet(sink + "_dead_letter")
+    assert dead.count() == 3  # every non-empty doc failed
+    assert all("RuntimeError" in r.error for r in dead.collect())
+    # the main table got the (empty) good split written as zero rows or
+    # was never created — either way no null embeddings leaked through
+    import os
+
+    if os.path.exists(sink):
+        good = spark.read.parquet(sink)
+        assert good.filter(good.passage_embedding.isNull()).count() == 0
