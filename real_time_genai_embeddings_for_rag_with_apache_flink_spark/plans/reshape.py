@@ -213,3 +213,21 @@ def r02_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_sum(ev, "event_type", "value", salt=8).select(
         "event_type", "n", F.round("total", 6).alias("total")
     )
+
+
+@query(
+    "q36b_approx_percentiles",
+    oracle=None,  # sketch estimates are engine-specific by construction
+    tags=("aggregation", "percentile", "approx"),
+)
+def q36b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the at-scale
+    replacement for q36's exact percentiles — fixed-size state, one
+    pass, mergeable across partitions. Rows-only check (sketch values
+    are engine-specific); q36 pins the exact semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p"
+        )
+    )

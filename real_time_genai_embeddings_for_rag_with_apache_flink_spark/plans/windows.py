@@ -200,3 +200,40 @@ def w05_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("window_start").orderBy(F.desc("n"), "user_id")
     return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "w06_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT user_id,
+  ROUND(SUM(value * date_diff('millisecond', ts, next_ts))
+        / SUM(date_diff('millisecond', ts, next_ts)), 4) AS twa_value,
+  COUNT(*) AS n_segments
+FROM seg WHERE next_ts IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("window-time", "window", "aggregation"),
+)
+def w06_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (TWAP shape): each reading holds
+    until the next one, weighted by its duration — lead() to close each
+    segment, then one aggregation. The step-function integral that plain
+    AVG gets wrong on irregular samples; one shuffle on user_id shared
+    by the window and the aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    ms = F.expr("timestampdiff(MILLISECOND, ts, next_ts)").cast("double")
+    return seg.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * ms) / F.sum(ms), 4).alias("twa_value"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )

@@ -188,3 +188,14 @@ def test_pipeline_dead_letters_embedding_failures(spark, wire_dir, tmp_path):
     if os.path.exists(sink):
         good = spark.read.parquet(sink)
         assert good.filter(good.passage_embedding.isNull()).count() == 0
+
+
+def test_rate_source_shape(spark):
+    """The rate load-generator source must produce the RAW wire schema
+    as an unbounded stream (full execution needs wall-clock time, so
+    this pins the plan shape only)."""
+    cfg = PipelineConfig(source_format="rate", extra={"rows_per_second": 5})
+    src = build_source(spark, cfg)
+    assert src.isStreaming
+    assert src.columns == ["value"]
+    assert dict(src.dtypes)["value"] == "string"
