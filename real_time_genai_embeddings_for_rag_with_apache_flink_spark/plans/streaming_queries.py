@@ -305,6 +305,7 @@ def st08_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st05_stream_embed_pipeline",
     oracle=None,  # embedding UDF is not SQL-expressible; rows-only check
     tags=("streaming", "pipeline", "embedding"),
+    bench=True,
 )
 def st05_stream_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference dataflow as a stream: documents file-source ->
