@@ -131,6 +131,24 @@ def sample_frames(decoded: DataFrame, stride: int = 30) -> DataFrame:
     )
 
 
+def resize_media(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning: clamp the longer side to ``max_side`` preserving
+    aspect ratio (integer arithmetic, so the oracle mirrors it exactly).
+    A codec-backed deployment applies these target dimensions to the
+    payload inside the same mapInPandas loop as decode_media."""
+    w, h = F.col("width"), F.col("height")
+    longer = F.greatest(w, h)
+    scale_num = F.least(longer, F.lit(max_side))
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.floor(w * scale_num / longer).cast("int").alias("target_width"),
+        F.floor(h * scale_num / longer).cast("int").alias("target_height"),
+    )
+
+
 def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Per-payload feature vector via mapInPandas: a deterministic byte
     histogram folded into ``dim`` buckets (crc of position-tagged chunks).

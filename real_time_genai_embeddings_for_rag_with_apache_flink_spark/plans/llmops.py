@@ -869,6 +869,60 @@ def s05_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(em, queries, nprobe=2, k=5)
 
 
+_N_PLANES = 8
+_PLANE_DENOM = 268_435_456.0  # 2^28, matches the 7-hex-digit hash slice
+
+
+def _hyperplane(p: int, dim: int) -> list[float]:
+    """Component d of plane p = md5('{p}:{d}') first 7 hex digits scaled
+    to [-0.5, 0.5). Pure arithmetic on exactly-representable ints, so
+    the DuckDB oracle rebuilds the identical plane."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:7], 16) / _PLANE_DENOM
+        - 0.5
+        for d in range(1, dim + 1)
+    ]
+
+
+@query(
+    "s08_hyperplane_lsh_buckets",
+    oracle=f"""
+SELECT vec_id,
+  CAST(list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), p ->
+    CASE WHEN list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(embedding)), d ->
+             CAST(embedding[d] AS DOUBLE)
+             * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
+                / {_PLANE_DENOM} - 0.5))),
+         (acc, x) -> acc + x) > 0
+    THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+FROM embeddings
+""",
+    tags=("similarity", "lsh", "ann"),
+)
+def s08_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH for cosine (SimHash over embeddings): 8
+    deterministic md5-derived hyperplanes -> 8-bit bucket per vector.
+    The LSH-bucketed ANN alternative to IVF (s05): near vectors agree on
+    most plane signs, so candidate search joins within buckets (or
+    within small Hamming radius). Planes enter the plan as literal
+    arrays; one dot fold per plane per row, no shuffle."""
+    from ..functions.vector import dot
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dim = len(em.select("embedding").first()[0])
+    bucket = None
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
+        bit = F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return em.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
 @query(
     "s06_kmeans_cells",
     oracle=None,  # iterative (3 Lloyd's steps); pinned by a numpy reference test

@@ -243,3 +243,36 @@ def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return media_features(attach_fake_payload(docs))
+
+
+@query(
+    "m04_media_resize",
+    oracle="""
+SELECT doc_id, media_type, width, height,
+  CAST(FLOOR(width * least(greatest(width, height), 256)
+             / greatest(width, height)) AS INT) AS target_width,
+  CAST(FLOOR(height * least(greatest(width, height), 256)
+             / greatest(width, height)) AS INT) AS target_height
+FROM (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      AS media_type,
+    CAST(32 + octet_length(encode(text)) % 608 AS INT) AS width,
+    CAST(32 + (octet_length(encode(text)) // 7) % 608 AS INT) AS height
+  FROM documents
+)
+""",
+    tags=("multimodal",),
+)
+def m04_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded media: longer side clamped to 256 px
+    preserving aspect ratio — integer arithmetic end to end, so the
+    oracle verifies decode -> resize as one dataflow."""
+    from ..operators.multimodal import (
+        attach_fake_payload,
+        decode_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(attach_fake_payload(docs)))
