@@ -103,6 +103,33 @@ _EMBED_RESULT = StructType(
 )
 
 
+def embed_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    **embed_kwargs,
+) -> DataFrame:
+    """embed(), but each distinct text is embedded exactly once and the
+    vectors joined back to the full row set.
+
+    At 100 TB the embedding call (network or GPU) dominates cost and web
+    corpora are 20-50% duplicates — deduplicating by content fingerprint
+    before the embed stage cuts the expensive path proportionally. The
+    join back is on the 16-byte md5 fingerprint, not the text, so the
+    shuffle carries hashes + vectors, never the documents twice."""
+    from ..functions.text import doc_fingerprint
+
+    fp = doc_fingerprint(F.col(text_col)).alias("_fp")
+    with_fp = df.withColumn("_fp", fp)
+    uniq = with_fp.select("_fp", text_col).dropDuplicates(["_fp"])
+    embedded = embed(uniq, text_col=text_col, **embed_kwargs).drop(text_col)
+    out = with_fp.join(embedded, "_fp", "left").drop("_fp")
+    if embed_kwargs.get("on_error") == "drop":
+        # embed() dropped failed rows on the distinct side; drop their
+        # replicas here too so the policy means the same thing.
+        out = out.filter(F.col("embedding").isNotNull())
+    return out
+
+
 def embed(
     df: DataFrame,
     text_col: str = "text",

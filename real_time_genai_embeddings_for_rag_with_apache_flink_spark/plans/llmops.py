@@ -971,3 +971,21 @@ def p02_flagship_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import flagship_topk
 
     return flagship_topk(spark, sf_dir)
+
+
+@query(
+    "p03_embed_distinct",
+    oracle=None,  # embedding UDF not SQL-expressible
+    tags=("pipeline", "embedding", "dedup"),
+)
+def p03_embed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-embed (operators/embed.py embed_distinct): each
+    distinct content fingerprint is embedded once and joined back — the
+    20-50% cost cut on duplicate-heavy corpora, with the join carrying
+    hashes + vectors, never documents twice."""
+    from ..operators.embed import embed_distinct
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    return embed_distinct(docs, dim=32).select("doc_id", "embedding", "error")

@@ -92,3 +92,33 @@ def test_on_error_unknown_policy(spark):
     df = spark.createDataFrame([("x",)], ["text"])
     with pytest.raises(ValueError, match="unknown on_error"):
         embed(df, dim=8, on_error="bogus")
+
+
+def test_embed_distinct_matches_plain_embed(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "Same   TEXT")],
+        ["id", "text"],
+    )
+    plain = {r.id: r.embedding for r in embed(df, dim=16).collect()}
+    deduped = {r.id: r.embedding for r in embed_distinct(df, dim=16).collect()}
+    assert set(plain) == set(deduped) == {1, 2, 3, 4}
+    # rows 1/2/4 normalize to the same fingerprint -> identical vectors
+    assert deduped[1] == deduped[2] == deduped[4]
+    for i in plain:
+        assert plain[i] == deduped[i]
+
+
+def test_embed_distinct_drop_policy(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed_distinct,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], ["id", "text"])
+    out = embed_distinct(
+        df, embedder_factory=_exploding_embedder(), dim=8, on_error="drop"
+    )
+    assert out.count() == 0
