@@ -1216,3 +1216,65 @@ def q48_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(odd, F.lit(-1)).alias("null_filled"),
         odd.isin(3, 7).alias("in_with_null_lhs"),
     )
+
+
+@query(
+    "q49_priority_late_orders",
+    oracle="""
+SELECT o.o_orderpriority AS priority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + 60
+)
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "subquery", "aggregation"),
+)
+def q49_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders with any line shipped
+    60+ days after ordering) feeding an aggregate — the semi-join emits
+    each order at most once, so no dedup before the count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60)),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@query(
+    "q50_argmax_aggregates",
+    oracle="""
+SELECT c_mktsegment AS segment,
+  arg_max(c_custkey, CAST(c_acctbal * 100 AS BIGINT) * 10000000 + c_custkey)
+    AS richest_custkey,
+  arg_min(c_custkey, CAST(c_acctbal * 100 AS BIGINT) * 10000000 + c_custkey)
+    AS poorest_custkey,
+  MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("aggregation", "argmax"),
+)
+def q50_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by): who holds the extreme
+    balance per segment. The ordering key packs (balance, custkey) into
+    one exact BIGINT so ties are impossible and both engines pick the
+    identical row — max_by on a tied key is otherwise unspecified."""
+    c = load_table(spark, sf_dir, "customer")
+    key = (
+        (F.col("c_acctbal") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("c_custkey")
+    )
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.max_by("c_custkey", key).alias("richest_custkey"),
+        F.min_by("c_custkey", key).alias("poorest_custkey"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
