@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot, l2_norm
+from ..functions.vector import dot
 
 
 def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:

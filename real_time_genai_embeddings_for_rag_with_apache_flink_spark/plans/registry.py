@@ -17,7 +17,7 @@ Determinism rules that keep the Spark and DuckDB value-hashes equal:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

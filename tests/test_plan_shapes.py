@@ -8,8 +8,6 @@ run."""
 
 from __future__ import annotations
 
-import pytest
-
 from conftest import SF_SMOKE
 
 from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
