@@ -237,3 +237,51 @@ def w06_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * ms) / F.sum(ms), 4).alias("twa_value"),
         F.count(F.lit(1)).alias("n_segments"),
     )
+
+
+@query(
+    "w07_event_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t_s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_c
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t_s
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_p
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after_signup,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+""",
+    tags=("window-time", "funnel", "aggregation"),
+)
+def w07_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click — each stage is a
+    conditional-min aggregation joined to the previous stage's
+    timestamps, so ordering is enforced, not just co-occurrence. Three
+    shuffles on user_id (one per stage); each stage's output shrinks, so
+    later joins broadcast at scale."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prev=None, prev_ts=None):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    s = stage("signup")
+    c = stage("click", s, "t_signup")
+    p = stage("purchase", c, "t_click")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
