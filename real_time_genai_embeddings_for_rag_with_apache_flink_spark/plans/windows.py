@@ -285,3 +285,96 @@ def w07_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+_TS_L = 8  # subsequence length
+# Query pattern: a rising ramp 1..8, z-normalized on the driver; the
+# exact double literals are shared verbatim with the oracle SQL.
+_TS_QUERY = [float(i) for i in range(1, _TS_L + 1)]
+_TS_MU = sum(_TS_QUERY) / _TS_L
+_TS_SD = (sum((x - _TS_MU) ** 2 for x in _TS_QUERY) / _TS_L) ** 0.5
+_TS_Z = [(x - _TS_MU) / _TS_SD for x in _TS_QUERY]
+_TS_Z_SQL = "[" + ", ".join(repr(x) for x in _TS_Z) + "]"
+
+
+@query(
+    "w08_subsequence_search",
+    oracle=f"""
+WITH seqs AS (
+  SELECT user_id, event_id,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {_TS_L - 1} PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+), stats AS (
+  SELECT user_id, event_id, seq,
+    list_reduce(list_prepend(0.0, seq), (a, x) -> a + x) / {_TS_L} AS mu
+  FROM seqs WHERE len(seq) = {_TS_L}
+), scored AS (
+  SELECT user_id, event_id, seq, mu,
+    sqrt(list_reduce(list_prepend(0.0,
+           list_transform(seq, x -> (x - mu) * (x - mu))),
+         (a, x) -> a + x) / {_TS_L}) AS sd
+  FROM stats
+)
+SELECT user_id, event_id,
+  ROUND(list_reduce(list_prepend(0.0,
+    list_transform(generate_series(1, {_TS_L}), i ->
+      ((seq[i] - mu) / sd - ({_TS_Z_SQL})[i])
+      * ((seq[i] - mu) / sd - ({_TS_Z_SQL})[i]))),
+    (a, x) -> a + x), 6) AS dist
+FROM scored WHERE sd > 0
+ORDER BY dist, user_id, event_id LIMIT 20
+""",
+    tags=("window-time", "similarity", "time-series"),
+)
+def w08_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search: every length-8 sliding
+    window of each user's value series, z-normalized, ranked by squared
+    distance to a z-normalized query pattern (a rising ramp) — the
+    shape-matching primitive behind motif/anomaly search. One window
+    shuffle on user_id builds the subsequences; scoring is per-row
+    array arithmetic; top-20 is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_TS_L - 1), 0)
+    )
+    seqs = ev.withColumn("seq", F.collect_list("value").over(w)).filter(
+        F.size("seq") == _TS_L
+    )
+    mu = (
+        F.aggregate("seq", F.lit(0.0), lambda a, x: a + x) / _TS_L
+    ).alias("mu")
+    stats = seqs.select("user_id", "event_id", "seq", mu)
+    sd = F.sqrt(
+        F.aggregate(
+            F.transform("seq", lambda x: (x - F.col("mu")) * (x - F.col("mu"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / _TS_L
+    ).alias("sd")
+    scored = stats.select("user_id", "event_id", "seq", "mu", sd)
+    qz = F.array(*[F.lit(x) for x in _TS_Z])
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "seq",
+                qz,
+                lambda x, q: ((x - F.col("mu")) / F.col("sd") - q)
+                * ((x - F.col("mu")) / F.col("sd") - q),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).alias("dist")
+    return (
+        scored.filter(F.col("sd") > 0)
+        .select("user_id", "event_id", dist)
+        .orderBy("dist", "user_id", "event_id")
+        .limit(20)
+    )
