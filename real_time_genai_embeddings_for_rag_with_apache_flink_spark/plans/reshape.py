@@ -231,3 +231,35 @@ def q36b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p"
         )
     )
+
+
+@query(
+    "d09_stratified_sample",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 25
+""",
+    tags=("sampling", "text"),
+)
+def d09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 25 documents per language, chosen by
+    hash order — the balanced-subset primitive for mixing training data
+    across strata. Hash ordering makes the draw uniform-ish yet fully
+    deterministic and engine-reproducible (row_number over md5, total
+    tiebreak); one shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+    )
