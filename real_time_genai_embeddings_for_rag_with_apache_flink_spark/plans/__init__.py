@@ -4,6 +4,7 @@ from .registry import QuerySpec, all_specs, get_spec, query
 from . import catalog  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import llmops  # noqa: E402,F401
+from . import pipeline_extra  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401

@@ -1,0 +1,225 @@
+"""Training-data governance operators: verified dedup, PII redaction,
+corpus mixture accounting, retention cohorts, stream enrichment.
+
+Like llmops.py these have no counterpart in the reference (whose only
+text operator is the empty filter, KDS-P/.../msf/DataStreamJob.java:146)
+— they are the operations a 100 TB training-data pipeline runs between
+ingest and embedding:
+
+- the LSH -> exact-verify chain is the standard two-stage near-dup
+  design: candidates come from the band join (O(dups), not O(n^2)),
+  and only candidates pay the exact-Jaccard verification cost;
+- redaction is pure codegen'd regexp — zero Python, linear in bytes;
+- mixture/cohort reports are one-shuffle conditional aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .llmops import (
+    _SQL_LSH_CTES,
+    _SQL_NORM,
+    _SQL_TRIGRAMS,
+    _trigrams,
+    d04_minhash_lsh_pairs,
+    normalized_text,
+)
+from .registry import query
+
+
+@query(
+    "d10_lsh_verified_dupes",
+    oracle=f"""
+WITH {_SQL_LSH_CTES.strip()},
+scored AS (
+  SELECT p.id_a, p.id_b,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) END, 6) AS jaccard
+  FROM lsh_pairs p
+  JOIN shingled a ON a.doc_id = p.id_a
+  JOIN shingled b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh", "similarity"),
+)
+def d10_lsh_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup pipeline: MinHash-LSH candidate pairs
+    (d04) verified with exact trigram Jaccard, keeping pairs >= 0.5.
+    Only the candidate set — O(duplicates), not O(n^2) — pays the exact
+    set-intersection cost; the shingle arrays join to it by doc_id, so
+    the verification shuffle is proportional to candidates, not corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    a = shingled.select(
+        F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b_id"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect(F.col("a_grams"), F.col("b_grams")))
+    union = F.size(F.array_union(F.col("a_grams"), F.col("b_grams")))
+    jaccard = F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union), 6
+    )
+    return (
+        pairs.join(a, pairs.id_a == a.a_id)
+        .join(b, pairs.id_b == b.b_id)
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "t07_pii_redaction",
+    oracle=r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(text, '[0-9]+', '[NUM]', 'g'),
+                 '\bcustomer\b', '[PII]', 'g') AS clean_text,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+  len(regexp_extract_all(text, '\bcustomer\b')) AS n_pii_terms
+FROM documents
+""",
+    tags=("text", "redaction", "governance"),
+)
+def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: digit runs -> [NUM], deny-listed terms ->
+    [PII] (the 'customer' token stands in for a name dictionary), with
+    per-document redaction counts for audit. Pure codegen'd regexp —
+    no Python in the path, cost linear in corpus bytes, trivially
+    partition-parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[0-9]+", "[NUM]"),
+            r"\bcustomer\b",
+            "[PII]",
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\bcustomer\b"), 0)
+        ).alias("n_pii_terms"),
+    )
+
+
+@query(
+    "t08_corpus_mixture",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+  ROUND(CAST(COUNT(*) AS DOUBLE)
+        / (SELECT COUNT(*) FROM documents), 6) AS doc_share
+FROM documents
+GROUP BY source, lang
+""",
+    tags=("text", "aggregation", "governance"),
+)
+def t08_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixture report: document count, byte volume, and
+    corpus share per (source, language) stratum — the accounting a data
+    mixer reads before weighting strata. One hash aggregate; the corpus
+    total is a broadcast single row, not a second scan per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return per.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+            "doc_share"
+        ),
+    )
+
+
+@query(
+    "w09_retention_cohorts",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+  CAST(FLOOR(date_diff('day', cohort_day, active_day) / 7.0) AS BIGINT)
+    AS week_offset,
+  COUNT(DISTINCT user_id) AS n_active
+FROM activity JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("window-time", "aggregation", "cohort"),
+)
+def w09_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    per week-offset of later activity — the classic triangle retention
+    table. Both the cohort assignment and the distinct-day activity
+    shrink events before the join (aggregate-then-join), so the join
+    input is per-user-day, not per-event."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff("active_day", "cohort_day") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_LANG_DIM = [
+    ("en", "English"),
+    ("de", "German"),
+    ("fr", "French"),
+    ("es", "Spanish"),
+    ("zh", "Chinese"),
+]
+
+
+@query(
+    "st09_stream_static_join",
+    oracle="""
+SELECT lang_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+JOIN (VALUES ('en', 'English'), ('de', 'German'), ('fr', 'French'),
+             ('es', 'Spanish'), ('zh', 'Chinese')) AS langs(lang, lang_name)
+  ON documents.lang = langs.lang
+GROUP BY lang_name
+""",
+    tags=("streaming", "join", "aggregation"),
+)
+def st09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the documents file-stream joined to
+    a static in-memory dimension (broadcast — it is re-read per
+    micro-batch but never shuffled), aggregated in complete mode. This
+    is the streaming side-input pattern the reference hardcodes into its
+    async enrich stage (BedRockEmbeddingModelAsyncCustomMessage.java
+    model-id map, :80-85) — here it is a first-class join."""
+    from .streaming_queries import run_to_memory, stream_documents
+
+    dim = spark.createDataFrame(_LANG_DIM, "lang string, lang_name string")
+    docs = stream_documents(spark, sf_dir)
+    agg = (
+        docs.join(F.broadcast(dim), "lang")
+        .groupBy("lang_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        )
+    )
+    return run_to_memory(agg, "st09", "complete")
