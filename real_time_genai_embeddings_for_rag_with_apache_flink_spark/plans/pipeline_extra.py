@@ -223,3 +223,24 @@ def st09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "st09", "complete")
+
+
+@query(
+    "s09_product_quantization",
+    oracle=None,  # Lloyd-iterative codebook training is not SQL-expressible
+    tags=("similarity", "quantization", "ann"),
+)
+def s09_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): 4 subspaces x 16 codes
+    trained with deterministic Lloyd's, corpus encoded to 4 bytes/vector
+    (64x smaller than float32), top-10 by ADC lookup-table distance to
+    the lowest-id vector. Rows-only; tests/test_pq.py pins the numpy
+    parity and the recall floor vs exact search."""
+    from ..operators.pq import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+    books = pq_train(emb, dim=dim, m=4, k=16, iterations=2)
+    enc = pq_encode(emb, books, dim=dim)
+    return pq_search(enc, books, [float(x) for x in qrow], k=10)

@@ -323,3 +323,61 @@ def st05_stream_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     return run_to_memory(out, "st05", "append")
+
+
+@query(
+    "st10_foreachbatch_upsert",
+    oracle="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+    tags=("streaming", "sink", "upsert"),
+)
+def st10_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-upsert sink: every micro-batch merges the
+    latest event per user into a parquet state table (read previous
+    version, window-rank keep-newest, write next version — the
+    idempotent MERGE pattern; re-running a batch after a failure
+    converges to the same state, giving effectively-exactly-once sink
+    semantics the reference's fire-and-forget bulk sink lacks,
+    DataStreamJob.java:172-177). At scale the versioned-parquet swap
+    becomes a Delta/Iceberg MERGE; the plan per batch is one window
+    rank over (existing keys + batch), shuffled on the upsert key."""
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="st10_state_")
+    versions: list[str] = []
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        merged = (
+            sp.read.parquet(versions[-1]).unionByName(batch)
+            if versions
+            else batch
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        path = os.path.join(root, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), "st10")
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1])
+    return final.select("user_id", "event_id", "event_type", "value")

@@ -1,0 +1,118 @@
+"""Product quantization (operators/pq.py) pinned against a numpy
+reference: identical deterministic training, identical codes, and a
+recall floor for ADC search vs exact squared-L2 top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    pq_train,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+    load_table,
+)
+
+SF = "/root/testdata/sf0.001"
+# 16 subspaces of 4 dims: the testdata embeddings are near-uniform, so
+# coarse subspaces (few, wide) lose neighbor resolution — finer
+# subspaces trade storage (16 vs 4 bytes/vector) for recall.
+DIM, M, K, ITERS = 64, 16, 16, 2
+
+
+def _numpy_reference(vecs: np.ndarray, order: np.ndarray):
+    """Replica of pq_train/pq_encode: init from the k lowest-id rows,
+    Lloyd updates with empty cells keeping their centroid, ties to the
+    lowest code."""
+    sub = DIM // M
+    books = [
+        vecs[order[:K], s * sub : (s + 1) * sub].astype(np.float64).copy()
+        for s in range(M)
+    ]
+    for _ in range(ITERS):
+        for s in range(M):
+            x = vecs[:, s * sub : (s + 1) * sub].astype(np.float64)
+            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes = d.argmin(axis=1)  # argmin takes the first (lowest) index
+            for c in range(K):
+                mask = codes == c
+                if mask.any():
+                    books[s][c] = x[mask].mean(axis=0)
+    codes = np.stack(
+        [
+            (
+                (
+                    vecs[:, s * sub : (s + 1) * sub].astype(np.float64)[:, None, :]
+                    - books[s][None, :, :]
+                )
+                ** 2
+            )
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    return books, codes
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids, kind="stable")
+    vecs = np.array([r.embedding for r in rows], dtype=np.float32)[order]
+    ids = ids[order]
+    return emb, ids, vecs
+
+
+def test_pq_codes_match_numpy(spark, corpus):
+    emb, ids, vecs = corpus
+    books = pq_train(emb, dim=DIM, m=M, k=K, iterations=ITERS)
+    np_books, np_codes = _numpy_reference(vecs, np.arange(len(ids)))
+    for s in range(M):
+        np.testing.assert_allclose(
+            np.array(books[s]), np_books[s], rtol=1e-6, atol=1e-9
+        )
+    enc = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, books, dim=DIM).collect()
+    }
+    got = np.array([enc[i] for i in ids])
+    assert (got == np_codes).all()
+
+
+def test_pq_recall_floor(spark, corpus):
+    """ADC top-10 must recover a solid fraction of the exact top-10
+    (the testdata embeddings are label-clustered, so PQ with 16 codes
+    per subspace separates them well)."""
+    emb, ids, vecs = corpus
+    q = vecs[0].astype(np.float64)
+    books = pq_train(emb, dim=DIM, m=M, k=K, iterations=ITERS)
+    enc = pq_encode(emb, books, dim=DIM)
+    approx = [r.vec_id for r in pq_search(enc, books, list(q), k=10).collect()]
+    exact_order = np.lexsort((ids, ((vecs - q) ** 2).sum(axis=1)))
+    exact = set(ids[exact_order[:10]])
+    recall = len(exact & set(approx)) / 10
+    assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_pq_compression_beats_random(spark, corpus):
+    """Reconstruction MSE from the trained codebooks must be far below
+    the corpus variance (i.e. the codes carry real information)."""
+    emb, ids, vecs = corpus
+    books = pq_train(emb, dim=DIM, m=M, k=K, iterations=ITERS)
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(emb, books, dim=DIM).collect()}
+    sub = DIM // M
+    x = vecs.astype(np.float64)
+    recon = np.zeros_like(x)
+    for row, vid in enumerate(ids):
+        for s in range(M):
+            recon[row, s * sub : (s + 1) * sub] = books[s][enc[vid][s]]
+    mse = ((x - recon) ** 2).mean()
+    var = x.var()
+    assert mse < 0.5 * var, f"mse={mse:.4f} var={var:.4f}"
