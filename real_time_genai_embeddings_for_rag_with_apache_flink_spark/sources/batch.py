@@ -81,3 +81,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql access."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines batch source with an explicit schema (never inferred —
+    schema inference is a full extra pass at 100 TB and makes the read
+    non-deterministic under drift). PERMISSIVE mode + _corrupt_record
+    keeps bad rows visible instead of failing the job (the engine-wide
+    dead-letter posture; the reference instead throws on malformed JSON,
+    CustomMessageMapFunction.java:23-25)."""
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", "true" if multiline else "false")
+        .json(path)
+    )
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """CSV batch source with an explicit schema; quoting/escaping on so
+    free-text columns round-trip. Same PERMISSIVE + corrupt-column
+    posture as read_json_table."""
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(full)
+        .option("header", "true" if header else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

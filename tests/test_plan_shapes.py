@@ -62,3 +62,48 @@ def test_s01_broadcasts_query_vector(spark):
 def test_q17_windows_share_one_shuffle(spark):
     plan = _plan(spark, "q17_window_topk_per_group")
     assert plan.count("Exchange") == 1  # one hash partition on o_custkey
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the selective side of a fact-fact shuffle join should
+    inject a runtime bloom filter into the big side's scan (Spark's
+    runtime row-level filtering). Pin that the engine's session leaves
+    the feature on and that it fires once the size thresholds are met
+    (thresholds are lowered here because the testdata is tiny)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
