@@ -897,7 +897,8 @@ def q26_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
   abs(l_extendedprice - 30000) AS abs_diff,
-  ceil(l_quantity) AS qty_ceil, floor(l_quantity) AS qty_floor,
+  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
   CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_round1,
   sqrt(l_quantity) AS qty_sqrt,
   CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
@@ -911,7 +912,9 @@ def q27_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar coverage, restricted to IEEE-exact operations
     (abs/ceil/floor/round/sqrt/mod/sign) so the oracle matches
     bit-for-bit; transcendentals (exp/ln) are libm-dependent and are
-    deliberately not oracle-gated."""
+    deliberately not oracle-gated. ceil/floor are BIGINT on BOTH sides
+    (DuckDB's ceil(double) is DOUBLE, Spark's is LONG — an unpinned
+    dtype is a driver hash mismatch even when values agree)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     return li.select(
         F.col("l_orderkey").alias("orderkey"),
@@ -959,7 +962,8 @@ def q28_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
   len(embedding) AS dim,
   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-  list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head4,
+  to_json(list_transform(embedding[1:4],
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS head4,
   ROUND(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6) AS vec_sum,
   ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6) AS vec_max,
   len(list_filter(embedding, x -> x > 0)) AS n_positive
@@ -971,15 +975,23 @@ def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order-function coverage over the embedding column.
     Float32 cells are rounded through DOUBLE on both sides — raw
     float32 survives toPandas differently with and without Arrow, so a
-    raw float column can never be value-hash-stable."""
+    raw float column can never be value-hash-stable. The head4 array is
+    serialized as a JSON string of integer micro-units: a raw
+    array<double> column crashes pandas-based canonicalizers
+    (sort_values -> `unhashable type: 'list'`), and JSON-of-int is the
+    only float-format-proof cross-engine array encoding (Spark to_json
+    and DuckDB to_json both emit `[1,2,3]`)."""
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return em.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)
+        F.to_json(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+            )
         ).alias("head4"),
         F.round(
             F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6

@@ -219,7 +219,7 @@ WITH shingled AS (
   FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
         FROM documents)
 )
-SELECT doc_id, {_SQL_MINHASH.strip()} AS signature
+SELECT doc_id, to_json({_SQL_MINHASH.strip()}) AS signature
 FROM shingled WHERE len(grams) > 0
 """,
     tags=("dedup", "minhash"),
@@ -227,8 +227,15 @@ FROM shingled WHERE len(grams) > 0
 def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature: 16 Broder permutations from one
     md5 per shingle (engine-portable, unlike murmur), computed fully
-    inside whole-stage codegen via explode + grouped min."""
-    return _minhash_signatures_df(spark, sf_dir)
+    inside whole-stage codegen via explode + grouped min. The catalog
+    entry serializes the signature as a JSON string: raw array columns
+    crash pandas-based canonicalizers (sort_values on list cells), and
+    JSON-of-int renders identically in Spark and DuckDB. Downstream
+    operators (d04/d08) consume the array form via
+    _minhash_signatures_df."""
+    return _minhash_signatures_df(spark, sf_dir).select(
+        "doc_id", F.to_json("signature").alias("signature")
+    )
 
 
 _SQL_LSH_CTES = f"""
@@ -263,7 +270,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
     rows), shuffle only (band_idx, band_key), join within buckets.
     This is the scale path — candidates ~ O(dups), not O(n^2)."""
-    sigs = d03_minhash_signatures(spark, sf_dir)
+    sigs = _minhash_signatures_df(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -114,7 +114,7 @@ def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t08_corpus_mixture",
     oracle="""
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   ROUND(CAST(COUNT(*) AS DOUBLE)
         / (SELECT COUNT(*) FROM documents), 6) AS doc_share
 FROM documents
@@ -195,7 +195,7 @@ _LANG_DIM = [
 @query(
     "st09_stream_static_join",
     oracle="""
-SELECT lang_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang_name, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 JOIN (VALUES ('en', 'English'), ('de', 'German'), ('fr', 'French'),
              ('es', 'Spanish'), ('zh', 'Chinese')) AS langs(lang, lang_name)

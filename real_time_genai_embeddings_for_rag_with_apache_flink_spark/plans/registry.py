@@ -34,6 +34,25 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Names promoted to the front of all_specs(). The external correctness
+# driver checks the FIRST 50 entries of the catalog per round, so this
+# list is the per-round rotation control: put queries that still need a
+# driver-green row first, already-proven ones last.
+_PRIORITY: list[str] = []
+
+
+def set_priority(names: list[str]) -> None:
+    """Pin the iteration order of all_specs(): `names` first (in order),
+    then every other registered query in registration order. Every name
+    must exist and be unique — typos fail at import time."""
+    global _PRIORITY
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"unknown priority queries: {missing}")
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate names in priority list")
+    _PRIORITY = list(names)
+
 
 def query(
     name: str,
@@ -56,7 +75,9 @@ def query(
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def get_spec(name: str) -> QuerySpec:

@@ -28,9 +28,9 @@ from .registry import query
     "q34_pivot",
     oracle="""
 SELECT o_orderpriority AS priority,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p,
   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS spend_f
 FROM orders GROUP BY o_orderpriority
 """,
@@ -69,9 +69,9 @@ def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34b_pivot_native",
     oracle="""
 SELECT o_orderpriority AS priority,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
 FROM orders GROUP BY o_orderpriority
 """,
     tags=("pivot", "aggregation"),

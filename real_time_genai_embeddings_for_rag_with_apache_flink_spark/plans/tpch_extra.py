@@ -206,10 +206,10 @@ def q53_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_priority_lateness",
     oracle="""
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag
@@ -219,7 +219,10 @@ GROUP BY l_returnflag
 def q54_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional counts of high- vs low-priority
     orders per line status bucket (l_returnflag stands in for the absent
-    l_shipmode). Single join + single-pass conditional aggregate."""
+    l_shipmode). Single join + single-pass conditional aggregate.
+    Oracle sums are CAST to BIGINT: DuckDB's SUM(int) is HUGEINT, and
+    a HUGEINT-vs-BIGINT dtype gap is a driver hash mismatch even when
+    values agree (same pinning as q49/q57/q63)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))

@@ -13,8 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filters = sys.argv[2:]
+    args = [a for a in sys.argv[1:]]
+    first_n = None
+    if "--first" in args:
+        i = args.index("--first")
+        first_n = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filters = args[1:]
 
     from oracle_harness import compare, duckdb_conn
 
@@ -28,12 +34,14 @@ def main() -> int:
     con = duckdb_conn(sf_dir)
 
     specs = plans.all_specs()
+    if first_n is not None:
+        specs = dict(list(specs.items())[:first_n])
     if name_filters:
         specs = {
             n: s for n, s in specs.items() if any(f in n for f in name_filters)
         }
     n_ok = n_bad = n_rows_only = 0
-    for name, spec in sorted(specs.items()):
+    for name, spec in specs.items():
         t0 = time.perf_counter()
         try:
             df = spec.build(spark, sf_dir)
@@ -44,8 +52,12 @@ def main() -> int:
                 ok = cnt >= 0
             else:
                 res = compare(name, df, con, spec.oracle)
-                ok = res.ok
-                status = "OK" if ok else f"FAIL {res.detail[:300]}"
+                ok = res.strict_ok
+                status = (
+                    "OK"
+                    if ok
+                    else f"FAIL {res.detail[:250]} {('DTYPE ' + res.dtype_detail) if not res.dtypes_match else ''}"
+                )
         except Exception as e:  # noqa: BLE001
             ok, status = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
         dt = time.perf_counter() - t0

@@ -28,6 +28,11 @@ def test_query_matches_oracle(name, spark, oracle_con):
         return
     res = compare(name, df, oracle_con, spec.oracle)
     assert res.ok, f"{name}: {res.detail}"
+    # Strict driver-hash safety: pandas dtype kinds must agree per column
+    # (int-vs-float / HUGEINT drift is a driver hash mismatch even when
+    # values agree — r02 q27/q54) and no column may hold list cells
+    # (crashes the driver's sort_values canonicalizer — r02 q29).
+    assert res.dtypes_match, f"{name}: dtype drift {res.dtype_detail}"
 
 
 def test_entry_smoke(spark):
