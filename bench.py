@@ -27,15 +27,22 @@ def main() -> int:
 
     specs = {n: s for n, s in plans.all_specs().items() if s.bench}
 
+    def force(df) -> None:
+        # .count() lets Catalyst prune every unreferenced projection, so
+        # projection-heavy queries would be under-measured. The noop sink
+        # materializes every output column (full codegen + serialization)
+        # while still writing nothing.
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         # Warm run first (JVM/codegen/parquet footers), then measure the
         # steady-state execution — what a resident cluster would see.
-        spec.build(spark, sf_dir).count()
+        force(spec.build(spark, sf_dir))
         t0 = time.perf_counter()
-        n_rows = spec.build(spark, sf_dir).count()
+        force(spec.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -70,8 +70,22 @@ class BedrockTitanEmbedder:
 
     Maps model keys exactly as the reference does ('titan-v1' ->
     amazon.titan-embed-text-v1, 'titan-v2' -> amazon.titan-embed-text-v2:0;
-    BedRockEmbeddingModelAsyncCustomMessage.java:80-85). Requires boto3 at
-    runtime; this container has no AWS SDK, so construction is gated.
+    BedRockEmbeddingModelAsyncCustomMessage.java:80-85) and sends the
+    reference's request body ``{"inputText": text}`` / reads the
+    ``embedding`` array from the response (:88-96, :99-104). One
+    ``invoke_model`` per text (the Titan embed API is single-input);
+    batch-level throughput comes from the Arrow batch + partition
+    parallelism around it, replacing the reference's 1000-deep async
+    pool.
+
+    Error handling goes beyond the reference (which logs and emits a
+    sink-crashing null, :109-112): transient failures retry with
+    exponential backoff; a text that still fails after ``max_retries``
+    becomes a per-row dead-letter via ``row_errors`` (picked up by
+    ``embed()``), so one poisoned document never fails its whole batch.
+
+    Requires boto3 at runtime unless a client is injected; this
+    container has no AWS SDK, so construction is gated.
     """
 
     MODEL_IDS = {
@@ -79,20 +93,69 @@ class BedrockTitanEmbedder:
         "titan-v2": "amazon.titan-embed-text-v2:0",
     }
 
-    def __init__(self, model_key: str = "titan-v2", region: str | None = None):
-        try:
-            import boto3  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "BedrockTitanEmbedder requires boto3; use DeterministicEmbedder "
-                "for local runs"
-            ) from e
+    def __init__(
+        self,
+        model_key: str = "titan-v2",
+        region: str | None = None,
+        client=None,
+        max_retries: int = 3,
+        retry_base_seconds: float = 0.5,
+    ):
+        if client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "BedrockTitanEmbedder requires boto3; use DeterministicEmbedder "
+                    "for local runs"
+                ) from e
+            client = boto3.Session(region_name=region).client("bedrock-runtime")
+        self._client = client
         self.model_id = self.MODEL_IDS[model_key]
         self.dim = {"titan-v1": 1536, "titan-v2": 1024}[model_key]
         self._region = region
+        self._max_retries = max_retries
+        self._retry_base = retry_base_seconds
+        self.row_errors: list[str | None] = []
 
-    def embed_batch(self, texts):  # pragma: no cover - env-dependent
-        raise NotImplementedError("network calls are out of scope in this container")
+    def _invoke_once(self, text: str) -> list[float]:
+        import json
+
+        resp = self._client.invoke_model(
+            modelId=self.model_id,
+            body=json.dumps({"inputText": text}),
+            accept="application/json",
+            contentType="application/json",
+        )
+        body = resp["body"]
+        payload = json.loads(body.read() if hasattr(body, "read") else body)
+        return [float(x) for x in payload["embedding"]]
+
+    def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+        import time
+
+        out: list[list[float] | None] = []
+        errs: list[str | None] = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                errs.append(None)
+                continue
+            last_err = None
+            vec = None
+            for attempt in range(self._max_retries + 1):
+                try:
+                    vec = self._invoke_once(t)
+                    last_err = None
+                    break
+                except Exception as e:  # noqa: BLE001 - retried then dead-lettered
+                    last_err = f"{type(e).__name__}: {e}"
+                    if attempt < self._max_retries:
+                        time.sleep(self._retry_base * (2**attempt))
+            out.append(vec)
+            errs.append(last_err)
+        self.row_errors = errs
+        return out
 
 
 _EMBED_RESULT = StructType(
@@ -158,7 +221,17 @@ def embed(
                 try:
                     vecs = emb.embed_batch(chunk)
                     embeddings.extend(vecs)
-                    errors.extend([None] * len(chunk))
+                    # adapters with per-row failure reporting (e.g.
+                    # BedrockTitanEmbedder after retries) expose
+                    # row_errors; others mean all-good
+                    row_errs = getattr(emb, "row_errors", None)
+                    if row_errs and len(row_errs) == len(chunk):
+                        if on_error == "fail" and any(row_errs):
+                            first = next(e for e in row_errs if e)
+                            raise RuntimeError(f"embedding failed: {first}")
+                        errors.extend(row_errs)
+                    else:
+                        errors.extend([None] * len(chunk))
                 except Exception as e:  # noqa: BLE001 - dead-letter policy
                     if on_error == "fail":
                         raise

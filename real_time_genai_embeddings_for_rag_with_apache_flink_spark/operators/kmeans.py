@@ -68,32 +68,39 @@ def kmeans_assign(
     # Each iteration scans the corpus twice (assign + re-estimate);
     # cache the narrow (id, vector) projection once instead.
     vecs = df.select(id_col, vec_col).cache()
-    init = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = [list(map(float, r[0])) for r in init]
-
-    assigned = None
-    for _ in range(iterations):
-        assigned = vecs.select(
-            id_col,
-            vec_col,
-            _nearest_cell(F.col(vec_col), centroids).alias("cell"),
-        )
-        new_rows = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    try:
+        init = (
+            vecs.orderBy(id_col)
+            .limit(k)
+            .select(vec_col)
             .collect()
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in new_rows:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.m
-        centroids = [
-            [vals[p] for p in sorted(vals)] if (vals := by_cell.get(i)) else c
-            for i, c in enumerate(centroids)
-        ]
-    return assigned.select(id_col, "cell")
+        centroids = [list(map(float, r[0])) for r in init]
+
+        assigned = None
+        for _ in range(iterations):
+            assigned = vecs.select(
+                id_col,
+                vec_col,
+                _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+            )
+            new_rows = (
+                assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in new_rows:
+                by_cell.setdefault(r.cell, {})[r.pos] = r.m
+            centroids = [
+                [vals[p] for p in sorted(vals)] if (vals := by_cell.get(i)) else c
+                for i, c in enumerate(centroids)
+            ]
+        # Materialize the final assignment with truncated lineage BEFORE
+        # releasing the cache it was computed from — the caller gets a
+        # self-contained DataFrame and no cached blocks leak across
+        # repeated catalog/bench runs in one session.
+        return assigned.select(id_col, "cell").localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()

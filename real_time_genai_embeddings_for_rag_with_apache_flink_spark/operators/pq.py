@@ -85,6 +85,16 @@ def pq_train(
     row."""
     sub = dim // m
     vecs = df.select(id_col, vec_col).cache()
+    try:
+        return _pq_train_iterations(vecs, dim, m, k, sub, iterations, vec_col, id_col)
+    finally:
+        # the codebooks are plain driver-side floats, nothing returned
+        # depends on the cached projection — release it so repeated
+        # catalog/bench runs in one session don't accumulate blocks
+        vecs.unpersist()
+
+
+def _pq_train_iterations(vecs, dim, m, k, sub, iterations, vec_col, id_col):
     init = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     codebooks = [
         [[float(r[0][s * sub + j]) for j in range(sub)] for r in init]

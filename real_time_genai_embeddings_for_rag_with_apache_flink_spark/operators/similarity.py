@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, dot
 
 
 def query_literal(vec: list[float]):
@@ -59,8 +59,22 @@ def knn_join(
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Exact k-NN join: for every query row, the k most-cosine-similar
-    corpus rows. Queries are broadcast; the corpus is never shuffled
-    until the final per-query top-k window."""
+    corpus rows. Queries are broadcast and scored map-side (JVM codegen);
+    an Arrow-batched partial top-k then bounds what reaches the final
+    per-query window.
+
+    Without the partial stage, `row_number() OVER (PARTITION BY q_id)`
+    funnels every scored corpus row into one reducer per query — with
+    few queries and a 100x corpus that is a handful of hot partitions
+    swallowing the whole corpus. The partial stage emits at most
+    k * |Q| rows per Arrow batch with NO exchange (mapInPandas runs on
+    the scan partitions), so the only shuffle carries
+    k * |Q| * n_batches rows — driver-trivial at any corpus size.
+
+    Correctness: the global top-k under the total order
+    (sim DESC, corpus_id ASC) is a subset of the union of per-batch
+    top-k under the same order, so the final exact window sees every
+    true winner."""
     q = F.broadcast(queries.select(query_id, query_vec))
     scored = corpus.crossJoin(q).select(
         F.col(query_id),
@@ -69,9 +83,20 @@ def knn_join(
             cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6
         ).alias("sim"),
     )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                [query_id, "sim", corpus_id], ascending=[True, False, True]
+            )
+            yield pdf.groupby(query_id, sort=False).head(k)
+
+    partial = scored.mapInPandas(partial_topk, scored.schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
@@ -97,6 +122,44 @@ def label_centroids(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _cell_scores(vec, cells: list[tuple[int, list[float]]]):
+    """array<struct<sim,cell>> of the row vector scored against every
+    centroid, as literal arithmetic. Centroids are pre-scaled by 1/|c|
+    on the driver; the row's own norm is constant across candidates so
+    cosine ranking reduces to one dot fold per cell — fully narrow,
+    inside whole-stage codegen, zero shuffle."""
+    scored = []
+    for cell, c in sorted(cells, key=lambda t: t[0]):
+        nrm = sum(float(x) * float(x) for x in c) ** 0.5 or 1.0
+        lit = F.array(*[F.lit(float(x) / nrm) for x in c])
+        scored.append(
+            F.struct(dot(vec, lit).alias("sim"), F.lit(int(cell)).alias("cell"))
+        )
+    return F.array(*scored)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cells: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vector, cell): nearest-centroid assignment as a narrow
+    per-row argmax over literal centroids (the kmeans._nearest_cell
+    pattern). The previous design — crossJoin(centroids) then
+    row_number() OVER (PARTITION BY vec_id) — blew every corpus row up
+    K-fold and shuffled the whole corpus to compute a per-row argmax;
+    this plan has NO exchange at all (pinned by
+    tests/test_plan_shapes.py). Ties break to the lowest cell id."""
+    scored = _cell_scores(F.col(vec_col), cells)
+    best = F.aggregate(
+        scored,
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s.sim > acc.sim, s).otherwise(acc),
+    )
+    return corpus.select(id_col, vec_col, best.cell.alias("cell"))
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,38 +172,42 @@ def ivf_search(
     nprobe-nearest cells per query, exact scoring only inside probed
     cells, per-query top-k.
 
-    At scale the assignment is precomputed and the corpus is stored
-    partitioned/bucketed by cell, so a query batch scans nprobe/K of the
-    data; centroids and probe lists are broadcast. Recall scales with
-    nprobe — on data with no cluster structure it approaches the honest
-    lower bound nprobe/K (tests/test_ann_recall.py pins the tradeoff)."""
-    cents_b = F.broadcast(label_centroids(corpus))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cell"))
-    assigned = (
-        corpus.crossJoin(cents_b)
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "csim")
+    The centroid table is driver-sized by construction (K cells x dim),
+    so it is collected once ("train" step, exactly like kmeans init) and
+    both the corpus assignment and the per-query probe lists are narrow
+    literal-array computations — no crossJoin row blow-up, no corpus
+    shuffle. At scale the assignment is precomputed and the corpus is
+    stored partitioned/bucketed by cell, so a query batch scans
+    nprobe/K of the data. Recall scales with nprobe — on data with no
+    cluster structure it approaches the honest lower bound nprobe/K
+    (tests/test_ann_recall.py pins the tradeoff)."""
+    cells = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(corpus).collect()
+    ]
+    assigned = ivf_assign(corpus, cells)
+
+    # Per-query probe list: sort the same literal score array, keep the
+    # nprobe best cells (sim DESC, cell ASC) — narrow on the tiny query
+    # side too; the subsequent explode is nprobe rows per query.
+    scored = _cell_scores(F.col(query_vec), cells)
+    cmp = lambda a, b: (  # noqa: E731
+        F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .when(a["cell"] < b["cell"], F.lit(-1))
+        .when(a["cell"] > b["cell"], F.lit(1))
+        .otherwise(F.lit(0))
     )
-    w_probe = Window.partitionBy(query_id).orderBy(F.desc("qsim"), F.col("cell"))
-    probes = (
-        queries.crossJoin(cents_b)
-        .select(
-            query_id,
-            query_vec,
-            "cell",
-            cosine_similarity(F.col(query_vec), F.col("centroid")).alias("qsim"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(query_id, query_vec, "cell")
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored, cmp), 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
     )
+
     w_rank = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col("vec_id"))
     return (
         assigned.join(F.broadcast(probes), "cell")

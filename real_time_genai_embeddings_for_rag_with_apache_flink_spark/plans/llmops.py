@@ -928,11 +928,15 @@ def s08_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH-bucketed ANN alternative to IVF (s05): near vectors agree on
     most plane signs, so candidate search joins within buckets (or
     within small Hamming radius). Planes enter the plan as literal
-    arrays; one dot fold per plane per row, no shuffle."""
+    arrays; one dot fold per plane per row, no shuffle. The plane
+    dimension comes from PipelineConfig (model-determined, exactly as
+    the reference's 1536/1024 titan dims are config, not data) — no
+    driver-side action at plan-build time."""
+    from ..config import PipelineConfig
     from ..functions.vector import dot
 
     em = load_table(spark, sf_dir, "embeddings")
-    dim = len(em.select("embedding").first()[0])
+    dim = PipelineConfig().resolved_dim()
     bucket = None
     for p in range(_N_PLANES):
         plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])

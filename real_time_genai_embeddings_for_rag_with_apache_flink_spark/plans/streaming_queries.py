@@ -76,13 +76,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader's TIMESTAMP_NTZ exactly. basePath pins partition discovery to
     the sf dir (the path itself is a single file, which the file-stream
     source would otherwise reject as a base)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("basePath", sf_dir)
-        .parquet(_single_file_glob(sf_dir, "events.parquet"))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("basePath", sf_dir)
+            .parquet(_single_file_glob(sf_dir, "events.parquet"))
+        )
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out.schema  # force analysis while the conf is set
+        return out
+    finally:
+        # same save/restore as sources/batch._load_events: a catalog
+        # builder must not leave global session conf flipped for every
+        # later query in the session
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def _single_file_glob(sf_dir: str, filename: str) -> str:

@@ -40,6 +40,33 @@ from ..operators.normalize import filter_nonempty_text, normalize, parse_raw
 from .sinks import foreach_batch_writer
 
 
+def kinesis_reader_options(cfg: PipelineConfig) -> dict[str, str]:
+    """Option map for the public spark-sql-kinesis connector, mirroring
+    the reference's consumer config: stream name + region
+    (KDS-P/.../msf/DataStreamJob.java:128-130, CDK-injected), start
+    position LATEST (:130; 'earliest' maps to TRIM_HORIZON — the same
+    semantic pair as the Kafka variant's earliest, MSK-S/...:132)."""
+    stream = cfg.extra.get("kinesis_stream")
+    region = cfg.extra.get("kinesis_region")
+    if not (stream and region):
+        raise ValueError(
+            "kinesis source needs extra.kinesis_stream and extra.kinesis_region"
+        )
+    positions = {"latest": "LATEST", "earliest": "TRIM_HORIZON"}
+    if cfg.start_position not in positions:
+        raise ValueError(f"unknown start_position {cfg.start_position!r}")
+    return {
+        "streamName": str(stream),
+        "region": str(region),
+        "endpointUrl": str(
+            cfg.extra.get(
+                "kinesis_endpoint", f"https://kinesis.{region}.amazonaws.com"
+            )
+        ),
+        "startingPosition": positions[cfg.start_position],
+    }
+
+
 def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Streaming source -> RAW(value: string) per schemas.RAW_SCHEMA."""
     if cfg.source_format == "kafka":
@@ -52,6 +79,19 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
             .option("startingOffsets", cfg.start_position)
             .load()
             .select(F.col("value").cast("string").alias("value"))
+        )
+    if cfg.source_format == "kinesis":
+        # The KDS variants' FlinkKinesisConsumer (stream name + region +
+        # LATEST start position, KDS-P/.../msf/DataStreamJob.java:128-140)
+        # mapped onto the public spark-sql-kinesis connector's options.
+        # The connector jar isn't in this container, so .load() only
+        # works where the connector is on the classpath; the option
+        # mapping itself is unit-tested via kinesis_reader_options.
+        reader = spark.readStream.format("kinesis")
+        for key, val in kinesis_reader_options(cfg).items():
+            reader = reader.option(key, val)
+        return reader.load().select(
+            F.col("data").cast("string").alias("value")
         )
     if cfg.source_format == "rate":
         # Load generator: fabricate wire-format JSON records at a fixed

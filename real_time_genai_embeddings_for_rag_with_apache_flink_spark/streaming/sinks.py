@@ -42,64 +42,128 @@ def _parquet_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     has_error = cfg.on_error == "dead-letter"
     idempotent = bool(cfg.extra.get("idempotent_sink", False))
 
+    def _write_idempotent(df: DataFrame, path: str, batch_id: int) -> None:
+        # Each micro-batch lands in its own _batch=<id> partition via
+        # dynamic partition overwrite: a replayed batch REPLACES its
+        # partition instead of appending a second copy -> effectively
+        # exactly-once output.
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.withColumn("_batch", F.lit(batch_id))
+                .write.partitionBy("_batch")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         # Plain append -> at-least-once on replay (the reference's bulk
-        # sink guarantee). With idempotent_sink, each micro-batch lands
-        # in its own _batch=<id> partition via dynamic partition
-        # overwrite: a replayed batch REPLACES its partition instead of
-        # appending a second copy -> effectively exactly-once output.
+        # sink guarantee); idempotent_sink upgrades BOTH the main table
+        # and the dead-letter table to per-batch partition overwrite so
+        # a replayed micro-batch can't duplicate either output.
         good = batch
         if has_error:
             bad = batch.filter(F.col("error").isNotNull())
             if not bad.isEmpty():
-                bad.write.mode("append").parquet(dead_path)
+                if idempotent:
+                    _write_idempotent(bad, dead_path, batch_id)
+                else:
+                    bad.write.mode("append").parquet(dead_path)
             good = batch.filter(F.col("error").isNull())
         docs = to_sink_docs(good)
         if idempotent:
-            spark = batch.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    docs.withColumn("_batch", F.lit(batch_id))
-                    .write.partitionBy("_batch")
-                    .mode("overwrite")
-                    .parquet(sink_path)
-                )
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _write_idempotent(docs, sink_path, batch_id)
         else:
             docs.write.mode("append").parquet(sink_path)
 
     return write_batch
 
 
-def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
-    try:
-        from opensearchpy import OpenSearch, helpers  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "opensearch sink requires opensearch-py (not in this container); "
-            "use sink_format='parquet'"
-        ) from e
+def _default_opensearch_factory(hosts, region, service):
+    """Picklable factory: built on the driver, CALLED on each executor
+    partition. Returns (client, bulk_fn). With a region configured the
+    connection is SigV4-signed for service 'es' (managed domain) or
+    'aoss' (serverless) — the exact signer split between the reference
+    variants (KDS-P/.../msf/DataStreamJob.java:162 vs
+    KDS-S/.../msf/DataStreamJob.java:185)."""
 
+    def make():  # pragma: no cover - needs opensearch-py + a cluster
+        from opensearchpy import OpenSearch, helpers
+
+        kwargs: dict = {"hosts": hosts}
+        if region:
+            import boto3
+            from opensearchpy import AWSV4SignerAuth, RequestsHttpConnection
+
+            creds = boto3.Session().get_credentials()
+            kwargs.update(
+                http_auth=AWSV4SignerAuth(creds, region, service),
+                connection_class=RequestsHttpConnection,
+                use_ssl=True,
+                verify_certs=True,
+            )
+        return OpenSearch(**kwargs), helpers.bulk
+
+    return make
+
+
+def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
+    """Executor-distributed bulk indexer: one client + one bulk stream
+    per output partition (the reference's bulk-processor-per-subtask
+    shape, DataStreamJob.java:158-177). The batch is NEVER funneled
+    through the driver — a driver-side toLocalIterator loop caps
+    throughput at one machine regardless of cluster size.
+
+    cfg.extra knobs: index, hosts, aws_region + aws_service ('es'|'aoss')
+    for SigV4, client_factory (injectable, mainly for tests)."""
     index = cfg.extra.get("index", "embeddings")
     hosts = cfg.extra.get("hosts", ["https://localhost:9200"])
+    region = cfg.extra.get("aws_region")
+    service = cfg.extra.get("aws_service", "es")
+    factory = cfg.extra.get("client_factory")
+    if factory is None:
+        try:
+            import opensearchpy  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "opensearch sink requires opensearch-py (not in this container); "
+                "use sink_format='parquet'"
+            ) from e
+        factory = _default_opensearch_factory(hosts, region, service)
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:  # pragma: no cover
-        client = OpenSearch(hosts=hosts)
-        docs = to_sink_docs(batch.filter(F.col("error").isNull()))
-        actions = (
-            {
-                "_index": index,
-                "_source": {
-                    "passage_embedding": row.passage_embedding,
-                    "date": row.date.isoformat() if row.date else None,
-                    "text": row.text,
-                },
-            }
-            for row in docs.toLocalIterator()
-        )
-        helpers.bulk(client, actions)
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # embed() only carries an error column under the dead-letter
+        # policy; under drop/fail the column is absent and there is
+        # nothing to filter (guard mirrors _parquet_writer's has_error).
+        good = batch
+        if "error" in batch.columns:
+            good = batch.filter(F.col("error").isNull())
+        docs = to_sink_docs(good)
+
+        def send_partition(rows) -> None:
+            first = next(iter(rows), None)
+            if first is None:
+                return  # empty partition: never build a client
+            import itertools
+
+            client, bulk = factory()
+            actions = (
+                {
+                    "_index": index,
+                    "_source": {
+                        "passage_embedding": row.passage_embedding,
+                        "date": row.date.isoformat() if row.date else None,
+                        "text": row.text,
+                    },
+                }
+                for row in itertools.chain([first], rows)
+            )
+            bulk(client, actions)
+
+        docs.foreachPartition(send_partition)
 
     return write_batch

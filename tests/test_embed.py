@@ -122,3 +122,131 @@ def test_embed_distinct_drop_policy(spark):
         df, embedder_factory=_exploding_embedder(), dim=8, on_error="drop"
     )
     assert out.count() == 0
+
+
+class _StubBedrockClient:
+    """Records invoke_model requests; scripted per-text behavior:
+    'flaky ...' fails (fail_times) then succeeds, 'poison ...' always
+    fails. Response shape mirrors the Bedrock runtime API."""
+
+    def __init__(self, dim=4, fail_times=2):
+        self.dim = dim
+        self.fail_times = fail_times
+        self.requests = []
+        self._failures = {}
+
+    def invoke_model(self, modelId, body, accept, contentType):
+        import io
+        import json
+
+        self.requests.append({"modelId": modelId, "body": body})
+        text = json.loads(body)["inputText"]
+        if text.startswith("poison"):
+            raise RuntimeError("ThrottlingException: simulated permanent failure")
+        if text.startswith("flaky"):
+            n = self._failures.get(text, 0)
+            if n < self.fail_times:
+                self._failures[text] = n + 1
+                raise RuntimeError("simulated transient failure")
+        vec = [float(len(text) + i) for i in range(self.dim)]
+        return {"body": io.BytesIO(json.dumps({"embedding": vec}).encode())}
+
+
+def test_bedrock_adapter_request_response_mapping():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    import json
+
+    for key, model_id, dim in (
+        ("titan-v1", "amazon.titan-embed-text-v1", 1536),
+        ("titan-v2", "amazon.titan-embed-text-v2:0", 1024),
+    ):
+        client = _StubBedrockClient()
+        emb = BedrockTitanEmbedder(model_key=key, client=client)
+        assert emb.dim == dim
+        vecs = emb.embed_batch(["hello world", None])
+        # request shape: the reference's exact body (BedRockEmbedding
+        # ModelAsyncCustomMessage.java:88-96) and model map (:80-85)
+        (req,) = client.requests  # None text never hits the API
+        assert req["modelId"] == model_id
+        assert json.loads(req["body"]) == {"inputText": "hello world"}
+        assert vecs[0] == [float(len("hello world") + i) for i in range(4)]
+        assert vecs[1] is None
+        assert emb.row_errors == [None, None]
+
+
+def test_bedrock_adapter_retries_then_succeeds():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _StubBedrockClient(fail_times=2)
+    emb = BedrockTitanEmbedder(
+        client=client, max_retries=3, retry_base_seconds=0.0
+    )
+    vecs = emb.embed_batch(["flaky doc"])
+    assert vecs[0] is not None
+    assert emb.row_errors == [None]
+    # initial attempt + 2 failures retried
+    assert len(client.requests) == 3
+
+
+def test_bedrock_adapter_per_row_dead_letter():
+    """One poisoned text must dead-letter ONLY its own row — the other
+    texts in the batch still embed (the reference would null the record
+    and crash its sink; per-row isolation is the fix)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _StubBedrockClient()
+    emb = BedrockTitanEmbedder(
+        client=client, max_retries=1, retry_base_seconds=0.0
+    )
+    vecs = emb.embed_batch(["good doc", "poison doc", "another good"])
+    assert vecs[0] is not None and vecs[2] is not None
+    assert vecs[1] is None
+    assert emb.row_errors[0] is None and emb.row_errors[2] is None
+    assert "ThrottlingException" in emb.row_errors[1]
+
+
+def test_bedrock_rows_dead_letter_through_embed(spark):
+    """End-to-end through the embed() UDF: per-row adapter failures land
+    in the error column under the dead-letter policy."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+        embed,
+    )
+
+    def factory(dim):
+        # the stub client is defined inside the closure so cloudpickle
+        # ships it by value to executor workers (a test-module class
+        # would pickle by reference and fail to import there)
+        import io
+        import json
+
+        class StubClient:
+            def invoke_model(self, modelId, body, accept, contentType):
+                text = json.loads(body)["inputText"]
+                if text.startswith("poison"):
+                    raise RuntimeError("ThrottlingException: simulated")
+                vec = [float(i) for i in range(4)]
+                return {
+                    "body": io.BytesIO(json.dumps({"embedding": vec}).encode())
+                }
+
+        return BedrockTitanEmbedder(
+            client=StubClient(), max_retries=0, retry_base_seconds=0.0
+        )
+
+    df = spark.createDataFrame(
+        [("good doc",), ("poison doc",)], ["text"]
+    ).repartition(1)
+    out = embed(df, embedder_factory=factory, dim=4).collect()
+    by_text = {r["text"]: r for r in out}
+    assert by_text["good doc"]["error"] is None
+    assert by_text["good doc"]["embedding"] is not None
+    assert by_text["poison doc"]["embedding"] is None
+    assert "ThrottlingException" in by_text["poison doc"]["error"]

@@ -9,9 +9,6 @@ when the client is absent.
 
 from __future__ import annotations
 
-import sys
-import types
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -30,20 +27,41 @@ def test_opensearch_writer_requires_client():
         foreach_batch_writer(cfg)
 
 
-def test_opensearch_writer_bulk_shape(spark, monkeypatch):
-    captured = {}
+def _file_capture_factory(capture_dir: str):
+    """Stand-in for the opensearch client factory: each partition's bulk
+    call writes its actions to a unique file in capture_dir (workers
+    share the local filesystem in local mode), so the test can count
+    bulk calls per partition and inspect the exact emitted actions —
+    without opensearch-py or a server. Returned as a closure: cloudpickle
+    ships closures by value, while a test-module class would be pickled
+    by reference and fail to import on executor workers."""
 
-    class FakeOpenSearch:
-        def __init__(self, hosts):
-            captured["hosts"] = hosts
+    def factory():
+        import json
+        import os
+        import uuid
 
-    def fake_bulk(client, actions):
-        captured["actions"] = list(actions)
+        def bulk(client, actions):
+            path = os.path.join(capture_dir, f"bulk-{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump(list(actions), f)
 
-    fake_mod = types.ModuleType("opensearchpy")
-    fake_mod.OpenSearch = FakeOpenSearch
-    fake_mod.helpers = types.SimpleNamespace(bulk=fake_bulk)
-    monkeypatch.setitem(sys.modules, "opensearchpy", fake_mod)
+        return object(), bulk
+
+    return factory
+
+
+def test_opensearch_writer_bulk_shape_runs_on_executors(spark, tmp_path, monkeypatch):
+    """The bulk emitter must run per partition on the executors: the
+    reference builds one bulk processor per subtask
+    (DataStreamJob.java:158-177); a driver-side toLocalIterator loop is
+    a single-machine bottleneck at any real scale. toLocalIterator and
+    collect are poisoned for the duration to prove the batch is never
+    materialized on the driver."""
+    import json
+    import pathlib
+
+    from pyspark.sql import DataFrame
 
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
         foreach_batch_writer,
@@ -52,25 +70,77 @@ def test_opensearch_writer_bulk_shape(spark, monkeypatch):
         embed,
     )
 
+    cap = tmp_path / "captured"
+    cap.mkdir()
     cfg = PipelineConfig(
         sink_format="opensearch",
-        extra={"index": "docs", "hosts": ["https://example:9200"]},
+        extra={"index": "docs", "client_factory": _file_capture_factory(str(cap))},
     )
     writer = foreach_batch_writer(cfg)
 
+    def _poisoned(self, *a, **kw):  # noqa: ANN001
+        raise AssertionError("batch materialized on the driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _poisoned)
+    monkeypatch.setattr(DataFrame, "collect", _poisoned)
+
+    rows = [(f"doc {i}",) for i in range(64)]
+    batch = embed(
+        spark.createDataFrame(rows, ["text"])
+        .repartition(4)
+        .withColumn("created_at", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+        dim=8,
+    )
+    writer(batch, 0)
+
+    files = sorted(pathlib.Path(cap).glob("bulk-*.json"))
+    # one bulk call per NON-EMPTY partition, not one global call
+    assert len(files) > 1
+    actions = [a for f in files for a in json.loads(f.read_text())]
+    assert len(actions) == 64
+    for action in actions:
+        assert action["_index"] == "docs"
+        src = action["_source"]
+        assert set(src) == {"passage_embedding", "date", "text"}
+        assert len(src["passage_embedding"]) == 8
+        assert src["date"].startswith("2024-01-01T00:00:00")
+    assert {a["_source"]["text"] for a in actions} == {r[0] for r in rows}
+
+
+def test_opensearch_writer_tolerates_missing_error_column(spark, tmp_path):
+    """embed() drops the error column under on_error='drop'/'fail'; the
+    writer must not assume it exists (it previously raised
+    AnalysisException on the first micro-batch for those policies)."""
+    import json
+    import pathlib
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        foreach_batch_writer,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed,
+    )
+
+    cap = tmp_path / "captured"
+    cap.mkdir()
+    cfg = PipelineConfig(
+        sink_format="opensearch",
+        on_error="drop",
+        extra={"index": "docs", "client_factory": _file_capture_factory(str(cap))},
+    )
+    writer = foreach_batch_writer(cfg)
     batch = embed(
         spark.createDataFrame([("hello world",)], ["text"]).withColumn(
             "created_at", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
         ),
         dim=8,
+        on_error="drop",
     )
+    assert "error" not in batch.columns
     writer(batch, 0)
-
-    assert captured["hosts"] == ["https://example:9200"]
-    (action,) = captured["actions"]
-    assert action["_index"] == "docs"
-    src = action["_source"]
-    assert set(src) == {"passage_embedding", "date", "text"}
-    assert src["text"] == "hello world"
-    assert len(src["passage_embedding"]) == 8
-    assert src["date"].startswith("2024-01-01T00:00:00")
+    actions = [
+        a
+        for f in pathlib.Path(cap).glob("bulk-*.json")
+        for a in json.loads(f.read_text())
+    ]
+    assert [a["_source"]["text"] for a in actions] == ["hello world"]

@@ -107,3 +107,62 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_assignment_has_no_exchange(spark):
+    """The IVF cell assignment must be a narrow per-row argmax over
+    literal centroids — NOT a crossJoin(centroids) + per-row window,
+    which blows the corpus up K-fold and shuffles all of it. No
+    Exchange may appear anywhere in the assignment subplan."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        ivf_assign,
+        label_centroids,
+    )
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cells = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(em).collect()
+    ]
+    assigned = ivf_assign(em, cells)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # sanity: every corpus row gets exactly one cell
+    assert assigned.count() == em.count()
+    valid = {c for c, _ in cells}
+    got = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert got <= valid
+
+
+def test_knn_join_bounds_preshuffle_rows(spark):
+    """knn_join's per-query window must consume the bounded partial
+    top-k output (<= k rows per query per Arrow batch), never the raw
+    scored corpus: the partial stage (MapInPandas) must sit below the
+    window's Exchange, and the row count entering the window must be
+    bounded by k * |Q| * n_batches, not |corpus| * |Q|."""
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        knn_join,
+    )
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 8)
+    k = 5
+    out = knn_join(queries, corpus, k=k)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial stage exists and the corpus-side scoring never shuffles
+    assert "MapInPandas" in plan
+    window_part, map_part = plan.split("MapInPandas", 1)[0], plan.split(
+        "MapInPandas", 1
+    )[1]
+    # the window (and its exchange) sit ABOVE the partial stage; below
+    # it there is no exchange at all (broadcast excepted)
+    assert "Window" in window_part
+    assert "Exchange hashpartitioning" not in map_part
+    # bounded merge: final output is exactly <= k per query
+    assert out.count() <= k * queries.count()

@@ -199,3 +199,44 @@ def test_rate_source_shape(spark):
     assert src.isStreaming
     assert src.columns == ["value"]
     assert dict(src.dtypes)["value"] == "string"
+
+
+def test_kinesis_reader_options_mirror_reference_consumer():
+    """S1: the Kinesis branch maps PipelineConfig onto the public
+    spark-sql-kinesis connector options — stream/region/endpoint plus
+    the reference's LATEST start position (DataStreamJob.java:130), with
+    'earliest' -> TRIM_HORIZON. No live endpoint needed: the option
+    mapping is the contract."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        kinesis_reader_options,
+    )
+
+    cfg = PipelineConfig(
+        source_format="kinesis",
+        start_position="latest",
+        extra={"kinesis_stream": "input-stream", "kinesis_region": "us-east-1"},
+    )
+    assert kinesis_reader_options(cfg) == {
+        "streamName": "input-stream",
+        "region": "us-east-1",
+        "endpointUrl": "https://kinesis.us-east-1.amazonaws.com",
+        "startingPosition": "LATEST",
+    }
+
+    cfg_e = PipelineConfig(
+        source_format="kinesis",
+        start_position="earliest",
+        extra={
+            "kinesis_stream": "s",
+            "kinesis_region": "eu-west-1",
+            "kinesis_endpoint": "https://localhost:4566",
+        },
+    )
+    opts = kinesis_reader_options(cfg_e)
+    assert opts["startingPosition"] == "TRIM_HORIZON"
+    assert opts["endpointUrl"] == "https://localhost:4566"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kinesis_stream"):
+        kinesis_reader_options(PipelineConfig(source_format="kinesis"))
