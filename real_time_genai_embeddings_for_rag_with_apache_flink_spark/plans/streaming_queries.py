@@ -3,10 +3,12 @@
 The reference is a pure streaming job (source -> map -> filter -> async
 embed -> sink, ``KDS-P/.../msf/DataStreamJob.java:133-177``) with no
 watermarks (``MSK-S/...:163``). These entries run the engine's streaming
-surface for real — ``readStream`` over the testdata parquet, micro-batched
-with ``Trigger.AvailableNow``, results landed in a memory sink and
-returned as a DataFrame — so the driver's oracle checks actual streaming
-output, not a batch stand-in.
+surface for real — ``readStream`` over the testdata parquet split into
+N_STREAM_FILES time-ordered files (one micro-batch each via
+``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow``), results landed
+in a memory sink and returned as a DataFrame — so the driver's oracle
+checks actual MULTI-batch streaming output (state carried and watermarks
+advanced across micro-batches), not a batch stand-in.
 
 Semantics notes (what the oracle SQL mirrors):
 - availableNow processes all existing input then stops; a trailing
@@ -27,6 +29,7 @@ grouping key across executors.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import tempfile
 import uuid
@@ -67,15 +70,94 @@ _DOCS_RAW = StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded file-stream source.
+# (abs sf_dir, table) -> split-source directory, reused across warm/bench
+# runs and catalog invocations within one session.
+_SPLIT_CACHE: dict[tuple[str, str], str] = {}
+
+# Micro-batch files per split stream source. Watermark/state transitions
+# only happen BETWEEN micro-batches, so >=3 files makes every streaming
+# entry certify real multi-batch behavior instead of a single
+# availableNow batch.
+N_STREAM_FILES = 3
+
+
+def _split_source_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    sort_col: str,
+    read_schema: StructType,
+    nanos_ts: bool = False,
+) -> str:
+    """Materialize ``{sf_dir}/{table}.parquet`` as a directory of
+    N_STREAM_FILES range-disjoint, time-ordered parquet files so the
+    file-stream source (maxFilesPerTrigger=1) replays it as an ordered
+    multi-batch stream.
+
+    Range partitioning on the event-time column means batch k+1 holds
+    only rows past batch k's maximum — i.e. zero cross-batch disorder —
+    so append-mode aggregations, session windows and interval joins
+    under a watermark emit EXACTLY the same rows as the one-batch
+    replay (nothing is ever late, state eviction can never outrun a
+    future match) and the existing oracles stay exact. File order is
+    pinned by strictly increasing mtimes (the file source processes
+    oldest-first), matching the partition index order."""
+    key = (os.path.abspath(sf_dir), table)
+    cached = _SPLIT_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+
+    out = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos_ts:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.schema(read_schema).parquet(
+            os.path.join(sf_dir, f"{table}.parquet")
+        )
+        (
+            raw.repartitionByRange(N_STREAM_FILES, F.col(sort_col))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        if nanos_ts:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+    parts = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
+    base = os.stat(parts[0]).st_mtime
+    for i, p in enumerate(parts):
+        # 10 s apart: distinct at any FS/Hadoop listing granularity
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    _SPLIT_CACHE[key] = out
+    return out
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, multi_batch: bool = True
+) -> DataFrame:
+    """events.parquet as an unbounded file-stream source, replayed as
+    N_STREAM_FILES time-ordered micro-batches (see _split_source_dir).
 
     The event-time column must be TIMESTAMP (watermarks reject NTZ), so
     ts is rebuilt from the on-disk nanos as epoch microseconds; with the
     engine's UTC session timezone the wall-clock values match the batch
-    loader's TIMESTAMP_NTZ exactly. basePath pins partition discovery to
-    the sf dir (the path itself is a single file, which the file-stream
-    source would otherwise reject as a base)."""
+    loader's TIMESTAMP_NTZ exactly. The split copy stores ts as plain
+    INT64 nanos, so the stream read needs no legacy-parquet conf."""
+    if multi_batch:
+        src = _split_source_dir(
+            spark, sf_dir, "events", "ts", _EVENTS_RAW, nanos_ts=True
+        )
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -106,12 +188,28 @@ def _single_file_glob(sf_dir: str, filename: str) -> str:
     return os.path.join(sf_dir, f"{filename[:-1]}[{filename[-1]}]")
 
 
-def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, sf_dir: str, multi_batch: bool = True
+) -> DataFrame:
+    """documents.parquet as a file-stream source; multi_batch replays it
+    as N_STREAM_FILES doc_id-ordered micro-batches."""
+    if multi_batch:
+        src = _split_source_dir(spark, sf_dir, "documents", "doc_id", _DOCS_RAW)
+        return (
+            spark.readStream.schema(_DOCS_RAW)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
     return (
         spark.readStream.schema(_DOCS_RAW)
         .option("basePath", sf_dir)
         .parquet(_single_file_glob(sf_dir, "documents.parquet"))
     )
+
+
+# name -> number of micro-batches the last run_to_memory call for that
+# name actually executed (tests pin >= N_STREAM_FILES for split sources).
+LAST_RUN_BATCHES: dict[str, int] = {}
 
 
 def run_to_memory(
@@ -130,6 +228,9 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    LAST_RUN_BATCHES[name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
     return df.sparkSession.table(sink)
 
 
@@ -326,7 +427,11 @@ def st05_stream_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DataStreamJob.java:185-187) through a memory sink."""
     from ..operators.embed import embed
 
-    docs = stream_documents(spark, sf_dir)
+    # single-batch: the pipeline is stateless (multi-batch certifies
+    # nothing here) and this entry is benched — keep the measurement
+    # free of per-micro-batch scheduling overhead, comparable to the
+    # BENCH_r02 baseline
+    docs = stream_documents(spark, sf_dir, multi_batch=False)
     filtered = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     embedded = embed(filtered, on_error="drop")
     out = embedded.select(

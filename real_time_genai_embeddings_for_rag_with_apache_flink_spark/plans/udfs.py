@@ -169,15 +169,25 @@ FROM events GROUP BY user_id
 )
 def st06_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed-state streaming operator (applyInPandasWithState):
-    per-user lifetime totals emitted after each micro-batch. The testdata
-    arrives as one micro-batch, so the emitted totals equal the batch
-    GROUP BY — which is what the oracle verifies."""
+    per-user lifetime totals emitted after each micro-batch that touches
+    the user. The source replays as multiple time-ordered micro-batches,
+    so a user active across batches emits several monotonically growing
+    snapshots; the checked projection keeps each user's FINAL snapshot
+    (max n_events — strictly increasing per emission), which must equal
+    the batch GROUP BY the oracle runs."""
+    from pyspark.sql import Window
+
     from ..operators.stateful import user_running_totals
     from .streaming_queries import run_to_memory, stream_events
 
     ev = stream_events(spark, sf_dir).select("user_id", "value")
-    totals = user_running_totals(ev)
-    return run_to_memory(totals, "st06", "append")
+    totals = run_to_memory(user_running_totals(ev), "st06", "append")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 @query(

@@ -128,3 +128,24 @@ def test_stateful_dedup_across_restarts(spark, tmp_path):
     assert run("dedup_run1") == {"x", "y"}
     _write_jsonl(src / "f2.jsonl", [{"k": "x"}, {"k": "z"}])
     assert run("dedup_run2") == {"z"}, "key from run 1 re-emitted after restart"
+
+
+def test_split_source_replays_multiple_microbatches(spark):
+    """The streaming catalog entries must certify MULTI-batch behavior:
+    the split file source yields one micro-batch per range file, so
+    state/watermark transitions between batches are real."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        streaming_queries as sq,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, builder in (
+        ("st02_stream_watermark_append", sq.st02_stream_watermark_append),
+        ("st03_stream_dedup", sq.st03_stream_dedup),
+    ):
+        builder(spark, sf_dir).collect()
+        short = name.split("_")[0]
+        assert sq.LAST_RUN_BATCHES[short] >= sq.N_STREAM_FILES, (
+            name,
+            sq.LAST_RUN_BATCHES,
+        )
