@@ -10,6 +10,7 @@ from . import streaming_queries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only (CORRECTNESS_r02 proved queries 1-50 of registration
@@ -104,6 +105,10 @@ DRIVER_WINDOW: list[str] = [
     "q61_important_parts",
     "q62_returned_items",
     "q63_customer_distribution",
+    "t09_curation_rules",
+    "t10_repetition_stats",
+    "d11_repeated_ngrams",
+    "d12_decontamination",
 ]
 
 set_priority(DRIVER_WINDOW)

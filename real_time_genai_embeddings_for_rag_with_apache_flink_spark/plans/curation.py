@@ -1,0 +1,291 @@
+"""Corpus-curation operators: rule filters, repetition, decontamination.
+
+The reference's only curation step is the empty-text filter
+(``KDS-P/.../msf/DataStreamJob.java:146``). These entries extend the
+engine's training-data-pipeline surface with the standard pre-training
+curation passes (C4/Gopher-style rule filters, repetition signals,
+benchmark decontamination), all built scale-first:
+
+- every per-document feature is a Catalyst array/regexp expression —
+  whole-stage codegen, zero Python, zero shuffle;
+- corpus-level passes shuffle only (gram -> count) pairs, never
+  document text, and aggregate before joining back (the shuffled key
+  is a short shingle string, independent of document size);
+- decontamination broadcasts the eval-set gram dictionary — eval
+  benchmarks are tiny next to a 100 TB corpus, so the corpus side
+  never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, token_count
+from ..sources.batch import load_table
+from .llmops import _SQL_NORM, _SQL_TRIGRAMS, _trigrams
+from .registry import query
+
+
+def _raw_trigrams(tokens: Column) -> Column:
+    """Token 3-grams WITH multiplicity (the repetition signal needs
+    duplicate shingles; _trigrams dedups for set-similarity). Same
+    zip_with-over-shifted-slices single pass as _trigrams."""
+    n = F.size(tokens)
+    pairs = F.zip_with(
+        F.slice(tokens, 2, n - 2),
+        F.slice(tokens, 3, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(tokens, 1, n - 2),
+            pairs,
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        )
+    )
+
+
+# DuckDB twin of _raw_trigrams (=_SQL_TRIGRAMS without list_distinct).
+_SQL_TRIGRAMS_RAW = """
+CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+     ELSE list_transform(generate_series(1, len(toks)-2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END
+"""
+
+
+@query(
+    "t09_curation_rules",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_NORM} = '' THEN 0
+         ELSE len(regexp_split_to_array({_SQL_NORM}, '\\s+')) END AS n_tok,
+    length(replace({_SQL_NORM}, ' ', '')) AS n_chars,
+    length(regexp_replace({_SQL_NORM}, '[^\\p{{L}}]', '', 'g')) AS n_alpha
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok ELSE 0.0 END AS mean_tok_len,
+    CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+  FROM feat
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  ROUND(mean_tok_len, 6) AS mean_tok_len,
+  ROUND(alpha_ratio, 6) AS alpha_ratio,
+  CASE WHEN n_tok = 0 THEN 'empty'
+       WHEN n_tok < 5 THEN 'too_short'
+       WHEN n_tok > 5000 THEN 'too_long'
+       WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'word_length'
+       WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+       ELSE 'ok' END AS reason,
+  (CASE WHEN n_tok = 0 THEN 'empty'
+        WHEN n_tok < 5 THEN 'too_short'
+        WHEN n_tok > 5000 THEN 'too_long'
+        WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'word_length'
+        WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+        ELSE 'ok' END) = 'ok' AS keep
+FROM scored
+""",
+    tags=("text", "quality", "curation"),
+)
+def t09_curation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter: hard keep/drop per document with a
+    first-failing-rule reason code (empty / token-count bounds / mean
+    word length / alphabetic ratio). All features are per-row regexp +
+    arithmetic expressions — the filter runs inside the scan's codegen
+    stage with no shuffle, exactly how a 100 TB curation pass should."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    n_tok = token_count(F.col("text"))
+    n_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    n_alpha = F.length(F.regexp_replace(norm, r"[^\p{L}]", ""))
+    mean_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        n_chars > 0, n_alpha.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    reason = (
+        F.when(n_tok == 0, F.lit("empty"))
+        .when(n_tok < 5, F.lit("too_short"))
+        .when(n_tok > 5000, F.lit("too_long"))
+        .when((mean_len < 2.0) | (mean_len > 12.0), F.lit("word_length"))
+        .when(alpha_ratio < 0.6, F.lit("low_alpha"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tok"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+@query(
+    "t10_repetition_stats",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS_RAW.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+  ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+        ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / len(grams) END, 6) AS dup_frac
+FROM shingled
+""",
+    tags=("text", "quality", "curation", "dedup"),
+)
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher repetition signal): fraction
+    of token 3-grams that are repeats of an earlier 3-gram in the same
+    document. Pure per-row array expressions — no explode, no shuffle;
+    boilerplate/spam detection at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    grams = _raw_trigrams(toks)
+    n = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        n_distinct.cast("bigint").alias("n_distinct_grams"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                (n - n_distinct).cast("double") / n
+            ),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+_SQL_SHINGLED_DISTINCT = f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+),
+exploded AS (SELECT doc_id, unnest(grams) AS gram FROM shingled)
+"""
+
+
+@query(
+    "d11_repeated_ngrams",
+    oracle=f"""
+{_SQL_SHINGLED_DISTINCT}
+, gc AS (SELECT gram, COUNT(*) AS n_docs FROM exploded GROUP BY gram),
+shared AS (
+  SELECT e.doc_id, COUNT(*) AS n_shared
+  FROM exploded e JOIN gc USING (gram)
+  WHERE gc.n_docs > 1 GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+  ROUND(CASE WHEN len(s.grams) = 0 THEN 0.0
+        ELSE CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / len(s.grams)
+        END, 6) AS shared_frac
+FROM shingled s LEFT JOIN shared sh USING (doc_id)
+""",
+    tags=("dedup", "text", "curation"),
+)
+def d11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-n-gram signal (the shuffle-friendly
+    approximation of exact substring dedup): per document, the fraction
+    of its distinct 3-gram shingles that also occur in some other
+    document. The corpus pass shuffles only (gram, count) pairs —
+    aggregate-then-join-back, never document text — so the shuffled
+    bytes scale with shingle vocabulary, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    exploded = shingled.select("doc_id", F.explode("grams").alias("gram"))
+    gram_counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    shared = (
+        exploded.join(gram_counts, "gram")
+        .filter(F.col("n_docs") > 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_grams = F.size("grams")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        shingled.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.cast("bigint").alias("n_grams"),
+            n_shared.cast("bigint").alias("n_shared"),
+            F.round(
+                F.when(n_grams == 0, F.lit(0.0)).otherwise(
+                    n_shared.cast("double") / n_grams
+                ),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+# Deterministic stand-in for a held-out eval benchmark: every 50th doc.
+_EVAL_MOD = 50
+
+
+@query(
+    "d12_decontamination",
+    oracle=f"""
+{_SQL_SHINGLED_DISTINCT}
+, eval_grams AS (
+  SELECT DISTINCT gram FROM exploded WHERE doc_id % {_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_eval_shared
+  FROM exploded e JOIN eval_grams USING (gram)
+  WHERE e.doc_id % {_EVAL_MOD} != 0
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n_eval_shared, 0) AS BIGINT) AS n_eval_shared,
+  COALESCE(h.n_eval_shared, 0) >= 3 AS contaminated
+FROM shingled s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % {_EVAL_MOD} != 0
+""",
+    tags=("dedup", "text", "curation"),
+)
+def d12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >= 3
+    distinct 3-gram shingles with a held-out eval set (deterministic
+    stand-in: every 50th doc_id). The eval gram dictionary is collapsed
+    to DISTINCT grams and BROADCAST — a real benchmark is a few MB
+    against a 100 TB corpus, so the corpus side joins map-side and
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    exploded = shingled.select("doc_id", F.explode("grams").alias("gram"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = exploded.filter(is_eval).select("gram").distinct()
+    hits = (
+        exploded.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_shared"))
+    )
+    n_shared = F.coalesce(F.col("n_eval_shared"), F.lit(0))
+    return (
+        shingled.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            n_shared.cast("bigint").alias("n_eval_shared"),
+            (n_shared >= 3).alias("contaminated"),
+        )
+    )
