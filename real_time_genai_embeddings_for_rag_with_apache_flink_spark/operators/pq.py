@@ -141,32 +141,27 @@ def pq_encode(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>[M]): each row compressed to M codebook
-    indices. Narrow per-row argmin, no shuffle; at rest this is the
-    M-byte representation that replaces the raw vector."""
+    """(id[, extra...], codes array<int>[M]): each row compressed to M
+    codebook indices. Narrow per-row argmin, no shuffle; at rest this is
+    the M-byte representation that replaces the raw vector. extra_cols
+    (e.g. the IVF cell id) ride along untouched."""
     m = len(codebooks)
     slices = _sub_slices(F.col(vec_col), dim, m)
     return df.select(
         id_col,
+        *extra_cols,
         F.array(
             *[_l2_argmin(slices[s], codebooks[s]) for s in range(m)]
         ).alias("codes"),
     )
 
 
-def pq_search(
-    encoded: DataFrame,
-    codebooks: list[list[list[float]]],
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """ADC top-k: squared-L2 from the query to each encoded row,
-    approximated as the sum of per-subspace (query-subvector ->
-    centroid) distances, looked up from a literal M x K table. The scan
-    reads only (id, codes); the result is a global top-k with a total
-    tiebreak (TakeOrderedAndProject)."""
+def _adc_dist(codebooks: list[list[list[float]]], query_vec: list[float]):
+    """ADC distance expression for one query: squared-L2 approximated as
+    the sum of per-subspace (query-subvector -> centroid) distances,
+    looked up from a literal M x K table over the row's `codes`."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     table = [
@@ -182,7 +177,7 @@ def pq_search(
     table_lit = F.array(
         *[F.array(*[F.lit(d) for d in row]) for row in table]
     )
-    dist = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             table_lit,
             F.col("codes"),
@@ -191,8 +186,101 @@ def pq_search(
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the whole encoded corpus. The scan reads only
+    (id, codes); the result is a global top-k with a total tiebreak
+    (TakeOrderedAndProject)."""
+    dist = _adc_dist(codebooks, query_vec)
     return (
         encoded.select(id_col, F.round(dist, 6).alias("approx_dist"))
         .orderBy("approx_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning + residual product quantization —
+    the standard composed ANN index (IVFADC), here as a pure dataflow.
+
+    Index build (all corpus passes narrow, centroids/codebooks
+    driver-sized at any corpus scale):
+    1. coarse cells from the label quantizer (similarity.label_centroids
+       / ivf_assign — literal-argmax assignment, NO exchange);
+    2. residual r = v - centroid[cell] as a per-row zip_with against a
+       literal centroid table;
+    3. PQ codebooks trained on residuals (pq_train; the only shuffle in
+       the build, (subspace, code, pos) partial sums), then per-row
+       encode — the corpus at rest is (id, cell, M codes).
+
+    Search: the nprobe nearest cells are picked DRIVER-side (K
+    centroids is driver-sized); per probed cell the ADC table comes
+    from the query's residual against THAT cell, so scoring is a
+    filter + M lookups + fold per row — scans nprobe/K of the codes
+    table, no shuffle, one global TakeOrderedAndProject.
+
+    Recall vs exact search is pinned in tests/test_pq.py."""
+    from .similarity import ivf_assign, label_centroids
+
+    cells = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(corpus, vec_col=vec_col).collect()
+    )
+    dim = len(query_vec)
+    # Cell ids are positions in the literal centroid table; the
+    # assignment's cell domain must be contiguous 0..K-1 for element_at.
+    assert [c for c, _ in cells] == list(range(len(cells))), cells
+    assigned = ivf_assign(corpus, cells, vec_col=vec_col, id_col=id_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cells]
+    )
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cent_lit, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    residuals = assigned.select(id_col, "cell", resid.alias("resid"))
+    codebooks = pq_train(
+        residuals, dim, m=m, k=n_codes, iterations=iterations,
+        vec_col="resid", id_col=id_col,
+    )
+    encoded = pq_encode(
+        residuals, codebooks, dim, vec_col="resid", id_col=id_col,
+        extra_cols=("cell",),
+    )
+
+    # Driver-side probe selection: nearest cells by squared-L2 of the
+    # raw query to each centroid (deterministic tiebreak on cell id).
+    by_dist = sorted(
+        (sum((float(query_vec[j]) - c[j]) ** 2 for j in range(dim)), cell)
+        for cell, c in cells
+    )
+    probe_cells = [cell for _, cell in by_dist[:nprobe]]
+
+    scored = None
+    for cell in probe_cells:
+        centroid = dict(cells)[cell]
+        q_resid = [float(query_vec[j]) - centroid[j] for j in range(dim)]
+        part = encoded.filter(F.col("cell") == cell).select(
+            id_col,
+            F.round(_adc_dist(codebooks, q_resid), 6).alias("approx_dist"),
+        )
+        scored = part if scored is None else scored.unionAll(part)
+    return scored.orderBy("approx_dist", id_col).limit(k)

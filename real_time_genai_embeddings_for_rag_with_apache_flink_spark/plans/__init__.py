@@ -109,6 +109,7 @@ DRIVER_WINDOW: list[str] = [
     "t10_repetition_stats",
     "d11_repeated_ngrams",
     "d12_decontamination",
+    "s10_ivfpq_search",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -244,3 +244,24 @@ def s09_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(emb, dim=dim, m=4, k=16, iterations=2)
     enc = pq_encode(emb, books, dim=dim)
     return pq_search(enc, books, [float(x) for x in qrow], k=10)
+
+
+@query(
+    "s10_ivfpq_search",
+    oracle=None,  # Lloyd-iterative codebook training is not SQL-expressible
+    tags=("similarity", "quantization", "ann"),
+)
+def s10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.py ivfpq_search): coarse-cell
+    pruning + residual product quantization + per-cell ADC tables —
+    search scans nprobe/K of the code table with zero corpus shuffle.
+    Top-10 to the lowest-id vector, probing 4 of 10 cells. Rows-only;
+    tests/test_pq.py pins the recall floor vs exact search."""
+    from ..operators.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+    return ivfpq_search(
+        emb, [float(x) for x in qrow], nprobe=4, k=10, m=4, n_codes=16,
+        iterations=2,
+    )

@@ -101,6 +101,36 @@ def test_pq_recall_floor(spark, corpus):
     assert recall >= 0.5, f"recall@10 = {recall}"
 
 
+def test_ivfpq_recall_floor_and_determinism(spark, corpus):
+    """IVF-PQ (coarse cells + residual PQ + per-cell ADC) must recover
+    a solid fraction of the exact top-10 when probing 4 of 10 cells,
+    and be run-to-run deterministic (driver-side probe selection +
+    deterministic training)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
+        ivfpq_search,
+    )
+
+    emb, ids, vecs = corpus
+    q = vecs[0].astype(np.float64)
+    run1 = [
+        (r.vec_id, r.approx_dist)
+        for r in ivfpq_search(
+            emb, list(q), nprobe=4, k=10, m=M, n_codes=K, iterations=ITERS
+        ).collect()
+    ]
+    run2 = [
+        (r.vec_id, r.approx_dist)
+        for r in ivfpq_search(
+            emb, list(q), nprobe=4, k=10, m=M, n_codes=K, iterations=ITERS
+        ).collect()
+    ]
+    assert run1 == run2
+    exact_order = np.lexsort((ids, ((vecs - q) ** 2).sum(axis=1)))
+    exact = set(ids[exact_order[:10]])
+    recall = len(exact & {v for v, _ in run1}) / 10
+    assert recall >= 0.5, f"recall@10 = {recall}"
+
+
 def test_pq_compression_beats_random(spark, corpus):
     """Reconstruction MSE from the trained codebooks must be far below
     the corpus variance (i.e. the codes carry real information)."""
