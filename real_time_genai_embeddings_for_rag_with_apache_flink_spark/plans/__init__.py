@@ -11,6 +11,7 @@ from . import udfs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only (CORRECTNESS_r02 proved queries 1-50 of registration
@@ -110,6 +111,8 @@ DRIVER_WINDOW: list[str] = [
     "d11_repeated_ngrams",
     "d12_decontamination",
     "s10_ivfpq_search",
+    "t11_bm25_retrieval",
+    "s11_hybrid_rrf",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1,0 +1,244 @@
+"""Lexical + hybrid retrieval: BM25 scoring and reciprocal-rank fusion.
+
+The reference delegates ALL retrieval to OpenSearch — lexical BM25 is
+the default OpenSearch `text` scoring over the indexed `text` field and
+vector k-NN comes from the HNSW index the bootstrap Lambda creates
+(``KDS-P/index-creation-function/lambda_function.py:66-97``; the sink
+emits exactly {passage_embedding, date, text} per
+``KDS-P/.../msf/DataStreamJob.java:185-187``). These entries re-express
+that delegated retrieval surface inside the engine, scale-first:
+
+- corpus-level BM25 statistics (N, avgdl, per-term df) collapse to ONE
+  row via map-side partial aggregation and come back as a broadcast —
+  the corpus never shuffles;
+- per-document term frequencies are Catalyst array expressions over the
+  token array (whole-stage codegen, zero Python, zero explode);
+- top-k is TakeOrderedAndProject; ranks for fusion are assigned AFTER
+  the limit, so the window sorts a driver-sized candidate list, never
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+from ..functions.vector import cosine_similarity
+from ..sources.batch import load_table
+from .llmops import _SQL_NORM
+from .registry import query
+
+# Deterministic multi-term query over the synthetic corpus vocabulary.
+_QUERY_TERMS = ("join", "window", "hash")
+_K1 = 1.2
+_B = 0.75
+_RRF_K = 60
+_CANDIDATES = 50
+
+
+def _bm25_score(n_docs: Column, avgdl: Column, dl: Column,
+                tfs: list[Column], dfs: list[Column]) -> Column:
+    """Lucene-style BM25: sum over query terms of
+    ln(1 + (N - df + 0.5)/(df + 0.5)) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Pure arithmetic over broadcast scalars — stays in codegen."""
+    norm = _K1 * (1.0 - _B + _B * dl.cast("double") / avgdl)
+    score = F.lit(0.0)
+    for tf, df in zip(tfs, dfs):
+        idf = F.log(
+            1.0
+            + (n_docs.cast("double") - df.cast("double") + 0.5)
+            / (df.cast("double") + 0.5)
+        )
+        score = score + idf * (
+            tf.cast("double") * (_K1 + 1.0) / (tf.cast("double") + norm)
+        )
+    return score
+
+
+def _term_freq(toks: Column, term: str) -> Column:
+    # Closure (not a default arg) keeps the lambda unary — F.filter
+    # treats a second lambda parameter as the element index.
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching >= 1 query term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            _term_freq(toks, t).alias(f"tf{i}")
+            for i, t in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = _bm25_score(
+        F.col("n_docs"),
+        F.col("avgdl"),
+        F.col("dl"),
+        [F.col(f"tf{i}") for i in range(len(_QUERY_TERMS))],
+        [F.col(f"df{i}") for i in range(len(_QUERY_TERMS))],
+    )
+    any_match = sum(
+        (F.col(f"tf{i}") for i in range(len(_QUERY_TERMS))), F.lit(0)
+    )
+    return scored.filter(any_match > 0).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
+
+
+# DuckDB twin of _bm25_scored (shared by both oracles below).
+def _sql_bm25_scored() -> str:
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_QUERY_TERMS))
+    )
+    terms = " + ".join(
+        f"ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * ({_K1} + 1.0)"
+        f" / (CAST(tf{i} AS DOUBLE)"
+        f" + {_K1} * (1.0 - {_B} + {_B} * CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(_QUERY_TERMS))
+    )
+    any_match = " + ".join(f"tf{i}" for i in range(len(_QUERY_TERMS)))
+    return f"""
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    {tf_cols}
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM base
+),
+bm25_scored AS (
+  SELECT doc_id, ROUND({terms}, 6) AS bm25
+  FROM base, stats
+  WHERE {any_match} > 0
+)
+"""
+
+
+@query(
+    "t11_bm25_retrieval",
+    oracle=f"""
+WITH {_sql_bm25_scored().strip()}
+SELECT doc_id, bm25 FROM bm25_scored
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+    tags=("text", "retrieval", "similarity"),
+)
+def t11_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed multi-term query — the engine-side twin
+    of the OpenSearch lexical scoring the reference delegates to
+    (index mapping ``KDS-P/index-creation-function/lambda_function.py:85-88``).
+    Corpus stats (N, avgdl, df per term) partial-aggregate to one
+    broadcast row; per-doc term frequencies are array expressions in
+    the scan's codegen stage; top-20 is TakeOrderedAndProject. The
+    corpus is scanned once and never shuffled — at 100 TB the only
+    moving bytes are one stats row and 20 results."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "s11_hybrid_rrf",
+    oracle=f"""
+WITH {_sql_bm25_scored().strip()},
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM (SELECT doc_id, bm25 FROM bm25_scored
+        ORDER BY bm25 DESC, doc_id LIMIT {_CANDIDATES})
+),
+vec AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+  FROM (
+    SELECT b.vec_id AS doc_id,
+      ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id != 0
+    ORDER BY sim DESC, doc_id LIMIT {_CANDIDATES})
+)
+SELECT doc_id, rank_lex, rank_vec,
+  ROUND(COALESCE(1.0 / ({_RRF_K} + rank_lex), 0.0)
+      + COALESCE(1.0 / ({_RRF_K} + rank_vec), 0.0), 6) AS rrf
+FROM lex FULL JOIN vec USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    tags=("similarity", "retrieval", "topk"),
+)
+def s11_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (k=60): BM25 lexical
+    top-50 fused with cosine k-NN top-50 to the vec_id=0 query — the
+    standard hybrid-search composition OpenSearch performs between its
+    BM25 and k-NN scores. Scale shape: each leg reduces the corpus with
+    TakeOrderedAndProject FIRST, then ranks the driver-sized candidate
+    list with a window (the single-partition sort sees 50 rows, never
+    the corpus); fusion is a 50x50 full outer join."""
+    lex50 = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_CANDIDATES)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    vec50 = (
+        em.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_CANDIDATES)
+        .withColumn(
+            "rank_vec",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_vec")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex50.join(vec50, "doc_id", "full")
+        .select("doc_id", "rank_lex", "rank_vec", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

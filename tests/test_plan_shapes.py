@@ -166,3 +166,31 @@ def test_knn_join_bounds_preshuffle_rows(spark):
     assert "Exchange hashpartitioning" not in map_part
     # bounded merge: final output is exactly <= k per query
     assert out.count() <= k * queries.count()
+
+
+def test_t11_bm25_corpus_never_shuffles(spark):
+    """BM25's corpus stats collapse to one broadcast row; the corpus
+    side itself must not hash-shuffle (the only Exchange is the stats
+    aggregate's single-row reduction) and top-20 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "t11_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash-partition exchange allowed is the (empty-key) stats
+    # aggregate; the scored corpus stream itself never repartitions
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_s11_rrf_ranks_after_limit(spark):
+    """RRF must rank driver-sized candidate lists: every window sits
+    above a TakeOrderedAndProject (limit first, rank 50 rows after),
+    so the single-partition window never sees the corpus."""
+    plan = _plan(spark, "s11_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # the tree prints parent-first: every Window node must have a
+    # TakeOrderedAndProject beneath it (its input is the k-limited
+    # candidate list, not a globally sorted corpus)
+    rest = plan
+    while "Window" in rest:
+        rest = rest.split("Window", 1)[1]
+        assert "TakeOrderedAndProject" in rest
