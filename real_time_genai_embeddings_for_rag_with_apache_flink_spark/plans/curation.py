@@ -289,3 +289,92 @@ def d12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_shared >= 3).alias("contaminated"),
         )
     )
+
+
+@query(
+    "t12_vocab_heavy_hitters",
+    oracle=f"""
+WITH exploded AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_SQL_NORM}, '\\s+')) AS token
+  FROM documents
+  WHERE {_SQL_NORM} != ''
+)
+SELECT token,
+  CAST(COUNT(*) AS BIGINT) AS tf,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM exploded GROUP BY token
+ORDER BY tf DESC, token LIMIT 30
+""",
+    tags=("text", "curation", "vocab"),
+)
+def t12_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-30 tokens by total term
+    frequency with document frequency — the corpus statistic behind
+    tokenizer training and stopword lists. Shuffle carries only
+    (token, partial-count) pairs after map-side combine — bytes scale
+    with vocabulary, not corpus size; top-30 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    exploded = (
+        docs.filter(norm != "")
+        .select("doc_id", F.explode(F.split(norm, r"\s+")).alias("token"))
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(30)
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "t13_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CASE WHEN {_SQL_NORM} = '' THEN 0
+         ELSE len(regexp_split_to_array({_SQL_NORM}, '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE)
+       / {_PACK_BUDGET}) AS BIGINT) AS bin
+FROM toks
+""",
+    tags=("text", "curation", "packing"),
+)
+def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training: within each source shard,
+    documents (in doc_id order) are assigned to fixed-token-budget bins
+    by running cumulative token count — the standard pack-per-worker
+    layout step before writing training shards. The window partitions
+    by source, so at 100 TB each shard packs independently with one
+    hash shuffle on the shard key and no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        docs.select("doc_id", "source", n_tok.cast("bigint").alias("n_tok"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.floor((cum - F.col("n_tok")).cast("double") / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("bin"),
+        )
+    )
