@@ -203,6 +203,9 @@ def d11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join-back, never document text — so the shuffled
     bytes scale with shingle vocabulary, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    # Shingling is CPU-bound and the fixture is one parquet file —
+    # spread rows across cores first (same rationale as _minhash_docs).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
     shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
     exploded = shingled.select("doc_id", F.explode("grams").alias("gram"))
@@ -267,6 +270,7 @@ def d12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 100 TB corpus, so the corpus side joins map-side and
     never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
     shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
     exploded = shingled.select("doc_id", F.explode("grams").alias("gram"))
@@ -314,10 +318,15 @@ def t12_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, partial-count) pairs after map-side combine — bytes scale
     with vocabulary, not corpus size; top-30 is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
+    # Filter on the CHEAP equivalent predicate (trim, no regex) so
+    # Catalyst pushing it below the repartition exchange costs nothing;
+    # normalization+explode then run once, parallelized.
+    docs = docs.filter(F.trim(F.col("text")) != "").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norm = normalized_text(F.col("text"))
-    exploded = (
-        docs.filter(norm != "")
-        .select("doc_id", F.explode(F.split(norm, r"\s+")).alias("token"))
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(norm, r"\s+")).alias("token")
     )
     return (
         exploded.groupBy("token")

@@ -65,6 +65,9 @@ def _term_freq(toks: Column, term: str) -> Column:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document matching >= 1 query term."""
     docs = load_table(spark, sf_dir, "documents")
+    # Tokenization + per-term counting is CPU-bound; spread the
+    # single-file fixture across cores before computing anything.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
     base = docs.select(
         "doc_id",
