@@ -194,6 +194,7 @@ SELECT s.doc_id,
 FROM shingled s LEFT JOIN shared sh USING (doc_id)
 """,
     tags=("dedup", "text", "curation"),
+    bench=True,
 )
 def d11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-n-gram signal (the shuffle-friendly

@@ -146,6 +146,7 @@ SELECT doc_id, bm25 FROM bm25_scored
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
     tags=("text", "retrieval", "similarity"),
+    bench=True,
 )
 def t11_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for a fixed multi-term query — the engine-side twin
