@@ -388,3 +388,54 @@ def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin"),
         )
     )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "d13_training_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, shuffle_key,
+    CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % {_N_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM sharded
+""",
+    tags=("curation", "sampling", "packing"),
+)
+def d13_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards: each
+    document gets a seeded md5 shuffle key; the shard is a hash of that
+    key mod N and the within-shard position is rank by key. This is the
+    shuffle-before-writing-training-files step, made reproducible (same
+    seed -> same layout on any engine). Scale shape: one hash shuffle
+    on the shard id, per-shard local sort — there is NO global ordering
+    anywhere, so shards write independently on 1000 executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    # DuckDB's hash() differs from Spark's; both sides re-hash the md5
+    # HEX STRING with their own integer hash only to pick a shard, so
+    # parity requires a shared definition: use the md5 hex's first 8
+    # hex chars as an integer — identical, engine-portable arithmetic.
+    shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint")
+             % _N_SHARDS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.select("doc_id", "shuffle_key", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )

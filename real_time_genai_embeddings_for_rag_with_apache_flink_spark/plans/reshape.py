@@ -263,3 +263,37 @@ def d09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "q64_histogram",
+    oracle="""
+SELECT CAST(FLOOR(l_extendedprice / 10000.0) + 1 AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(l_extendedprice), 2) AS lo,
+  ROUND(MAX(l_extendedprice), 2) AS hi
+FROM lineitem
+GROUP BY 1 ORDER BY bucket
+""",
+    tags=("aggregation", "histogram"),
+)
+def q64_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over l_extendedprice via width_bucket
+    (11 buckets of 10k over [0, 110k) — on this domain width_bucket
+    equals floor(x/10000)+1, which is the engine-portable oracle
+    arithmetic). One partial+final hash aggregate on an 11-value key:
+    the classic profiling scan whose shuffle is O(buckets), not
+    O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(11)
+    )
+    return (
+        li.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
