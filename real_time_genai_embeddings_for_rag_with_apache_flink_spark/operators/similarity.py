@@ -60,21 +60,19 @@ def knn_join(
 ) -> DataFrame:
     """Exact k-NN join: for every query row, the k most-cosine-similar
     corpus rows. Queries are broadcast and scored map-side (JVM codegen);
-    an Arrow-batched partial top-k then bounds what reaches the final
-    per-query window.
+    the per-query top-k is the declarative rank-filtered window.
 
-    Without the partial stage, `row_number() OVER (PARTITION BY q_id)`
-    funnels every scored corpus row into one reducer per query — with
-    few queries and a 100x corpus that is a handful of hot partitions
-    swallowing the whole corpus. The partial stage emits at most
-    k * |Q| rows per Arrow batch with NO exchange (mapInPandas runs on
-    the scan partitions), so the only shuffle carries
-    k * |Q| * n_batches rows — driver-trivial at any corpus size.
-
-    Correctness: the global top-k under the total order
-    (sim DESC, corpus_id ASC) is a subset of the union of per-batch
-    top-k under the same order, so the final exact window sees every
-    true winner."""
+    The scale worry — `row_number() OVER (PARTITION BY q_id)` funneling
+    every scored corpus row into one reducer per query — is solved by
+    Catalyst itself: the rank filter plans as a two-phase
+    ``WindowGroupLimit``, whose *Partial* phase runs on the scan
+    partitions BEFORE the exchange and forwards at most k rows per
+    query per map task. The shuffle therefore carries at most
+    k * |Q| * n_map_tasks rows — driver-trivial at any corpus size —
+    with zero Python crossing (an earlier Arrow-batched partial top-k
+    stage measured no faster and added a per-row Python/Arrow hop).
+    tests/test_plan_shapes.py pins the Partial phase below the
+    exchange."""
     q = F.broadcast(queries.select(query_id, query_vec))
     scored = corpus.crossJoin(q).select(
         F.col(query_id),
@@ -83,20 +81,9 @@ def knn_join(
             cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6
         ).alias("sim"),
     )
-
-    def partial_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(
-                [query_id, "sim", corpus_id], ascending=[True, False, True]
-            )
-            yield pdf.groupby(query_id, sort=False).head(k)
-
-    partial = scored.mapInPandas(partial_topk, scored.schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )

@@ -439,3 +439,44 @@ def d13_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos"),
         )
     )
+
+
+_SOURCE_CAP = 10
+
+
+@query(
+    "t14_source_caps",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS pick FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ord, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {_SOURCE_CAP}
+""",
+    tags=("curation", "sampling"),
+)
+def t14_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap: keep at most N documents per source, the
+    first N under a deterministic seeded-hash order (so the kept subset
+    is reproducible on any engine, like d07's hash sample). This is the
+    down-sample-over-represented-domains pass of a crawl curation
+    pipeline — web corpora are Zipf-distributed, so a handful of
+    sources dominate raw counts.
+
+    Scale shape: operators/caps.py cap_per_key — a per-partition
+    Arrow-batched bounded head BEFORE the exact per-source window, so
+    the shuffle carries at most N * n_batches rows per source instead
+    of the source's full row count (a >10%-of-corpus domain would
+    otherwise be a single hot reducer partition)."""
+    from ..operators.caps import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("ord")
+    )
+    return cap_per_key(
+        keyed, key_col="source", order_col="ord", tiebreak_col="doc_id", n=_SOURCE_CAP
+    ).select("doc_id", "source", "pick")

@@ -964,6 +964,75 @@ def s06_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(em, k=8, iterations=3)
 
 
+@query(
+    "d14_semantic_dedup",
+    oracle=None,  # k-means stage is iterative; semantics pinned by tests/test_semdedup.py
+    tags=("dedup", "similarity", "clustering"),
+)
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (public recipe, arXiv:2303.09540): k-means-cluster the
+    embedding corpus, compare cosine only WITHIN a cell, keep the
+    lowest-id representative of every near-identical group
+    (operators/semdedup.py). The cluster cell is the blocking key that
+    keeps the pair comparison sub-quadratic at 100 TB; the survivor
+    rule is a single left-anti join, no iteration beyond Lloyd's.
+    Threshold 0.4 suits the synthetic low-correlation embeddings (real
+    sentence embeddings cluster far tighter; production uses ~0.95)."""
+    from ..operators.semdedup import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(em, k=8, iterations=3, threshold=0.4)
+
+
+_N_PROJ = 8
+
+
+@query(
+    "s12_random_projection",
+    oracle=f"""
+SELECT vec_id, p,
+  ROUND(list_reduce(list_prepend(0.0,
+    list_transform(generate_series(1, len(embedding)), d ->
+      CAST(embedding[d] AS DOUBLE)
+      * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
+         / {_PLANE_DENOM} - 0.5))),
+    (acc, x) -> acc + x), 6) AS proj
+FROM embeddings, (SELECT UNNEST(generate_series(0, {_N_PROJ - 1})) AS p)
+""",
+    tags=("similarity", "projection"),
+)
+def s12_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to 8 dims, long form
+    (vec_id, plane p, projected value): the dimensionality-cut that
+    shrinks every downstream ANN shuffle by dim/8. The
+    projection matrix is the same deterministic md5-derived family as
+    s08's hyperplanes — literal arrays in the plan, one dot fold per
+    output dim, zero shuffle, zero Python; the DuckDB oracle rebuilds
+    the identical matrix from the same hex arithmetic. Distance
+    preservation is measured in tests/test_semdedup.py."""
+    from ..config import PipelineConfig
+    from ..functions.vector import dot
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dim = PipelineConfig().resolved_dim()
+    projected = [
+        F.round(
+            dot(F.col("embedding"), F.array(*[F.lit(x) for x in _hyperplane(p, dim)])),
+            6,
+        ).alias(f"pr{p}")
+        for p in range(_N_PROJ)
+    ]
+    wide = em.select("vec_id", *projected)
+    # long form keeps the output free of array columns (driver-hash safe)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).cast("bigint").alias("p"), F.col(f"pr{p}").alias("proj"))
+            for p in range(_N_PROJ)
+        ]
+    )
+    return wide.select("vec_id", F.inline(pairs))
+
+
 # ---------------------------------------------------------------------------
 # Embedding pipeline (UDF-backed; rows-only checks)
 # ---------------------------------------------------------------------------

@@ -136,11 +136,12 @@ def test_ivf_assignment_has_no_exchange(spark):
 
 
 def test_knn_join_bounds_preshuffle_rows(spark):
-    """knn_join's per-query window must consume the bounded partial
-    top-k output (<= k rows per query per Arrow batch), never the raw
-    scored corpus: the partial stage (MapInPandas) must sit below the
-    window's Exchange, and the row count entering the window must be
-    bounded by k * |Q| * n_batches, not |corpus| * |Q|."""
+    """knn_join's per-query window must never shuffle the raw scored
+    corpus: Catalyst's two-phase WindowGroupLimit must carry the rank
+    filter, with the Partial phase BELOW the hash exchange — each map
+    task forwards at most k rows per query, so the shuffle is bounded
+    by k * |Q| * n_map_tasks, not |corpus| * |Q|. Zero Python in the
+    plan (an Arrow partial-top-k stage measured no faster)."""
     from pyspark.sql import functions as F
 
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
@@ -155,15 +156,12 @@ def test_knn_join_bounds_preshuffle_rows(spark):
     k = 5
     out = knn_join(queries, corpus, k=k)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # partial stage exists and the corpus-side scoring never shuffles
-    assert "MapInPandas" in plan
-    window_part, map_part = plan.split("MapInPandas", 1)[0], plan.split(
-        "MapInPandas", 1
-    )[1]
-    # the window (and its exchange) sit ABOVE the partial stage; below
-    # it there is no exchange at all (broadcast excepted)
-    assert "Window" in window_part
-    assert "Exchange hashpartitioning" not in map_part
+    # no Python crossing anywhere in the hot path
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert "Exchange hashpartitioning" in plan
+    above, below = plan.split("Exchange hashpartitioning", 1)
+    assert "WindowGroupLimit" in above and "Final" in above
+    assert "WindowGroupLimit" in below and "Partial" in below
     # bounded merge: final output is exactly <= k per query
     assert out.count() <= k * queries.count()
 
