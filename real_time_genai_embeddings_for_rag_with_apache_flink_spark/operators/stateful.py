@@ -65,3 +65,80 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EXTREMES_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def user_value_extremes(events: DataFrame) -> DataFrame:
+    """Per-user running (count, min, max) over ``value`` with the Spark 4
+    ``transformWithStateInPandas`` API — the successor of
+    applyInPandasWithState, with named state variables on a processor
+    handle (ValueState here; ListState/MapState and timers exist for
+    richer operators). Emits a user's new lifetime extremes after every
+    micro-batch that touches the user; NULL values don't count toward
+    min/max (matching SQL MIN/MAX), so an all-null user carries NaN
+    sentinels internally and emits NULL.
+
+    ENVIRONMENT GATE: executing (not building) this operator requires
+    the ``protobuf`` package — Spark's transformWithState state-API
+    client speaks protobuf to the JVM — plus the RocksDB state store
+    provider. protobuf is absent in this container, so there is no
+    catalog entry; tests/test_transform_with_state.py pins plan
+    construction unconditionally and skips execution without protobuf
+    (same gating pattern as the boto3/opensearch adapters).
+
+    Same scale shape as every keyed-state operator: one shuffle on the
+    grouping key per micro-batch, state store partitioned across
+    executors, state size bounded by live keys."""
+    import math
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", "n BIGINT, mn DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mn, mx = self._state.get()
+            else:
+                n, mn, mx = 0, math.nan, math.nan
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    lo, hi = float(vals.min()), float(vals.max())
+                    mn = lo if math.isnan(mn) else min(mn, lo)
+                    mx = hi if math.isnan(mx) else max(mx, hi)
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [None if math.isnan(mn) else round(mn, 6)],
+                    "max_value": [None if math.isnan(mx) else round(mx, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Extremes(),
+        outputStructType=_EXTREMES_OUT,
+        outputMode="Append",
+        timeMode="None",
+    )

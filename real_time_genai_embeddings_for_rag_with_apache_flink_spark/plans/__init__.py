@@ -113,6 +113,9 @@ DRIVER_WINDOW: list[str] = [
     "s10_ivfpq_search",
     "t11_bm25_retrieval",
     "s11_hybrid_rrf",
+    "t14_source_caps",
+    "d14_semantic_dedup",
+    "s12_random_projection",
 ]
 
 set_priority(DRIVER_WINDOW)
