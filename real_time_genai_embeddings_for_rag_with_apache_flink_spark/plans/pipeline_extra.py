@@ -265,3 +265,49 @@ def s10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, [float(x) for x in qrow], nprobe=4, k=10, m=4, n_codes=16,
         iterations=2,
     )
+
+
+@query(
+    "p04_python_datasource",
+    oracle="""
+WITH gen AS (
+  SELECT i AS doc_id,
+    'synthetic text ' || md5('42:' || i) AS text,
+    strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND,
+             '%Y-%m-%dT%H:%M:%S.000Z') AS created_at
+  FROM (SELECT UNNEST(generate_series(0, 599)) AS i)
+)
+SELECT doc_id % 7 AS bucket, COUNT(*) AS n_docs,
+       MIN(text) AS first_text, MAX(created_at) AS last_created
+FROM gen GROUP BY doc_id % 7
+""",
+    tags=("source", "pipeline"),
+)
+def p04_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ingress through the engine's custom Python data source
+    (sources/docgen.py, Spark 4 ``pyspark.sql.datasource``): the
+    deterministic wire-format generator standing in for the reference's
+    producer Lambda (KDS-P/kds-producer-lambda/lambda_function.py:10-33),
+    read partition-parallel, parsed with the M1 ``from_json`` stage, and
+    reduced to a per-bucket aggregate. The DuckDB oracle regenerates the
+    identical corpus from generate_series + the same md5 arithmetic —
+    proving the source is engine-portable and retry-deterministic, not
+    just runnable. (sf_dir is unused: the source generates its input.)"""
+    from ..sources.docgen import register
+
+    register(spark)
+    raw = (
+        spark.read.format("docgen")
+        .option("rows", "600")
+        .option("partitions", "6")
+        .load()
+    )
+    parsed = raw.select(
+        "doc_id",
+        F.from_json("value", "text string, created_at string").alias("r"),
+    ).select("doc_id", "r.text", "r.created_at")
+    return parsed.groupBy((F.col("doc_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("first_text"),
+        F.max("created_at").alias("last_created"),
+    )

@@ -68,3 +68,53 @@ def test_json_corrupt_rows_dead_letter(spark):
     bad = back.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 1 and bad.count() == 1
     assert bad.collect()[0]["_corrupt_record"] == "this is not json"
+
+
+def test_docgen_python_datasource_partitioning(spark):
+    """Custom Python data source (sources/docgen.py): declared partition
+    count drives scan parallelism; uneven rows/partitions still yield
+    every id exactly once; two reads are bit-identical (retry-safe)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.docgen import (
+        register,
+    )
+
+    register(spark)
+
+    def load(rows, parts):
+        return (
+            spark.read.format("docgen")
+            .option("rows", str(rows))
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    df = load(100, 7)  # uneven split
+    assert df.rdd.getNumPartitions() == 7
+    ids = sorted(r["doc_id"] for r in df.collect())
+    assert ids == list(range(100))
+
+    tiny = load(3, 8)  # more partitions than rows -> empty slices allowed
+    assert sorted(r["doc_id"] for r in tiny.collect()) == [0, 1, 2]
+
+    a = {tuple(r) for r in load(50, 4).collect()}
+    b = {tuple(r) for r in load(50, 4).collect()}
+    assert a == b
+
+
+def test_docgen_wire_record_shape():
+    """The wire format matches the reference producer's record shape
+    ({"text", "created_at"}) and is pure arithmetic on (seed, doc_id)."""
+    import json
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.docgen import (
+        wire_record,
+    )
+
+    doc_id, value = wire_record(42, 7)
+    assert doc_id == 7
+    rec = json.loads(value)
+    assert set(rec) == {"text", "created_at"}
+    assert rec["text"].startswith("synthetic text ")
+    assert rec["created_at"] == "2024-01-01T00:00:07.000Z"
+    assert wire_record(42, 7) == (doc_id, value)
+    assert wire_record(43, 7) != (doc_id, value)
