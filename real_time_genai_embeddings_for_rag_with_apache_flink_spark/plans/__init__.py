@@ -116,6 +116,8 @@ DRIVER_WINDOW: list[str] = [
     "t14_source_caps",
     "d14_semantic_dedup",
     "s12_random_projection",
+    "p04_python_datasource",
+    "st12_python_stream_source",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -498,3 +498,81 @@ def st10_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = spark.read.parquet(versions[-1])
     return final.select("user_id", "event_id", "event_type", "value")
+
+
+def run_until_rows(
+    df: DataFrame, name: str, output_mode: str, target_rows: int,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Execute a streaming DataFrame into a memory sink until the sink
+    holds ``target_rows`` rows, then stop. For sources whose offsets
+    advance per micro-batch (e.g. the docgen stream reader) and that
+    therefore never report exhaustion to Trigger.AvailableNow."""
+    import time as _time
+
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), sink)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    spark = df.sparkSession
+    deadline = _time.monotonic() + timeout_s
+    while (
+        _time.monotonic() < deadline
+        and spark.table(sink).count() < target_rows
+    ):
+        _time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    LAST_RUN_BATCHES[name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.table(sink)
+
+
+@query(
+    "st12_python_stream_source",
+    oracle="""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, 119)) AS i)
+)
+SELECT doc_id % 5 AS bucket, COUNT(*) AS n_docs, MIN(text) AS first_text
+FROM gen GROUP BY doc_id % 5
+""",
+    tags=("streaming", "source"),
+)
+def st12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingress through the custom Python stream source
+    (sources/docgen.py DocGenStreamReader): 120 wire-format records
+    delivered as 3 real micro-batches (40/batch, offsets tracked and
+    checkpointed), read partition-parallel ON the executors, parsed
+    with the M1 ``from_json`` stage, landed append-mode, then reduced
+    to a per-bucket aggregate whose oracle regenerates the identical
+    corpus. This certifies a user-defined source driving the SAME
+    downstream pipeline the Kafka/Kinesis sources feed — the
+    engine-portable wire format is what makes them interchangeable.
+    (sf_dir is unused: the source generates its input.)"""
+    from ..sources.docgen import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("docgen")
+        .option("max_rows", "120")
+        .option("rows_per_batch", "40")
+        .option("partitions", "4")
+        .load()
+    )
+    parsed = raw.select(
+        "doc_id",
+        F.from_json("value", "text string, created_at string").alias("r"),
+    ).select("doc_id", F.col("r.text").alias("text"))
+    landed = run_until_rows(parsed, "st12", "append", target_rows=120)
+    return landed.groupBy((F.col("doc_id") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("first_text"),
+    )

@@ -30,7 +30,12 @@ import hashlib
 import json
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EPOCH = datetime(2024, 1, 1)
 
@@ -67,8 +72,60 @@ class DocGenReader(DataSourceReader):
             yield wire_record(self.seed, doc_id)
 
 
+class DocGenStreamReader(DataSourceStreamReader):
+    """Streaming variant: the same deterministic corpus delivered as a
+    bounded stream of micro-batches with real offset tracking.
+
+    This is the partition-parallel ``DataSourceStreamReader`` (not the
+    driver-prefetching Simple variant): the driver only moves the
+    offset cursor — ``latestOffset`` advances by at most
+    ``rows_per_batch`` per micro-batch until ``max_rows`` — while
+    ``partitions(start, end)`` splits each offset range into
+    ``partitions`` slices whose ``read`` runs ON THE EXECUTORS. Replay
+    of a committed range (checkpoint recovery) regenerates identical
+    rows because content is pure (seed, doc_id) arithmetic — the same
+    property Kafka/Kinesis get from log retention, for free."""
+
+    def __init__(self, options: dict):
+        self.max_rows = int(options.get("max_rows", 120))
+        self.per_batch = int(options.get("rows_per_batch", 40))
+        self.nparts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.per_batch, self.max_rows)
+        return {"pos": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        cuts = [
+            lo + (hi - lo) * i // self.nparts for i in range(self.nparts + 1)
+        ]
+        return [
+            InputPartition((cuts[i], cuts[i + 1]))
+            for i in range(self.nparts)
+            if cuts[i + 1] > cuts[i]
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for doc_id in range(lo, hi):
+            yield wire_record(self.seed, doc_id)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DocGenDataSource(DataSource):
-    """``format("docgen")`` with options rows / partitions / seed."""
+    """``format("docgen")`` with options rows / partitions / seed
+    (batch) and max_rows / rows_per_batch / partitions / seed
+    (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -79,6 +136,9 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def streamReader(self, schema) -> DocGenStreamReader:
+        return DocGenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -149,3 +149,17 @@ def test_split_source_replays_multiple_microbatches(spark):
             name,
             sq.LAST_RUN_BATCHES,
         )
+
+
+def test_python_stream_source_runs_multiple_microbatches(spark):
+    """The custom Python stream source (sources/docgen.py) must deliver
+    its bounded corpus across REAL micro-batches (offset cursor advances
+    rows_per_batch at a time), and the landed corpus must be exactly the
+    ids [0, max_rows) with no duplicates — offset tracking, not luck."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        streaming_queries as sq,
+    )
+
+    out = sq.st12_python_stream_source(spark, "/root/testdata/sf0.001")
+    assert out.agg({"n_docs": "sum"}).collect()[0][0] == 120
+    assert sq.LAST_RUN_BATCHES["st12"] >= 3
