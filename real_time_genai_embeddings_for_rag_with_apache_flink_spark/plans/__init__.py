@@ -118,6 +118,7 @@ DRIVER_WINDOW: list[str] = [
     "s12_random_projection",
     "p04_python_datasource",
     "st12_python_stream_source",
+    "p05_vecdir_sink_roundtrip",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -311,3 +311,37 @@ def p04_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("first_text"),
         F.max("created_at").alias("last_created"),
     )
+
+
+@query(
+    "p05_vecdir_sink_roundtrip",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""",
+    tags=("sink", "pipeline"),
+)
+def p05_vecdir_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 as a user-defined Python sink (streaming/python_sink.py): the
+    documents table is written through ``format("vecdir")`` — each
+    partition staged executor-side as a parquet segment, the manifest
+    published atomically on commit — then read back VIA THE MANIFEST
+    and aggregated per source. The oracle aggregates the original
+    table directly, so a sink that dropped, duplicated, or corrupted
+    any partition's rows (or leaked unmanifested staging data) breaks
+    the hash."""
+    import tempfile
+
+    from ..streaming.python_sink import read_manifested, register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="vecdir_p05_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs.write.format("vecdir").option("path", out).mode("append").save()
+    back = read_manifested(spark, out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
