@@ -446,6 +446,7 @@ _SOURCE_CAP = 10
 
 @query(
     "t14_source_caps",
+    bench=True,
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents

@@ -989,6 +989,7 @@ _N_PROJ = 8
 
 @query(
     "s12_random_projection",
+    bench=True,
     oracle=f"""
 SELECT vec_id, p,
   ROUND(list_reduce(list_prepend(0.0,
