@@ -1051,7 +1051,12 @@ def p01_pipeline_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink projection {passage_embedding, date, text}."""
     from ..pipeline import sink_documents
 
-    return sink_documents(spark, sf_dir)
+    out = sink_documents(spark, sf_dir)
+    # serialized vector: the driver canonicalizes rows-only outputs too,
+    # and a raw array<float> cell crashes a pandas lexsort
+    return out.withColumn(
+        "passage_embedding", F.to_json(F.col("passage_embedding"))
+    )
 
 
 @query(
@@ -1082,4 +1087,6 @@ def p03_embed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
-    return embed_distinct(docs, dim=32).select("doc_id", "embedding", "error")
+    return embed_distinct(docs, dim=32).select(
+        "doc_id", F.to_json("embedding").alias("embedding"), "error"
+    )

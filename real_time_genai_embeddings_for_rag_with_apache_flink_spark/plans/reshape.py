@@ -226,11 +226,12 @@ def q36b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, mergeable across partitions. Rows-only check (sketch values
     are engine-specific); q36 pins the exact semantics."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
             "approx_p"
         )
     )
+    return agg.withColumn("approx_p", F.to_json(F.col("approx_p")))
 
 
 @query(

@@ -42,16 +42,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from .registry import query
 
-# Read schema for the events parquet (ts is TIMESTAMP(NANOS) on disk,
-# surfaced as bigint under spark.sql.legacy.parquet.nanosAsLong).
-_EVENTS_RAW = StructType(
+# Read schema for the SPLIT events copy (the split writer normalizes
+# ts to a plain TIMESTAMP regardless of the on-disk encoding — the
+# testdata has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS),
+# so the stream path must never assume one; sources/batch._load_events
+# is the single adaptive decoder).
+_EVENTS_STREAM = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -86,11 +90,11 @@ def _split_source_dir(
     sf_dir: str,
     table: str,
     sort_col: str,
-    read_schema: StructType,
-    nanos_ts: bool = False,
+    read_schema: StructType | None = None,
+    n_files: int = N_STREAM_FILES,
 ) -> str:
     """Materialize ``{sf_dir}/{table}.parquet`` as a directory of
-    N_STREAM_FILES range-disjoint, time-ordered parquet files so the
+    ``n_files`` range-disjoint, time-ordered parquet files so the
     file-stream source (maxFilesPerTrigger=1) replays it as an ordered
     multi-batch stream.
 
@@ -101,31 +105,40 @@ def _split_source_dir(
     replay (nothing is ever late, state eviction can never outrun a
     future match) and the existing oracles stay exact. File order is
     pinned by strictly increasing mtimes (the file source processes
-    oldest-first), matching the partition index order."""
-    key = (os.path.abspath(sf_dir), table)
+    oldest-first), matching the partition index order.
+
+    The events table goes through the adaptive batch loader
+    (sources/batch._load_events): on-disk ts has shipped as BOTH
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
+    generations, and assuming one silently compresses/stretches event
+    time 1000x — every watermark, window and interval-join result is
+    then wrong while still "running green" as a plain row stream. The
+    split copy therefore stores ts as a decoded TIMESTAMP, never a
+    raw int64."""
+    key = (os.path.abspath(sf_dir), table, n_files)
     cached = _SPLIT_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
 
     out = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    if nanos_ts:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    if table == "events":
+        from ..sources.batch import load_table
+
+        # NTZ -> LTZ via to_timestamp: interprets the wall clock in the
+        # session timezone, and every later read-back/cast in the same
+        # session round-trips to the identical wall clock.
+        raw = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.to_timestamp(F.col("ts"))
+        )
+    else:
         raw = spark.read.schema(read_schema).parquet(
             os.path.join(sf_dir, f"{table}.parquet")
         )
-        (
-            raw.repartitionByRange(N_STREAM_FILES, F.col(sort_col))
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-    finally:
-        if nanos_ts:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    (
+        raw.repartitionByRange(n_files, F.col(sort_col))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
 
     parts = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
     base = os.stat(parts[0]).st_mtime
@@ -140,43 +153,24 @@ def stream_events(
     spark: SparkSession, sf_dir: str, multi_batch: bool = True
 ) -> DataFrame:
     """events.parquet as an unbounded file-stream source, replayed as
-    N_STREAM_FILES time-ordered micro-batches (see _split_source_dir).
+    N_STREAM_FILES time-ordered micro-batches (see _split_source_dir);
+    multi_batch=False replays the same normalized copy as one batch.
 
-    The event-time column must be TIMESTAMP (watermarks reject NTZ), so
-    ts is rebuilt from the on-disk nanos as epoch microseconds; with the
-    engine's UTC session timezone the wall-clock values match the batch
-    loader's TIMESTAMP_NTZ exactly. The split copy stores ts as plain
-    INT64 nanos, so the stream read needs no legacy-parquet conf."""
-    if multi_batch:
-        src = _split_source_dir(
-            spark, sf_dir, "events", "ts", _EVENTS_RAW, nanos_ts=True
-        )
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW)
-            .option("basePath", sf_dir)
-            .parquet(_single_file_glob(sf_dir, "events.parquet"))
-        )
-        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        out.schema  # force analysis while the conf is set
-        return out
-    finally:
-        # same save/restore as sources/batch._load_events: a catalog
-        # builder must not leave global session conf flipped for every
-        # later query in the session
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    The event-time column must be TIMESTAMP (watermarks reject NTZ);
+    the split copy already stores ts decoded to TIMESTAMP, so the
+    stream read needs no legacy-parquet conf and no arithmetic."""
+    src = _split_source_dir(
+        spark,
+        sf_dir,
+        "events",
+        "ts",
+        n_files=N_STREAM_FILES if multi_batch else 1,
+    )
+    return (
+        spark.readStream.schema(_EVENTS_STREAM)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
 
 
 def _single_file_glob(sf_dir: str, filename: str) -> str:
@@ -255,7 +249,12 @@ def st01_stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+            # NTZ output: the collected wall clock is session-timezone
+            # independent and matches the oracle's naive timestamps
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
         )
     )
     return run_to_memory(agg, "st01", "complete")
@@ -283,7 +282,9 @@ def st02_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
     )
     return run_to_memory(agg, "st02", "append")
 
@@ -409,7 +410,11 @@ def st08_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", "session_start", "n_events")
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
     )
     return run_to_memory(agg, "st08", "append")
 
@@ -435,7 +440,9 @@ def st05_stream_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     embedded = embed(filtered, on_error="drop")
     out = embedded.select(
-        F.col("embedding").alias("passage_embedding"),
+        # serialized vector: rows-only checkers still sort/canonicalize
+        # every column, and raw array cells crash a pandas lexsort
+        F.to_json(F.col("embedding")).alias("passage_embedding"),
         F.current_timestamp().alias("date"),
         F.col("text"),
     )

@@ -252,7 +252,8 @@ def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_fake_payload, media_features
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return media_features(attach_fake_payload(docs))
+    out = media_features(attach_fake_payload(docs))
+    return out.withColumn("feature", F.to_json(F.col("feature")))
 
 
 @query(
