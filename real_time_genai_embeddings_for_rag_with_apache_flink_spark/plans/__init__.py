@@ -14,75 +14,25 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only (CORRECTNESS_r02 proved queries 1-50 of registration
-# order and nothing else). Round-3 window: the three round-2 reds
-# (q27/q29/q54, now dtype/serialization-pinned) plus the LLM-pipeline,
-# text, similarity, streaming, event-time-window, UDF, multimodal,
-# pivot and correlated-subquery entries that have never had a driver
-# row. Everything from q51 down in this list is the round-4 rotation;
-# the 47 already-driver-green catalog/tpch entries sort last.
+# entries only. Round-4 window: the five round-3 reds (the streaming
+# event-time decode fix + p01's array serialization), the five
+# operators new this round, then the 40 entries that have never had a
+# driver row (rounds 2+3 covered the other 97). Already-driver-green
+# entries sort last, in registration order.
 DRIVER_WINDOW: list[str] = [
-    # round-2 reds, fixed this round
-    "q27_math_functions",
-    "q29_array_functions",
-    "q54_priority_lateness",
-    # dedup family
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_signatures",
-    "d04_minhash_lsh_pairs",
-    "d05_simhash",
-    "d06_simhash_hamming_pairs",
-    "d07_hash_sample",
-    "d08_dup_components",
-    "d09_stratified_sample",
-    "d10_lsh_verified_dupes",
-    # text analysis
-    "t01_text_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_bpe_token_count",
-    "t05_rolling_hash",
-    "t06_doc_chunking",
-    "t07_pii_redaction",
-    "t08_corpus_mixture",
-    # similarity / ANN
-    "s01_topk_cosine",
-    "s02_knn_join",
-    "s03_embedding_near_dup",
-    "s04_label_centroids",
-    "s05_ivf_search",
-    "s07_scalar_quantization",
-    "s08_hyperplane_lsh_buckets",
-    # reference-pipeline twins
+    # round-3 reds, fixed this round
     "p01_pipeline_sink_docs",
-    "p02_flagship_retrieval",
-    # streaming (real micro-batch runs)
     "st01_stream_tumbling_complete",
     "st02_stream_watermark_append",
-    "st03_stream_dedup",
-    "st04_stream_filter_project",
-    "st06_stateful_user_totals",
     "st07_stream_stream_join",
     "st08_stream_session_append",
-    "st09_stream_static_join",
-    "st10_foreachbatch_upsert",
-    # event-time windows
-    "w01_tumbling_window",
-    "w02_sliding_window",
-    "w03_session_window",
-    "w04_interval_join",
-    # UDF / UDAF / UDTF
-    "u01_grouped_agg_udaf",
-    "u02_mapinpandas_tokens",
-    "u03_grouped_map_zscore",
-    # multimodal
-    "m01_multimodal_decode",
-    "m02_frame_sampling",
-    # pivot + correlated subquery
-    "q34_pivot",
-    "q40_correlated_scalar",
-    # ---- entry 51 onward: round-4 rotation (never driver-checked) ----
+    # new in round 4
+    "s13_range_search",
+    "s14_mmr_rerank",
+    "t15_bigram_lm_quality",
+    "t16_source_datacard",
+    "d15_containment_dupes",
+    # never driver-checked before this round
     "w05_windowed_topk_users",
     "w06_time_weighted_avg",
     "w07_event_funnel",
@@ -119,6 +69,10 @@ DRIVER_WINDOW: list[str] = [
     "p04_python_datasource",
     "st12_python_stream_source",
     "p05_vecdir_sink_roundtrip",
+    "q64_histogram",
+    "t12_vocab_heavy_hitters",
+    "t13_sequence_packing",
+    "d13_training_shards",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -481,3 +481,113 @@ def t14_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_key(
         keyed, key_col="source", order_col="ord", tiebreak_col="doc_id", n=_SOURCE_CAP
     ).select("doc_id", "source", "pick")
+
+
+@query(
+    "t15_bigram_lm_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i.x] AS w1, t[i.x + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(x)
+  WHERE len(t) >= 2
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c) AS cw FROM bgc GROUP BY 1),
+probs AS (
+  SELECT b.w1, b.w2, LN(CAST(b.c AS DOUBLE) / x.cw) AS lp
+  FROM bgc b JOIN ctx x ON b.w1 = x.w1
+)
+SELECT g.doc_id, ROUND(AVG(p.lp), 6) AS avg_logprob,
+       COUNT(*) AS n_bigrams
+FROM bg g JOIN probs p ON g.w1 = p.w1 AND g.w2 = p.w2
+GROUP BY 1
+""",
+    tags=("curation", "quality", "language-model"),
+)
+def t15_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (the CCNet-style LM filter,
+    self-trained): fit bigram MLE probabilities on the corpus itself in
+    one pass, then score each document by its average bigram
+    log-probability — low scores flag boilerplate/gibberish for
+    removal, high scores flag natural running text.
+
+    Scale shape: bigrams come from a codegen'd transform over the token
+    array (no posexplode self-join); the model is two hash aggregations
+    keyed by vocabulary (map-side partials make the shuffle vocabulary-
+    sized, not corpus-sized); scoring is one shuffle join on the bigram
+    key. Nothing driver-sized, no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    tok_docs = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = tok_docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c").alias("cw"))
+    probs = bgc.join(ctx, "w1").select(
+        "w1", "w2", F.log(F.col("c").cast("double") / F.col("cw")).alias("lp")
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "t16_source_datacard",
+    oracle="""
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT lang) AS n_langs,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+  ROUND(AVG(CASE WHEN text IS NULL THEN 0
+       ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       END), 6) AS avg_bpe_tokens,
+  ROUND(1.0 - CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+              '\\s+', ' ', 'g')))) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+FROM documents
+GROUP BY source
+""",
+    tags=("curation", "reporting"),
+)
+def t16_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the summary block a training-data
+    release ships per subset — document count, language spread, byte
+    volume, token volume, and exact duplicate ratio (1 - distinct
+    normalized fingerprints / docs). One hash aggregation keyed by
+    source; the two COUNT(DISTINCT)s expand to Spark's standard
+    two-phase distinct-aggregate expansion, still map-side partial,
+    and the fingerprint is the same md5(normalized text) every dedup
+    entry uses, so the card's dup_ratio reconciles with d01 exactly."""
+    from ..functions.text import bpe_token_count, doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(bpe_token_count(F.col("text"))), 6).alias(
+            "avg_bpe_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(doc_fingerprint(F.col("text"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )

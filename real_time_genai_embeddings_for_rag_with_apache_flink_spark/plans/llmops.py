@@ -1034,6 +1034,50 @@ def s12_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("vec_id", F.inline(pairs))
 
 
+_RANGE_TAU = 0.2
+
+
+@query(
+    "s13_range_search",
+    oracle=f"""
+SELECT b.vec_id,
+  ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+WHERE b.vec_id != 7
+  AND ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6)
+      >= {_RANGE_TAU}
+""",
+    tags=("similarity", "range-search"),
+)
+def s13_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (threshold query, the complement of top-k —
+    the reference delegates both to OpenSearch k-NN,
+    KDS-P/index-creation-function/lambda_function.py:72-80): every
+    corpus vector with sim >= tau to the query. Unlike top-k there is
+    NO ordering step at all — one broadcast of the query vector, one
+    narrow codegen'd scan-and-filter, output proportional to matches.
+    At 100 TB this is the cheapest possible similarity plan: zero
+    shuffle, zero window, and the filter prunes on the rounded score
+    both here and in the oracle so the threshold edge is stable."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_vec"))
+    )
+    return (
+        em.filter(F.col("vec_id") != 7)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= _RANGE_TAU)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding pipeline (UDF-backed; rows-only checks)
 # ---------------------------------------------------------------------------

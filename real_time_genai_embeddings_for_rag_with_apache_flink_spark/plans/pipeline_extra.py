@@ -77,6 +77,56 @@ def d10_lsh_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d15_containment_dupes",
+    oracle=f"""
+WITH {_SQL_LSH_CTES.strip()},
+scored AS (
+  SELECT p.id_a, p.id_b,
+    ROUND(CASE WHEN len(a.grams) = 0 OR len(b.grams) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / least(len(a.grams), len(b.grams)) END, 6) AS containment
+  FROM lsh_pairs p
+  JOIN shingled a ON a.doc_id = p.id_a
+  JOIN shingled b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8
+""",
+    tags=("dedup", "minhash", "lsh", "containment"),
+)
+def d15_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup verification: |A∩B| / min(|A|, |B|) over
+    the LSH candidate pairs. Jaccard under-scores subset duplication —
+    a document wholly embedded in a much larger one scores
+    |A| / |B| ≈ 0, yet is exactly the quote/boilerplate-inclusion case
+    a training-data dedup must catch — while containment scores it 1.0.
+    Same scale shape as d10: only the LSH candidate set (O(dups), not
+    O(n^2)) pays the exact set-intersection cost, and the shingle
+    arrays join to it by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    a = shingled.select(
+        F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b_id"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect(F.col("a_grams"), F.col("b_grams")))
+    denom = F.least(F.size("a_grams"), F.size("b_grams"))
+    containment = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(inter.cast("double") / denom),
+        6,
+    )
+    return (
+        pairs.join(a, pairs.id_a == a.a_id)
+        .join(b, pairs.id_b == b.b_id)
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+@query(
     "t07_pii_redaction",
     oracle=r"""
 SELECT doc_id,

@@ -246,3 +246,109 @@ def s11_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 10
+
+
+def mmr_select(
+    cands: DataFrame,
+    query_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_col: str = "sim",
+    k: int = _MMR_K,
+    lam: float = _MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: greedily pick k results
+    maximizing lam*sim(q,d) - (1-lam)*max_{s in picked} sim(d,s).
+
+    The selection is inherently sequential, but only WITHIN one query's
+    candidate list — so the distributed shape is applyInPandas grouped
+    by query id: each group is a bounded candidate set (|cands| rows,
+    O(|cands|^2) float ops on <= a few hundred rows), and thousands of
+    queries re-rank in parallel, one group per task. The corpus never
+    enters this operator; the candidate generator (top-N cosine /
+    BM25 / RRF) has already cut it down. Ties break on lowest id for
+    engine-independent determinism."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} bigint, rank int, {id_col} bigint, "
+        f"{sim_col} double, mmr double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [sim_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        qsim = pdf[sim_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_red = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                red = unit @ unit[picked[-1]]
+                max_red = np.maximum(max_red, red)
+                mmr = lam * qsim - (1.0 - lam) * max_red
+            else:
+                mmr = lam * qsim
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = mmr_masked.max()
+            # deterministic tie-break: lowest id among the arg-maxima
+            tied = np.flatnonzero(mmr_masked >= best - 1e-12)
+            pick = tied[np.argmin(ids[tied])]
+            picked.append(int(pick))
+            scores.append(float(mmr_masked[pick]))
+            avail[pick] = False
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[: len(picked)].to_numpy(),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                id_col: ids[picked],
+                sim_col: np.round(qsim[picked], 6),
+                "mmr": np.round(scores, 6),
+            }
+        )
+
+    return cands.groupBy(query_col).applyInPandas(_mmr, out_schema)
+
+
+@query(
+    "s14_mmr_rerank",
+    oracle=None,  # greedy sequential selection is not SQL-expressible
+    tags=("similarity", "rerank", "diversity"),
+)
+def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10: brute-force top-50 cosine candidates
+    (TakeOrderedAndProject, corpus never sorted globally), then the
+    greedy MMR selection per query group via mmr_select. Invariants
+    (first pick = highest sim; no repeats; determinism) are pinned in
+    tests/test_mmr.py; rows-only here since the greedy recursion has
+    no SQL equivalent."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    cands = (
+        em.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.lit(0).cast("bigint").alias("q_id"),
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("q_vec")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_CANDIDATES)
+    )
+    return mmr_select(cands)
