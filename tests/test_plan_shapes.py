@@ -192,3 +192,34 @@ def test_s11_rrf_ranks_after_limit(spark):
     while "Window" in rest:
         rest = rest.split("Window", 1)[1]
         assert "TakeOrderedAndProject" in rest
+
+
+def test_s13_range_search_is_scan_and_filter_only(spark):
+    """s13's promise: the cheapest similarity plan — one broadcast of
+    the query vector, no shuffle Exchange, no sort, no window."""
+    plan = _plan(spark, "s13_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+
+def test_t15_bigram_model_shuffles_vocabulary_not_corpus(spark):
+    """t15's promise: bigrams come from a codegen transform over the
+    token array (no generator self-join), and the LM is hash
+    aggregations with map-side partials."""
+    plan = _plan(spark, "t15_bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # partial aggregation below the exchange (map-side combine)
+    assert "partial_count" in plan or "Partial" in plan
+    assert "Generate explode" in plan  # array transform then explode
+
+
+def test_d15_containment_joins_only_candidates(spark):
+    """d15's promise: same shape as d10 — the corpus-sized shingle
+    table joins to the (small) LSH candidate set by doc_id; no
+    corpus×corpus join anywhere."""
+    plan = _plan(spark, "d15_containment_dupes")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
