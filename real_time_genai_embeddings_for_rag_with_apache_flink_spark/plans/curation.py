@@ -506,6 +506,7 @@ FROM bg g JOIN probs p ON g.w1 = p.w1 AND g.w2 = p.w2
 GROUP BY 1
 """,
     tags=("curation", "quality", "language-model"),
+    bench=True,
 )
 def t15_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality score (the CCNet-style LM filter,
@@ -590,4 +591,86 @@ def t16_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "t17_dsir_weights",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+raw AS (SELECT w, COUNT(*) AS cr FROM tok GROUP BY 1),
+tgt AS (SELECT w, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM tok) AS nr,
+               (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt,
+               (SELECT COUNT(*) FROM raw) AS v),
+ratio AS (
+  SELECT r.w,
+    LN((COALESCE(t.ct, 0) + 1.0) / (tot.nt + tot.v))
+    - LN((r.cr + 1.0) / (tot.nr + tot.v)) AS lr
+  FROM raw r LEFT JOIN tgt t ON t.w = r.w, tot
+)
+SELECT k.doc_id, ROUND(AVG(x.lr), 6) AS dsir_logweight,
+       COUNT(*) AS n_tokens
+FROM tok k JOIN ratio x ON x.w = k.w
+GROUP BY 1
+""",
+    tags=("curation", "sampling", "importance-weighting"),
+)
+def t17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights: per-document average log importance ratio between a target
+    distribution (here the 'en' subset standing in for a high-quality
+    reference corpus) and the raw corpus, under add-one-smoothed
+    unigram feature models. Documents scoring high look like the
+    target; resampling by exp(weight) shifts the corpus mixture toward
+    it without hard filters.
+
+    Scale shape: identical to t15 — token occurrences from one codegen
+    regexp pass; the two feature models are vocabulary-keyed hash
+    aggregations (map-side partials, vocabulary-sized shuffle); the
+    corpus totals collapse to ONE broadcast row; scoring is one join
+    on the token key. No Python, nothing driver-sized but 3 scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    raw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+        F.countDistinct("w").alias("v"),
+    )
+    ratio = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(ratio, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lr"), 6).alias("dsir_logweight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
     )

@@ -1050,6 +1050,7 @@ WHERE b.vec_id != 7
       >= {_RANGE_TAU}
 """,
     tags=("similarity", "range-search"),
+    bench=True,
 )
 def s13_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine range search (threshold query, the complement of top-k —

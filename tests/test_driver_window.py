@@ -100,11 +100,20 @@ def test_window_wastes_no_slot_on_proven_queries():
     assert not wasted, f"already driver-green queries in the window: {sorted(wasted)}"
 
 
+# Added after the round-4 window was frozen; they rotate in next round.
+ROUND5_PENDING = {
+    "d16_canonical_selection",
+    "p06_orc_roundtrip",
+    "t17_dsir_weights",
+}
+
+
 def test_every_query_reaches_a_driver_window_by_round4():
     """Rounds 2-4 window contents must jointly cover the whole catalog
     (except queries newer than the current rotation)."""
     covered = R02_GREEN | R03_GREEN | set(R03_REDS) | set(window())
     covered |= {"q13b_approx_distinct", "s05_ivf_search", "p02_flagship_retrieval"}
+    covered |= ROUND5_PENDING
     missing = [n for n in plans.all_specs() if n not in covered]
     assert not missing, f"queries never rotated into a driver window: {missing}"
 
