@@ -73,10 +73,14 @@ class BedrockTitanEmbedder:
     BedRockEmbeddingModelAsyncCustomMessage.java:80-85) and sends the
     reference's request body ``{"inputText": text}`` / reads the
     ``embedding`` array from the response (:88-96, :99-104). One
-    ``invoke_model`` per text (the Titan embed API is single-input);
-    batch-level throughput comes from the Arrow batch + partition
-    parallelism around it, replacing the reference's 1000-deep async
-    pool.
+    ``invoke_model`` per text (the Titan embed API is single-input),
+    fanned out over a bounded thread pool inside each Arrow chunk —
+    the per-worker analogue of the reference's 1000-deep unordered
+    async pool (``DataStreamJob.java:148-154``): with sequential
+    invokes a Python worker's throughput is 1/latency regardless of
+    batch size, while ``max_concurrency`` in-flight calls per worker ×
+    partitions recovers the reference's envelope. Results stay in input
+    order (the pool maps, it doesn't race).
 
     Error handling goes beyond the reference (which logs and emits a
     sink-crashing null, :109-112): transient failures retry with
@@ -100,6 +104,7 @@ class BedrockTitanEmbedder:
         client=None,
         max_retries: int = 3,
         retry_base_seconds: float = 0.5,
+        max_concurrency: int = 32,
     ):
         if client is None:
             try:
@@ -116,6 +121,7 @@ class BedrockTitanEmbedder:
         self._region = region
         self._max_retries = max_retries
         self._retry_base = retry_base_seconds
+        self._max_concurrency = max(1, int(max_concurrency))
         self.row_errors: list[str | None] = []
 
     def _invoke_once(self, text: str) -> list[float]:
@@ -131,29 +137,42 @@ class BedrockTitanEmbedder:
         payload = json.loads(body.read() if hasattr(body, "read") else body)
         return [float(x) for x in payload["embedding"]]
 
-    def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+    def _embed_one(self, text: str) -> tuple[list[float] | None, str | None]:
+        """One text: retry with exponential backoff, then dead-letter.
+        Runs on a pool thread; retry state is all local, so threads
+        never share mutable state."""
         import time
 
-        out: list[list[float] | None] = []
-        errs: list[str | None] = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                errs.append(None)
-                continue
-            last_err = None
-            vec = None
-            for attempt in range(self._max_retries + 1):
-                try:
-                    vec = self._invoke_once(t)
-                    last_err = None
-                    break
-                except Exception as e:  # noqa: BLE001 - retried then dead-lettered
-                    last_err = f"{type(e).__name__}: {e}"
-                    if attempt < self._max_retries:
-                        time.sleep(self._retry_base * (2**attempt))
-            out.append(vec)
-            errs.append(last_err)
+        last_err = None
+        for attempt in range(self._max_retries + 1):
+            try:
+                return self._invoke_once(text), None
+            except Exception as e:  # noqa: BLE001 - retried then dead-lettered
+                last_err = f"{type(e).__name__}: {e}"
+                if attempt < self._max_retries:
+                    time.sleep(self._retry_base * (2**attempt))
+        return None, last_err
+
+    def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+        out: list[list[float] | None] = [None] * len(texts)
+        errs: list[str | None] = [None] * len(texts)
+        work = [(i, t) for i, t in enumerate(texts) if t is not None]
+        if len(work) <= 1 or self._max_concurrency == 1:
+            for i, t in work:
+                out[i], errs[i] = self._embed_one(t)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self._max_concurrency, len(work))
+            ) as pool:
+                # pool.map preserves submission order, so results land
+                # back on their source rows and the dead-letter column
+                # stays row-aligned no matter which call finishes first.
+                for (i, _), (vec, err) in zip(
+                    work, pool.map(self._embed_one, (t for _, t in work))
+                ):
+                    out[i], errs[i] = vec, err
         self.row_errors = errs
         return out
 

@@ -250,3 +250,91 @@ def test_bedrock_rows_dead_letter_through_embed(spark):
     assert by_text["good doc"]["embedding"] is not None
     assert by_text["poison doc"]["embedding"] is None
     assert "ThrottlingException" in by_text["poison doc"]["error"]
+
+
+class _BlockingBedrockClient:
+    """invoke_model blocks until `expected` calls are simultaneously
+    in flight (or `timeout` elapses) — proves the adapter actually
+    overlaps calls instead of serializing them. Thread-safe."""
+
+    def __init__(self, dim=4, expected=4, timeout=5.0):
+        import threading
+
+        self.dim = dim
+        self.barrier = threading.Barrier(expected, timeout=timeout)
+        self.max_inflight = 0
+        self._inflight = 0
+        self._lock = threading.Lock()
+
+    def invoke_model(self, modelId, body, accept, contentType):
+        import io
+        import json
+
+        with self._lock:
+            self._inflight += 1
+            self.max_inflight = max(self.max_inflight, self._inflight)
+        try:
+            self.barrier.wait()
+            text = json.loads(body)["inputText"]
+            vec = [float(len(text) + i) for i in range(self.dim)]
+            return {"body": io.BytesIO(json.dumps({"embedding": vec}).encode())}
+        finally:
+            with self._lock:
+                self._inflight -= 1
+
+
+def test_bedrock_adapter_overlaps_invokes():
+    """The reference holds up to 1000 unordered Bedrock calls in flight
+    (DataStreamJob.java:148-154); the adapter's bounded pool must
+    actually overlap calls — with sequential invokes this test would
+    deadlock on the barrier (each call waits for 4 simultaneous
+    callers), so passing proves >= 4 in-flight."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _BlockingBedrockClient(expected=4)
+    emb = BedrockTitanEmbedder(client=client, max_concurrency=4, max_retries=0)
+    texts = [f"doc number {i}" for i in range(8)]
+    vecs = emb.embed_batch(texts)
+    assert client.max_inflight >= 4
+    # order preserved: each row's vector derives from its own text
+    for t, v in zip(texts, vecs):
+        assert v == [float(len(t) + i) for i in range(4)]
+    assert emb.row_errors == [None] * 8
+
+
+def test_bedrock_concurrent_retry_and_dead_letter_order():
+    """Concurrency must not scramble the per-row dead-letter alignment:
+    flaky texts retry (on their own pool thread) and recover, poison
+    texts dead-letter, and every result lands on its source row."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _StubBedrockClient(fail_times=1)
+    emb = BedrockTitanEmbedder(
+        client=client, max_concurrency=8, max_retries=2, retry_base_seconds=0.0
+    )
+    texts = ["good a", "flaky b", None, "poison c", "good d"]
+    vecs = emb.embed_batch(texts)
+    assert vecs[0] is not None and vecs[1] is not None and vecs[4] is not None
+    assert vecs[2] is None and vecs[3] is None
+    assert emb.row_errors[2] is None  # null text is not an error
+    assert "ThrottlingException" in emb.row_errors[3]
+    assert [emb.row_errors[i] for i in (0, 1, 4)] == [None, None, None]
+    # row->vector alignment under concurrency
+    for i in (0, 1, 4):
+        assert vecs[i] == [float(len(texts[i]) + j) for j in range(4)]
+
+
+def test_bedrock_sequential_when_concurrency_one():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _StubBedrockClient()
+    emb = BedrockTitanEmbedder(client=client, max_concurrency=1, max_retries=0)
+    vecs = emb.embed_batch(["one", "two"])
+    assert len(client.requests) == 2
+    assert vecs[0] == [float(len("one") + i) for i in range(4)]
