@@ -111,6 +111,63 @@ def _default_opensearch_factory(hosts, region, service):
     return make
 
 
+def knn_index_body(
+    dimension: int,
+    *,
+    ef_construction: int = 128,
+    m: int = 24,
+    shards: int = 5,
+    replicas: int = 1,
+    space_type: str = "l2",
+    engine: str = "nmslib",
+) -> dict:
+    """The k-NN index mapping the reference bootstraps before the job
+    starts (index-creation-function/lambda_function.py:66-97): a
+    knn_vector passage_embedding with hnsw(ef_construction=128, m=24),
+    date + text fields, knn enabled, 5 shards. Dimension follows the
+    embedding model (titan-v1 -> 1536, titan-v2 -> 1024,
+    lambda_function.py:58-61 / PipelineConfig.resolved_dim)."""
+    return {
+        "mappings": {
+            "properties": {
+                "passage_embedding": {
+                    "type": "knn_vector",
+                    "dimension": dimension,
+                    "method": {
+                        "name": "hnsw",
+                        "space_type": space_type,
+                        "engine": engine,
+                        "parameters": {"ef_construction": ef_construction, "m": m},
+                    },
+                },
+                "date": {"type": "date"},
+                "text": {"type": "text"},
+            }
+        },
+        "settings": {
+            "index": {
+                "knn": True,
+                "number_of_shards": shards,
+                "number_of_replicas": replicas,
+            }
+        },
+    }
+
+
+def ensure_knn_index(client, index: str, dimension: int, **knobs) -> bool:
+    """Create the k-NN index if it does not exist yet. Returns True when
+    this call created it. Without this bootstrap a fresh domain would
+    auto-create a mapping-less index on first bulk write and store the
+    vectors as plain floats — wrong (non-k-NN) storage that only fails
+    at query time."""
+    if client.indices.exists(index=index):
+        return False
+    resp = client.indices.create(index=index, body=knn_index_body(dimension, **knobs))
+    if not resp.get("acknowledged", False):
+        raise RuntimeError(f"index creation for {index!r} not acknowledged: {resp}")
+    return True
+
+
 def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     """Executor-distributed bulk indexer: one client + one bulk stream
     per output partition (the reference's bulk-processor-per-subtask
@@ -119,7 +176,11 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     throughput at one machine regardless of cluster size.
 
     cfg.extra knobs: index, hosts, aws_region + aws_service ('es'|'aoss')
-    for SigV4, client_factory (injectable, mainly for tests)."""
+    for SigV4, client_factory (injectable, mainly for tests),
+    bootstrap_index (default True: create the k-NN index with the
+    reference's hnsw mapping if missing, once, driver-side, before the
+    first bulk write), knn_* overrides (knn_ef_construction, knn_m,
+    knn_shards, knn_replicas, knn_space_type, knn_engine)."""
     index = cfg.extra.get("index", "embeddings")
     hosts = cfg.extra.get("hosts", ["https://localhost:9200"])
     region = cfg.extra.get("aws_region")
@@ -135,7 +196,21 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
             ) from e
         factory = _default_opensearch_factory(hosts, region, service)
 
+    knn_knobs = {
+        k[len("knn_"):]: v for k, v in cfg.extra.items() if k.startswith("knn_")
+    }
+    dimension = cfg.resolved_dim()
+    # Bootstrap once per writer, lazily on the first batch (the driver
+    # runs foreachBatch, so the single create-if-missing call happens
+    # driver-side — the reference does the same from a one-shot lambda
+    # before the Flink job starts).
+    pending_bootstrap = [bool(cfg.extra.get("bootstrap_index", True))]
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if pending_bootstrap[0]:
+            client, _ = factory()
+            ensure_knn_index(client, index, dimension, **knn_knobs)
+            pending_bootstrap[0] = False
         # embed() only carries an error column under the dead-letter
         # policy; under drop/fail the column is absent and there is
         # nothing to filter (guard mirrors _parquet_writer's has_error).

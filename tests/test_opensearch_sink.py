@@ -41,12 +41,27 @@ def _file_capture_factory(capture_dir: str):
         import os
         import uuid
 
+        class _FakeIndices:
+            """Index bootstrap capture: exists/create persist through a
+            file so create-if-missing happens exactly once per index."""
+
+            def exists(self, index):
+                return os.path.exists(os.path.join(capture_dir, f"index-{index}.json"))
+
+            def create(self, index, body):
+                with open(os.path.join(capture_dir, f"index-{index}.json"), "w") as f:
+                    json.dump(body, f)
+                return {"acknowledged": True}
+
+        class _FakeClient:
+            indices = _FakeIndices()
+
         def bulk(client, actions):
             path = os.path.join(capture_dir, f"bulk-{uuid.uuid4().hex}.json")
             with open(path, "w") as f:
                 json.dump(list(actions), f)
 
-        return object(), bulk
+        return _FakeClient(), bulk
 
     return factory
 
@@ -144,3 +159,94 @@ def test_opensearch_writer_tolerates_missing_error_column(spark, tmp_path):
         for a in json.loads(f.read_text())
     ]
     assert [a["_source"]["text"] for a in actions] == ["hello world"]
+
+
+def test_opensearch_writer_bootstraps_knn_index(spark, tmp_path):
+    """D1's other half: before the first bulk write the sink must create
+    the k-NN index with the reference's exact hnsw mapping
+    (index-creation-function/lambda_function.py:66-97) — a mapping-less
+    auto-created index stores vectors as plain floats and silently
+    breaks k-NN queries."""
+    import json
+    import pathlib
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        foreach_batch_writer,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed,
+    )
+
+    cap = tmp_path / "captured"
+    cap.mkdir()
+    cfg = PipelineConfig(
+        sink_format="opensearch",
+        embedding_dim=8,
+        extra={"index": "docs", "client_factory": _file_capture_factory(str(cap))},
+    )
+    writer = foreach_batch_writer(cfg)
+    batch = embed(
+        spark.createDataFrame([("hello",)], ["text"]).withColumn(
+            "created_at", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        ),
+        dim=8,
+    )
+    writer(batch, 0)
+    mapping_file = pathlib.Path(cap) / "index-docs.json"
+    first_mtime = mapping_file.stat().st_mtime_ns
+    writer(batch, 1)  # second batch must NOT re-issue the create
+    assert mapping_file.stat().st_mtime_ns == first_mtime
+
+    body = json.loads(mapping_file.read_text())
+    vec = body["mappings"]["properties"]["passage_embedding"]
+    assert vec["type"] == "knn_vector"
+    assert vec["dimension"] == 8
+    assert vec["method"]["name"] == "hnsw"
+    assert vec["method"]["parameters"] == {"ef_construction": 128, "m": 24}
+    assert body["mappings"]["properties"]["date"] == {"type": "date"}
+    assert body["mappings"]["properties"]["text"] == {"type": "text"}
+    assert body["settings"]["index"]["knn"] is True
+    assert body["settings"]["index"]["number_of_shards"] == 5
+
+
+def test_knn_index_body_follows_model_dimension():
+    """titan-v1 -> 1536, titan-v2 -> 1024 (lambda_function.py:58-61)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        knn_index_body,
+    )
+
+    for model, dim in (("titan-v1", 1536), ("titan-v2", 1024)):
+        cfg = PipelineConfig(embedding_model=model)
+        body = knn_index_body(cfg.resolved_dim())
+        assert body["mappings"]["properties"]["passage_embedding"]["dimension"] == dim
+
+
+def test_bootstrap_can_be_disabled(spark, tmp_path):
+    import pathlib
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        foreach_batch_writer,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        embed,
+    )
+
+    cap = tmp_path / "captured"
+    cap.mkdir()
+    cfg = PipelineConfig(
+        sink_format="opensearch",
+        extra={
+            "index": "docs",
+            "client_factory": _file_capture_factory(str(cap)),
+            "bootstrap_index": False,
+        },
+    )
+    writer = foreach_batch_writer(cfg)
+    batch = embed(
+        spark.createDataFrame([("hello",)], ["text"]).withColumn(
+            "created_at", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        ),
+        dim=8,
+    )
+    writer(batch, 0)
+    assert not (pathlib.Path(cap) / "index-docs.json").exists()
