@@ -34,11 +34,20 @@ def main() -> int:
         # while still writing nothing.
         df.write.format("noop").mode("overwrite").save()
 
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        clear_intermediate_cache,
+    )
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         # Warm run first (JVM/codegen/parquet footers), then measure the
         # steady-state execution — what a resident cluster would see.
+        # The dedup chain's session-persisted intermediates are cleared
+        # before each run so every measurement pays the full cold cost
+        # (numbers stay comparable with the pre-seam baselines).
+        clear_intermediate_cache()
         force(spec.build(spark, sf_dir))
+        clear_intermediate_cache()
         t0 = time.perf_counter()
         force(spec.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -618,6 +618,7 @@ FROM tok k JOIN ratio x ON x.w = k.w
 GROUP BY 1
 """,
     tags=("curation", "sampling", "importance-weighting"),
+    bench=True,
 )
 def t17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
@@ -673,4 +674,63 @@ def t17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lr"), 6).alias("dsir_logweight"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
+    )
+
+
+@query(
+    "t18_zipf_vocabulary",
+    oracle="""
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+head AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+  FROM (SELECT * FROM vocab ORDER BY cnt DESC, w LIMIT 1000)
+)
+SELECT (SELECT COUNT(*) FROM vocab) AS n_vocab,
+       COUNT(*) AS n_head,
+       ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+       ROUND(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
+FROM head
+""",
+    tags=("curation", "vocabulary", "zipf"),
+)
+def t18_zipf_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf diagnostics: fit log(frequency) ~ log(rank) over
+    the head of the rank-frequency curve (top 1000 tokens) and report
+    the slope and fit quality. Natural corpora sit near slope -1 with
+    r² > 0.95; templated/spam-heavy or synthetic corpora deviate — a
+    one-row corpus health check a curation pipeline runs per snapshot.
+
+    Scale shape: token counts are a vocabulary-keyed hash aggregation
+    (map-side partials, vocabulary-sized shuffle — never corpus-sized);
+    the head selection is ORDER BY + LIMIT, which Catalyst executes as
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort); ranking and the regression then run on <= 1000 rows. The
+    slope is covar_pop/var_pop — the same estimator DuckDB's
+    regr_slope uses — so the oracle hash-matches at 6 dp."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    head = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(1000)
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w"))),
+    ).select(F.log("cnt").alias("y"), F.log("rank").alias("x"))
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n_head"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("zipf_r2"),
+    )
+    n_vocab = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+    return (
+        fit.crossJoin(F.broadcast(n_vocab))
+        .select("n_vocab", "n_head", "zipf_slope", "zipf_r2")
     )

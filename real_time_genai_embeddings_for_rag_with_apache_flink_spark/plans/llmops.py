@@ -17,7 +17,11 @@ the hot path stays in whole-stage codegen:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import os
+from collections.abc import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -39,6 +43,45 @@ from .registry import query
 
 # Shared SQL fragment: canonical whitespace-normalized lowercase text.
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped intermediate materialization
+# ---------------------------------------------------------------------------
+
+# The dedup chain (d03 signatures -> d04 candidate pairs -> d08/d10/d15/
+# d16 consumers) shares three expensive intermediates: the shingle
+# table, the MinHash signatures, and the candidate-pair table. Each
+# consumer used to re-derive them from raw text; at 100 TB that is the
+# difference between shingling the corpus once and shingling it five
+# times. This seam persists each intermediate once per (session,
+# sf_dir) at MEMORY_AND_DISK (spills instead of OOMing on big
+# partitions); a real deployment would swap persist() for a parquet
+# write of the same DataFrame and get restartability too.
+_INTERMEDIATES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_intermediate(
+    spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    df = _INTERMEDIATES.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _INTERMEDIATES[key] = df
+    return df
+
+
+def clear_intermediate_cache() -> None:
+    """Unpersist and drop every cached intermediate (bench uses this so
+    each measured run pays the full cold cost, keeping numbers
+    comparable with the pre-seam baselines)."""
+    for df in _INTERMEDIATES.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _INTERMEDIATES.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -186,29 +229,54 @@ def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(n >= 3).select("doc_id", grams.alias("grams"))
 
 
+def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-trigram shingle table (doc_id, grams) shared by the
+    exact-verification stages (d10 Jaccard, d15 containment). Persisted
+    once per session via the intermediate seam — the verify joins scan
+    it twice (a-side and b-side) but the corpus is shingled once."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        toks = F.split(normalized_text(F.col("text")), r"\s+")
+        return docs.select("doc_id", _trigrams(toks).alias("grams"))
+
+    return _cached_intermediate(spark, sf_dir, "shingled", build)
+
+
 def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, signature array<bigint>[16]) via explode -> codegen'd md5
     -> 16-way min aggregation. The explode+hash+partial-min all stay in
     whole-stage codegen (nested higher-order lambdas would run
     interpreted); the shuffle carries only (doc_id, h1, h2) pre-min
-    rows and partial aggregation collapses them map-side."""
-    ex = _minhash_docs(spark, sf_dir).select(
-        "doc_id", F.explode("grams").alias("g")
-    )
-    hashed = ex.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("g"), 1, 7), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(F.md5("g"), 9, 7), 16, 10).cast("bigint").alias("h2"),
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + s * F.col("h2")) % _MINHASH_P).alias(f"m{s}")
-            for s in range(_N_MINHASH)
-        ]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"m{s}" for s in range(_N_MINHASH)]).alias("signature")
-    )
+    rows and partial aggregation collapses them map-side. Persisted
+    once per session via the intermediate seam."""
+
+    def build() -> DataFrame:
+        ex = _minhash_docs(spark, sf_dir).select(
+            "doc_id", F.explode("grams").alias("g")
+        )
+        hashed = ex.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 7), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("g"), 9, 7), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+        )
+        mins = hashed.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("h1") + s * F.col("h2")) % _MINHASH_P).alias(f"m{s}")
+                for s in range(_N_MINHASH)
+            ]
+        )
+        return mins.select(
+            "doc_id",
+            F.array(*[f"m{s}" for s in range(_N_MINHASH)]).alias("signature"),
+        )
+
+    return _cached_intermediate(spark, sf_dir, "minhash_sigs", build)
 
 
 @query(
@@ -238,6 +306,19 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-bucket cardinality guard for the LSH band self-join. A degenerate
+# bucket (N copies of the same template/spam document share every band
+# key) would emit N^2/2 in-bucket pairs on a single task at 100 TB.
+# Buckets at or under the cap run the normal all-pairs join; oversized
+# buckets are STAR-LINKED instead — every member pairs with the bucket's
+# minimum doc_id — which keeps the pair count linear in the bucket while
+# preserving exactly the connectivity d08's connected components (and so
+# d16's survivor selection) need: all members still end up in one
+# component. The verify stages (d10/d15) score star pairs like any
+# other candidate. Standard production-MinHash practice.
+_LSH_BUCKET_CAP = 64
+
+
 _SQL_LSH_CTES = f"""
 shingled AS (
   SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
@@ -251,11 +332,22 @@ shingled AS (
          concat_ws(',', sig[b.band_idx*4+1], sig[b.band_idx*4+2],
                         sig[b.band_idx*4+3], sig[b.band_idx*4+4]) AS band_key
   FROM sigs, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_idx) b
+), bstats AS (
+  SELECT doc_id, band_idx, band_key,
+         COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS bucket_rep
+  FROM bands
 ), lsh_pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bstats a JOIN bstats b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {_LSH_BUCKET_CAP}
+    UNION ALL
+    SELECT bucket_rep AS id_a, doc_id AS id_b FROM bstats
+    WHERE bucket_n > {_LSH_BUCKET_CAP} AND doc_id != bucket_rep
+  )
 )
 """
 
@@ -266,40 +358,72 @@ shingled AS (
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
-    rows), shuffle only (band_idx, band_key), join within buckets.
-    This is the scale path — candidates ~ O(dups), not O(n^2)."""
-    sigs = _minhash_signatures_df(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.concat_ws(
-                        ",",
-                        F.element_at(F.col("signature"), bi * 4 + 1),
-                        F.element_at(F.col("signature"), bi * 4 + 2),
-                        F.element_at(F.col("signature"), bi * 4 + 3),
-                        F.element_at(F.col("signature"), bi * 4 + 4),
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
+def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the per-bucket skew guard, persisted
+    once per session (d08/d10/d15/d16 all consume this table).
+
+    The bucket stats (count, min doc_id) come from one window over
+    (band_idx, band_key) — the same key the self-join shuffles on, so
+    the window's exchange is reused by the join. Buckets over
+    _LSH_BUCKET_CAP are star-linked to the bucket's minimum doc_id:
+    linear pairs per bucket instead of quadratic, same duplicate-
+    cluster connectivity."""
+
+    def build() -> DataFrame:
+        sigs = _minhash_signatures_df(spark, sf_dir)
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            F.element_at(F.col("signature"), bi * 4 + 1),
+                            F.element_at(F.col("signature"), bi * 4 + 2),
+                            F.element_at(F.col("signature"), bi * 4 + 3),
+                            F.element_at(F.col("signature"), bi * 4 + 4),
+                        ).alias("band_key"),
+                    ),
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_key")
+        w = Window.partitionBy("band_idx", "band_key")
+        counted = bands.select(
+            "doc_id",
+            "band_idx",
+            "band_key",
+            F.count(F.lit(1)).over(w).alias("bucket_n"),
+            F.min("doc_id").over(w).alias("bucket_rep"),
+        )
+        small = counted.filter(F.col("bucket_n") <= _LSH_BUCKET_CAP)
+        a, b = small.alias("a"), small.alias("b")
+        all_pairs = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        star = counted.filter(
+            (F.col("bucket_n") > _LSH_BUCKET_CAP)
+            & (F.col("doc_id") != F.col("bucket_rep"))
+        ).select(
+            F.col("bucket_rep").alias("id_a"), F.col("doc_id").alias("id_b")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+        return all_pairs.unionByName(star).distinct()
+
+    return _cached_intermediate(spark, sf_dir, "lsh_pairs", build)
+
+
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 4
+    rows), shuffle only (band_idx, band_key), join within buckets.
+    This is the scale path — candidates ~ O(dups), not O(n^2) — and the
+    per-bucket cap guards the one residual quadratic risk (a template-
+    spam bucket) by star-linking oversized buckets; see
+    _lsh_candidate_pairs_df."""
+    return _lsh_candidate_pairs_df(spark, sf_dir)
 
 
 @query(
@@ -319,6 +443,7 @@ reach(u, v) AS (
 SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
 """,
     tags=("dedup", "iterative", "graph"),
+    bench=True,
 )
 def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters from the LSH candidate pairs: connected
@@ -455,6 +580,92 @@ def d06_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
             "hamming"
         ),
+    )
+
+
+_SUBSTR_W = 8  # token-window width for exact-substring dedup
+
+
+@query(
+    "d17_substring_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - {_SUBSTR_W - 1}),
+           i -> array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' '))) AS wins
+  FROM t WHERE len(toks) >= {_SUBSTR_W}
+), p AS (
+  SELECT doc_id, UNNEST(wins) AS win FROM w
+), c AS (
+  SELECT win, COUNT(*) AS n_docs FROM p GROUP BY 1
+), s AS (
+  SELECT p.doc_id, COUNT(*) AS n_shared
+  FROM p JOIN c ON c.win = p.win AND c.n_docs >= 2
+  GROUP BY 1
+)
+SELECT w.doc_id, len(w.wins) AS n_windows,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(w.wins), 6)
+         AS dup_fraction
+FROM w LEFT JOIN s ON s.doc_id = w.doc_id
+""",
+    tags=("dedup", "substring", "text"),
+)
+def d17_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication (the Lee et al. 2021
+    'Deduplicating Training Data' signal, windowed form): every
+    8-token window of every document, counted across the corpus; a
+    document's dup_fraction is the share of its distinct windows that
+    appear in at least one OTHER document (or twice — the count is per
+    corpus occurrence of the distinct-per-doc window, so >= 2 means
+    shared or internally repeated across docs). The standard
+    suffix-array formulation needs a global sort of the whole corpus;
+    the windowed form is the shuffle-friendly equivalent used at scale.
+
+    Scale shape: windows are built per-row by one codegen transform
+    (slice + concat_ws, O(n·W) per doc); the shuffle carries
+    (64-bit window hash, doc_id) pairs — corpus-token-proportional but
+    narrow; window counts aggregate map-side; the share join is
+    hash-keyed. No global sort, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    n = F.size(toks)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (_SUBSTR_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SUBSTR_W)),
+        )
+    )
+    w = docs.filter(n >= _SUBSTR_W).select("doc_id", wins.alias("wins"))
+    pairs = w.select("doc_id", F.explode("wins").alias("win")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    counts = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = (
+        pairs.join(counts.filter(F.col("n_docs") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        w.select("doc_id", F.size("wins").alias("n_windows"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_fraction"),
+        )
     )
 
 
@@ -1045,6 +1256,8 @@ SELECT b.vec_id,
                                CAST(q.embedding AS DOUBLE[])), 6) AS sim
 FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
 WHERE b.vec_id != 7
+  AND NOT isnan(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(q.embedding AS DOUBLE[])))
   AND ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
                                    CAST(q.embedding AS DOUBLE[])), 6)
       >= {_RANGE_TAU}
@@ -1061,7 +1274,11 @@ def s13_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow codegen'd scan-and-filter, output proportional to matches.
     At 100 TB this is the cheapest possible similarity plan: zero
     shuffle, zero window, and the filter prunes on the rounded score
-    both here and in the oracle so the threshold edge is stable."""
+    both here and in the oracle so the threshold edge is stable.
+    Zero-norm vectors are excluded identically on both engines: Spark's
+    cosine_similarity yields NULL (dropped by the >= filter), and the
+    oracle drops DuckDB's NaN explicitly — NaN would otherwise compare
+    above every threshold."""
     em = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         em.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_vec"))

@@ -22,8 +22,7 @@ from ..sources.batch import load_table
 from .llmops import (
     _SQL_LSH_CTES,
     _SQL_NORM,
-    _SQL_TRIGRAMS,
-    _trigrams,
+    _shingled_df,
     d04_minhash_lsh_pairs,
     normalized_text,
 )
@@ -52,10 +51,11 @@ def d10_lsh_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d04) verified with exact trigram Jaccard, keeping pairs >= 0.5.
     Only the candidate set — O(duplicates), not O(n^2) — pays the exact
     set-intersection cost; the shingle arrays join to it by doc_id, so
-    the verification shuffle is proportional to candidates, not corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(F.col("text")), r"\s+")
-    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    the verification shuffle is proportional to candidates, not corpus.
+    Both the shingle table and the candidate pairs come from the
+    session-persisted intermediate seam — the corpus is shingled once
+    even though this plan scans the table twice."""
+    shingled = _shingled_df(spark, sf_dir)
     pairs = d04_minhash_lsh_pairs(spark, sf_dir)
     a = shingled.select(
         F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams")
@@ -92,6 +92,7 @@ scored AS (
 SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8
 """,
     tags=("dedup", "minhash", "lsh", "containment"),
+    bench=True,
 )
 def d15_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup verification: |A∩B| / min(|A|, |B|) over
@@ -101,10 +102,11 @@ def d15_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training-data dedup must catch — while containment scores it 1.0.
     Same scale shape as d10: only the LSH candidate set (O(dups), not
     O(n^2)) pays the exact set-intersection cost, and the shingle
-    arrays join to it by doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(F.col("text")), r"\s+")
-    shingled = docs.select("doc_id", _trigrams(toks).alias("grams"))
+    arrays join to it by doc_id (both read from the session-persisted
+    intermediate seam). The grams arrays are distinct (set) shingles on
+    both the Spark and oracle sides, so this is true Broder
+    containment."""
+    shingled = _shingled_df(spark, sf_dir)
     pairs = d04_minhash_lsh_pairs(spark, sf_dir)
     a = shingled.select(
         F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams")
@@ -424,6 +426,7 @@ SELECT s.component, r.doc_id AS keep_doc_id, s.n_docs
 FROM sizes s JOIN ranked r ON r.component = s.component AND r.rn = 1
 """,
     tags=("dedup", "curation", "survivor-selection"),
+    bench=True,
 )
 def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection after duplicate clustering: for every
@@ -458,9 +461,26 @@ def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component", "keep_doc_id", "n_docs")
 
 
-# Cache of materialized ORC copies, keyed by sf_dir (reused across the
-# bench's warm+measured runs in one session).
-_ORC_CACHE: dict[str, str] = {}
+_CSV_CACHE: dict[tuple[str, str], str] = {}
+
+# Cache of materialized ORC copies, keyed by (sf_dir, source content
+# fingerprint) so a regenerated sf_dir within one process is re-written
+# rather than silently compared stale. Temp dirs are removed at exit.
+_ORC_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _source_fingerprint(path: str) -> str:
+    """mtime+size fingerprint of a parquet file or directory-of-files."""
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(
+            (f, os.path.getmtime(os.path.join(path, f)), os.path.getsize(os.path.join(path, f)))
+            for f in os.listdir(path)
+        )
+        return repr(parts)
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
 
 
 @query(
@@ -478,17 +498,70 @@ def p06_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark core; at scale the same two lines target any hadoop-fs URI).
     The oracle aggregates the original parquet, so the check certifies
     a lossless roundtrip, not just a successful write."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    key = os.path.abspath(sf_dir)
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (os.path.abspath(sf_dir), _source_fingerprint(src))
     path = _ORC_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix="orc_docs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(path)
         _ORC_CACHE[key] = path
     back = spark.read.orc(path)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "p07_csv_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
+FROM documents GROUP BY lang
+""",
+    tags=("sources", "sinks", "formats"),
+)
+def p07_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format interop: documents written to CSV (header, quoted)
+    and read back through Spark's CSV reader with an explicit schema,
+    then aggregated — the third leg of the format matrix (parquet
+    native, ORC p06, CSV here; the reference's wire format is JSON,
+    covered by the streaming parse path). The oracle aggregates the
+    original parquet, so the check certifies the roundtrip preserved
+    every row AND every text byte (total_text_chars would drift if
+    quoting/escaping mangled a single document)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (os.path.abspath(sf_dir), "csv:" + _source_fingerprint(src))
+    path = _CSV_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="csv_docs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+        _CSV_CACHE[key] = path
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).option("header", "true").option("escape", '"').csv(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "total_text_chars"
+        ),
     )

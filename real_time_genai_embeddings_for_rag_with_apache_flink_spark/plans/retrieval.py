@@ -304,8 +304,10 @@ def mmr_select(
                 mmr = lam * qsim
             mmr_masked = np.where(avail, mmr, -np.inf)
             best = mmr_masked.max()
-            # deterministic tie-break: lowest id among the arg-maxima
-            tied = np.flatnonzero(mmr_masked >= best - 1e-12)
+            # deterministic tie-break: lowest id among the EXACT
+            # arg-maxima (an epsilon band would let a strictly-lower
+            # score displace the true argmax on id order)
+            tied = np.flatnonzero(mmr_masked == best)
             pick = tied[np.argmin(ids[tied])]
             picked.append(int(pick))
             scores.append(float(mmr_masked[pick]))

@@ -1,0 +1,99 @@
+"""The LSH band-bucket skew guard, pinned on an adversarial fixture.
+
+A corpus where N documents share identical text puts all N in the same
+band bucket for every band. Without a guard the band self-join emits
+N(N-1)/2 pairs inside one task — the one quadratic blow-up left in the
+dedup chain at 100 TB. The guard star-links oversized buckets to the
+bucket's minimum doc_id: pair count stays linear in the bucket, while
+connected components (d08) and survivor selection (d16) see exactly the
+same duplicate clusters.
+
+The fixture also runs the full DuckDB oracle side-by-side, so the guard
+semantics are pinned to stay engine-portable, not just bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import llmops
+
+N_SPAM = 150  # well above _LSH_BUCKET_CAP (64)
+N_SMALL = 4  # a legitimate small near-dup cluster, below the cap
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(spark, tmp_path_factory):
+    """A documents table with one degenerate template-spam cluster
+    (N_SPAM identical docs) and one small exact-dup cluster."""
+    out = str(tmp_path_factory.mktemp("lsh_skew") / "sf_adv")
+    spam = "buy cheap widgets now " * 10
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, spam) for i in range(N_SPAM)]
+    rows += [(1000 + i, small) for i in range(N_SMALL)]
+    rows += [(2000, "a completely unrelated document about spark physical plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("fixture"))
+        .withColumn("n_chars", F.length("text"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    llmops.clear_intermediate_cache()
+    yield out
+    llmops.clear_intermediate_cache()
+
+
+def test_oversized_bucket_pairs_are_linear_not_quadratic(spark, adversarial_sf_dir):
+    pairs = llmops.d04_minhash_lsh_pairs(spark, adversarial_sf_dir).collect()
+    spam_pairs = [r for r in pairs if r.id_a < 1000 and r.id_b < 1000]
+    small_pairs = [r for r in pairs if 1000 <= r.id_a < 2000 and 1000 <= r.id_b < 2000]
+    # Star linking: every spam doc pairs with doc 0 only — N-1 pairs,
+    # not N(N-1)/2 ≈ 11k.
+    assert len(spam_pairs) == N_SPAM - 1
+    assert all(r.id_a == 0 for r in spam_pairs)
+    # Buckets under the cap keep the exact all-pairs join.
+    assert len(small_pairs) == N_SMALL * (N_SMALL - 1) // 2
+    # No cross-cluster candidates.
+    assert len(pairs) == len(spam_pairs) + len(small_pairs)
+
+
+def test_components_unchanged_by_star_linking(spark, adversarial_sf_dir):
+    comp = {
+        r.doc_id: r.component
+        for r in llmops.d08_dup_components(spark, adversarial_sf_dir).collect()
+    }
+    # All spam docs collapse into one component rooted at doc 0.
+    assert {comp[i] for i in range(N_SPAM)} == {0}
+    # The small cluster is its own component rooted at 1000.
+    assert {comp[1000 + i] for i in range(N_SMALL)} == {1000}
+    # The unrelated doc has no candidate pairs at all.
+    assert 2000 not in comp
+
+
+def test_guard_matches_duckdb_oracle_on_adversarial_corpus(
+    spark, adversarial_sf_dir
+):
+    """The capped-pair semantics must be identical on both engines —
+    otherwise the driver hash gate would diverge the day a real bucket
+    crosses the cap."""
+    import duckdb
+    from oracle_harness import compare
+
+    con = duckdb.connect()
+    path = os.path.join(adversarial_sf_dir, "documents.parquet")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    for name in ("d04_minhash_lsh_pairs", "d08_dup_components"):
+        spec = plans.get_spec(name)
+        res = compare(name, spec.build(spark, adversarial_sf_dir), con, spec.oracle)
+        assert res.ok, f"{name}: {res.detail}"

@@ -210,7 +210,7 @@ def test_t15_bigram_model_shuffles_vocabulary_not_corpus(spark):
     aggregations with map-side partials."""
     plan = _plan(spark, "t15_bigram_lm_quality")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every join must broadcast
     # partial aggregation below the exchange (map-side combine)
     assert "partial_count" in plan or "Partial" in plan
     assert "Generate explode" in plan  # array transform then explode
@@ -223,3 +223,49 @@ def test_d15_containment_joins_only_candidates(spark):
     plan = _plan(spark, "d15_containment_dupes")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _parquet_scans_outside_cache(plan: str) -> int:
+    """Count 'Scan parquet' nodes NOT beneath an InMemoryRelation.
+    A scan inside an InMemoryRelation subtree is the cached build plan
+    (executed once at materialization); a scan outside means the query
+    re-reads and re-derives the corpus."""
+    n_outside = 0
+    cache_stack: list[int] = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*(0123456789)")
+        indent = len(line) - len(stripped)
+        while cache_stack and indent <= cache_stack[-1]:
+            cache_stack.pop()
+        if "InMemoryRelation" in line:
+            cache_stack.append(indent)
+        elif "Scan parquet" in line and not cache_stack:
+            n_outside += 1
+    return n_outside
+
+
+def test_d15_shingles_computed_once_via_intermediate_seam(spark):
+    """The dedup chain's persist seam: d15 consumes the session-cached
+    shingle and candidate-pair tables, so its own plan contains zero
+    uncached corpus scans — the documents table is read and shingled
+    exactly once per session, no matter how many chain queries run."""
+    plan = _plan(spark, "d15_containment_dupes")
+    # pairs scan + shingle a-side + shingle b-side, all from cache
+    assert plan.count("InMemoryTableScan") >= 3
+    assert _parquet_scans_outside_cache(plan) == 0
+
+
+def test_d04_bucket_guard_in_plan(spark):
+    """The LSH skew guard is structural: bucket stats come from one
+    window over the band key (the same partitioning the join uses) and
+    both the capped all-pairs branch and the star branch appear."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        llmops,
+    )
+
+    llmops.clear_intermediate_cache()
+    plan = _plan(spark, "d04_minhash_lsh_pairs")
+    assert "Window" in plan  # bucket stats over the band key
+    assert "bucket_n" in plan and "bucket_rep" in plan
+    assert "Union" in plan  # all-pairs ∪ star branches
+    assert "CartesianProduct" not in plan

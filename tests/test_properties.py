@@ -92,3 +92,51 @@ def test_rolling_hash_matches_python_reference(spark):
     for r in rows:
         expected = _py_rolling_hash(r.norm) if r.norm else 0
         assert r.h == expected, f"{r.text!r}: {r.h} != {expected}"
+
+
+def test_q13b_approx_distinct_error_bound(spark, oracle_con):
+    """q13b is a rows-only driver entry (HLL sketches are
+    engine-specific), so this gate pins what 'approx' must mean:
+    approx_count_distinct's estimate stays within its documented
+    default relative error (rsd=0.05) of the exact DuckDB count —
+    a silent regression to garbage estimates fails here."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    from conftest import SF_SMOKE
+
+    row = plans.get_spec("q13b_approx_distinct").build(spark, SF_SMOKE).collect()[0]
+    exact = oracle_con.execute(
+        "SELECT COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    for approx, truth in zip((row.approx_parts, row.approx_orders), exact):
+        rel_err = abs(approx - truth) / truth
+        assert rel_err <= 3 * 0.05, f"approx {approx} vs exact {truth}: {rel_err:.3f}"
+
+
+def test_q36b_approx_percentiles_error_bound(spark, oracle_con):
+    """q36b's Greenwald-Khanna sketch with accuracy=10000 guarantees
+    rank error <= n/10000; at this fixture size that means the estimate
+    must land between the exact neighboring percentiles. Pin a looser
+    but meaningful form: each approx percentile lies within the exact
+    [p-1%, p+1%] value band."""
+    import json
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    from conftest import SF_SMOKE
+
+    rows = plans.get_spec("q36b_approx_percentiles").build(spark, SF_SMOKE).collect()
+    for r in rows:
+        approx = json.loads(r.approx_p)
+        for p, est in zip((0.5, 0.9, 0.99), approx):
+            lo, hi = oracle_con.execute(
+                f"""
+                SELECT quantile_cont(o_totalprice, {max(p - 0.01, 0.0)}),
+                       quantile_cont(o_totalprice, {min(p + 0.01, 1.0)})
+                FROM orders WHERE o_orderstatus = ?
+                """,
+                [r.status],
+            ).fetchone()
+            assert lo - 1e-9 <= est <= hi + 1e-9, (
+                f"status {r.status} p{p}: {est} outside [{lo}, {hi}]"
+            )
