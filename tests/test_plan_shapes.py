@@ -269,3 +269,22 @@ def test_d04_bucket_guard_in_plan(spark):
     assert "bucket_n" in plan and "bucket_rep" in plan
     assert "Union" in plan  # all-pairs ∪ star branches
     assert "CartesianProduct" not in plan
+
+
+def test_d17_substring_windows_shuffle_hashes_not_text(spark):
+    """d17's promise: windows are built per-row in codegen, the shuffle
+    carries (bigint hash, doc_id) pairs with map-side partial counts,
+    and nothing joins corpus x corpus."""
+    plan = _plan(spark, "d17_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_t18_zipf_head_avoids_global_sort(spark):
+    """t18's promise: the top-1000 vocabulary head comes from
+    TakeOrderedAndProject (per-partition partial top-k), never a global
+    Sort of the vocabulary; the regression runs on <= 1000 rows."""
+    plan = _plan(spark, "t18_zipf_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
