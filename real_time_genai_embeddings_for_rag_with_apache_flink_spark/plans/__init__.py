@@ -41,6 +41,7 @@ DRIVER_WINDOW: list[str] = [
     "d17_substring_dedup",
     "t18_zipf_vocabulary",
     "p07_csv_roundtrip",
+    "d18_minhash_estimate_audit",
 ]
 
 set_priority(DRIVER_WINDOW)

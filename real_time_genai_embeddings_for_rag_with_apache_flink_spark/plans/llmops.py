@@ -61,13 +61,32 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _INTERMEDIATES: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# Session conf key: when set to a directory, intermediates materialize
+# as parquet tables under it instead of executor-memory persist() —
+# the restartable at-100-TB mode (a re-run, or a different job in the
+# same pipeline, reads the table instead of recomputing the corpus).
+INTERMEDIATE_DIR_CONF = "spark.graft.intermediateDir"
+
+
 def _cached_intermediate(
     spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
     df = _INTERMEDIATES.get(key)
     if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        out_dir = spark.conf.get(INTERMEDIATE_DIR_CONF, None)
+        if out_dir:
+            import hashlib
+
+            tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+            path = os.path.join(out_dir, f"{kind}-{tag}")
+            # _SUCCESS marks a complete prior write (Spark's commit
+            # protocol); anything else is absent or torn -> rewrite.
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                build().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        else:
+            df = build().persist(StorageLevel.MEMORY_AND_DISK)
         _INTERMEDIATES[key] = df
     return df
 

@@ -565,3 +565,108 @@ def p07_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_text_chars"
         ),
     )
+
+
+@query(
+    "d18_minhash_estimate_audit",
+    oracle=f"""
+WITH {_SQL_LSH_CTES.strip()},
+est AS (
+  SELECT p.id_a, p.id_b,
+    ROUND(list_sum(list_transform(generate_series(1, 16),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END)) / 16.0, 6)
+      AS est_jaccard
+  FROM lsh_pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+exact AS (
+  SELECT p.id_a, p.id_b,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) END, 6)
+      AS exact_jaccard
+  FROM lsh_pairs p
+  JOIN shingled a ON a.doc_id = p.id_a
+  JOIN shingled b ON b.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
+       ROUND(ABS(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
+FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+""",
+    tags=("dedup", "minhash", "sketch-audit"),
+)
+def d18_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature slots — the
+    unbiased Broder estimator) next to the exact trigram Jaccard, with
+    the absolute error. This is the operator a pipeline owner runs
+    before trusting sketch-only dedup decisions at a new corpus: a
+    drifting abs_err distribution means the signature width (16) or
+    shingle size no longer fits the data.
+
+    Scale shape: every input (signatures, candidate pairs, shingles)
+    comes from the session-persisted intermediate seam — this audit
+    adds only candidate-sized joins (id-keyed) and a 16-slot zip_with
+    per pair; nothing corpus-sized is recomputed."""
+    from .llmops import _minhash_signatures_df, _shingled_df
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    sigs = _minhash_signatures_df(spark, sf_dir)
+    shingled = _shingled_df(spark, sf_dir)
+
+    sa = sigs.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sig_b"))
+    est = (
+        pairs.join(sa, pairs.id_a == sa.sa_id)
+        .join(sb, pairs.id_b == sb.sb_id)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(16.0),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_grams"))
+    inter = F.size(F.array_intersect(F.col("a_grams"), F.col("b_grams")))
+    union = F.size(F.array_union(F.col("a_grams"), F.col("b_grams")))
+    exact = (
+        pairs.join(a, pairs.id_a == a.a_id)
+        .join(b, pairs.id_b == b.b_id)
+        .select(
+            F.col("id_a").alias("x_id_a"),
+            F.col("id_b").alias("x_id_b"),
+            F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(
+                    inter.cast("double") / union
+                ),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(
+            exact,
+            (est.id_a == exact.x_id_a) & (est.id_b == exact.x_id_b),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

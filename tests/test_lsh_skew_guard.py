@@ -97,3 +97,55 @@ def test_guard_matches_duckdb_oracle_on_adversarial_corpus(
         spec = plans.get_spec(name)
         res = compare(name, spec.build(spark, adversarial_sf_dir), con, spec.oracle)
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_intermediates_materialize_to_parquet_when_configured(
+    spark, adversarial_sf_dir, tmp_path
+):
+    """The seam's restartable mode: with spark.graft.intermediateDir
+    set, the dedup intermediates land as parquet tables (signatures,
+    pairs, shingles) and are READ BACK from storage — a second build in
+    a fresh cache reuses the written table instead of recomputing, and
+    results are identical to the in-memory mode."""
+    inter = str(tmp_path / "intermediates")
+
+    llmops.clear_intermediate_cache()
+    in_memory = sorted(
+        (r.id_a, r.id_b)
+        for r in llmops.d04_minhash_lsh_pairs(spark, adversarial_sf_dir).collect()
+    )
+
+    llmops.clear_intermediate_cache()
+    spark.conf.set(llmops.INTERMEDIATE_DIR_CONF, inter)
+    try:
+        on_disk = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(
+                spark, adversarial_sf_dir
+            ).collect()
+        )
+        assert on_disk == in_memory
+        written = sorted(p.name.split("-")[0] for p in (tmp_path / "intermediates").iterdir())
+        assert "lsh_pairs" in written and "minhash_sigs" in written
+
+        # wipe the session cache: the next build must come from parquet
+        # (prove it by poisoning nothing and checking mtimes stay put)
+        import pathlib
+
+        mtimes = {
+            p: p.stat().st_mtime_ns
+            for p in pathlib.Path(inter).rglob("_SUCCESS")
+        }
+        llmops.clear_intermediate_cache()
+        again = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(
+                spark, adversarial_sf_dir
+            ).collect()
+        )
+        assert again == in_memory
+        for p, m in mtimes.items():
+            assert p.stat().st_mtime_ns == m, "intermediate was rewritten"
+    finally:
+        spark.conf.unset(llmops.INTERMEDIATE_DIR_CONF)
+        llmops.clear_intermediate_cache()
