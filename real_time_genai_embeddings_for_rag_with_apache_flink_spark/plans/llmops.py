@@ -644,11 +644,15 @@ def d17_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array formulation needs a global sort of the whole corpus;
     the windowed form is the shuffle-friendly equivalent used at scale.
 
-    Scale shape: windows are built per-row by one codegen transform
-    (slice + concat_ws, O(n·W) per doc); the shuffle carries
-    (64-bit window hash, doc_id) pairs — corpus-token-proportional but
-    narrow; window counts aggregate map-side; the share join is
-    hash-keyed. No global sort, no Python."""
+    Scale shape: ONE corpus pass, ONE corpus-sized shuffle, zero
+    joins — windows are built per-row by one codegen transform (slice
+    + concat_ws, O(n·W) per doc) and exploded as (64-bit window hash,
+    doc_id) pairs; the per-window corpus count is a window aggregate
+    over the hash (the same stats-over-the-shuffle-key pattern as
+    d04's bucket guard), and the per-doc rollup is an ordinary hash
+    aggregate (n_windows is the doc's pair count — windows are
+    distinct per doc — so no join back to documents exists in the
+    plan). No global sort, no Python."""
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
@@ -659,30 +663,33 @@ def d17_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, _SUBSTR_W)),
         )
     )
-    w = docs.filter(n >= _SUBSTR_W).select("doc_id", wins.alias("wins"))
-    pairs = w.select("doc_id", F.explode("wins").alias("win")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    pairs = (
+        docs.filter(n >= _SUBSTR_W)
+        .select("doc_id", F.explode(wins).alias("win"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
-    counts = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = (
-        pairs.join(counts.filter(F.col("n_docs") >= 2), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    scored = pairs.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (
-        w.select("doc_id", F.size("wins").alias("n_windows"))
-        .join(shared, "doc_id", "left")
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
         .select(
             "doc_id",
             "n_windows",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            "n_shared",
             F.round(
-                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
-                / F.col("n_windows"),
-                6,
+                F.col("n_shared").cast("double") / F.col("n_windows"), 6
             ).alias("dup_fraction"),
         )
     )

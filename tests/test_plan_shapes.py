@@ -272,13 +272,13 @@ def test_d04_bucket_guard_in_plan(spark):
 
 
 def test_d17_substring_windows_shuffle_hashes_not_text(spark):
-    """d17's promise: windows are built per-row in codegen, the shuffle
-    carries (bigint hash, doc_id) pairs with map-side partial counts,
-    and nothing joins corpus x corpus."""
+    """d17's promise: one corpus scan, zero joins — the per-window
+    corpus count is a window aggregate over the hash the pairs already
+    shuffle on, and the per-doc rollup is a plain hash aggregate."""
     plan = _plan(spark, "d17_substring_dedup")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_count" in plan or "Partial" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
 
 
 def test_t18_zipf_head_avoids_global_sort(spark):
