@@ -695,6 +695,7 @@ SELECT (SELECT COUNT(*) FROM vocab) AS n_vocab,
 FROM head
 """,
     tags=("curation", "vocabulary", "zipf"),
+    bench=True,
 )
 def t18_zipf_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary Zipf diagnostics: fit log(frequency) ~ log(rank) over

@@ -632,6 +632,7 @@ SELECT w.doc_id, len(w.wins) AS n_windows,
 FROM w LEFT JOIN s ON s.doc_id = w.doc_id
 """,
     tags=("dedup", "substring", "text"),
+    bench=True,
 )
 def d17_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact-substring duplication (the Lee et al. 2021
