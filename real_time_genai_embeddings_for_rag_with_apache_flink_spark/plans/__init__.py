@@ -42,6 +42,7 @@ DRIVER_WINDOW: list[str] = [
     "t18_zipf_vocabulary",
     "p07_csv_roundtrip",
     "d18_minhash_estimate_audit",
+    "st13_stream_outer_interval_join",
 ]
 
 set_priority(DRIVER_WINDOW)

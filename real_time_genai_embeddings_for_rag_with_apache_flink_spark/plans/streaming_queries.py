@@ -374,6 +374,75 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st13_stream_outer_interval_join",
+    oracle="""
+WITH wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+         - INTERVAL '1 minute' AS w
+),
+matched AS (
+  SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = e.user_id
+   AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts
+),
+outer_nulls AS (
+  SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS click_id, e.user_id
+  FROM (SELECT * FROM events WHERE event_type = 'error') e, wm
+  WHERE e.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM outer_nulls
+""",
+    tags=("streaming", "join", "interval-join", "outer", "watermark"),
+)
+def st13_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: st07's inner pairs PLUS a
+    null-padded row for every error with no click in its 10-minute
+    lookback — but only once the watermark proves no match can still
+    arrive. Emission semantics pinned empirically (and by a boundary
+    fixture in tests/test_streaming_semantics.py): the null row emits
+    when err_ts < global watermark, where the global watermark is the
+    MIN across both sides of (max observed event time - 1 minute
+    delay), STRICT inequality — a row exactly at the watermark stays in
+    state. Matched pairs emit promptly as both sides arrive; the
+    watermark only bounds state and gates the outer nulls. The oracle
+    replays exactly that frontier."""
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 minute")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("err_id", "click_id", "user_id")
+    return run_to_memory(joined, "st13", "append")
+
+
+@query(
     "st08_stream_session_append",
     oracle="""
 WITH ordered AS (

@@ -163,3 +163,73 @@ def test_python_stream_source_runs_multiple_microbatches(spark):
     out = sq.st12_python_stream_source(spark, "/root/testdata/sf0.001")
     assert out.agg({"n_docs": "sum"}).collect()[0][0] == 120
     assert sq.LAST_RUN_BATCHES["st12"] >= 3
+
+
+def test_outer_interval_join_null_emission_frontier(spark, tmp_path):
+    """Pins st13's emission rule: a left row's null-padded result emits
+    only when err_ts < global watermark (STRICT — a row exactly AT the
+    watermark stays in state), where the global watermark is the min
+    across both sides of max-event-time minus the 1-minute delay. Three
+    errors straddle the frontier: below emits, at and above do not."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    T = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, T - datetime.timedelta(minutes=5), 99, "error", 1.0, None),
+        (1, T, 100, "error", 1.0, None),  # exactly at the watermark
+        (2, T + datetime.timedelta(minutes=1), 101, "error", 1.0, None),
+        (3, T + datetime.timedelta(minutes=30), 999, "click", 1.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, r in enumerate(rows):  # one file per row -> one micro-batch each
+        part = str(tmp_path / f"f{i}")
+        df.filter(F.col("event_id") == r[0]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        for f in glob.glob(os.path.join(part, "*.parquet")):
+            shutil.copy(f, os.path.join(src, f"part-{i}.parquet"))
+
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "1 minute")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("err_id", "click_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_frontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM outer_frontier").collect()
+    assert sorted((r.err_id, r.click_id) for r in out) == [(0, None)]
