@@ -43,6 +43,7 @@ DRIVER_WINDOW: list[str] = [
     "p07_csv_roundtrip",
     "d18_minhash_estimate_audit",
     "st13_stream_outer_interval_join",
+    "p08_corpus_materialization",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -670,3 +670,124 @@ def d18_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "p08_corpus_materialization",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+ranked AS (
+  SELECT c.component, c.doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.component
+      ORDER BY LENGTH({_SQL_NORM}) DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+near_drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+exact_keep AS (
+  SELECT md5({_SQL_NORM}) AS fp, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+),
+flagged AS (
+  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+    CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END AS is_exact_dupe,
+    CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dupe
+  FROM documents d
+  JOIN exact_keep k ON k.fp = md5({_SQL_NORM})
+  LEFT JOIN near_drops nd ON nd.doc_id = d.doc_id
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(is_exact_dupe) AS BIGINT) AS n_exact_dupes,
+  CAST(SUM(is_near_dupe) AS BIGINT) AS n_near_dupes,
+  CAST(SUM(CASE WHEN is_exact_dupe = 0 AND is_near_dupe = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN is_exact_dupe = 0 AND is_near_dupe = 0 THEN n_chars
+           ELSE 0 END) AS BIGINT) AS kept_chars
+FROM flagged GROUP BY source, lang
+""",
+    tags=("dedup", "pipeline", "governance", "materialization"),
+)
+def p08_corpus_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup funnel as ONE materialization decision: per
+    (source, lang) stratum, how many documents survive after (a) exact
+    dedup (md5-fingerprint groups keep their min doc_id — d01's rule)
+    and (b) near-dup clustering (every non-canonical member of an LSH
+    duplicate component is dropped — d08's components under d16's
+    longest-text/min-id survivor rule), plus the kept byte volume.
+    Both drop sets are computed on the full corpus independently and a
+    document may be flagged by both (the columns report each signal;
+    n_kept counts docs clear of both) — the report a pipeline owner
+    signs off before writing the clean corpus.
+
+    Scale shape: pure reuse — candidate pairs, components and survivor
+    ranks all derive from the session-persisted intermediate seam; the
+    funnel itself adds two id-keyed joins (16-byte fingerprint, doc_id)
+    and one (source, lang) hash aggregate. Nothing corpus-sized is
+    recomputed; no new shuffle exceeds the dedup chain's own."""
+    from ..functions.text import doc_fingerprint
+    from .llmops import d08_dup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    exact_keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+
+    # Survivor per component via the same struct-max aggregate d16 uses
+    # (NOT a per-component window — a template-spam component would make
+    # the window's single reducer a hot partition; the struct-max
+    # combines map-side like any aggregate).
+    comp = d08_dup_components(spark, sf_dir)
+    ranked = comp.join(
+        docs.select("doc_id", F.length(normalized_text(F.col("text"))).alias("len")),
+        "doc_id",
+    )
+    best = F.max(
+        F.struct(
+            F.col("len"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    )
+    survivors = ranked.groupBy("component").agg(
+        best.getField("doc_id").alias("keep_doc_id")
+    )
+    near_drops = (
+        comp.join(survivors, "component")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id", F.lit(1).alias("is_near"))
+    )
+
+    flagged = (
+        with_fp.join(exact_keep, "fp")
+        .join(near_drops, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_chars",
+            F.when(F.col("doc_id") != F.col("keep_id"), 1)
+            .otherwise(0)
+            .alias("is_exact_dupe"),
+            F.coalesce(F.col("is_near"), F.lit(0)).alias("is_near_dupe"),
+        )
+    )
+    clean = (F.col("is_exact_dupe") == 0) & (F.col("is_near_dupe") == 0)
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_exact_dupe").alias("n_exact_dupes"),
+        F.sum("is_near_dupe").alias("n_near_dupes"),
+        F.sum(F.when(clean, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(clean, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
