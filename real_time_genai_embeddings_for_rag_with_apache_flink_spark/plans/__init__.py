@@ -44,6 +44,7 @@ DRIVER_WINDOW: list[str] = [
     "d18_minhash_estimate_audit",
     "st13_stream_outer_interval_join",
     "p08_corpus_materialization",
+    "s16_knn_classification",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1379,3 +1379,72 @@ def p03_embed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_distinct(docs, dim=32).select(
         "doc_id", F.to_json("embedding").alias("embedding"), "error"
     )
+
+
+@query(
+    "s16_knn_classification",
+    oracle="""
+WITH nn AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                         c.vec_id) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+    JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c ON true
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT nn.q_id, e.label, COUNT(*) AS n_votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, label, n_votes,
+    ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY n_votes DESC, label) AS rn
+  FROM votes
+)
+SELECT q_id, label AS pred_label, n_votes FROM ranked WHERE rn = 1
+""",
+    tags=("similarity", "knn", "classification"),
+)
+def s16_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column: each query vector
+    (s02's query split) takes the majority label of its 10 nearest
+    corpus vectors by cosine; ties break to the smallest label. The
+    labeled-retrieval primitive behind deduplication-aware sampling and
+    weak labeling of new corpora.
+
+    Scale shape: the neighbor set rides knn_join's two-phase
+    WindowGroupLimit (partial top-k below the exchange — the shuffle
+    carries at most k rows per query per map task); the label join is
+    k*|Q|-sized; the vote and the argmax are hash aggregates, the final
+    winner a map-side struct-max, NOT a per-query window."""
+    from ..operators.similarity import knn_join
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = em.filter(F.col("vec_id") >= 8)
+    nn = knn_join(queries, corpus, k=10)
+    votes = (
+        nn.join(em.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_votes"),
+            (-F.col("label")).alias("neg_label"),
+            F.col("label").alias("label"),
+            F.col("n_votes").alias("votes_out"),
+        )
+    )
+    return votes.groupBy("q_id").agg(
+        best.getField("label").alias("pred_label"),
+        best.getField("votes_out").alias("n_votes"),
+    )
