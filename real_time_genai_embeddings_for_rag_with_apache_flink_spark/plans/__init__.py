@@ -45,6 +45,7 @@ DRIVER_WINDOW: list[str] = [
     "st13_stream_outer_interval_join",
     "p08_corpus_materialization",
     "s16_knn_classification",
+    "q65_string_agg",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -298,3 +298,40 @@ def q64_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q65_string_agg",
+    oracle="""
+SELECT r_name AS region, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+    tags=("aggregation", "string-agg"),
+)
+def q65_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): per region, the
+    alphabetical comma-joined nation list. Spark has no ordered
+    string_agg aggregate; the engine-portable form is collect_list ->
+    array_sort -> array_join, which keeps the per-group ordering
+    deterministic regardless of partition arrival order (a bare
+    collect_list order is execution-dependent and would never
+    hash-match). Group sizes here are dimension-small; for corpus-sized
+    groups the same pattern applies with a size cap (t14's
+    WindowGroupLimit rank-cap) in front."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
