@@ -46,6 +46,8 @@ DRIVER_WINDOW: list[str] = [
     "p08_corpus_materialization",
     "s16_knn_classification",
     "q65_string_agg",
+    "q66_window_distribution",
+    "d19_component_size_histogram",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -791,3 +791,43 @@ def p08_corpus_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clean, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(clean, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+@query(
+    "d19_component_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY 1)
+SELECT size, COUNT(*) AS n_components,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY size
+""",
+    tags=("dedup", "governance", "reporting"),
+)
+def d19_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup
+    components have 2 members, 3 members, ... and how many documents
+    each size class holds. The governance chart that distinguishes
+    benign pairwise duplication from template-spam explosions (a fat
+    right tail here is what the LSH bucket cap defends against).
+    Two tiny aggregations over the seam's cached component table —
+    shuffle is component-count sized, then size-class sized."""
+    from .llmops import d08_dup_components
+
+    comp = d08_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -335,3 +335,37 @@ def q65_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q66_window_distribution",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "distribution"),
+)
+def q66_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — NTILE, PERCENT_RANK, CUME_DIST
+    per order-status partition ordered by price (total tiebreaker on
+    the key, so ranks are deterministic on both engines). Completes the
+    window-function surface next to q17-q19/q44's rank/frame/navigation
+    coverage; one hash exchange on the partition key, all three
+    functions share the single sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
