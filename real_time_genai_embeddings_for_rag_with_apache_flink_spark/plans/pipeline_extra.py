@@ -552,12 +552,29 @@ def p07_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .option("header", "true")
             .option("escape", '"')
+            # Spark's CSV writer strips leading/trailing field
+            # whitespace by default — byte-lossy for text corpora.
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .csv(path)
         )
         _CSV_CACHE[key] = path
-    back = spark.read.schema(
-        "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    ).option("header", "true").option("escape", '"').csv(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        # documents may embed newlines; without multiLine the reader
+        # splits quoted records at line breaks and silently drops rows.
+        # multiLine parses each file as a unit — one task per file, so
+        # at scale read parallelism comes from file count (which this
+        # sink's one-file-per-partition write already provides).
+        .option("multiLine", "true")
+        .csv(path)
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
