@@ -140,3 +140,31 @@ def test_q36b_approx_percentiles_error_bound(spark, oracle_con):
             assert lo - 1e-9 <= est <= hi + 1e-9, (
                 f"status {r.status} p{p}: {est} outside [{lo}, {hi}]"
             )
+
+
+def test_d17_substring_dedup_invariants(spark, tmp_path):
+    """Exact duplicate docs share every 8-token window (dup_fraction
+    1.0 on both); a disjoint-vocabulary doc shares none (0.0)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        d17_substring_dedup,
+    )
+
+    sf = str(tmp_path / "sf_d17")
+    a = " ".join(f"tok{i}" for i in range(20))
+    b = " ".join(f"other{i}" for i in range(20))
+    rows = [(1, a, "en", "web"), (2, a, "en", "web"), (3, b, "en", "web")]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        .withColumn("n_chars", F.length("text"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(sf, "documents.parquet"))
+    )
+    out = {r.doc_id: r for r in d17_substring_dedup(spark, sf).collect()}
+    assert out[1].n_windows == 13  # 20 tokens -> 13 distinct 8-windows
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+    assert out[3].dup_fraction == 0.0 and out[3].n_shared == 0
