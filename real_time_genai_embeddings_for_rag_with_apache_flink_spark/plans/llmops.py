@@ -58,31 +58,54 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # sf_dir) at MEMORY_AND_DISK (spills instead of OOMing on big
 # partitions); a real deployment would swap persist() for a parquet
 # write of the same DataFrame and get restartability too.
-_INTERMEDIATES: dict[tuple[str, str, str], DataFrame] = {}
+_INTERMEDIATES: dict[tuple[str, str, str, str], DataFrame] = {}
 
 
 # Session conf key: when set to a directory, intermediates materialize
 # as parquet tables under it instead of executor-memory persist() —
 # the restartable at-100-TB mode (a re-run, or a different job in the
 # same pipeline, reads the table instead of recomputing the corpus).
+# The directory may be any Hadoop-filesystem URI (local path, hdfs://,
+# s3a://): completeness is probed through the Hadoop FileSystem API,
+# not os.path.
 INTERMEDIATE_DIR_CONF = "spark.graft.intermediateDir"
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the JVM Hadoop FileSystem, so the
+    restartable mode works against object stores, not just the
+    driver-local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _cached_intermediate(
     spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    # The content fingerprint of the source table is part of BOTH the
+    # in-memory key and the parquet path tag: a regenerated sf_dir (same
+    # path, new data) must re-derive, never serve stale dedup results —
+    # in-process and across processes. Same staleness class as the
+    # ORC/CSV materialization caches in pipeline_extra.
+    from ..sources.batch import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(os.path.abspath(sf_dir), "documents.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind, fp)
     df = _INTERMEDIATES.get(key)
     if df is None:
         out_dir = spark.conf.get(INTERMEDIATE_DIR_CONF, None)
         if out_dir:
             import hashlib
 
-            tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-            path = os.path.join(out_dir, f"{kind}-{tag}")
+            tag = hashlib.md5(
+                f"{os.path.abspath(sf_dir)}|{fp}".encode()
+            ).hexdigest()[:12]
+            path = f"{out_dir.rstrip('/')}/{kind}-{tag}"
             # _SUCCESS marks a complete prior write (Spark's commit
             # protocol); anything else is absent or torn -> rewrite.
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            if not _fs_exists(spark, f"{path}/_SUCCESS"):
                 build().write.mode("overwrite").parquet(path)
             df = spark.read.parquet(path)
         else:
@@ -617,12 +640,15 @@ WITH t AS (
            i -> array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' '))) AS wins
   FROM t WHERE len(toks) >= {_SUBSTR_W}
 ), p AS (
-  SELECT doc_id, UNNEST(wins) AS win FROM w
+  -- hash the window EXACTLY like the Spark side (60-bit md5 prefix)
+  -- so any cross-corpus collision inflates both engines identically
+  SELECT doc_id, CAST(concat('0x', substr(md5(win), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, UNNEST(wins) AS win FROM w)
 ), c AS (
-  SELECT win, COUNT(*) AS n_docs FROM p GROUP BY 1
+  SELECT h, COUNT(*) AS n_docs FROM p GROUP BY 1
 ), s AS (
   SELECT p.doc_id, COUNT(*) AS n_shared
-  FROM p JOIN c ON c.win = p.win AND c.n_docs >= 2
+  FROM p JOIN c ON c.h = p.h AND c.n_docs >= 2
   GROUP BY 1
 )
 SELECT w.doc_id, len(w.wins) AS n_windows,

@@ -469,18 +469,7 @@ _CSV_CACHE: dict[tuple[str, str], str] = {}
 _ORC_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _source_fingerprint(path: str) -> str:
-    """mtime+size fingerprint of a parquet file or directory-of-files."""
-    import os
-
-    if os.path.isdir(path):
-        parts = sorted(
-            (f, os.path.getmtime(os.path.join(path, f)), os.path.getsize(os.path.join(path, f)))
-            for f in os.listdir(path)
-        )
-        return repr(parts)
-    st = os.stat(path)
-    return f"{st.st_mtime_ns}:{st.st_size}"
+from ..sources.batch import source_fingerprint as _source_fingerprint  # noqa: E402
 
 
 @query(

@@ -32,6 +32,32 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def source_fingerprint(path: str) -> str:
+    """mtime+size fingerprint of a parquet file or directory-of-files.
+
+    Used as a staleness key wherever the engine caches something derived
+    from a source table (ORC/CSV materialized copies, the dedup
+    intermediate seam): a regenerated source under the same path changes
+    the fingerprint, so the cache re-derives instead of serving stale
+    results. Remote URIs (no local stat) fingerprint as "remote" —
+    callers there fall back to path-identity semantics."""
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                (
+                    f,
+                    os.path.getmtime(os.path.join(path, f)),
+                    os.path.getsize(os.path.join(path, f)),
+                )
+                for f in os.listdir(path)
+            )
+            return repr(parts)
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "remote"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

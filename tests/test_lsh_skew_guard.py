@@ -149,3 +149,64 @@ def test_intermediates_materialize_to_parquet_when_configured(
     finally:
         spark.conf.unset(llmops.INTERMEDIATE_DIR_CONF)
         llmops.clear_intermediate_cache()
+
+
+def _write_docs(spark, sf_dir: str, rows):
+    from pyspark.sql import functions as F
+
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("fixture"))
+        .withColumn("n_chars", F.length("text"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def test_seam_cache_invalidates_on_source_regeneration(spark, tmp_path):
+    """A regenerated sf_dir (same path, new content) must never serve
+    stale intermediates — the cache key carries the source content
+    fingerprint, in-memory AND in the parquet restartable mode."""
+    sf_dir = str(tmp_path / "sf_regen")
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    _write_docs(spark, sf_dir, [(1, dup), (2, dup), (3, "one odd unrelated doc here")])
+
+    llmops.clear_intermediate_cache()
+    try:
+        v1 = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(spark, sf_dir).collect()
+        )
+        assert v1 == [(1, 2)]
+
+        # Regenerate in place: now THREE identical docs. No cache clear.
+        _write_docs(spark, sf_dir, [(1, dup), (2, dup), (3, dup)])
+        v2 = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(spark, sf_dir).collect()
+        )
+        assert v2 == [(1, 2), (1, 3), (2, 3)], "stale seam cache served v1 pairs"
+
+        # Parquet restartable mode: the path tag carries the fingerprint,
+        # so staleness cannot persist across processes either.
+        inter = str(tmp_path / "inter")
+        llmops.clear_intermediate_cache()
+        spark.conf.set(llmops.INTERMEDIATE_DIR_CONF, inter)
+        v3 = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(spark, sf_dir).collect()
+        )
+        assert v3 == v2
+        _write_docs(spark, sf_dir, [(1, dup), (2, dup), (3, "odd again doc text")])
+        llmops.clear_intermediate_cache()  # fresh process analogue: disk persists
+        v4 = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.d04_minhash_lsh_pairs(spark, sf_dir).collect()
+        )
+        assert v4 == [(1, 2)], "parquet intermediate served stale (path-only tag)"
+    finally:
+        if spark.conf.get(llmops.INTERMEDIATE_DIR_CONF, None):
+            spark.conf.unset(llmops.INTERMEDIATE_DIR_CONF)
+        llmops.clear_intermediate_cache()
