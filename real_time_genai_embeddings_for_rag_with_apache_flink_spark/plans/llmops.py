@@ -360,6 +360,20 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other candidate. Standard production-MinHash practice.
 _LSH_BUCKET_CAP = 64
 
+# Session conf key overriding the default cap: a 100-TB corpus run
+# tunes this per corpus (template-heavy crawls want it low, curated
+# corpora can afford exact pairs in bigger buckets). The DuckDB oracles
+# bake the DEFAULT — the driver gate always runs with the conf unset —
+# so overriding it is an operational knob, not a semantics fork.
+LSH_BUCKET_CAP_CONF = "spark.graft.lshBucketCap"
+
+
+def _lsh_bucket_cap(spark: SparkSession) -> int:
+    cap = int(spark.conf.get(LSH_BUCKET_CAP_CONF, str(_LSH_BUCKET_CAP)))
+    if cap < 1:
+        raise ValueError(f"{LSH_BUCKET_CAP_CONF} must be >= 1, got {cap}")
+    return cap
+
 
 _SQL_LSH_CTES = f"""
 shingled AS (
@@ -394,6 +408,30 @@ shingled AS (
 """
 
 
+def _lsh_bands_df(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows: the signature banded 4x4, one
+    codegen transform + explode — the only corpus-sized shuffle key in
+    the LSH chain."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.element_at(F.col("signature"), bi * 4 + 1),
+                        F.element_at(F.col("signature"), bi * 4 + 2),
+                        F.element_at(F.col("signature"), bi * 4 + 3),
+                        F.element_at(F.col("signature"), bi * 4 + 4),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 @query(
     "d04_minhash_lsh_pairs",
     oracle=f"WITH {_SQL_LSH_CTES.strip()}\nSELECT id_a, id_b FROM lsh_pairs",
@@ -406,31 +444,17 @@ def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucket stats (count, min doc_id) come from one window over
     (band_idx, band_key) — the same key the self-join shuffles on, so
-    the window's exchange is reused by the join. Buckets over
-    _LSH_BUCKET_CAP are star-linked to the bucket's minimum doc_id:
-    linear pairs per bucket instead of quadratic, same duplicate-
-    cluster connectivity."""
+    the window's exchange is reused by the join. Buckets over the cap
+    (default _LSH_BUCKET_CAP, tunable via spark.graft.lshBucketCap)
+    are star-linked to the bucket's minimum doc_id: linear pairs per
+    bucket instead of quadratic, same duplicate-cluster connectivity.
+    d20_lsh_bucket_audit surfaces how many buckets the cap actually
+    fired on, so operators can see the guard working instead of
+    trusting it blindly."""
+    cap = _lsh_bucket_cap(spark)
 
     def build() -> DataFrame:
-        sigs = _minhash_signatures_df(spark, sf_dir)
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                    lambda bi: F.struct(
-                        bi.alias("band_idx"),
-                        F.concat_ws(
-                            ",",
-                            F.element_at(F.col("signature"), bi * 4 + 1),
-                            F.element_at(F.col("signature"), bi * 4 + 2),
-                            F.element_at(F.col("signature"), bi * 4 + 3),
-                            F.element_at(F.col("signature"), bi * 4 + 4),
-                        ).alias("band_key"),
-                    ),
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_idx", "band.band_key")
+        bands = _lsh_bands_df(_minhash_signatures_df(spark, sf_dir))
         w = Window.partitionBy("band_idx", "band_key")
         counted = bands.select(
             "doc_id",
@@ -439,7 +463,7 @@ def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("bucket_n"),
             F.min("doc_id").over(w).alias("bucket_rep"),
         )
-        small = counted.filter(F.col("bucket_n") <= _LSH_BUCKET_CAP)
+        small = counted.filter(F.col("bucket_n") <= cap)
         a, b = small.alias("a"), small.alias("b")
         all_pairs = a.join(
             b,
@@ -448,14 +472,15 @@ def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         star = counted.filter(
-            (F.col("bucket_n") > _LSH_BUCKET_CAP)
-            & (F.col("doc_id") != F.col("bucket_rep"))
+            (F.col("bucket_n") > cap) & (F.col("doc_id") != F.col("bucket_rep"))
         ).select(
             F.col("bucket_rep").alias("id_a"), F.col("doc_id").alias("id_b")
         )
         return all_pairs.unionByName(star).distinct()
 
-    return _cached_intermediate(spark, sf_dir, "lsh_pairs", build)
+    # The cap is part of the cache identity: a session that changes the
+    # knob must not be served pairs computed under a different cap.
+    return _cached_intermediate(spark, sf_dir, f"lsh_pairs-c{cap}", build)
 
 
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +491,58 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam bucket) by star-linking oversized buckets; see
     _lsh_candidate_pairs_df."""
     return _lsh_candidate_pairs_df(spark, sf_dir)
+
+
+@query(
+    "d20_lsh_bucket_audit",
+    oracle=f"""
+WITH {_SQL_LSH_CTES.strip()},
+bs AS (
+  SELECT band_idx, band_key, COUNT(*) AS bucket_n
+  FROM bands GROUP BY 1, 2
+)
+SELECT band_idx,
+       COUNT(*) AS n_buckets,
+       MAX(bucket_n) AS max_bucket_n,
+       CAST(SUM(CASE WHEN bucket_n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_buckets,
+       CAST(SUM(CASE WHEN bucket_n > {_LSH_BUCKET_CAP} THEN bucket_n - 1
+                     ELSE (bucket_n * (bucket_n - 1)) // 2 END)
+            AS BIGINT) AS n_candidate_pairs
+FROM bs GROUP BY 1
+""",
+    tags=("dedup", "lsh", "observability"),
+)
+def d20_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the LSH skew guard: per band, the bucket
+    count, the largest bucket, how many buckets exceeded the cap
+    (n_capped_buckets — the metric that shows the guard FIRING rather
+    than being trusted blindly), and the candidate-pair budget the d04
+    join will actually pay under the cap-and-star-link rule. On a
+    healthy corpus n_capped_buckets is 0 everywhere; a template-spam
+    crawl shows up here before it shows up as a hot task.
+
+    Scale shape: one hash aggregate over the same (band_idx, band_key)
+    key d04 shuffles on, then a 4-row rollup — strictly cheaper than
+    the join it audits."""
+    cap = _lsh_bucket_cap(spark)
+    bands = _lsh_bands_df(_minhash_signatures_df(spark, sf_dir))
+    bs = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    pair_budget = F.when(
+        F.col("bucket_n") > cap, F.col("bucket_n") - 1
+    ).otherwise(
+        ((F.col("bucket_n") * (F.col("bucket_n") - 1)) / 2).cast("long")
+    )
+    return bs.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket_n"),
+        F.sum(F.when(F.col("bucket_n") > cap, 1).otherwise(0)).alias(
+            "n_capped_buckets"
+        ),
+        F.sum(pair_budget).alias("n_candidate_pairs"),
+    )
 
 
 @query(

@@ -99,6 +99,43 @@ def test_guard_matches_duckdb_oracle_on_adversarial_corpus(
         assert res.ok, f"{name}: {res.detail}"
 
 
+def test_bucket_cap_knob_roundtrips(spark, adversarial_sf_dir):
+    """spark.graft.lshBucketCap overrides the default cap: raised above
+    the spam-cluster size the join goes exact all-pairs; unset, the
+    default star-link returns — and the seam cache never serves pairs
+    computed under a different cap."""
+    llmops.clear_intermediate_cache()
+    spark.conf.set(llmops.LSH_BUCKET_CAP_CONF, str(2 * N_SPAM))
+    try:
+        pairs = llmops.d04_minhash_lsh_pairs(spark, adversarial_sf_dir).collect()
+        spam = [r for r in pairs if r.id_a < 1000 and r.id_b < 1000]
+        assert len(spam) == N_SPAM * (N_SPAM - 1) // 2
+    finally:
+        spark.conf.unset(llmops.LSH_BUCKET_CAP_CONF)
+    # Same session, conf back to default: the cap is part of the cache
+    # identity, so this must NOT reuse the exact-pairs table.
+    pairs = llmops.d04_minhash_lsh_pairs(spark, adversarial_sf_dir).collect()
+    spam = [r for r in pairs if r.id_a < 1000 and r.id_b < 1000]
+    assert len(spam) == N_SPAM - 1
+    llmops.clear_intermediate_cache()
+
+
+def test_bucket_audit_surfaces_capped_buckets(spark, adversarial_sf_dir):
+    """d20: every band shows exactly one capped bucket (the spam
+    template) and the star-linked pair budget, so the guard's firing is
+    an observable metric, not an article of faith."""
+    rows = {
+        r.band_idx: r
+        for r in llmops.d20_lsh_bucket_audit(spark, adversarial_sf_dir).collect()
+    }
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.n_capped_buckets == 1
+        assert r.max_bucket_n == N_SPAM
+        # spam star pairs + small-cluster exact pairs; singletons add 0
+        assert r.n_candidate_pairs == (N_SPAM - 1) + N_SMALL * (N_SMALL - 1) // 2
+
+
 def test_intermediates_materialize_to_parquet_when_configured(
     spark, adversarial_sf_dir, tmp_path
 ):
