@@ -241,12 +241,11 @@ list_transform(generate_series(0, {_N_MINHASH - 1}),
 """
 
 
-def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # The corpus arrives as few large files; shingling is CPU-bound, so
-    # spread rows across all cores first (a shuffle of (doc_id, text) is
-    # trivial next to the work it parallelizes).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+def _shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams) non-distinct trigram shingles from any
+    (doc_id, text, ...) DataFrame — the MinHash input. Factored out so
+    streaming arrivals (st14) shingle each micro-batch with EXACTLY the
+    same expression the batch corpus path uses."""
     toks = F.split(normalized_text(F.col("text")), r"\s+")
     n = F.size(toks)
     # Unlike _trigrams (the Jaccard path), shingles here are NOT
@@ -286,37 +285,48 @@ def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_intermediate(spark, sf_dir, "shingled", build)
 
 
+def signatures_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, signature array<bigint>[16]) from any (doc_id, text)
+    DataFrame: shingle -> explode -> codegen'd md5 -> 16-way min
+    aggregation. The explode+hash+partial-min all stay in whole-stage
+    codegen (nested higher-order lambdas would run interpreted); the
+    shuffle carries only (doc_id, h1, h2) pre-min rows and partial
+    aggregation collapses them map-side. Shared by the seam-cached
+    corpus path and st14's per-micro-batch arrival signatures, so both
+    produce bit-identical signatures by construction."""
+    ex = _shingle_docs(docs).select("doc_id", F.explode("grams").alias("g"))
+    hashed = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("g"), 9, 7), 16, 10)
+        .cast("bigint")
+        .alias("h2"),
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + s * F.col("h2")) % _MINHASH_P).alias(f"m{s}")
+            for s in range(_N_MINHASH)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[f"m{s}" for s in range(_N_MINHASH)]).alias("signature"),
+    )
+
+
 def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, signature array<bigint>[16]) via explode -> codegen'd md5
-    -> 16-way min aggregation. The explode+hash+partial-min all stay in
-    whole-stage codegen (nested higher-order lambdas would run
-    interpreted); the shuffle carries only (doc_id, h1, h2) pre-min
-    rows and partial aggregation collapses them map-side. Persisted
+    """Corpus MinHash signatures (see signatures_from_docs), persisted
     once per session via the intermediate seam."""
 
     def build() -> DataFrame:
-        ex = _minhash_docs(spark, sf_dir).select(
-            "doc_id", F.explode("grams").alias("g")
-        )
-        hashed = ex.select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 7), 16, 10)
-            .cast("bigint")
-            .alias("h1"),
-            F.conv(F.substring(F.md5("g"), 9, 7), 16, 10)
-            .cast("bigint")
-            .alias("h2"),
-        )
-        mins = hashed.groupBy("doc_id").agg(
-            *[
-                F.min((F.col("h1") + s * F.col("h2")) % _MINHASH_P).alias(f"m{s}")
-                for s in range(_N_MINHASH)
-            ]
-        )
-        return mins.select(
-            "doc_id",
-            F.array(*[f"m{s}" for s in range(_N_MINHASH)]).alias("signature"),
-        )
+        docs = load_table(spark, sf_dir, "documents")
+        # The corpus arrives as few large files; shingling is CPU-bound,
+        # so spread rows across all cores first (a shuffle of (doc_id,
+        # text) is trivial next to the work it parallelizes).
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return signatures_from_docs(docs)
 
     return _cached_intermediate(spark, sf_dir, "minhash_sigs", build)
 

@@ -442,6 +442,188 @@ def st13_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(joined, "st13", "append")
 
 
+def run_incremental_dedup(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    corpus_fps: DataFrame,
+    corpus_bands: DataFrame,
+    work_root: str,
+) -> DataFrame:
+    """Streaming incremental dedup: new arrivals deduped against the
+    ACCUMULATED corpus — the continuous-pipeline pattern the reference's
+    forever-running job implies (KDS-P/.../msf/DataStreamJob.java:133-177)
+    and that the batch dedup surface (d01-d19) cannot express.
+
+    Per micro-batch (foreachBatch — each batch is a bounded DataFrame,
+    so aggregation/join restrictions on chained stateful streaming
+    operators don't apply, and ALL state lives in restartable storage
+    rather than executor memory):
+
+    1. exact dedup vs the accumulated fingerprint table (left ANTI join
+       — at this scale broadcast, at 100 TB a shuffled anti-join or a
+       Delta MERGE against the corpus table);
+    2. exact dedup WITHIN the batch (min-doc_id survivor per
+       fingerprint, a combinable struct-min aggregate);
+    3. near-dup candidate count vs the INITIAL corpus: the batch's
+       MinHash signatures (signatures_from_docs — the same expression
+       tree as the batch corpus path, so signatures are bit-identical)
+       banded and equi-joined against the corpus band table from the
+       intermediate seam;
+    4. survivors appended to the results table, their fingerprints
+       appended to the fingerprint table — so batch k+1 dedups against
+       every batch <= k even across a process restart (the fingerprint
+       table is parquet, the stream position is the checkpoint).
+
+    The contract is batch-boundary independent: because the split
+    source replays arrivals in doc_id order, the surviving set is
+    exactly {min doc_id per fingerprint not in the corpus}, and the
+    near-dup count is vs the initial corpus only (counting vs earlier
+    ARRIVALS would depend on where micro-batch boundaries fall, which
+    no engine-portable oracle can replay)."""
+    fps_dir = os.path.join(work_root, "fps")
+    results_dir = os.path.join(work_root, "results")
+    ckpt = os.path.join(work_root, "ckpt")
+    if not os.path.isdir(fps_dir):
+        # first run: seed the accumulated-state table with the corpus
+        corpus_fps.write.parquet(fps_dir)
+
+    cb = corpus_bands.select(
+        "band_idx", "band_key", F.col("doc_id").alias("corpus_doc_id")
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from .llmops import _lsh_bands_df, signatures_from_docs
+        from ..functions.text import doc_fingerprint
+
+        sp = batch.sparkSession
+        known = sp.read.parquet(fps_dir)
+        arr = batch.withColumn("fp", doc_fingerprint(F.col("text")))
+        fresh = arr.join(known, "fp", "left_anti")
+        surv = (
+            fresh.groupBy("fp")
+            .agg(F.min(F.struct(F.col("doc_id"), F.col("text"))).alias("s"))
+            .select("fp", F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+            .persist()
+        )
+        bands = _lsh_bands_df(signatures_from_docs(surv.select("doc_id", "text")))
+        cand = (
+            bands.join(cb, ["band_idx", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.count_distinct("corpus_doc_id").alias("n_corpus_candidates"))
+        )
+        out = (
+            surv.select("doc_id")
+            .join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_corpus_candidates", F.lit(0))
+                .cast("long")
+                .alias("n_corpus_candidates"),
+            )
+        )
+        out.write.mode("append").parquet(results_dir)
+        surv.select("fp").write.mode("append").parquet(fps_dir)
+        surv.unpersist()
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st14"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.read.schema("doc_id long, n_corpus_candidates long").parquet(
+        results_dir
+    )
+
+
+@query(
+    "st14_stream_incremental_dedup",
+    oracle="""
+WITH corpus_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 != 0
+),
+arrivals AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+fresh AS (
+  SELECT a.* FROM arrivals a
+  WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = a.fp)
+),
+surv AS (SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp),
+shingled AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       ELSE list_transform(generate_series(1, len(toks)-2),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+        FROM documents)
+), sigs AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      s -> list_min(list_transform(
+             list_transform(grams, g -> {'h1': CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT),
+                                          'h2': CAST(concat('0x', substr(md5(g), 9, 7)) AS BIGINT)}),
+             h -> (h.h1 + s * h.h2) % 268435399))) AS sig
+  FROM shingled WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b.band_idx,
+         concat_ws(',', sig[b.band_idx*4+1], sig[b.band_idx*4+2],
+                        sig[b.band_idx*4+3], sig[b.band_idx*4+4]) AS band_key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+cand AS (
+  SELECT sb.doc_id, COUNT(DISTINCT cb.doc_id) AS n
+  FROM bands sb
+  JOIN bands cb ON cb.band_idx = sb.band_idx AND cb.band_key = sb.band_key
+               AND cb.doc_id % 3 != 0
+  WHERE sb.doc_id IN (SELECT doc_id FROM surv)
+  GROUP BY 1
+)
+SELECT s.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus_candidates
+FROM surv s LEFT JOIN cand c ON c.doc_id = s.doc_id
+""",
+    tags=("streaming", "dedup", "incremental", "lsh"),
+    bench=True,
+)
+def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup against an accumulated corpus (see
+    run_incremental_dedup). The accumulated corpus is the documents with
+    doc_id % 3 != 0; arrivals are the rest, replayed as N_STREAM_FILES
+    doc_id-ordered micro-batches. Output: one row per ACCEPTED arrival
+    (not an exact duplicate of the corpus or of any earlier arrival)
+    with the count of distinct corpus documents sharing at least one
+    LSH band — the near-dup review queue. The corpus band table rides
+    the intermediate seam (restartable parquet mode included), so the
+    streaming job and sibling batch jobs share one corpus scan."""
+    from .llmops import _lsh_bands_df, _minhash_signatures_df
+    from ..functions.text import doc_fingerprint
+    from ..sources.batch import load_table
+
+    is_corpus = F.col("doc_id") % 3 != 0
+    corpus_fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_corpus)
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    corpus_bands = _lsh_bands_df(_minhash_signatures_df(spark, sf_dir)).filter(
+        is_corpus
+    )
+    arrivals = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", "text")
+    work_root = tempfile.mkdtemp(prefix="st14_")
+    return run_incremental_dedup(
+        spark, arrivals, corpus_fps, corpus_bands, work_root
+    )
+
+
 @query(
     "st08_stream_session_append",
     oracle="""

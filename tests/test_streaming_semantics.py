@@ -142,6 +142,7 @@ def test_split_source_replays_multiple_microbatches(spark):
     for name, builder in (
         ("st02_stream_watermark_append", sq.st02_stream_watermark_append),
         ("st03_stream_dedup", sq.st03_stream_dedup),
+        ("st14_stream_incremental_dedup", sq.st14_stream_incremental_dedup),
     ):
         builder(spark, sf_dir).collect()
         short = name.split("_")[0]
@@ -233,3 +234,99 @@ def test_outer_interval_join_null_emission_frontier(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM outer_frontier").collect()
     assert sorted((r.err_id, r.click_id) for r in out) == [(0, None)]
+
+
+def test_incremental_dedup_state_survives_restart(spark, tmp_path):
+    """st14's runner: the accumulated fingerprint state lives in storage,
+    so an arrival in a post-restart batch that duplicates a PRE-restart
+    arrival is still dropped, and restart + catch-up produces exactly
+    the one-shot result."""
+    import os
+    import shutil
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _lsh_bands_df,
+        signatures_from_docs,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_incremental_dedup,
+    )
+
+    X = "the first arrival document with plenty of tokens for shingles"
+    Y = "a second distinct arrival whose text also has enough tokens here"
+    Z = "corpus resident text that an arrival will duplicate exactly soon"
+    V = "another corpus resident wholly unrelated to every arrival text"
+    W = "a genuinely fresh post restart arrival with novel token content"
+
+    corpus = spark.createDataFrame(
+        [(100, Z), (101, V)], "doc_id long, text string"
+    )
+    corpus_fps = corpus.select(doc_fingerprint(F.col("text")).alias("fp")).distinct()
+    corpus_bands = _lsh_bands_df(signatures_from_docs(corpus))
+
+    def write_file(src, name, rows, mtime):
+        p = os.path.join(src, name)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p + ".tmp")
+        import glob
+
+        part = glob.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + ".tmp")
+        os.utime(p, (mtime, mtime))
+
+    def arrivals_stream(src):
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    base = 1_700_000_000
+    file_a = [(1, X), (2, Y)]
+    file_b = [(4, Z), (5, X)]  # 4 exact-dups the corpus, 5 dups arrival 1
+    file_c = [(7, Y), (8, W)]  # 7 dups a PRE-restart arrival
+
+    # One-shot reference: all three files in a single run.
+    src1 = str(tmp_path / "src_oneshot")
+    os.makedirs(src1)
+    for i, (nm, rows) in enumerate(
+        [("a.parquet", file_a), ("b.parquet", file_b), ("c.parquet", file_c)]
+    ):
+        write_file(src1, nm, rows, base + 10 * i)
+    one_shot = run_incremental_dedup(
+        spark,
+        arrivals_stream(src1),
+        corpus_fps,
+        corpus_bands,
+        str(tmp_path / "work_oneshot"),
+    )
+    one_shot_rows = {(r.doc_id, r.n_corpus_candidates) for r in one_shot.collect()}
+    assert {d for d, _ in one_shot_rows} == {1, 2, 8}
+
+    # Restarted: files a+b, stop, then c appears and the SAME work root
+    # and checkpoint resume.
+    src2 = str(tmp_path / "src_restart")
+    os.makedirs(src2)
+    write_file(src2, "a.parquet", file_a, base)
+    write_file(src2, "b.parquet", file_b, base + 10)
+    work = str(tmp_path / "work_restart")
+    phase1 = run_incremental_dedup(
+        spark, arrivals_stream(src2), corpus_fps, corpus_bands, work
+    )
+    phase1_ids = {r.doc_id for r in phase1.collect()}
+    assert phase1_ids == {1, 2}
+
+    write_file(src2, "c.parquet", file_c, base + 20)
+    phase2 = run_incremental_dedup(
+        spark, arrivals_stream(src2), corpus_fps, corpus_bands, work
+    )
+    restart_rows = {(r.doc_id, r.n_corpus_candidates) for r in phase2.collect()}
+    assert {d for d, _ in restart_rows} == {1, 2, 8}, (
+        "doc 7 duplicates a pre-restart arrival and must stay dropped"
+    )
+    assert restart_rows == one_shot_rows
