@@ -837,3 +837,133 @@ def d19_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_components"),
         (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end RAG query (p09)
+# ---------------------------------------------------------------------------
+
+# Deterministic natural-language query over the synthetic corpus
+# vocabulary (same spirit as retrieval._QUERY_TERMS).
+_RAG_QUERY_TEXT = "join window hash aggregate shuffle partition"
+_RAG_CANDIDATES = 50
+_RAG_K = 10
+_RAG_DIM = 64
+
+
+def _rag_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, doc_id, chunk_idx, chunk_text, embedding): the corpus
+    chunked (t06) and every chunk embedded with the deterministic
+    embedder — the index-build half of the RAG pipeline (the reference
+    builds the same thing by streaming whole messages through Bedrock
+    into the OpenSearch k-NN index). vec_id packs (doc_id, chunk_idx)
+    so chunk identity survives the ANN stages."""
+    from ..operators.embed import embed
+    from .llmops import t06_doc_chunking
+
+    chunks = t06_doc_chunking(spark, sf_dir)
+    embedded = embed(chunks, text_col="chunk_text", dim=_RAG_DIM, on_error="drop")
+    return embedded.select(
+        (F.col("doc_id") * 100_000 + F.col("chunk_idx")).alias("vec_id"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        "embedding",
+    )
+
+
+def _rag_query_vec() -> list[float]:
+    from ..operators.embed import DeterministicEmbedder
+
+    vec = DeterministicEmbedder(_RAG_DIM).embed_batch([_RAG_QUERY_TEXT])[0]
+    return [float(x) for x in vec]
+
+
+def _rag_candidates(
+    chunk_vecs: DataFrame, qvec: list[float], k: int = _RAG_CANDIDATES
+) -> DataFrame:
+    """IVF-PQ approximate candidate fetch over the chunk index
+    (vec_id, approx_dist). Coarse IVF cells come from k-means (the
+    embeddings table's pre-assigned labels don't exist for chunks —
+    this is the label_centroids docstring's prescribed swap). Cell ids
+    are densified to 0..K-1 via a k-row driver map because
+    ivfpq_search's literal centroid table is positional. Shared with
+    tests/test_rag_pipeline.py's recall gate so the gated stage IS the
+    production stage."""
+    from ..operators.kmeans import kmeans_assign
+    from ..operators.pq import ivfpq_search
+
+    labels = kmeans_assign(
+        chunk_vecs.select("vec_id", "embedding"), k=8, iterations=2
+    )
+    present = sorted(r.cell for r in labels.select("cell").distinct().collect())
+    dense = F.create_map(
+        *[F.lit(x) for c, i in ((c, i) for i, c in enumerate(present)) for x in (c, i)]
+    )
+    corpus = chunk_vecs.select("vec_id", "embedding").join(
+        labels.select("vec_id", dense[F.col("cell")].alias("label")), "vec_id"
+    )
+    return ivfpq_search(
+        corpus, qvec, nprobe=4, k=k, m=4, n_codes=16, iterations=2
+    )
+
+
+@query(
+    "p09_rag_query",
+    oracle=None,  # IVF-PQ codebook training + greedy MMR are not SQL-expressible
+    tags=("rag", "retrieval", "ann", "pipeline", "rerank"),
+)
+def p09_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval half the reference delegates to OpenSearch
+    (KDS-P/index-creation-function/lambda_function.py:72-80), composed
+    end-to-end inside the engine: embed the query text -> IVF-PQ
+    candidate fetch over the chunked+embedded corpus (s10's index) ->
+    exact cosine rescore of the candidates -> MMR diversity rerank
+    (s14) -> chunk text fetch (t06). Returns the top-10 chunks with
+    relevance (sim), diversity-adjusted score (mmr) and provenance.
+
+    Scale shape: the corpus is touched only by the index build (chunk +
+    embed + encode, all narrow or seam-shaped passes); the query path
+    scans nprobe/K of the PQ code table with zero shuffle, rescores
+    exactly |candidates| rows (a broadcast-literal cosine against 50
+    rows), and MMR sees only the candidate list. Everything after the
+    candidate fetch is driver-sized work distributed per query group —
+    thousands of concurrent queries would parallelize by q_id.
+    Rows-only entry: tests/test_rag_pipeline.py pins the recall floor
+    vs brute-force exact search (the s01 pattern) on the same chunk
+    vectors, plus rank/determinism invariants. Deliberately NOT
+    benched: its cost is ~40 small driver-iterative jobs (k-means + PQ
+    Lloyd rounds), i.e. scheduling overhead that is constant at scale —
+    each constituent stage (embed st05, k-means s06, PQ s09/s10, MMR
+    s14) already has its own bench row."""
+    from pyspark import StorageLevel
+
+    from ..functions.vector import cosine_similarity
+    from .retrieval import mmr_select
+
+    chunk_vecs = _rag_chunk_vectors(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    qvec = _rag_query_vec()
+    cands = _rag_candidates(chunk_vecs, qvec)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    rescored = (
+        cands.join(chunk_vecs, "vec_id")
+        .select(
+            F.lit(0).cast("bigint").alias("q_id"),
+            "vec_id",
+            "embedding",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("sim"),
+        )
+    )
+    top = mmr_select(rescored, k=_RAG_K)
+    return (
+        top.join(
+            chunk_vecs.select("vec_id", "doc_id", "chunk_idx", "chunk_text"),
+            "vec_id",
+        )
+        .select(
+            "rank", "doc_id", "chunk_idx", "vec_id", "sim", "mmr", "chunk_text"
+        )
+        .orderBy("rank")
+    )
