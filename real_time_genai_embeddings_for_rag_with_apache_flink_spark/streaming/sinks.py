@@ -34,6 +34,20 @@ def foreach_batch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None
         )
     if cfg.sink_format == "opensearch":
         return _opensearch_writer(cfg)
+    if cfg.sink_format == "delta":
+        if not cfg.sink_path:
+            raise ValueError("delta sink needs sink_path")
+        keys = tuple(cfg.extra.get("upsert_keys", ()))
+        if not keys:
+            raise ValueError("delta sink needs extra['upsert_keys']")
+        return delta_upsert_writer(
+            cfg.sink_path,
+            keys,
+            order_by=tuple(cfg.extra.get("upsert_order_by", ())),
+            table_factory=cfg.extra.get(
+                "delta_table_factory", _default_delta_factory
+            ),
+        )
     raise ValueError(f"unknown sink_format {cfg.sink_format!r}")
 
 
@@ -240,5 +254,84 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
             bulk(client, actions)
 
         docs.foreachPartition(send_partition)
+
+    return write_batch
+
+
+# ---------------------------------------------------------------------------
+# ACID table-format sink (Delta Lake), import-gated
+# ---------------------------------------------------------------------------
+
+
+def _default_delta_factory(spark, path: str):
+    """Returns a DeltaTable handle for ``path`` or None when no table
+    exists there yet. Import-gated: delta-spark (and its JVM jar) are
+    not in this container, so the gate raises with the remedy — the
+    same posture as the OpenSearch/codec gates."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:
+        raise NotImplementedError(
+            "delta sink requires delta-spark (pip install delta-spark and "
+            "configure spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension, "
+            "spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog."
+            "DeltaCatalog); use sink_format='parquet' with idempotent_sink "
+            "for the jar-free equivalent"
+        ) from e
+    if DeltaTable.isDeltaTable(spark, path):
+        return DeltaTable.forPath(spark, path)
+    return None
+
+
+def delta_upsert_writer(
+    path: str,
+    keys: tuple[str, ...],
+    order_by: tuple[str, ...] = (),
+    table_factory=_default_delta_factory,
+    create_format: str = "delta",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch keyed MERGE into a Delta table — st10's versioned-
+    parquet upsert with real ACID semantics (the upgrade st10's
+    docstring names: at 100 TB the per-batch full-table rewrite becomes
+    a transactional MERGE touching only matched files, and concurrent
+    readers never see a half-written version).
+
+    Per micro-batch:
+    1. the batch is reduced to ONE row per key (greatest row by
+       ``order_by``, descending, then by the key — MERGE requires a
+       unique source match, and a replayed batch must converge);
+    2. first batch creates the table (CTAS append); later batches run
+       ``MERGE ON t.k = s.k WHEN MATCHED UPDATE ALL WHEN NOT MATCHED
+       INSERT ALL`` — idempotent under micro-batch replay, giving
+       effectively-exactly-once sink semantics.
+
+    ``table_factory(spark, path)`` returns a DeltaTable-like handle or
+    None when the table doesn't exist; injectable (with
+    ``create_format``, which the first batch's CTAS uses) so the MERGE
+    composition is testable without the jar (tests/test_delta_sink.py),
+    exactly like the OpenSearch client_factory."""
+    from pyspark.sql import Window
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        ordering = [F.desc(c) for c in order_by] + [F.desc(c) for c in keys]
+        w = Window.partitionBy(*keys).orderBy(*ordering)
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tbl = table_factory(sp, path)
+        if tbl is None:
+            latest.write.format(create_format).save(path)
+            return
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            tbl.alias("t")
+            .merge(latest.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     return write_batch
