@@ -53,6 +53,8 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    _skew_stress(spark, timings, force)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -66,6 +68,62 @@ def main() -> int:
         )
     )
     return 0
+
+
+def _skew_stress(spark, timings: dict[str, float], force) -> None:
+    """Adversarial skew-guard stress rows: d04 on a synthetic
+    template-spam corpus (one degenerate cluster of 4,000 identical
+    documents + 500 distinct docs — the tests/test_lsh_skew_guard.py
+    fixture at ~25x the spam mass) with the bucket cap ON (default 64:
+    oversized buckets star-link, pairs stay linear) vs OFF (cap lifted
+    via the spark.graft.lshBucketCap knob: the band self-join goes
+    all-pairs, ~8M pairs per band in single buckets). The ratio is the
+    measured value of the guard — recorded in BASELINE.md so the
+    bounded-vs-quadratic claim is numbers, not argument. Single
+    measured run each (no warm pass: the quadratic side IS the cost
+    being demonstrated)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        llmops,
+    )
+
+    sf_dir = tempfile.mkdtemp(prefix="skew_sf_")
+    spam = "limited time offer buy cheap replica widgets now from our store " * 3
+    uniq = [
+        (100_000 + i, f"unique document number {i} about spark plans topic {i * 7} detail {i * 13}")
+        for i in range(500)
+    ]
+    rows = [(i, spam) for i in range(4000)] + uniq
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("stress"))
+        .withColumn("n_chars", F.length("text"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    for mode, cap in (("on", None), ("off", 100_000_000)):
+        llmops.clear_intermediate_cache()
+        if cap is not None:
+            spark.conf.set(llmops.LSH_BUCKET_CAP_CONF, str(cap))
+        try:
+            t0 = time.perf_counter()
+            force(llmops.d04_minhash_lsh_pairs(spark, sf_dir))
+            timings[f"d04_skew_guard_{mode}"] = round(
+                time.perf_counter() - t0, 4
+            )
+        finally:
+            if cap is not None:
+                spark.conf.unset(llmops.LSH_BUCKET_CAP_CONF)
+        print(
+            f"# d04_skew_guard_{mode}: {timings[f'd04_skew_guard_{mode}']:.3f}s",
+            file=sys.stderr,
+        )
+    llmops.clear_intermediate_cache()
 
 
 def _guess_sf(sf_dir: str) -> float:

@@ -1523,6 +1523,7 @@ ranked AS (
 SELECT q_id, label AS pred_label, n_votes FROM ranked WHERE rn = 1
 """,
     tags=("similarity", "knn", "classification"),
+    bench=True,
 )
 def s16_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification over the embedding column: each query vector

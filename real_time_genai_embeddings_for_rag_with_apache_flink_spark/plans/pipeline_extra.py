@@ -723,6 +723,7 @@ SELECT source, lang, COUNT(*) AS n_docs,
 FROM flagged GROUP BY source, lang
 """,
     tags=("dedup", "pipeline", "governance", "materialization"),
+    bench=True,
 )
 def p08_corpus_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup funnel as ONE materialization decision: per

@@ -348,6 +348,7 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """,
     tags=("window", "distribution"),
+    bench=True,
 )
 def q66_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — NTILE, PERCENT_RANK, CUME_DIST

@@ -400,6 +400,7 @@ outer_nulls AS (
 SELECT * FROM matched UNION ALL SELECT * FROM outer_nulls
 """,
     tags=("streaming", "join", "interval-join", "outer", "watermark"),
+    bench=True,
 )
 def st13_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: st07's inner pairs PLUS a
