@@ -14,40 +14,66 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-5 window: the three entries that have never had a
-# driver row (registered after the round-4 window froze), then the
-# entries touched by this round's changes (the d04 bucket guard
-# propagates to the whole dedup chain; d15's containment denominator is
-# now true set containment), then new round-5 operators. Already
-# driver-green untouched entries sort last, in registration order.
+# entries only. Round-6 window (the r5 verdict's rotation directive):
+# the three operators new this round (never driver-checked), then the
+# STALEST entries — everything whose latest driver row predates the
+# round-4/5 seam and skew-guard refactors. All 19 r02-checked entries
+# and the oldest 28 of the 40 r03-checked entries fit; the remaining 12
+# r03-stale entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
-    # never driver-checked (judge-verified locally in round 4)
-    "d16_canonical_selection",
-    "p06_orc_roundtrip",
-    "t17_dsir_weights",
-    # dedup chain re-check after the d04 bucket-skew guard
-    "d04_minhash_lsh_pairs",
-    "d08_dup_components",
-    "d10_lsh_verified_dupes",
-    "d15_containment_dupes",
-    "d05_simhash",
-    "d06_simhash_hamming_pairs",
-    # re-check after this round's smaller fixes
-    "s13_range_search",
-    "s14_mmr_rerank",
-    "q13b_approx_distinct",
-    "q36b_approx_percentiles",
-    # new in round 5
-    "d17_substring_dedup",
-    "t18_zipf_vocabulary",
-    "p07_csv_roundtrip",
-    "d18_minhash_estimate_audit",
-    "st13_stream_outer_interval_join",
-    "p08_corpus_materialization",
-    "s16_knn_classification",
-    "q65_string_agg",
-    "q66_window_distribution",
-    "d19_component_size_histogram",
+    # new this round (never driver-checked)
+    "d20_lsh_bucket_audit",
+    "p09_rag_query",
+    "st14_stream_incremental_dedup",
+    # stalest: last driver-checked in r02
+    "q28_json_functions",
+    "q32_in_subquery",
+    "q33_scalar_subquery",
+    "q44_window_navigation",
+    "q45_map_functions",
+    "q46_try_functions",
+    "q47_hash_bit_functions",
+    "q48_null_semantics",
+    "q49_priority_late_orders",
+    "q50_argmax_aggregates",
+    "q51_volume_shipping",
+    "q52_market_share",
+    "q53_product_profit",
+    "q55_promo_revenue",
+    "q56_top_supplier",
+    "q57_supplier_part_counts",
+    "q58_disjunctive_join",
+    "q59_excess_volume_suppliers",
+    "q60_waiting_orders",
+    # stalest: last driver-checked in r03 (oldest 28; rest roll to r07)
+    "q27_math_functions",
+    "q29_array_functions",
+    "q54_priority_lateness",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_signatures",
+    "t01_text_stats",
+    "t02_language_id",
+    "t03_quality_scores",
+    "t04_bpe_token_count",
+    "t05_rolling_hash",
+    "t06_doc_chunking",
+    "s07_scalar_quantization",
+    "s01_topk_cosine",
+    "s02_knn_join",
+    "s03_embedding_near_dup",
+    "s04_label_centroids",
+    "s05_ivf_search",
+    "s08_hyperplane_lsh_buckets",
+    "p02_flagship_retrieval",
+    "t07_pii_redaction",
+    "t08_corpus_mixture",
+    "st09_stream_static_join",
+    "w01_tumbling_window",
+    "w02_sliding_window",
+    "w03_session_window",
+    "w04_interval_join",
+    "st03_stream_dedup",
 ]
 
 set_priority(DRIVER_WINDOW)
