@@ -88,6 +88,15 @@ class BedrockTitanEmbedder:
     becomes a per-row dead-letter via ``row_errors`` (picked up by
     ``embed()``), so one poisoned document never fails its whole batch.
 
+    Sizing note: retries back off via ``time.sleep`` ON the pool
+    thread, so under sustained throttling every worker can be parked
+    in backoff simultaneously (up to ~sum(base*2^i) ≈ 3.5 s per row at
+    defaults) and healthy rows queue behind them — unlike the
+    reference's async pool, which never holds a slot during a wait.
+    Size ``max_concurrency`` for the throttling regime (it bounds
+    in-flight requests AND parked retries together), or lower
+    ``max_retries`` and let the dead-letter channel absorb the tail.
+
     Requires boto3 at runtime unless a client is injected; this
     container has no AWS SDK, so construction is gated.
     """
