@@ -1,0 +1,156 @@
+"""Scalable connected components: alternating large-star / small-star.
+
+The duplicate-clustering step (d08) labels every document with the
+smallest doc_id reachable through near-dup candidate edges. Plain
+min-label propagation converges in graph-DIAMETER rounds — fine for
+near-dup clusters (stars and cliques, diameter ~2), but a pathological
+corpus (chained paraphrases, crawl rings) can have a long-path dup
+graph where diameter-bound iteration means hundreds of shuffles at
+100 TB. The alternating star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — public literature)
+converges in O(log^2 n) rounds REGARDLESS of diameter: each round is
+two grouped aggregations plus a join, all on the edge list, nothing
+ever funnels through the driver.
+
+Round structure (node ids are ordered; `min` below is over that order):
+
+- large-star(u): let m = min(neighbors(u) + [u]); every STRICTLY LARGER
+  neighbor v > u re-attaches to m -> emit (v, m). Large nodes hop
+  toward their component's minimum along shortcuts.
+- small-star(u): over edges oriented big->small (u > v): let
+  m = min(smaller neighbors of u); u and every other smaller neighbor
+  attach to m -> emit (u, m) and (v, m). Flattens local chains into
+  stars.
+
+At the fixpoint the edge list IS the answer: a star forest where every
+non-root node holds exactly one edge to its component minimum.
+
+Convergence is detected exactly: a 1-row count probe, then an
+`exceptAll().limit(1)` emptiness probe (the d08 cheap-probe pattern —
+never a full collect), and lineage is truncated per round with
+localCheckpoint (at scale: checkpoint to reliable storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list canonicalized to (u > v), self-loops and
+    duplicates dropped."""
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # Symmetric neighbor view: one row per (node, neighbor) direction.
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    out = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # e is canonical (u > v): u's strictly-smaller neighbors are exactly
+    # its rows; m = min of them. u and every other small neighbor
+    # attach to m.
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = e.join(mins, "u")
+    center_u = mins.select(F.col("u"), F.col("m").alias("v"))
+    center_v = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out = center_u.unionByName(center_v)
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _same_edge_set(a: DataFrame, a_count: int, b: DataFrame) -> tuple[bool, int]:
+    """Exact set equality between two deduplicated edge lists, plus b's
+    count. Count probe first; only on a count match pay the exceptAll
+    emptiness probe (both are distinct, so equal count + empty
+    difference <=> equal sets)."""
+    b_count = b.count()
+    if a_count != b_count:
+        return False, b_count
+    diff = b.exceptAll(a).limit(1).count()
+    return diff == 0, b_count
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star/small-star. Returns one row per node that appears in any
+    edge: (doc_id, component), component = smallest node id in the
+    node's component — the exact contract of d08's label propagation,
+    in O(log^2 n) rounds instead of O(diameter).
+
+    `max_rounds` is a safety bound far above the O(log^2 n) guarantee
+    (2^7 = 128 nodes converge in ~5 alternations); hitting it raises
+    rather than returning half-merged components.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("doc_id"))
+        .unionByName(edges.select(F.col(dst).alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    n_e = e.count()
+    converged = False
+    for _ in range(max_rounds):
+        # One alternation = large-star then small-star; both outputs are
+        # canonical (u > v) by construction (m is a strict minimum).
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        same, n_nxt = _same_edge_set(e, n_e, nxt)
+        e, n_e = nxt, n_nxt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # Fixpoint edge list is a star forest: non-roots hold exactly one
+    # edge to the component minimum; roots (and isolated-by-dedup
+    # nodes) label themselves.
+    labels = nodes.join(
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return labels
+
+
+def star_round_count(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 50
+) -> int:
+    """Number of large+small-star alternations until the fixpoint —
+    exposed for the convergence-rate tests/bench (a path graph of
+    length L needs ~log2(L) rounds here vs L rounds of label
+    propagation)."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    n_e = e.count()
+    for i in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        same, n_nxt = _same_edge_set(e, n_e, nxt)
+        e, n_e = nxt, n_nxt
+        if same:
+            return i + 1
+    raise RuntimeError(f"no convergence in {max_rounds} rounds")

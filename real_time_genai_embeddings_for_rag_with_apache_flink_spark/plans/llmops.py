@@ -626,6 +626,44 @@ def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+@query(
+    "d21_scalable_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+""",
+    tags=("dedup", "iterative", "graph", "scale"),
+    bench=True,
+)
+def d21_scalable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate components as d08, by alternating
+    large-star/small-star (operators/graph.py; Kiveris et al. SoCC'14)
+    instead of min-label propagation. Propagation converges in
+    graph-DIAMETER rounds — near-dup clusters are usually shallow, but
+    a chained-paraphrase/crawl-ring corpus makes the dup graph a long
+    path, and at 100 TB each extra round is a full edge-list shuffle.
+    The star alternation converges in O(log^2 n) rounds regardless of
+    diameter (a 4096-hop chain: ~6 alternations vs ~4096 propagation
+    rounds — measured in tests/test_graph_components.py). Same output
+    contract as d08 (component = smallest reachable doc_id), same
+    recursive-CTE oracle; the equivalence of the two engines' outputs
+    is additionally pinned test-side."""
+    from ..operators.graph import connected_components_star
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components_star(pairs, "id_a", "id_b")
+
+
 _N_SIMHASH_BITS = 60
 
 
