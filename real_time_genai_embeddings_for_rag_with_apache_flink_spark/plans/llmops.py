@@ -1321,19 +1321,121 @@ def s08_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension comes from PipelineConfig (model-determined, exactly as
     the reference's 1536/1024 titan dims are config, not data) — no
     driver-side action at plan-build time."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select("vec_id", _hyperplane_bucket_col().alias("bucket"))
+
+
+def _hyperplane_bucket_col(col: str = "embedding"):
+    """The s08 bucket as a reusable Column: 8 md5-derived hyperplane
+    sign bits packed into an int. Planes are literal arrays — one dot
+    fold per plane per row, fully inside codegen, no shuffle."""
     from ..config import PipelineConfig
     from ..functions.vector import dot
 
-    em = load_table(spark, sf_dir, "embeddings")
     dim = PipelineConfig().resolved_dim()
     bucket = None
     for p in range(_N_PLANES):
         plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
-        bit = F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(
+        bit = F.when(dot(F.col(col), plane) > 0, F.lit(1 << p)).otherwise(
             F.lit(0)
         )
         bucket = bit if bucket is None else bucket + bit
-    return em.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+_SQL_HYPERPLANE_BUCKETS = f"""
+hp_buckets AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), p ->
+      CASE WHEN list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(embedding)), d ->
+               CAST(embedding[d] AS DOUBLE)
+               * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
+                  / {_PLANE_DENOM} - 0.5))),
+           (acc, x) -> acc + x) > 0
+      THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "s15_knn_graph",
+    oracle=f"""
+WITH {_SQL_HYPERPLANE_BUCKETS.strip()},
+sides AS (
+  SELECT e.vec_id, hb.bucket, CAST(e.embedding AS DOUBLE[]) AS v,
+    sqrt(list_reduce(list_prepend(0.0,
+           list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)),
+         (acc, x) -> acc + x)) AS nrm
+  FROM embeddings e JOIN hp_buckets hb ON e.vec_id = hb.vec_id
+)
+SELECT vec_id, nbr_id, sim, rank FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+    ROUND(list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS sim,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      ORDER BY ROUND(list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rank
+  FROM sides a JOIN sides b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.nrm * b.nrm != 0
+) WHERE rank <= 3
+""",
+    tags=("similarity", "knn", "lsh", "graph", "ann"),
+    bench=True,
+)
+def s15_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine k-NN GRAPH over the whole embedding corpus —
+    the all-to-all analogue of s02's query-side k-NN join, and the
+    candidate structure SemDeDup-style pipelines and graph-based
+    curation start from. The brute-force graph is O(n^2); here the
+    hyperplane-LSH bucket (s08) is the blocking key, so the self-join
+    is per-bucket — the same candidate-generation-then-verify shape as
+    d10, transplanted to embedding space. Per node, the top-3 in-bucket
+    neighbors by exact cosine via window rank: Catalyst plans the rank
+    filter as WindowGroupLimit, so each shuffle partition keeps only
+    its local top-k before anything ships.
+
+    Scale: candidate volume ~ sum of bucket^2; at 100 TB you widen
+    _N_PLANES (smaller buckets) or band multiple bucket codes exactly
+    like MinHash-LSH (d04) — the plan shape is unchanged. Norms are
+    computed once per ROW before the join (the s03 trick), one dot fold
+    per surviving pair."""
+    from ..functions.vector import dot, l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sides = em.select(
+        "vec_id",
+        _hyperplane_bucket_col().alias("bucket"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(denom != 0.0)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
 
 
 @query(
