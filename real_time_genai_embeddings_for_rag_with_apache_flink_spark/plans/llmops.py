@@ -1040,6 +1040,98 @@ def t06_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_SIZE = 16
+
+
+@query(
+    "t19_segment_dedup_clean",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, CAST(s / {_SEG_SIZE} AS INT) AS seg_idx,
+         array_to_string(toks[s+1 : s+{_SEG_SIZE}], ' ') AS seg_text,
+         least({_SEG_SIZE}, len(toks) - s) AS n_toks
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks)-1, {_SEG_SIZE})) AS s
+    FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+          FROM documents WHERE {_SQL_NORM} != '')
+  )
+), shared AS (
+  SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM segs GROUP BY 1
+)
+SELECT doc_id,
+  COUNT(*) AS n_segments,
+  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_segments,
+  COALESCE(string_agg(CASE WHEN n_docs < 2 THEN seg_text END,
+                      ' ' ORDER BY seg_idx), '') AS cleaned_text,
+  ROUND(SUM(CASE WHEN n_docs < 2 THEN n_toks ELSE 0 END) * 1.0
+        / SUM(n_toks), 6) AS retained_fraction
+FROM segs JOIN shared ON md5(segs.seg_text) = shared.h
+GROUP BY doc_id
+""",
+    tags=("dedup", "text", "curation", "materialization"),
+    bench=True,
+)
+def t19_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup WITH materialization — the RefinedWeb/Lee-et-al
+    step d17 only measures: split every document into non-overlapping
+    16-token segments, find segments that recur verbatim in >=2
+    distinct documents (boilerplate, license headers, templated spans),
+    and emit each document's CLEANED text — the surviving segments
+    rejoined in order — plus the retention accounting a curation report
+    needs.
+
+    Scale shape: the cross-document agreement shuffle carries
+    (md5(segment), doc_id) — 32-byte keys, never segment text; the only
+    place text moves is the final per-document regroup that builds the
+    cleaned string, which is the output itself. count(distinct doc_id)
+    is Catalyst's two-phase partial-distinct; the ordered rejoin is a
+    sort_array over an already-grouped row, not a window. Both engines
+    group on md5 so hash-collision behavior is identical (the d17
+    advice pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    toks = docs.filter(norm != "").select(
+        "doc_id", F.split(norm, r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    segs = toks.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_SEG_SIZE))).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / _SEG_SIZE).cast("int").alias("seg_idx"),
+        F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(_SEG_SIZE))).alias(
+            "seg_text"
+        ),
+        F.least(F.lit(_SEG_SIZE), F.col("n") - F.col("s")).alias("n_toks"),
+    ).withColumn("h", F.md5("seg_text"))
+    shared = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = segs.join(shared, "h")
+    keep = F.col("n_docs") < 2
+    kept_segs = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("seg_idx", "seg_text")))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_shared_segments"),
+        F.concat_ws(
+            " ", F.transform(kept_segs, lambda x: x["seg_text"])
+        ).alias("cleaned_text"),
+        F.round(
+            F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+            / F.sum("n_toks"),
+            6,
+        ).alias("retained_fraction"),
+    )
+
+
 @query(
     "s07_scalar_quantization",
     oracle="""
