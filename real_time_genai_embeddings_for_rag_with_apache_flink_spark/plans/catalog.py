@@ -957,6 +957,53 @@ def q28_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q67_variant_json",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+  CAST(SUM(CASE WHEN json_extract(props, '$.absent') IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+  CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_malformed
+FROM events GROUP BY event_type
+""",
+    tags=("functions", "json", "variant"),
+)
+def q67_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: props is
+    parsed ONCE into a binary variant (parse_json), then every typed
+    access is variant_get on the parsed value — the at-scale shape for
+    multi-field extraction, where q28's per-path get_json_object
+    re-parses the string for every path. try_variant_get covers the
+    missing-path (returns null, counted) and try_parse_json the
+    malformed-input lane (Spark 4 PERMISSIVE from_json can't
+    distinguish malformed from all-null — the documented engine
+    gotcha). The oracle states the same accesses over DuckDB's JSON
+    type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.absent", "int").alias("absent"),
+        F.try_parse_json("props").alias("maybe"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
+            "n_absent"
+        ),
+        F.sum(F.when(F.col("maybe").isNull(), 1).otherwise(0)).alias(
+            "n_malformed"
+        ),
+    )
+
+
+@query(
     "q29_array_functions",
     oracle="""
 SELECT vec_id,

@@ -664,6 +664,79 @@ def d21_scalable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, "id_a", "id_b")
 
 
+_BFS_MAX_HOPS = 10
+
+
+@query(
+    "d22_seed_reachability",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+walk(doc_id, hop) AS (
+  SELECT u, 0 FROM (SELECT DISTINCT u FROM edges) WHERE u % 10 = 0
+  UNION
+  SELECT e.v, w.hop + 1
+  FROM walk w JOIN edges e ON e.u = w.doc_id
+  WHERE w.hop < {_BFS_MAX_HOPS}
+)
+SELECT doc_id, MIN(hop) AS min_hops FROM walk GROUP BY doc_id
+""",
+    tags=("dedup", "graph", "iterative", "bfs"),
+)
+def d22_seed_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance through the near-dup graph from a seed set
+    (every 10th doc_id, standing in for a flagged/eval list) — the 'contamination blast radius' question: which
+    documents are transitively connected to a flagged document, and how
+    many duplication hops away. Unlike components (d08/d21), DISTANCE
+    genuinely needs level-synchronous iteration; no window idiom
+    expresses it.
+
+    Spark side is a frontier BFS: per hop, join the frontier to the
+    edge list, dedupe, anti-join out already-visited nodes — the
+    frontier stays minimal (each node expands exactly once corpus-wide,
+    the at-scale property), lineage truncated per hop. The DuckDB
+    oracle states the same walk as a recursive CTE with UNION
+    frontier-dedup. Spark 4.1 parses WITH RECURSIVE too but only with
+    UNION ALL (no per-step dedup — walk-count explosion on cyclic
+    graphs), so the engine keeps recursion for the oracle and ships
+    the frontier loop; the bounded-recursion agreement between the two
+    Spark forms is pinned in tests/test_graph_components.py."""
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select("u").distinct().filter(F.col("u") % 10 == 0)
+        .select(F.col("u").alias("doc_id"), F.lit(0).alias("min_hops"))
+        .localCheckpoint()
+    )
+    visited = seeds
+    frontier = seeds.select("doc_id")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.doc_id == edges.u)
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.select("doc_id", F.lit(hop).alias("min_hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 _N_SIMHASH_BITS = 60
 
 

@@ -90,6 +90,50 @@ def test_star_components_self_loops_and_dupes_ignored(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
 
 
+def test_d22_matches_spark_recursive_cte(spark):
+    """Spark 4.1 parses WITH RECURSIVE (UNION ALL only). On the real
+    sf0.001 dup graph, the hop-bounded recursive form must agree with
+    d22's frontier BFS — pinning that the engine's iterative loop and
+    Spark's own recursion compute the same BFS distances."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        d04_minhash_lsh_pairs,
+    )
+
+    bound = 4  # UNION ALL counts walks, not nodes: keep the bound tight
+    d04_minhash_lsh_pairs(spark, SF_SMOKE).createOrReplaceTempView(
+        "lsh_pairs_v"
+    )
+    rec = spark.sql(
+        f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs_v
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs_v
+),
+walk(doc_id, hop) AS (
+  SELECT u, 0 FROM (SELECT DISTINCT u FROM edges) WHERE u % 10 = 0
+  UNION ALL
+  SELECT e.v, w.hop + 1
+  FROM walk w JOIN edges e ON e.u = w.doc_id
+  WHERE w.hop < {bound}
+)
+SELECT doc_id, MIN(hop) AS min_hops FROM walk GROUP BY doc_id
+"""
+    )
+    got_rec = {(r["doc_id"], r["min_hops"]) for r in rec.collect()}
+    bfs = get_spec("d22_seed_reachability").build(spark, SF_SMOKE)
+    got_bfs = {
+        (r["doc_id"], r["min_hops"])
+        for r in bfs.collect()
+        if r["min_hops"] <= bound
+    }
+    assert got_rec == got_bfs
+    assert len(got_bfs) > 0
+
+
 def test_d21_matches_d08_on_lsh_pairs(spark):
     """The two component algorithms must agree row-for-row on the real
     near-dup candidate graph."""
