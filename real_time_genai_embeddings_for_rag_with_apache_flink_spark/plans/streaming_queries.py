@@ -37,7 +37,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -173,6 +176,28 @@ def stream_events(
     )
 
 
+_EMB_STREAM = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a file-stream source, replayed as
+    N_STREAM_FILES vec_id-ordered micro-batches — the continuous
+    embedding feed the reference's pipeline produces upstream of its
+    vector sink."""
+    src = _split_source_dir(spark, sf_dir, "embeddings", "vec_id", _EMB_STREAM)
+    return (
+        spark.readStream.schema(_EMB_STREAM)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
 def _single_file_glob(sf_dir: str, filename: str) -> str:
     """Glob matching exactly one file. The file-stream source force-sets
     basePath to the path itself when the path is NOT a glob — a file base
@@ -204,6 +229,10 @@ def stream_documents(
 # name -> number of micro-batches the last run_to_memory call for that
 # name actually executed (tests pin >= N_STREAM_FILES for split sources).
 LAST_RUN_BATCHES: dict[str, int] = {}
+
+# name -> (append_dir, compacted_dir) of the last index-maintenance run
+# (tests pin partition pruning and the append->compact file contract).
+LAST_INDEX_DIRS: dict[str, tuple[str, str]] = {}
 
 
 def run_to_memory(
@@ -622,6 +651,138 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     work_root = tempfile.mkdtemp(prefix="st14_")
     return run_incremental_dedup(
         spark, arrivals, corpus_fps, corpus_bands, work_root
+    )
+
+
+@query(
+    "st15_stream_index_maintenance",
+    oracle="""
+WITH ex AS (
+  SELECT label, unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), cents AS (
+  SELECT label AS cell, list(cval ORDER BY pos) AS c
+  FROM (SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS cval
+        FROM ex GROUP BY label, pos)
+  GROUP BY label
+), dists AS (
+  SELECT e.vec_id, cents.cell,
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, len(e.embedding)), i ->
+        (CAST(e.embedding[i] AS DOUBLE) - cents.c[i])
+        * (CAST(e.embedding[i] AS DOUBLE) - cents.c[i]))),
+      (acc, x) -> acc + x) AS dist
+  FROM embeddings e, cents
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY ROUND(dist, 6), cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM assign GROUP BY cell
+""",
+    tags=("streaming", "ann", "sink", "index-maintenance"),
+)
+def st15_stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector-index maintenance — the engine-side version of
+    what the reference's pipeline delegates to OpenSearch HNSW
+    (KDS-P/index-creation-function/lambda_function.py:72-80): the
+    embedding stream is assigned to its IVF cell per micro-batch
+    against broadcast literal centroids (coarse quantizer = per-label
+    centroid rounded to exact 6-dp decimals, a driver-sized model
+    artifact), APPENDED to a cell-partitioned parquet index via
+    foreachBatch, then COMPACTED once the stream drains — the
+    append-then-compact lifecycle every file-backed ANN index needs
+    (per-batch appends create one file per cell per batch; compaction
+    rewrites each cell partition once). Queries then prune to nprobe
+    cell directories instead of scanning the corpus (partition pruning
+    over cell= is pinned in tests/test_streaming_semantics.py).
+
+    Assignment is a narrow per-row argmin over literal centroids — no
+    exchange, no state store; the only shuffle is the final compaction
+    repartition by cell. Distances are rounded to 6 dp with a
+    lowest-cell tiebreak, mirrored exactly in the oracle."""
+    from ..sources.batch import load_table
+
+    static = load_table(spark, sf_dir, "embeddings")
+    # Centroids in FULL double, rounded to exact 6-dp decimals — never
+    # through the operators' float32 form, whose ~7-sig-digit mantissa
+    # sits exactly at the 6-dp boundary and can flip the last rounded
+    # digit vs the oracle's double average.
+    cent_rows = (
+        static.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_cell.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cval"])
+    cents = [
+        (cell, [vals[p] for p in sorted(vals)])
+        for cell, vals in by_cell.items()
+    ]
+
+    def dist_to(cell_vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in cell_vec])
+        sq = F.zip_with(
+            F.col("embedding"),
+            lit,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+
+    best = None
+    for cell, cvec in sorted(cents, key=lambda t: t[0]):
+        cand = F.struct(
+            F.round(dist_to(cvec), 6).alias("dist"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        best = (
+            cand
+            if best is None
+            else F.when(cand["dist"] < best["dist"], cand).otherwise(best)
+        )
+
+    index_dir = tempfile.mkdtemp(prefix="st15_index_")
+    compact_dir = tempfile.mkdtemp(prefix="st15_compact_")
+    LAST_INDEX_DIRS["st15"] = (index_dir, compact_dir)
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("cell", best["cell"]).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(index_dir)
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), "st15")
+    q = (
+        stream_embeddings(spark, sf_dir)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st15"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    # Compaction: one file per cell partition replaces per-batch shards.
+    (
+        spark.read.parquet(index_dir)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(compact_dir)
+    )
+    idx = spark.read.parquet(compact_dir)
+    return idx.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
     )
 
 

@@ -330,3 +330,42 @@ def test_incremental_dedup_state_survives_restart(spark, tmp_path):
         "doc 7 duplicates a pre-restart arrival and must stay dropped"
     )
     assert restart_rows == one_shot_rows
+
+
+def test_index_maintenance_appends_then_compacts_with_pruning(spark):
+    """st15 contract: (a) the stream really ran multi-batch, (b) the
+    append dir holds one file per cell per non-empty batch while the
+    compacted dir holds one per cell, (c) a cell-filtered read of the
+    compacted index prunes partitions instead of scanning them."""
+    import glob as g
+    import os
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_INDEX_DIRS,
+        LAST_RUN_BATCHES,
+        N_STREAM_FILES,
+    )
+
+    out = get_spec("st15_stream_index_maintenance").build(
+        spark, "/root/testdata/sf0.001"
+    )
+    cells = [r["cell"] for r in out.select("cell").collect()]
+    assert LAST_RUN_BATCHES["st15"] >= N_STREAM_FILES
+    append_dir, compact_dir = LAST_INDEX_DIRS["st15"]
+    some_cell = min(cells)
+    appended = g.glob(
+        os.path.join(append_dir, f"cell={some_cell}", "part-*.parquet")
+    )
+    compacted = g.glob(
+        os.path.join(compact_dir, f"cell={some_cell}", "part-*.parquet")
+    )
+    assert len(appended) >= 2  # one shard per batch that hit the cell
+    assert len(compacted) == 1  # compaction collapsed them
+    pruned = spark.read.parquet(compact_dir).filter(F.col("cell") == some_cell)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in seg and f"= {some_cell})" in seg, seg
