@@ -54,6 +54,7 @@ def main() -> int:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     _skew_stress(spark, timings, force)
+    _chain_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -124,6 +125,37 @@ def _skew_stress(spark, timings: dict[str, float], force) -> None:
             file=sys.stderr,
         )
     llmops.clear_intermediate_cache()
+
+
+def _chain_stress(spark, timings: dict[str, float]) -> None:
+    """Adversarial deep-graph stress row: connected components on a
+    4,096-hop path (the worst case for diameter-bound label
+    propagation — d08's 20-round cap cannot even finish it, and an
+    uncapped propagation would need 4,095 full edge-list shuffles).
+    The alternating-star algorithm (d21, operators/graph.py) must
+    label it exactly in O(log^2 n) alternations; the row records the
+    wall time and BASELINE.md the round count. Single measured run
+    (the iteration count, not JIT warmth, dominates)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 4096
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    ).coalesce(8)
+    t0 = time.perf_counter()
+    labels = connected_components_star(edges)
+    bad = labels.filter("component != 0").limit(1).count()
+    timings["d21_chain_stress"] = round(time.perf_counter() - t0, 4)
+    if bad:
+        raise AssertionError("chain stress mislabeled a component")
+    print(
+        f"# d21_chain_stress: {timings['d21_chain_stress']:.3f}s",
+        file=sys.stderr,
+    )
 
 
 def _guess_sf(sf_dir: str) -> float:

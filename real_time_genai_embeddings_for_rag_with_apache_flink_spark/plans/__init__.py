@@ -14,17 +14,23 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-6 window (the r5 verdict's rotation directive):
-# the three operators new this round (never driver-checked), then the
-# STALEST entries — everything whose latest driver row predates the
-# round-4/5 seam and skew-guard refactors. All 19 r02-checked entries
-# and the oldest 28 of the 40 r03-checked entries fit; the remaining 12
-# r03-stale entries lead the round-7 window.
+# entries only. Round-6 window: every operator that has never had a
+# driver row (the nine new since the r5 snapshot), then the STALEST
+# entries — everything whose latest driver row predates the round-4/5
+# seam and skew-guard refactors. All 19 r02-checked entries and the
+# oldest 22 of the 40 r03-checked entries fit; the remaining r03-stale
+# entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
     "p09_rag_query",
     "st14_stream_incremental_dedup",
+    "d21_scalable_components",
+    "d22_seed_reachability",
+    "s15_knn_graph",
+    "t19_segment_dedup_clean",
+    "q67_variant_json",
+    "st15_stream_index_maintenance",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -68,12 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "p02_flagship_retrieval",
     "t07_pii_redaction",
     "t08_corpus_mixture",
-    "st09_stream_static_join",
-    "w01_tumbling_window",
-    "w02_sliding_window",
-    "w03_session_window",
-    "w04_interval_join",
-    "st03_stream_dedup",
 ]
 
 set_priority(DRIVER_WINDOW)
