@@ -1003,6 +1003,44 @@ def q67_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, l.o_orderkey AS last_orderkey,
+       l.o_orderdate AS last_orderdate, l.o_totalprice AS last_totalprice
+FROM (SELECT c_custkey, c_name FROM {customer}
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey < 400) c
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) l ON true
+"""
+
+
+@query(
+    "q68_lateral_join",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    tags=("join", "lateral", "subquery", "sql"),
+)
+def q68_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    'latest order per customer, keeping customers with none' idiom in
+    its SQL-standard form (Spark 4 LATERAL support). Catalyst
+    decorrelates the lateral top-1 into a window-rank over the join —
+    the same physical shape as the q17 window idiom, so the per-row
+    'subquery' never executes per row; customers without orders
+    survive via the LEFT lateral null row. Identical SQL runs on both
+    engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q68_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q68_orders")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="q68_customer", orders="q68_orders")
+    )
+
+
 @query(
     "q29_array_functions",
     oracle="""

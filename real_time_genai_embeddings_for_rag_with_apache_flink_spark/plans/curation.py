@@ -340,6 +340,88 @@ def t12_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MG_CAPACITY = 256  # counters per partition summary (Misra-Gries bound)
+_MG_CANDIDATES = 60  # candidate pool re-counted exactly (2x the top-30)
+
+
+@query(
+    "t20_heavy_hitter_sketch",
+    oracle=f"""
+WITH exploded AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_SQL_NORM}, '\\s+')) AS token
+  FROM documents
+  WHERE {_SQL_NORM} != ''
+)
+SELECT token,
+  CAST(COUNT(*) AS BIGINT) AS tf,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM exploded GROUP BY token
+ORDER BY tf DESC, token LIMIT 30
+""",
+    tags=("text", "curation", "vocab", "sketch"),
+)
+def t20_heavy_hitter_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12's heavy hitters by SKETCH-then-VERIFY — the shape that holds
+    when the vocabulary itself no longer fits a shuffle. Pass 1: each
+    input partition folds its token stream into a Misra-Gries summary
+    of at most _MG_CAPACITY counters (exact local counts truncated at
+    the (cap+1)-th largest; the subtraction is the MG decrement run in
+    one vectorized step). Summaries are tiny (cap rows/partition),
+    merge by addition, and carry the guarantee that any token with
+    global tf > N/cap survives. Pass 2: the top candidates by summed
+    lower bound are broadcast back and re-counted EXACTLY, so the
+    emitted top-30 has true tf/df — candidate generation + exact
+    verify, the same two-stage contract as the LSH dedup chain.
+
+    Shuffle accounting vs t12: t12 shuffles (token, partial-count) for
+    the whole vocabulary; here the only vocabulary-wide movement is
+    cap-bounded summaries, then one broadcast semi-join re-scan. The
+    oracle is the exact top-30 — valid whenever the candidate pool
+    covers the true top-30 (guaranteed at tf > N/cap; pinned on an
+    adversarial fixture in tests/test_heavy_hitter_sketch.py)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    exploded = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", F.explode(F.split(norm, r"\s+")).alias("token")
+    )
+
+    def summarize(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["token"].value_counts().to_dict())
+        if not counts:
+            return
+        items = counts.most_common()
+        thresh = items[_MG_CAPACITY][1] if len(items) > _MG_CAPACITY else 0
+        kept = [(t, c - thresh) for t, c in items[:_MG_CAPACITY] if c > thresh]
+        yield pd.DataFrame(kept, columns=["token", "lb"])
+
+    summaries = exploded.select("token").mapInPandas(
+        summarize, "token string, lb long"
+    )
+    cand = (
+        summaries.groupBy("token")
+        .agg(F.sum("lb").alias("lb_sum"))
+        .orderBy(F.desc("lb_sum"), "token")
+        .limit(_MG_CANDIDATES)
+        .select("token")
+    )
+    return (
+        exploded.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(30)
+    )
+
+
 _PACK_BUDGET = 256  # tokens per packed training sequence
 
 
