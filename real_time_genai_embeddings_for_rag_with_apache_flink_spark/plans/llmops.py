@@ -1116,6 +1116,36 @@ def t06_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG_SIZE = 16
 
 
+def _segments_with_share_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document non-overlapping _SEG_SIZE-token segments joined with
+    each segment's cross-corpus distinct-document count (grouped on
+    md5 so both engines share collision behavior). Consumed by t19 and
+    the p10 manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    toks = docs.filter(norm != "").select(
+        "doc_id", F.split(norm, r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    segs = toks.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_SEG_SIZE))).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / _SEG_SIZE).cast("int").alias("seg_idx"),
+        F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(_SEG_SIZE))).alias(
+            "seg_text"
+        ),
+        F.least(F.lit(_SEG_SIZE), F.col("n") - F.col("s")).alias("n_toks"),
+    ).withColumn("h", F.md5("seg_text"))
+    shared = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return segs.join(shared, "h")
+
+
 @query(
     "t19_segment_dedup_clean",
     oracle=f"""
@@ -1164,29 +1194,7 @@ def t19_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_array over an already-grouped row, not a window. Both engines
     group on md5 so hash-collision behavior is identical (the d17
     advice pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = normalized_text(F.col("text"))
-    toks = docs.filter(norm != "").select(
-        "doc_id", F.split(norm, r"\s+").alias("toks")
-    )
-    n = F.size("toks")
-    segs = toks.select(
-        "doc_id",
-        "toks",
-        n.alias("n"),
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_SEG_SIZE))).alias("s"),
-    ).select(
-        "doc_id",
-        (F.col("s") / _SEG_SIZE).cast("int").alias("seg_idx"),
-        F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(_SEG_SIZE))).alias(
-            "seg_text"
-        ),
-        F.least(F.lit(_SEG_SIZE), F.col("n") - F.col("s")).alias("n_toks"),
-    ).withColumn("h", F.md5("seg_text"))
-    shared = segs.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    joined = segs.join(shared, "h")
+    joined = _segments_with_share_counts(spark, sf_dir)
     keep = F.col("n_docs") < 2
     kept_segs = F.array_sort(
         F.collect_list(F.when(keep, F.struct("seg_idx", "seg_text")))

@@ -968,3 +968,187 @@ def p09_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_MANIFEST_SHARDS = 8
+
+
+@query(
+    "p10_training_manifest",
+    oracle=f"""
+WITH RECURSIVE {{LSH}},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+ranked AS (
+  SELECT c.component, c.doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.component
+      ORDER BY LENGTH({{NORM}}) DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+near_drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+exact_keep AS (
+  SELECT md5({{NORM}}) AS fp, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+),
+kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN exact_keep k ON k.fp = md5({{NORM}})
+  WHERE d.doc_id = k.keep_id
+    AND NOT EXISTS (SELECT 1 FROM near_drops nd WHERE nd.doc_id = d.doc_id)
+),
+segs AS (
+  SELECT doc_id, CAST(s / {{SEG}} AS INT) AS seg_idx,
+         array_to_string(toks[s+1 : s+{{SEG}}], ' ') AS seg_text,
+         least({{SEG}}, len(toks) - s) AS n_toks
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks)-1, {{SEG}})) AS s
+    FROM (SELECT doc_id, regexp_split_to_array({{NORM}}, '\\s+') AS toks
+          FROM documents WHERE {{NORM}} != '')
+  )
+),
+shared AS (
+  SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM segs GROUP BY 1
+),
+cleaned AS (
+  SELECT doc_id,
+    COALESCE(string_agg(CASE WHEN n_docs < 2 THEN seg_text END,
+                        ' ' ORDER BY seg_idx), '') AS cleaned_text,
+    CAST(SUM(CASE WHEN n_docs < 2 THEN n_toks ELSE 0 END) AS BIGINT)
+      AS n_tokens_clean
+  FROM segs JOIN shared ON md5(segs.seg_text) = shared.h
+  GROUP BY doc_id
+),
+manifest AS (
+  SELECT k.doc_id,
+    md5(CAST(k.doc_id AS VARCHAR) || ':42') AS shuffle_key,
+    COALESCE(c.cleaned_text, '') AS cleaned_text,
+    COALESCE(c.n_tokens_clean, 0) AS n_tokens_clean
+  FROM kept k LEFT JOIN cleaned c ON c.doc_id = k.doc_id
+)
+SELECT doc_id,
+  CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % {{NSH}} AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % {{NSH}}
+    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+  n_tokens_clean,
+  md5(cleaned_text) AS cleaned_fp
+FROM manifest
+""".format(
+        LSH="{LSH}", NORM="{NORM}", SEG="{SEG}", NSH="{NSH}"
+    ).format(
+        LSH=_SQL_LSH_CTES.strip(),
+        NORM=_SQL_NORM,
+        SEG=16,
+        NSH=_MANIFEST_SHARDS,
+    ),
+    tags=("pipeline", "dedup", "curation", "materialization", "capstone"),
+    bench=True,
+)
+def p10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final deliverable as ONE plan: the per-document
+    TRAINING MANIFEST a corpus release ships. A document earns a row by
+    surviving exact dedup (min-id per fingerprint, d01) and near-dup
+    canonical selection (longest-text survivor of its LSH component,
+    d08/d16); its payload is the boilerplate-cleaned text (t19's
+    shared-segment removal, fingerprinted) with its clean token count;
+    its placement is the deterministic training shard + within-shard
+    position (d13's seeded shuffle). p08 reports this funnel as
+    counts — p10 EMITS the corpus.
+
+    Scale shape: pure composition of proven pieces — every stage rides
+    the session seam (pairs/components computed once), the manifest
+    adds one id-keyed left join and the d13 shard shuffle. Nothing
+    quadratic, nothing driver-side; shards write independently on 1000
+    executors (pos is per-shard rank, never a global sort)."""
+    from ..functions.text import doc_fingerprint
+    from .llmops import _segments_with_share_counts, d08_dup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    exact_keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+
+    comp = d08_dup_components(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", F.length(normalized_text(F.col("text"))).alias("len")
+    )
+    best = F.max(
+        F.struct(
+            F.col("len"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    )
+    survivors = (
+        comp.join(lens, "doc_id")
+        .groupBy("component")
+        .agg(best.getField("doc_id").alias("keep_doc_id"))
+    )
+    near_drops = (
+        comp.join(survivors, "component")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        with_fp.join(exact_keep, "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .join(near_drops, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+    seg = _segments_with_share_counts(spark, sf_dir)
+    keep_seg = F.col("n_docs") < 2
+    kept_segs = F.array_sort(
+        F.collect_list(F.when(keep_seg, F.struct("seg_idx", "seg_text")))
+    )
+    cleaned = seg.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(kept_segs, lambda x: x["seg_text"])
+        ).alias("cleaned_text"),
+        F.sum(F.when(keep_seg, F.col("n_toks")).otherwise(0)).alias(
+            "n_tokens_clean"
+        ),
+    )
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    manifest = (
+        kept.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.coalesce(F.col("n_tokens_clean"), F.lit(0)).alias(
+                "n_tokens_clean"
+            ),
+        )
+    )
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint")
+        % _MANIFEST_SHARDS
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        manifest.withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "n_tokens_clean",
+            F.md5("cleaned_text").alias("cleaned_fp"),
+        )
+    )
