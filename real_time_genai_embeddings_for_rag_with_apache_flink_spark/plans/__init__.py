@@ -31,6 +31,9 @@ DRIVER_WINDOW: list[str] = [
     "t19_segment_dedup_clean",
     "q67_variant_json",
     "st15_stream_index_maintenance",
+    "q68_lateral_join",
+    "t20_heavy_hitter_sketch",
+    "p10_training_manifest",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -71,9 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "s04_label_centroids",
     "s05_ivf_search",
     "s08_hyperplane_lsh_buckets",
-    "p02_flagship_retrieval",
-    "t07_pii_redaction",
-    "t08_corpus_mixture",
 ]
 
 set_priority(DRIVER_WINDOW)
