@@ -288,3 +288,30 @@ def test_t18_zipf_head_avoids_global_sort(spark):
     plan = _plan(spark, "t18_zipf_vocabulary")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s15_knn_graph_uses_window_group_limit(spark):
+    """s15's top-3-per-node rank filter must plan as WindowGroupLimit
+    (partial top-k below the exchange), so hot LSH buckets never ship
+    their full candidate lists."""
+    plan = _plan(spark, "s15_knn_graph")
+    assert "WindowGroupLimit" in plan
+
+
+def test_t20_candidate_recount_is_broadcast(spark):
+    """t20's exact verify must join the corpus against the BROADCAST
+    candidate pool — a shuffled join here would move the whole token
+    stream and defeat the sketch."""
+    plan = _plan(spark, "t20_heavy_hitter_sketch")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_p10_manifest_has_no_global_sort(spark):
+    """p10's shard positions are per-shard ranks; a standalone global
+    Sort would serialize the corpus through one ordering at 100 TB."""
+    plan = _plan(spark, "p10_training_manifest")
+    assert "TakeOrderedAndProject" not in plan  # not a top-k query
+    # Window sorts are fine (sort within shard partition); a global
+    # range-partitioned Sort exchange is not.
+    assert "rangepartitioning" not in plan.lower()
