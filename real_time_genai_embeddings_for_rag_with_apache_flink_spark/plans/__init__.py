@@ -34,6 +34,7 @@ DRIVER_WINDOW: list[str] = [
     "q68_lateral_join",
     "t20_heavy_hitter_sketch",
     "p10_training_manifest",
+    "u04_python_udtf",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "s03_embedding_near_dup",
     "s04_label_centroids",
     "s05_ivf_search",
-    "s08_hyperplane_lsh_buckets",
 ]
 
 set_priority(DRIVER_WINDOW)

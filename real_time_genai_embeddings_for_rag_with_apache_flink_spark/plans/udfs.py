@@ -158,6 +158,62 @@ def u03_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").applyInPandas(zscore, schema=out_schema)
 
 
+_UDTF_CHUNK = 16
+
+
+@query(
+    "u04_python_udtf",
+    oracle=f"""
+SELECT doc_id, CAST(s / {_UDTF_CHUNK} AS INT) AS chunk_idx,
+  array_to_string(toks[s+1 : s+{_UDTF_CHUNK}], ' ') AS chunk_text,
+  least({_UDTF_CHUNK}, len(toks) - s) AS n_tokens
+FROM (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks)-1, {_UDTF_CHUNK})) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 '\\s+') AS toks
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) != '')
+)
+""",
+    tags=("udf", "udtf", "text", "chunking"),
+)
+def u04_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) applied per input row via
+    SQL LATERAL — the table-function API surface itself, not the
+    mapInPandas stand-in (u02): each document expands to its
+    non-overlapping 16-token chunks inside the UDTF's eval generator.
+    Arrow-optimized UDTF execution is enabled session-wide
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) so row transfer
+    is Arrow-batched. t06 remains the production chunker (pure Catalyst
+    expressions, no Python); this entry pins that the engine can host
+    user table functions when the expansion logic genuinely needs
+    Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_text: string, n_tokens: int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(0, len(toks), _UDTF_CHUNK):
+                part = toks[i : i + _UDTF_CHUNK]
+                yield i // _UDTF_CHUNK, " ".join(part), len(part)
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("u04_chunker", Chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    docs.filter(norm != "").select(
+        "doc_id", norm.alias("norm_text")
+    ).createOrReplaceTempView("u04_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM u04_docs d, LATERAL u04_chunker(d.norm_text) c"
+    )
+
+
 @query(
     "st06_stateful_user_totals",
     oracle="""
