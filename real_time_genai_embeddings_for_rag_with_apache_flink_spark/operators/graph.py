@@ -90,7 +90,7 @@ def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_rounds: int = 50,
+    max_rounds: int = 100,
 ) -> DataFrame:
     """Connected components of an undirected edge list via alternating
     large-star/small-star. Returns one row per node that appears in any
@@ -98,9 +98,11 @@ def connected_components_star(
     node's component — the exact contract of d08's label propagation,
     in O(log^2 n) rounds instead of O(diameter).
 
-    `max_rounds` is a safety bound far above the O(log^2 n) guarantee
-    (2^7 = 128 nodes converge in ~5 alternations); hitting it raises
-    rather than returning half-merged components.
+    `max_rounds` is a safety bound above the convergence guarantee —
+    observed alternations track ~log2(n) (a 4,096-hop path takes 13;
+    a trillion-node graph projects to ~40), so 100 leaves margin while
+    still failing fast; hitting it raises rather than returning
+    half-merged components.
     """
     nodes = (
         edges.select(F.col(src).alias("doc_id"))
@@ -139,7 +141,7 @@ def connected_components_star(
 
 
 def star_round_count(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 50
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 100
 ) -> int:
     """Number of large+small-star alternations until the fixpoint —
     exposed for the convergence-rate tests/bench (a path graph of
