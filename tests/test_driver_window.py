@@ -98,11 +98,22 @@ R05_GREEN = {
 
 ALL_GREEN = R02_GREEN | R03_GREEN | R04_GREEN | R05_GREEN
 
-# New this round — never driver-checked; MUST lead the round-6 window.
+# Never driver-checked (new since the r5 snapshot, including the
+# round-6 build's own additions); MUST lead the round-6 window.
 NEVER_CHECKED = (
     "d20_lsh_bucket_audit",
     "p09_rag_query",
     "st14_stream_incremental_dedup",
+    "d21_scalable_components",
+    "d22_seed_reachability",
+    "s15_knn_graph",
+    "t19_segment_dedup_clean",
+    "q67_variant_json",
+    "st15_stream_index_maintenance",
+    "q68_lateral_join",
+    "t20_heavy_hitter_sketch",
+    "p10_training_manifest",
+    "u04_python_udtf",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
