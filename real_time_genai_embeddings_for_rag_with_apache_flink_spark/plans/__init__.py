@@ -35,6 +35,7 @@ DRIVER_WINDOW: list[str] = [
     "t20_heavy_hitter_sketch",
     "p10_training_manifest",
     "u04_python_udtf",
+    "m05_payload_phash_dedup",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "s02_knn_join",
     "s03_embedding_near_dup",
     "s04_label_centroids",
-    "s05_ivf_search",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -343,3 +343,91 @@ def m04_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(decode_media(attach_fake_payload(docs)))
+
+
+_PHASH_BITS = 16
+_PHASH_BAND = 3  # banded id window stands in for an LSH prefix bucket
+_PHASH_MAX_HAMMING = 4
+
+
+@query(
+    "m05_payload_phash_dedup",
+    oracle=f"""
+WITH ph AS (
+  SELECT doc_id, hist, total,
+    CAST(list_sum(list_transform(generate_series(1, {_PHASH_BITS}), i ->
+      CASE WHEN hist[i] * {_PHASH_BITS} > total THEN 1 << (i - 1)
+           ELSE 0 END)) AS BIGINT) AS phash
+  FROM (
+    SELECT doc_id, length(text) AS total,
+      list_transform(generate_series(0, {_PHASH_BITS - 1}), i ->
+        len(list_filter(list_transform(string_split(text, ''),
+                                       ch -> ascii(ch)),
+            b -> b % {_PHASH_BITS} = i))) AS hist
+    FROM documents WHERE length(text) > 0
+  )
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM ph a JOIN ph b
+    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {_PHASH_BAND}
+) WHERE hamming <= {_PHASH_MAX_HAMMING}
+""",
+    tags=("multimodal", "dedup", "udf", "perceptual-hash"),
+)
+def m05_payload_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on OPAQUE BINARY payloads — the multimodal
+    analogue of d05/d06's text SimHash, for rows where no text exists
+    to shingle: a 16-bit perceptual hash per payload (byte-bucket
+    histogram; bit i set when bucket i holds more than its uniform
+    share — integer compares only, so both engines agree exactly),
+    computed in one numpy pass per Arrow batch via mapInPandas, then
+    Hamming-distance pairs within a banded id window (an LSH
+    prefix-bucket stand-in, as in d06). The deterministic fake payload
+    is the document's UTF-8 bytes, so the oracle reproduces the hash
+    from text; a real deployment swaps the histogram for a decoded
+    image/audio fingerprint behind the same (doc_id, phash) seam.
+
+    Scale shape: the hash pass is narrow (no shuffle, payload bytes
+    never leave their partition); only (doc_id, phash) pairs — 12
+    bytes/row — reach the join."""
+    import numpy as np
+
+    from ..operators.multimodal import attach_fake_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    payloads = attach_fake_payload(docs).select("doc_id", "payload")
+
+    def phash(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(b % _PHASH_BITS, minlength=_PHASH_BITS)
+                bits = hist.astype(np.int64) * _PHASH_BITS > len(b)
+                out.append(int((bits << np.arange(_PHASH_BITS)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": out}
+            )
+
+    hashed = payloads.mapInPandas(phash, "doc_id long, phash long")
+    a, b = hashed.alias("a"), hashed.alias("b")
+    hamming = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + _PHASH_BAND),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )

@@ -114,6 +114,7 @@ NEVER_CHECKED = (
     "t20_heavy_hitter_sketch",
     "p10_training_manifest",
     "u04_python_udtf",
+    "m05_payload_phash_dedup",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
