@@ -36,6 +36,7 @@ DRIVER_WINDOW: list[str] = [
     "p10_training_manifest",
     "u04_python_udtf",
     "m05_payload_phash_dedup",
+    "d23_editdist_verify",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "s01_topk_cosine",
     "s02_knn_join",
     "s03_embedding_near_dup",
-    "s04_label_centroids",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -76,6 +76,72 @@ def d10_lsh_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_LEN_WINDOW = 0.5  # skip pairs whose lengths differ by > 50%
+
+
+@query(
+    "d23_editdist_verify",
+    oracle=f"""
+WITH {{LSH}},
+texts AS (SELECT doc_id, {{NORM}} AS t FROM documents),
+cand AS (
+  SELECT p.id_a, p.id_b, a.t AS ta, b.t AS tb
+  FROM lsh_pairs p
+  JOIN texts a ON a.doc_id = p.id_a
+  JOIN texts b ON b.doc_id = p.id_b
+  WHERE least(length(a.t), length(b.t)) * 2
+        >= greatest(length(a.t), length(b.t))
+)
+SELECT id_a, id_b,
+  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+  ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+        / greatest(length(ta), length(tb), 1), 6) AS edit_sim
+FROM cand
+WHERE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+      / greatest(length(ta), length(tb), 1) >= 0.8
+""".format(LSH=_SQL_LSH_CTES.strip(), NORM=_SQL_NORM),
+    tags=("dedup", "lsh", "edit-distance", "similarity"),
+)
+def d23_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the LSH candidate pairs — the
+    third verify lens after token-set Jaccard (d10) and containment
+    (d15): normalized edit-distance similarity >= 0.8 catches
+    small-edit duplicates (typo farms, template fills) that token-set
+    measures can over- or under-score. Levenshtein is O(len_a x len_b)
+    PER PAIR, so two guards keep it scale-safe: it runs only on the
+    LSH candidate set (never all pairs), and candidates whose lengths
+    differ by more than 50% are skipped first — |len_a - len_b| is
+    itself a lower bound on edit distance, so those pairs cannot reach
+    the 0.8 threshold and the quadratic cost is never paid for them.
+    Both engines use their built-in levenshtein (identical unit-cost
+    DP semantics)."""
+    texts = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text(F.col("text")).alias("t")
+    )
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    a = texts.select(F.col("doc_id").alias("a_id"), F.col("t").alias("ta"))
+    b = texts.select(F.col("doc_id").alias("b_id"), F.col("t").alias("tb"))
+    la, lb = F.length("ta"), F.length("tb")
+    cand = (
+        pairs.join(a, pairs.id_a == a.a_id)
+        .join(b, pairs.id_b == b.b_id)
+        .filter(F.least(la, lb) * 2 >= F.greatest(la, lb))
+    )
+    dist = F.levenshtein("ta", "tb")
+    sim = F.round(
+        1.0 - dist.cast("double") / F.greatest(la, lb, F.lit(1)), 6
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            dist.cast("bigint").alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= 0.8)
+    )
+
+
 @query(
     "d15_containment_dupes",
     oracle=f"""

@@ -115,6 +115,7 @@ NEVER_CHECKED = (
     "p10_training_manifest",
     "u04_python_udtf",
     "m05_payload_phash_dedup",
+    "d23_editdist_verify",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
