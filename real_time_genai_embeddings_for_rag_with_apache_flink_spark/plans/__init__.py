@@ -37,6 +37,7 @@ DRIVER_WINDOW: list[str] = [
     "u04_python_udtf",
     "m05_payload_phash_dedup",
     "d23_editdist_verify",
+    "s17_gemm_knn",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "s07_scalar_quantization",
     "s01_topk_cosine",
     "s02_knn_join",
-    "s03_embedding_near_dup",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -116,6 +116,7 @@ NEVER_CHECKED = (
     "u04_python_udtf",
     "m05_payload_phash_dedup",
     "d23_editdist_verify",
+    "s17_gemm_knn",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
