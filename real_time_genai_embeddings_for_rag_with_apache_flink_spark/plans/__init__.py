@@ -38,6 +38,7 @@ DRIVER_WINDOW: list[str] = [
     "m05_payload_phash_dedup",
     "d23_editdist_verify",
     "s17_gemm_knn",
+    "st16_stream_semi_join",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "t06_doc_chunking",
     "s07_scalar_quantization",
     "s01_topk_cosine",
-    "s02_knn_join",
 ]
 
 set_priority(DRIVER_WINDOW)

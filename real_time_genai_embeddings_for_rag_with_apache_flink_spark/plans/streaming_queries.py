@@ -996,3 +996,56 @@ def st12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("text").alias("first_text"),
     )
+
+
+@query(
+    "st16_stream_semi_join",
+    oracle="""
+SELECT e.event_id AS err_id, e.user_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+WHERE EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+    AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts)
+""",
+    tags=("streaming", "join", "interval-join", "semi", "watermark"),
+)
+def st16_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — the third member of the
+    stream-join family (st07 inner, st13 left outer): each error emits
+    AT MOST ONCE, when its first in-window click arrives, with no
+    click columns and no fan-out on multi-click users. Semi emission
+    needs no watermark frontier gate (unlike st13's outer nulls —
+    matched existence is decidable the moment a match arrives), so the
+    oracle is the plain interval EXISTS; the watermarks still bound
+    both sides' state. The ordered multi-batch replay guarantees no
+    match can outrun state eviction (see _split_source_dir), which is
+    exactly the argument that holds on a production stream within the
+    declared lateness budget."""
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 minute")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_semi",
+    ).select("err_id", "user_id")
+    return run_to_memory(joined, "st16", "append")

@@ -117,6 +117,7 @@ NEVER_CHECKED = (
     "m05_payload_phash_dedup",
     "d23_editdist_verify",
     "s17_gemm_knn",
+    "st16_stream_semi_join",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
