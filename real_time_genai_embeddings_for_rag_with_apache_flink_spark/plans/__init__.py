@@ -39,6 +39,7 @@ DRIVER_WINDOW: list[str] = [
     "d23_editdist_verify",
     "s17_gemm_knn",
     "st16_stream_semi_join",
+    "q69_datasketches",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "t05_rolling_hash",
     "t06_doc_chunking",
     "s07_scalar_quantization",
-    "s01_topk_cosine",
 ]
 
 set_priority(DRIVER_WINDOW)

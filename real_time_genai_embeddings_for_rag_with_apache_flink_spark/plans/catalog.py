@@ -510,6 +510,36 @@ def q13b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q69_datasketches",
+    oracle=None,  # sketch estimates are engine-specific; error-bound-gated
+    tags=("aggregation", "approx", "sketch"),
+)
+def q69_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Apache DataSketches surface Spark 4 ships natively — the
+    MERGEABLE sketch family that replaces exact distinct/top-k at
+    100 TB: per event_type, an HLL-sketch distinct-user estimate
+    (hll_sketch_agg -> hll_sketch_estimate) and a Theta-sketch
+    estimate (set-operation-capable: union/intersect/diff of user
+    sets across segments would compose sketch-side). Both sketches
+    are order-independent (register-max / hash-sampling), so the
+    estimates are deterministic for a given dataset under ANY
+    partitioning — the property that makes them safe to merge across
+    1000 executors. Rows-only driver check; the exact-vs-estimate
+    error bound and approx_top_k containment are gated in
+    tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "hll_users"
+        ),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_sketch_agg(user_id)) AS DOUBLE)"
+        ).alias("theta_users"),
+    )
+
+
+@query(
     "q14_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

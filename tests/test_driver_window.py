@@ -118,6 +118,7 @@ NEVER_CHECKED = (
     "d23_editdist_verify",
     "s17_gemm_knn",
     "st16_stream_semi_join",
+    "q69_datasketches",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot

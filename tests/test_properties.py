@@ -168,3 +168,44 @@ def test_d17_substring_dedup_invariants(spark, tmp_path):
     assert out[1].n_windows == 13  # 20 tokens -> 13 distinct 8-windows
     assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
     assert out[3].dup_fraction == 0.0 and out[3].n_shared == 0
+
+
+def test_q69_datasketches_error_bounds_and_topk(spark, oracle_con):
+    """q69 is rows-only (sketch estimates are engine-specific); this
+    gate pins the semantics: HLL and Theta estimates stay within 5%
+    of the exact per-type distinct-user count (both are far below
+    sketch saturation at this cardinality), and approx_top_k's item
+    set contains the true modal user of the biggest event type."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    from conftest import SF_SMOKE
+
+    rows = plans.get_spec("q69_datasketches").build(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        for est in (r.hll_users, r.theta_users):
+            rel = abs(float(est) - r.exact_users) / max(r.exact_users, 1)
+            assert rel <= 0.05, (r.event_type, est, r.exact_users)
+
+    import json
+
+    top = spark.sql(
+        "SELECT event_type, to_json(approx_top_k(user_id, 5)) AS tk "
+        f"FROM parquet.`{SF_SMOKE}/events.parquet` GROUP BY event_type"
+    ).collect()
+    exact_top = {
+        (et): uid
+        for et, uid in oracle_con.execute(
+            """
+            SELECT event_type, user_id FROM (
+              SELECT event_type, user_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY COUNT(*) DESC, user_id) rn
+              FROM events GROUP BY event_type, user_id
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    for r in top:
+        items = {int(d["item"]) for d in json.loads(r.tk)}
+        assert exact_top[r.event_type] in items, (r.event_type, items)
