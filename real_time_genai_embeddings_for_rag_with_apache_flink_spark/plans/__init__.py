@@ -40,6 +40,7 @@ DRIVER_WINDOW: list[str] = [
     "s17_gemm_knn",
     "st16_stream_semi_join",
     "q69_datasketches",
+    "t21_mixture_allocation",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "t04_bpe_token_count",
     "t05_rolling_hash",
     "t06_doc_chunking",
-    "s07_scalar_quantization",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -817,3 +817,86 @@ def t18_zipf_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit.crossJoin(F.broadcast(n_vocab))
         .select("n_vocab", "n_head", "zipf_slope", "zipf_r2")
     )
+
+
+@query(
+    "t21_mixture_allocation",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+    CAST(SUM(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+      AS toks
+  FROM documents GROUP BY source
+), with_budget AS (
+  SELECT source, toks,
+    (SELECT SUM(toks) FROM per_source) // 2 AS budget,
+    ((SELECT SUM(toks) FROM per_source) // 2) * 3 // 10 AS cap
+  FROM per_source
+), cum AS (
+  SELECT source, toks, budget, cap,
+    COALESCE(SUM(LEAST(toks, cap)) OVER (
+      ORDER BY toks DESC, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM with_budget
+)
+SELECT source, toks AS tokens_available,
+  CAST(GREATEST(0, LEAST(LEAST(toks, cap),
+                    budget - LEAST(cum_prev, budget))) AS BIGINT)
+    AS tokens_allocated,
+  ROUND(CAST(GREATEST(0, LEAST(LEAST(toks, cap),
+             budget - LEAST(cum_prev, budget))) AS DOUBLE)
+        / budget, 6) AS budget_fraction
+FROM cum
+""",
+    tags=("curation", "mixture", "planning", "governance"),
+)
+def t21_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning under a token budget: allocate 50% of
+    the corpus's whitespace tokens across sources, biggest source
+    first, with a 30%-of-budget per-source cap (the anti-domination
+    rule every mixture recipe carries) — greedy waterfill stated as ONE
+    window cumulative sum, no iteration: because every source before
+    the budget crossing receives exactly min(toks, cap), the running
+    sum of that expression IS the true allocated total, so
+    budget-minus-cumsum clamps each source in closed form. All
+    arithmetic is integer until the final reporting fraction, so both
+    engines agree bit-for-bit (no float ordering risk).
+
+    Scale shape: the window runs over the per-SOURCE summary (a
+    dimension-sized relation), never the corpus; the corpus pass is
+    one hash aggregate."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("toks")
+    )
+    totals = per_source.agg(
+        F.expr("sum(toks) div 2").alias("budget"),
+        F.expr("(sum(toks) div 2) * 3 div 10").alias("cap"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("toks"), "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = per_source.crossJoin(F.broadcast(totals))
+    capped = F.least(F.col("toks"), F.col("cap"))
+    cum_prev = F.coalesce(F.sum(capped).over(w), F.lit(0))
+    alloc = F.greatest(
+        F.lit(0),
+        F.least(
+            capped,
+            F.col("budget") - F.least(cum_prev, F.col("budget")),
+        ),
+    )
+    return joined.select(
+        "source",
+        F.col("toks").alias("tokens_available"),
+        alloc.alias("tokens_allocated"),
+        F.round(alloc.cast("double") / F.col("budget"), 6).alias(
+            "budget_fraction"
+        ),
+    )

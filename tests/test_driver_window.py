@@ -119,6 +119,7 @@ NEVER_CHECKED = (
     "s17_gemm_knn",
     "st16_stream_semi_join",
     "q69_datasketches",
+    "t21_mixture_allocation",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
