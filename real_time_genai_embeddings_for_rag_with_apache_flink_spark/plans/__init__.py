@@ -41,6 +41,7 @@ DRIVER_WINDOW: list[str] = [
     "st16_stream_semi_join",
     "q69_datasketches",
     "t21_mixture_allocation",
+    "p11_partitioned_layout",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "t03_quality_scores",
     "t04_bpe_token_count",
     "t05_rolling_hash",
-    "t06_doc_chunking",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1218,3 +1218,56 @@ def p10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("cleaned_text").alias("cleaned_fp"),
         )
     )
+
+
+_PART_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "p11_partitioned_layout",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN {_SQL_NORM} != '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nonempty
+FROM documents WHERE lang = 'en' GROUP BY source
+""",
+    tags=("sinks", "sources", "partitioning", "layout"),
+)
+def p11_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB table-layout contract end to end: documents written
+    as a HIVE-PARTITIONED parquet table (partitionBy lang — the layout
+    every large corpus store uses so per-language jobs touch only
+    their directories), then read back with a lang filter that must be
+    satisfied by PARTITION PRUNING — directories outside lang=en are
+    never opened (the plan's PartitionFilters carry the predicate;
+    pinned in tests/test_partition_pruning.py). The oracle aggregates
+    the original table under the same filter, certifying the
+    write-read-prune path is lossless. The layout write is cached per
+    (sf_dir, content fingerprint) like the ORC/CSV roundtrips."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (os.path.abspath(sf_dir), _source_fingerprint(src))
+    path = _PART_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="part_docs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+        _PART_CACHE[key] = path
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(normalized_text(F.col("text")) != "", 1).otherwise(0)
+        ).alias("n_nonempty"),
+    )

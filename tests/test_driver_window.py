@@ -120,6 +120,7 @@ NEVER_CHECKED = (
     "st16_stream_semi_join",
     "q69_datasketches",
     "t21_mixture_allocation",
+    "p11_partitioned_layout",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot

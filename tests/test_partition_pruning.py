@@ -42,3 +42,18 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     }
     assert len(read_files) < len(all_files)
     assert all("day=2024-01-01" in f for f in read_files)
+
+
+def test_p11_layout_prunes_lang_partitions(spark):
+    """p11's read-back must place the lang predicate in PartitionFilters
+    (directory pruning), not PushedFilters (row-group filtering) — the
+    difference between opening one directory and scanning them all."""
+    from conftest import SF_SMOKE
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    df = plans.get_spec("p11_partitioned_layout").build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "lang" in seg and "en" in seg, seg
