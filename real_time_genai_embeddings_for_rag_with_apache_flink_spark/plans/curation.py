@@ -387,18 +387,42 @@ def t20_heavy_hitter_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(norm, r"\s+")).alias("token")
     )
 
+    def _prune(counts, cap):
+        """Misra-Gries decrement in one vectorized step: subtract the
+        (cap+1)-th largest count from everything, drop non-positives.
+        Leaves <= cap counters; each surviving value is a lower bound
+        whose total error stays <= N_partition/cap even across repeated
+        prunes (the classical merged-summary bound)."""
+        items = counts.most_common()
+        if len(items) <= cap:
+            return counts
+        thresh = items[cap][1]
+        from collections import Counter
+
+        return Counter(
+            {t: c - thresh for t, c in items[:cap] if c > thresh}
+        )
+
     def summarize(batches):
         from collections import Counter
 
+        # Working state is BOUNDED at 8x capacity: exact counts are
+        # accumulated per Arrow batch, and whenever the counter spills
+        # past the bound it is pruned back to capacity with the MG
+        # decrement — so worker memory is O(capacity), independent of
+        # the partition's vocabulary, which is the whole point of the
+        # sketch at 100 TB.
         counts: Counter = Counter()
         for pdf in batches:
             counts.update(pdf["token"].value_counts().to_dict())
+            if len(counts) > 8 * _MG_CAPACITY:
+                counts = _prune(counts, _MG_CAPACITY)
+        counts = _prune(counts, _MG_CAPACITY)
         if not counts:
             return
-        items = counts.most_common()
-        thresh = items[_MG_CAPACITY][1] if len(items) > _MG_CAPACITY else 0
-        kept = [(t, c - thresh) for t, c in items[:_MG_CAPACITY] if c > thresh]
-        yield pd.DataFrame(kept, columns=["token", "lb"])
+        yield pd.DataFrame(
+            list(counts.items()), columns=["token", "lb"]
+        )
 
     summaries = exploded.select("token").mapInPandas(
         summarize, "token string, lb long"
