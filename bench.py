@@ -148,10 +148,13 @@ def _chain_stress(spark, timings: dict[str, float]) -> None:
     ).coalesce(8)
     t0 = time.perf_counter()
     labels = connected_components_star(edges)
+    n_labeled = labels.count()
     bad = labels.filter("component != 0").limit(1).count()
     timings["d21_chain_stress"] = round(time.perf_counter() - t0, 4)
-    if bad:
-        raise AssertionError("chain stress mislabeled a component")
+    if bad or n_labeled != n:
+        raise AssertionError(
+            f"chain stress wrong: {n_labeled}/{n} nodes labeled, bad={bad}"
+        )
     print(
         f"# d21_chain_stress: {timings['d21_chain_stress']:.3f}s",
         file=sys.stderr,

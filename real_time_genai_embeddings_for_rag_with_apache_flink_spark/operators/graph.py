@@ -86,6 +86,28 @@ def _same_edge_set(a: DataFrame, a_count: int, b: DataFrame) -> tuple[bool, int]
     return diff == 0, b_count
 
 
+def _star_fixpoint(
+    edges: DataFrame, src: str, dst: str, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set is stable;
+    returns (fixpoint star-forest edges, alternation count). Shared by
+    the component labeler and the round-count probe so both always
+    measure the same algorithm."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    n_e = e.count()
+    for i in range(max_rounds):
+        # One alternation = large-star then small-star; both outputs are
+        # canonical (u > v) by construction (m is a strict minimum).
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        same, n_nxt = _same_edge_set(e, n_e, nxt)
+        e, n_e = nxt, n_nxt
+        if same:
+            return e, i + 1
+    raise RuntimeError(
+        f"alternating-star did not converge in {max_rounds} rounds"
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
@@ -110,22 +132,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
-    n_e = e.count()
-    converged = False
-    for _ in range(max_rounds):
-        # One alternation = large-star then small-star; both outputs are
-        # canonical (u > v) by construction (m is a strict minimum).
-        nxt = _small_star(_large_star(e)).localCheckpoint()
-        same, n_nxt = _same_edge_set(e, n_e, nxt)
-        e, n_e = nxt, n_nxt
-        if same:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_rounds} rounds"
-        )
+    e, _rounds = _star_fixpoint(edges, src, dst, max_rounds)
     # Fixpoint edge list is a star forest: non-roots hold exactly one
     # edge to the component minimum; roots (and isolated-by-dedup
     # nodes) label themselves.
@@ -146,13 +153,6 @@ def star_round_count(
     """Number of large+small-star alternations until the fixpoint —
     exposed for the convergence-rate tests/bench (a path graph of
     length L needs ~log2(L) rounds here vs L rounds of label
-    propagation)."""
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
-    n_e = e.count()
-    for i in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint()
-        same, n_nxt = _same_edge_set(e, n_e, nxt)
-        e, n_e = nxt, n_nxt
-        if same:
-            return i + 1
-    raise RuntimeError(f"no convergence in {max_rounds} rounds")
+    propagation). Delegates to the same fixpoint loop the labeler
+    runs."""
+    return _star_fixpoint(edges, src, dst, max_rounds)[1]

@@ -991,34 +991,40 @@ def q28_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-  CAST(SUM(CASE WHEN json_extract(props, '$.absent') IS NULL
+  CAST(SUM(CASE WHEN json_valid(props)
+           THEN CAST(json_extract(props, '$.k') AS INT) END) AS BIGINT)
+    AS sum_k,
+  MAX(CASE WHEN json_valid(props)
+      THEN CAST(json_extract(props, '$.k') AS INT) END) AS max_k,
+  CAST(SUM(CASE WHEN NOT json_valid(props)
+                  OR json_extract(props, '$.absent') IS NULL
            THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
-  CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
-    AS n_malformed
+  CAST(SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed
 FROM events GROUP BY event_type
 """,
     tags=("functions", "json", "variant"),
 )
 def q67_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type: props is
-    parsed ONCE into a binary variant (parse_json), then every typed
-    access is variant_get on the parsed value — the at-scale shape for
-    multi-field extraction, where q28's per-path get_json_object
-    re-parses the string for every path. try_variant_get covers the
-    missing-path (returns null, counted) and try_parse_json the
-    malformed-input lane (Spark 4 PERMISSIVE from_json can't
-    distinguish malformed from all-null — the documented engine
-    gotcha). The oracle states the same accesses over DuckDB's JSON
-    type."""
+    parsed ONCE into a binary variant (try_parse_json — the null-safe
+    lane, so a malformed row degrades to counted nulls instead of
+    failing the job), then every typed access is try_variant_get on
+    the parsed value — the at-scale shape for multi-field extraction,
+    where q28's per-path get_json_object re-parses the string for
+    every path. (Spark 4 PERMISSIVE from_json can't distinguish
+    malformed from all-null — the documented engine gotcha this lane
+    avoids.) The oracle states the same accesses over DuckDB's JSON
+    type with json_valid guards, so both engines agree on data WITH
+    malformed rows, not just on clean data."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     parsed = ev.select(
         "event_type",
-        F.variant_get(v, "$.k", "int").alias("k"),
+        "props",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
         F.try_variant_get(v, "$.absent", "int").alias("absent"),
-        F.try_parse_json("props").alias("maybe"),
+        v.alias("maybe"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1027,9 +1033,11 @@ def q67_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
             "n_absent"
         ),
-        F.sum(F.when(F.col("maybe").isNull(), 1).otherwise(0)).alias(
-            "n_malformed"
-        ),
+        F.sum(
+            F.when(
+                F.col("props").isNotNull() & F.col("maybe").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_malformed"),
     )
 
 

@@ -653,8 +653,8 @@ def d21_scalable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a chained-paraphrase/crawl-ring corpus makes the dup graph a long
     path, and at 100 TB each extra round is a full edge-list shuffle.
     The star alternation converges in O(log^2 n) rounds regardless of
-    diameter (a 4096-hop chain: ~6 alternations vs ~4096 propagation
-    rounds — measured in tests/test_graph_components.py). Same output
+    diameter (a 4,096-hop chain: 13 alternations measured vs ~4,095
+    propagation rounds; see BASELINE.md's chain-stress row). Same output
     contract as d08 (component = smallest reachable doc_id), same
     recursive-CTE oracle; the equivalence of the two engines' outputs
     is additionally pinned test-side."""
@@ -1120,7 +1120,19 @@ def _segments_with_share_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document non-overlapping _SEG_SIZE-token segments joined with
     each segment's cross-corpus distinct-document count (grouped on
     md5 so both engines share collision behavior). Consumed by t19 and
-    the p10 manifest."""
+    the p10 manifest; materialized ONCE per session through the
+    intermediate seam (restartable parquet mode included), so the
+    corpus-wide agreement shuffle is never recomputed per consumer."""
+
+    def build() -> DataFrame:
+        return _build_segments_with_share_counts(spark, sf_dir)
+
+    return _cached_intermediate(spark, sf_dir, "segments", build)
+
+
+def _build_segments_with_share_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     toks = docs.filter(norm != "").select(
@@ -1468,19 +1480,29 @@ def _hyperplane(p: int, dim: int) -> list[float]:
     ]
 
 
+# Single source of truth for the oracle-side bucket derivation (s08
+# emits it directly; s15 joins through it).
+_SQL_HYPERPLANE_BUCKETS = f"""
+hp_buckets AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), p ->
+      CASE WHEN list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(embedding)), d ->
+               CAST(embedding[d] AS DOUBLE)
+               * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
+                  / {_PLANE_DENOM} - 0.5))),
+           (acc, x) -> acc + x) > 0
+      THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+  FROM embeddings
+)
+"""
+
+
 @query(
     "s08_hyperplane_lsh_buckets",
     oracle=f"""
-SELECT vec_id,
-  CAST(list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), p ->
-    CASE WHEN list_reduce(list_prepend(0.0,
-           list_transform(generate_series(1, len(embedding)), d ->
-             CAST(embedding[d] AS DOUBLE)
-             * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
-                / {_PLANE_DENOM} - 0.5))),
-         (acc, x) -> acc + x) > 0
-    THEN 1 << p ELSE 0 END)) AS INT) AS bucket
-FROM embeddings
+WITH {_SQL_HYPERPLANE_BUCKETS.strip()}
+SELECT vec_id, bucket FROM hp_buckets
 """,
     tags=("similarity", "lsh", "ann"),
 )
@@ -1514,22 +1536,6 @@ def _hyperplane_bucket_col(col: str = "embedding"):
         )
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
-
-
-_SQL_HYPERPLANE_BUCKETS = f"""
-hp_buckets AS (
-  SELECT vec_id,
-    CAST(list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), p ->
-      CASE WHEN list_reduce(list_prepend(0.0,
-             list_transform(generate_series(1, len(embedding)), d ->
-               CAST(embedding[d] AS DOUBLE)
-               * (CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 7)) AS BIGINT)
-                  / {_PLANE_DENOM} - 0.5))),
-           (acc, x) -> acc + x) > 0
-      THEN 1 << p ELSE 0 END)) AS INT) AS bucket
-  FROM embeddings
-)
-"""
 
 
 @query(

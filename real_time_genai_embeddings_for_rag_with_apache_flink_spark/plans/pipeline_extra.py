@@ -76,9 +76,6 @@ def d10_lsh_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDIT_LEN_WINDOW = 0.5  # skip pairs whose lengths differ by > 50%
-
-
 @query(
     "d23_editdist_verify",
     oracle=f"""
@@ -97,8 +94,8 @@ SELECT id_a, id_b,
   ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
         / greatest(length(ta), length(tb), 1), 6) AS edit_sim
 FROM cand
-WHERE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-      / greatest(length(ta), length(tb), 1) >= 0.8
+WHERE ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+      / greatest(length(ta), length(tb), 1), 6) >= 0.8
 """.format(LSH=_SQL_LSH_CTES.strip(), NORM=_SQL_NORM),
     tags=("dedup", "lsh", "edit-distance", "similarity"),
 )

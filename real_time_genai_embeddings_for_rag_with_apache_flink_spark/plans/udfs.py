@@ -359,11 +359,16 @@ WITH ph AS (
       CASE WHEN hist[i] * {_PHASH_BITS} > total THEN 1 << (i - 1)
            ELSE 0 END)) AS BIGINT) AS phash
   FROM (
-    SELECT doc_id, length(text) AS total,
+    -- The hash domain is UTF-8 BYTES (what the Spark side's
+    -- np.frombuffer sees), extracted via hex(encode(text)) — NOT
+    -- codepoints, which diverge on any non-ASCII document.
+    SELECT doc_id, octet_length(encode(text)) AS total,
       list_transform(generate_series(0, {_PHASH_BITS - 1}), i ->
-        len(list_filter(list_transform(string_split(text, ''),
-                                       ch -> ascii(ch)),
-            b -> b % {_PHASH_BITS} = i))) AS hist
+        len(list_filter(
+          list_transform(generate_series(0, octet_length(encode(text)) - 1),
+            j -> CAST(concat('0x', substr(hex(encode(text)), j*2+1, 2))
+                      AS INT) % {_PHASH_BITS}),
+          b -> b = i))) AS hist
     FROM documents WHERE length(text) > 0
   )
 )
