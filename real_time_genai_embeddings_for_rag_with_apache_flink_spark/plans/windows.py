@@ -378,3 +378,72 @@ def w08_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id", "event_id")
         .limit(20)
     )
+
+
+@query(
+    "w10_gap_fill_forward",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+    COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+  FROM hourly GROUP BY user_id
+), dense AS (
+  SELECT s.user_id, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans s
+)
+SELECT d.user_id, d.hour,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+  last_value(h.sum_value IGNORE NULLS) OVER (
+    PARTITION BY d.user_id ORDER BY d.hour
+    ROWS UNBOUNDED PRECEDING) AS carried_sum
+FROM dense d LEFT JOIN hourly h
+  ON h.user_id = d.user_id AND h.hour = d.hour
+""",
+    tags=("window-time", "time-series", "gap-fill"),
+)
+def w10_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill — the gap-filling
+    primitive dashboards and feature pipelines need that plain
+    aggregation can't produce (missing hours simply don't exist as
+    rows): each user's hourly activity is densified over their own
+    [first, last] hour via sequence+explode, absent hours get
+    n_events = 0, and the last observed hourly sum is carried forward
+    with last(ignorenulls) over an ordered per-user window.
+
+    Scale shape: the densified row count is bounded by users x span
+    hours (time, not event volume); the fill is one window per user
+    partition — no self-join, no driver loop. DuckDB states the same
+    fill as last_value IGNORE NULLS."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    dense = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = dense.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
+    )

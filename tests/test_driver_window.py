@@ -121,6 +121,7 @@ NEVER_CHECKED = (
     "q69_datasketches",
     "t21_mixture_allocation",
     "p11_partitioned_layout",
+    "w10_gap_fill_forward",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
