@@ -43,6 +43,7 @@ DRIVER_WINDOW: list[str] = [
     "t21_mixture_allocation",
     "p11_partitioned_layout",
     "w10_gap_fill_forward",
+    "q70_collation",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "t01_text_stats",
     "t02_language_id",
     "t03_quality_scores",
-    "t04_bpe_token_count",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -540,6 +540,51 @@ def q69_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q70_collation",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+         ELSE event_type END AS et_mixed, value
+  FROM events
+)
+SELECT lower(et_mixed) AS event_type_ci,
+  COUNT(*) AS n,
+  CAST(COUNT(DISTINCT et_mixed) AS BIGINT) AS n_case_variants,
+  ROUND(SUM(value), 4) AS sum_value
+FROM mixed GROUP BY lower(et_mixed)
+""",
+    tags=("functions", "collation", "sql"),
+)
+def q70_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): event types with
+    deterministically mixed case are grouped under UTF8_LCASE, so
+    'CLICK' and 'click' land in one group WITHOUT rewriting the data
+    through lower() — the collation lives in the comparison, which is
+    what lets indexes/partition layouts keep original bytes while
+    queries compare case-insensitively. n_case_variants counts the raw
+    byte-distinct spellings each group absorbed (2 per type here, by
+    construction); the emitted label is lower()ed so it's independent
+    of which representative the group-by happened to keep. The oracle
+    states the same semantics via lower() grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et_mixed"),
+        "value",
+    ).createOrReplaceTempView("q70_mixed")
+    return spark.sql(
+        """
+SELECT lower(et_mixed COLLATE UTF8_LCASE) AS event_type_ci,
+  COUNT(*) AS n,
+  COUNT(DISTINCT et_mixed COLLATE UTF8_BINARY) AS n_case_variants,
+  ROUND(SUM(value), 4) AS sum_value
+FROM q70_mixed GROUP BY et_mixed COLLATE UTF8_LCASE
+"""
+    )
+
+
+@query(
     "q14_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -122,6 +122,7 @@ NEVER_CHECKED = (
     "t21_mixture_allocation",
     "p11_partitioned_layout",
     "w10_gap_fill_forward",
+    "q70_collation",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
