@@ -15,11 +15,11 @@ from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only. Round-6 window: every operator that has never had a
-# driver row (the 20 new since the r5 snapshot), then the STALEST
+# driver row (the 22 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
 # seam and skew-guard refactors. All 19 r02-checked entries and the
-# oldest 11 of the 40 r03-checked entries fit (20+19+11 = 50); the
-# remaining 29 r03-stale entries lead the round-7 window.
+# oldest 9 of the 40 r03-checked entries fit (22+19+9 = 50); the
+# remaining 31 r03-stale entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
