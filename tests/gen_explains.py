@@ -1,0 +1,82 @@
+"""Regenerate EXPLAINS.md: the executed physical plan for each headline
+query at sf0.001, with the scale-relevant shapes called out. Run:
+
+    python tests/gen_explains.py
+
+The file is a reviewing aid — the authoritative plan-shape contracts are
+the assertions in tests/test_plan_shapes.py and
+tests/test_partition_pruning.py; this just makes the plans readable
+without running Spark."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# (query, what to look for in the plan)
+HEADLINES = [
+    ("q01_pricing_summary", "partial HashAggregate below one Exchange, final above — 6M rows/SF collapse to 6 groups before the shuffle"),
+    ("q03_shipping_priority", "BroadcastHashJoin for the filtered dimension sides; TakeOrderedAndProject instead of a global sort"),
+    ("q05_local_supplier_volume", "all five dimension joins broadcast; only the fact chain shuffles"),
+    ("q06_forecast_revenue", "every predicate in PushedFilters; ReadSchema pruned to the 3 referenced columns"),
+    ("d04_minhash_lsh_pairs", "one Exchange on (band_idx, band_key) shared by the bucket-stats window and the self-join; cap-and-star-link guard branches"),
+    ("d21_scalable_components", "per-alternation shape: two HashAggregates + one join on the edge list, lineage cut by localCheckpoint (shown as ExistingRDD scan)"),
+    ("s01_topk_cosine", "single narrow scan + dot-product fold, TakeOrderedAndProject top-10 — no shuffle beyond the k-row merge"),
+    ("s15_knn_graph", "WindowGroupLimit below the rank window: each partition cuts to top-3 per node before anything ships"),
+    ("t19_segment_dedup_clean", "cross-document agreement shuffle carries md5 hashes; text appears only in the final per-doc regroup"),
+    ("p10_training_manifest", "composition over cached seam intermediates (InMemoryTableScan); per-shard window rank, no range-partitioned global sort"),
+    ("p11_partitioned_layout", "lang predicate satisfied in PartitionFilters (directory pruning), not a row filter"),
+]
+
+
+def main() -> int:
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.session import (
+        build_session,
+    )
+
+    spark = build_session(app_name="gen-explains", master="local[8]",
+                          shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# EXPLAINS — executed physical plans of the headline queries",
+        "",
+        "Auto-generated (`python tests/gen_explains.py`) at sf0.001 on "
+        "local[8]. The plan-shape CONTRACTS live in "
+        "`tests/test_plan_shapes.py` / `tests/test_partition_pruning.py`; "
+        "this file exists so the plans can be read without running Spark. "
+        "Numbers in `#N` suffixes are expression ids and vary run to run.",
+        "",
+    ]
+    for name, note in HEADLINES:
+        spec = plans.all_specs()[name]
+        df = spec.build(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Trim enormous plans to the structurally interesting prefix.
+        lines = plan.rstrip().splitlines()
+        if len(lines) > 80:
+            lines = lines[:80] + [f"... ({len(lines) - 80} more lines)"]
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**What to see:** {note}")
+        out.append("")
+        out.append("```")
+        out.extend(lines)
+        out.append("```")
+        out.append("")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "EXPLAINS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
