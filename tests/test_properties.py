@@ -209,3 +209,65 @@ def test_q69_datasketches_error_bounds_and_topk(spark, oracle_con):
     for r in top:
         items = {int(d["item"]) for d in json.loads(r.tk)}
         assert exact_top[r.event_type] in items, (r.event_type, items)
+
+
+def test_t21_closed_form_equals_iterative_greedy(spark):
+    """t21 claims the greedy budget waterfill collapses to one window
+    cumsum. Pin that claim against an explicit sequential greedy on
+    constructed corpora, including budget-exhaustion mid-source and
+    cap-bound sources."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    cases = [
+        [40, 30, 20, 10],            # plenty of budget spread
+        [1000, 1, 1, 1],             # cap binds the giant source
+        [7, 7, 7, 7, 7, 7, 7, 7],    # exhaustion mid-list with ties
+        [3],                         # single source
+        [100, 90, 80, 5, 4, 3, 2, 1],
+    ]
+    for idx, toks_per_source in enumerate(cases):
+        rows = []
+        doc_id = 0
+        for s_i, n_toks in enumerate(toks_per_source):
+            # one document per source with exactly n_toks tokens
+            rows.append(
+                (doc_id, " ".join(f"w{j}" for j in range(n_toks)),
+                 "en", f"src{s_i:02d}")
+            )
+            doc_id += 1
+        sf_dir = tempfile.mkdtemp(prefix=f"t21_case{idx}_")
+        (
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string"
+            )
+            .withColumn("n_chars", F.length("text"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
+        got = {
+            r["source"]: (r["tokens_available"], r["tokens_allocated"])
+            for r in plans.get_spec("t21_mixture_allocation")
+            .build(spark, sf_dir)
+            .collect()
+        }
+        # Explicit sequential greedy: biggest first, per-source cap,
+        # stop at budget.
+        total = sum(toks_per_source)
+        budget = total // 2
+        cap = budget * 3 // 10
+        order = sorted(
+            ((t, f"src{i:02d}") for i, t in enumerate(toks_per_source)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        remaining = budget
+        want = {}
+        for t, src in order:
+            a = max(0, min(t, cap, remaining))
+            want[src] = (t, a)
+            remaining -= a
+        assert got == want, (idx, got, want)
