@@ -597,6 +597,7 @@ def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("doc_id"), F.col("u").alias("component"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(20):  # diameter bound; early-stops long before
         neigh = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -623,6 +624,15 @@ def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A dup graph deeper than the round bound would otherwise return
+        # silently HALF-MERGED components — fail loudly instead and point
+        # at the diameter-independent algorithm.
+        raise RuntimeError(
+            "d08 label propagation did not converge within 20 rounds "
+            "(dup-graph diameter > 20); use d21_scalable_components "
+            "(alternating star, O(log n) rounds) for deep graphs"
+        )
     return labels
 
 
