@@ -64,7 +64,7 @@ DRIVER_WINDOW: list[str] = [
     "q58_disjunctive_join",
     "q59_excess_volume_suppliers",
     "q60_waiting_orders",
-    # stalest: last driver-checked in r03 (oldest 28; rest roll to r07)
+    # stalest: last driver-checked in r03 (oldest 9; the other 31 lead r07)
     "q27_math_functions",
     "q29_array_functions",
     "q54_priority_lateness",

@@ -598,7 +598,11 @@ def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     changed = 0
-    for _ in range(20):  # diameter bound; early-stops long before
+    # 21 iterations = up to 20 productive rounds (the diameter bound)
+    # plus the one quiet round that CONFIRMS convergence — a
+    # diameter-20 chain legitimately changes on all 20 productive
+    # rounds and must not be rejected.
+    for _ in range(21):
         neigh = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")

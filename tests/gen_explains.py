@@ -56,6 +56,12 @@ def main() -> int:
     for name, note in HEADLINES:
         spec = plans.all_specs()[name]
         df = spec.build(spark, SF)
+        # Execute THIS DataFrame's own query execution (collect; sf0.001
+        # outputs are tiny) so AQE finalizes the adaptive plan — what's
+        # captured is the plan that actually ran (isFinalPlan=true), not
+        # the pre-execution static guess. A noop-sink write would spawn
+        # a separate QueryExecution and leave this one unexecuted.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         # Trim enormous plans to the structurally interesting prefix.
         lines = plan.rstrip().splitlines()

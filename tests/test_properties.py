@@ -211,13 +211,12 @@ def test_q69_datasketches_error_bounds_and_topk(spark, oracle_con):
         assert exact_top[r.event_type] in items, (r.event_type, items)
 
 
-def test_t21_closed_form_equals_iterative_greedy(spark):
+def test_t21_closed_form_equals_iterative_greedy(spark, tmp_path):
     """t21 claims the greedy budget waterfill collapses to one window
     cumsum. Pin that claim against an explicit sequential greedy on
     constructed corpora, including budget-exhaustion mid-source and
     cap-bound sources."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -240,7 +239,7 @@ def test_t21_closed_form_equals_iterative_greedy(spark):
                  "en", f"src{s_i:02d}")
             )
             doc_id += 1
-        sf_dir = tempfile.mkdtemp(prefix=f"t21_case{idx}_")
+        sf_dir = str(tmp_path / f"case{idx}")
         (
             spark.createDataFrame(
                 rows, "doc_id long, text string, lang string, source string"
