@@ -15,11 +15,11 @@ from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only. Round-6 window: every operator that has never had a
-# driver row (the 22 new since the r5 snapshot), then the STALEST
+# driver row (the 24 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
 # seam and skew-guard refactors. All 19 r02-checked entries and the
-# oldest 9 of the 40 r03-checked entries fit (22+19+9 = 50); the
-# remaining 31 r03-stale entries lead the round-7 window.
+# oldest 7 of the 40 r03-checked entries fit (24+19+7 = 50); the
+# remaining 33 r03-stale entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
@@ -44,6 +44,8 @@ DRIVER_WINDOW: list[str] = [
     "p11_partitioned_layout",
     "w10_gap_fill_forward",
     "q70_collation",
+    "p12_schema_evolution",
+    "d24_lsh_recall_audit",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -64,7 +66,7 @@ DRIVER_WINDOW: list[str] = [
     "q58_disjunctive_join",
     "q59_excess_volume_suppliers",
     "q60_waiting_orders",
-    # stalest: last driver-checked in r03 (oldest 9; the other 31 lead r07)
+    # stalest: last driver-checked in r03 (oldest 7; the other 33 lead r07)
     "q27_math_functions",
     "q29_array_functions",
     "q54_priority_lateness",
@@ -72,8 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "d02_ngram_jaccard",
     "d03_minhash_signatures",
     "t01_text_stats",
-    "t02_language_id",
-    "t03_quality_scores",
 ]
 
 set_priority(DRIVER_WINDOW)

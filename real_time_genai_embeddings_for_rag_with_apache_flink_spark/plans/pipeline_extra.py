@@ -1268,3 +1268,172 @@ def p11_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(normalized_text(F.col("text")) != "", 1).otherwise(0)
         ).alias("n_nonempty"),
     )
+
+
+_EVOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "p12_schema_evolution",
+    oracle=f"""
+WITH v1 AS (
+  SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS quality_tier
+  FROM documents WHERE doc_id % 2 = 0
+), v2 AS (
+  SELECT doc_id, source, n_chars, CAST(n_chars % 3 AS BIGINT) AS quality_tier
+  FROM documents WHERE doc_id % 2 = 1
+), unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_v1_rows,
+  CAST(SUM(COALESCE(quality_tier, 0)) AS BIGINT) AS tier_sum
+FROM unioned GROUP BY source
+""",
+    tags=("sources", "sinks", "schema-evolution", "formats"),
+)
+def p12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table versions — the contract every
+    long-lived 100-TB corpus store must survive: half the corpus is
+    written with the v1 schema, the other half appended with a NEW
+    column (quality_tier), and the read uses ``mergeSchema`` so v1
+    rows surface the added column as null instead of failing or being
+    silently dropped. The aggregate proves all rows of BOTH vintages
+    arrived with correct null semantics. (Parquet merges schemas at
+    footer level — no rewrite of the v1 files, which is what makes
+    evolution affordable at scale; the oracle states the same union
+    with an explicit null column.)"""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (os.path.abspath(sf_dir), _source_fingerprint(src))
+    path = _EVOLVE_CACHE.get(key)
+    docs = load_table(spark, sf_dir, "documents")
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="evolve_docs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "n_chars"
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("n_chars") % 3).cast("bigint").alias("quality_tier"),
+        )
+        v2.write.mode("append").parquet(path)
+        _EVOLVE_CACHE[key] = path
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("quality_tier").isNull(), 1).otherwise(0)
+        ).alias("n_v1_rows"),
+        F.sum(F.coalesce(F.col("quality_tier"), F.lit(0))).alias("tier_sum"),
+    )
+
+
+@query(
+    "d24_lsh_recall_audit",
+    oracle=f"""
+WITH {{LSH}},
+sample AS (
+  SELECT doc_id, grams FROM shingled
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 10 < 3 AND len(grams) > 0
+),
+true_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sample a JOIN sample b ON b.doc_id > a.doc_id
+  WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+        THEN 0.0
+        ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) END, 6)
+        >= 0.5
+),
+caught AS (
+  SELECT t.id_a, t.id_b FROM true_pairs t
+  JOIN lsh_pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS n_sample_docs,
+  CAST((SELECT COUNT(*) FROM true_pairs) AS BIGINT) AS n_true_pairs,
+  CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+  ROUND(CASE WHEN (SELECT COUNT(*) FROM true_pairs) = 0 THEN 1.0
+        ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+             / (SELECT COUNT(*) FROM true_pairs) END, 6) AS recall
+""".format(LSH=_SQL_LSH_CTES.strip()),
+    tags=("dedup", "lsh", "governance", "quality-audit"),
+)
+def d24_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QUALITY CONTROL: what fraction of true near-dup pairs
+    (exact trigram Jaccard >= 0.5) does the banded MinHash-LSH
+    candidate stage actually surface? Computed on a deterministic
+    ~30% hash sample of the corpus, where the all-pairs exact
+    comparison is affordable — this is the audit a pipeline owner runs
+    on a sample BEFORE trusting LSH on the full 100 TB (all-pairs on
+    the full corpus is exactly what LSH exists to avoid; the sample
+    bound keeps the audit O((0.3 n)^2) on a chosen n). Complements
+    d18, which audits the ESTIMATE on caught pairs; this audits the
+    pairs LSH never caught at all. With 16 hashes in 4x4 bands,
+    theoretical catch probability at J = 0.5 is
+    1 - (1 - 0.5^4)^4 ~ 23%, rising steeply toward 1 for near-exact
+    dups — the audit makes that operating point visible on real data
+    instead of leaving it as formula trivia."""
+    from .llmops import _shingled_df
+
+    shingled = _shingled_df(spark, sf_dir)
+    sample = shingled.filter(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            < 3
+        )
+        & (F.size("grams") > 0)
+    )
+    a = sample.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
+    )
+    b = sample.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size(F.array_union("a_grams", "b_grams"))
+    jacc = F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+        6,
+    )
+    true_pairs = (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .filter(jacc >= 0.5)
+        .select("id_a", "id_b")
+    )
+    lsh = d04_minhash_lsh_pairs(spark, sf_dir)
+    caught = true_pairs.join(lsh, ["id_a", "id_b"])
+    n_sample = sample.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_sample_docs")
+    )
+    n_true = true_pairs.agg(
+        F.count(F.lit(1)).alias("n_true_pairs")
+    )
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    out = n_sample.crossJoin(n_true).crossJoin(n_caught)
+    return out.select(
+        "n_sample_docs",
+        "n_true_pairs",
+        "n_caught",
+        F.round(
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                F.col("n_caught").cast("double") / F.col("n_true_pairs")
+            ),
+            6,
+        ).alias("recall"),
+    )

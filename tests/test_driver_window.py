@@ -123,6 +123,8 @@ NEVER_CHECKED = (
     "p11_partitioned_layout",
     "w10_gap_fill_forward",
     "q70_collation",
+    "p12_schema_evolution",
+    "d24_lsh_recall_audit",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
