@@ -359,6 +359,7 @@ FROM exploded GROUP BY token
 ORDER BY tf DESC, token LIMIT 30
 """,
     tags=("text", "curation", "vocab", "sketch"),
+    bench=True,
 )
 def t20_heavy_hitter_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t12's heavy hitters by SKETCH-then-VERIFY — the shape that holds

@@ -380,6 +380,7 @@ SELECT id_a, id_b, hamming FROM (
 ) WHERE hamming <= {_PHASH_MAX_HAMMING}
 """,
     tags=("multimodal", "dedup", "udf", "perceptual-hash"),
+    bench=True,
 )
 def m05_payload_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection on OPAQUE BINARY payloads — the multimodal
