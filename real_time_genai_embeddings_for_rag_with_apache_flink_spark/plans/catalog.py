@@ -585,6 +585,43 @@ FROM q70_mixed GROUP BY et_mixed COLLATE UTF8_LCASE
 
 
 @query(
+    "q71_filtered_aggregates",
+    oracle="""
+SELECT o_orderstatus,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+       FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total,
+  MAX(o_orderdate) FILTER (WHERE o_orderpriority LIKE '1-%')
+    AS last_urgent
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("aggregation", "filter-clause", "sql"),
+)
+def q71_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI aggregate FILTER clause: per-aggregate predicates in one
+    pass over one grouping — the standard form of 'conditional
+    aggregation' q34 spells as CASE expressions. Catalyst evaluates
+    each FILTER map-side inside the same partial aggregate, so N
+    differently-filtered measures still cost exactly one shuffle.
+    Identical SQL runs on both engines; money sums ride DECIMAL and
+    cast to DOUBLE at the end (the repo's exactness rule)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q71_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+       FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total,
+  MAX(o_orderdate) FILTER (WHERE o_orderpriority LIKE '1-%')
+    AS last_urgent
+FROM q71_orders GROUP BY o_orderstatus
+"""
+    )
+
+
+@query(
     "q14_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -354,3 +354,59 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CANDIDATES)
     )
     return mmr_select(cands)
+
+
+@query(
+    "s18_filtered_ann",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, c.label,
+    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.qv AS DOUBLE[])), 6) AS sim
+  FROM embeddings c, q
+  WHERE c.vec_id != 0 AND c.label % 3 = 1
+)
+SELECT vec_id, label, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    tags=("similarity", "ann", "filter", "retrieval"),
+)
+def s18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search — the feature every production
+    vector store leads with (search only documents matching a metadata
+    predicate): top-10 by cosine to a query vector restricted to
+    label % 3 = 1 candidates. Strategy is PRE-filter: the predicate
+    prunes the corpus BEFORE any similarity math (pushed into the scan
+    as a data filter), which at high selectivity is strictly better
+    than post-filtering a larger ANN result and re-ranking — the
+    standard pre/post-filter tradeoff vector stores tune; with an IVF
+    index the same pre-filter composes with cell pruning (filter
+    inside each probed cell, s05). Exact top-k via
+    TakeOrderedAndProject on the filtered survivors — no shuffle
+    beyond the k-row merge."""
+    from ..functions.vector import cosine_similarity
+    from ..operators.similarity import query_literal
+    from ..sources.batch import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    cand = em.filter((F.col("vec_id") != 0) & (F.col("label") % 3 == 1))
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), query_literal(qvec)), 6
+    )
+    scored = cand.select("vec_id", "label", sim.alias("sim"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

@@ -125,6 +125,8 @@ NEVER_CHECKED = (
     "q70_collation",
     "p12_schema_evolution",
     "d24_lsh_recall_audit",
+    "s18_filtered_ann",
+    "q71_filtered_aggregates",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
