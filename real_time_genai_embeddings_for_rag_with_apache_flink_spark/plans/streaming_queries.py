@@ -1049,3 +1049,31 @@ def st16_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select("err_id", "user_id")
     return run_to_memory(joined, "st16", "append")
+
+
+@query(
+    "st17_dedup_within_watermark",
+    oracle=None,  # emission count depends on micro-batch boundaries;
+    # state-expiry/re-emission semantics pinned by a hand-controlled
+    # batch fixture in tests/test_streaming_semantics.py
+    tags=("streaming", "dedup", "watermark", "state-ttl"),
+)
+def st17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the STATE-BOUNDED streaming
+    dedup (Spark 3.5+): unlike st03's dropDuplicates (state grows with
+    distinct keys forever), a key's dedup state is dropped once the
+    watermark passes its event time plus the delay, so state is
+    bounded by keys-per-watermark-window — the only dedup a forever
+    stream can afford at 100 TB. The tradeoff is explicit: a key
+    recurring AFTER its state expired is emitted again (guaranteed
+    dedup only within the watermark window); the boundary fixture
+    pins both the suppression and the re-emission side. Rows-only
+    driver check — the emission count depends on micro-batch
+    boundaries, which are an execution detail, not SQL."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+    return run_to_memory(deduped, "st17", "append")

@@ -127,6 +127,7 @@ NEVER_CHECKED = (
     "d24_lsh_recall_audit",
     "s18_filtered_ann",
     "q71_filtered_aggregates",
+    "st17_dedup_within_watermark",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot

@@ -369,3 +369,90 @@ def test_index_maintenance_appends_then_compacts_with_pruning(spark):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:300]
     assert "cell" in seg and f"= {some_cell})" in seg, seg
+
+
+def test_dedup_within_watermark_expiry_and_reemission(spark, tmp_path):
+    """st17's contract, on hand-controlled micro-batches: a duplicate
+    arriving while the key's state lives is SUPPRESSED; the same key
+    arriving after the watermark passed its state is EMITTED AGAIN
+    (state-bounded dedup trades exactly this); an unrelated key emits
+    once."""
+    import os
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+
+    def ts(minutes):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        return base + datetime.timedelta(minutes=minutes)
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = tmp_path / "src"
+    os.makedirs(src)
+    batches = [
+        # batch 1: A and B at t0, plus a duplicate of A in-batch
+        [(1, "a", ts(0)), (1, "a", ts(1)), (2, "b", ts(0))],
+        # batch 2: advances the watermark to t40 (> A/B expiry at ~t10)
+        [(9, "z", ts(50))],
+        # batch 3: state eviction applies the watermark computed at the
+        # END of batch 2 (one-batch lag) — A/B state drops here
+        [(8, "y", ts(55))],
+        # batch 4: A recurs after expiry -> must emit again
+        [(1, "a", ts(60))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    # one file per batch, mtime-ordered
+    import glob as g
+
+    files = []
+    for i in range(len(batches)):
+        (part,) = g.glob(str(src / f"b{i}" / "part-*.parquet"))
+        dst = src / f"file{i}.parquet"
+        os.rename(part, dst)
+        files.append(dst)
+    base = _time.time() - 1000
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "file*.parquet"))
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_to_memory,
+    )
+
+    rows = sorted(
+        (r["user_id"], r["event_type"])
+        for r in run_to_memory(out, "st17fix", "append").collect()
+    )
+    # A emitted twice (once per state generation), dup suppressed;
+    # B and the two watermark-advancers once each.
+    assert rows == [
+        (1, "a"), (1, "a"), (2, "b"), (8, "y"), (9, "z"),
+    ], rows
