@@ -1437,3 +1437,59 @@ def d24_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@query(
+    "d25_cross_source_matrix",
+    oracle=f"""
+WITH RECURSIVE {{LSH}},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+comp_src AS (
+  SELECT DISTINCT c.component, d.source
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_shared_components
+FROM comp_src a JOIN comp_src b
+  ON a.component = b.component AND a.source < b.source
+GROUP BY a.source, b.source
+""".format(LSH=_SQL_LSH_CTES.strip()),
+    tags=("dedup", "governance", "reporting", "provenance"),
+)
+def d25_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every pair of sources, how
+    many near-dup components contain documents from BOTH — the
+    provenance heatmap that tells a corpus owner which crawls/dumps
+    overlap (mirror sites, re-crawls, syndication) and therefore which
+    acquisition pipelines to deduplicate against each other first.
+    Rides the seam's components; the matrix itself is two joins over
+    the (component, source) DISTINCT projection — dimension-sized
+    rows, one hash aggregate, nothing corpus-sized after the dedup
+    chain already paid for."""
+    from .llmops import d08_dup_components
+
+    comp = d08_dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp_src = comp.join(docs, "doc_id").select("component", "source").distinct()
+    a = comp_src.select(
+        F.col("component"), F.col("source").alias("source_a")
+    )
+    b = comp_src.select(
+        F.col("component"), F.col("source").alias("source_b")
+    )
+    return (
+        a.join(b, "component")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_components"))
+    )

@@ -128,6 +128,7 @@ NEVER_CHECKED = (
     "s18_filtered_ann",
     "q71_filtered_aggregates",
     "st17_dedup_within_watermark",
+    "d25_cross_source_matrix",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
