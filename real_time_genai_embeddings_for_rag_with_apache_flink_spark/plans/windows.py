@@ -447,3 +447,70 @@ def w10_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
     )
+
+
+_EWMA_SPAN = 8  # observations per truncated EWMA window
+_EWMA_DECAY = 0.75  # 1 - alpha; 3/4 is exactly representable in binary
+
+
+@query(
+    "w11_ewma_smoothing",
+    oracle=f"""
+WITH seqs AS (
+  SELECT user_id, event_id, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW)
+      AS seq
+  FROM events WHERE user_id < 10
+)
+SELECT user_id, event_id, ROUND(value, 6) AS value,
+  ROUND(
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, len(seq)),
+        j -> seq[j] * power({_EWMA_DECAY}, len(seq) - j))),
+      (a, x) -> a + x)
+    /
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, len(seq)),
+        j -> power({_EWMA_DECAY}, len(seq) - j))),
+      (a, x) -> a + x), 6) AS ewma
+FROM seqs
+""",
+    tags=("window-time", "time-series", "smoothing"),
+)
+def w11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the smoothing
+    primitive anomaly detectors and rate monitors run over event
+    streams. The EWMA recurrence is inherently sequential, so it's
+    stated as a TRUNCATED window (last 8 observations, weights
+    (3/4)^age, renormalized): the window form is expressible as pure
+    array arithmetic over a sliding frame — no recursion, no
+    sequential scan — and the dropped tail weight is (3/4)^8 < 10%.
+    Decay 3/4 is exactly representable in binary, so both engines'
+    power() calls return identical doubles and the fold order matches
+    — bit-for-bit parity without rounding tricks. One window shuffle
+    on user_id; scoring is per-row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    seqs = ev.withColumn("seq", F.collect_list("value").over(w))
+    n = F.size("seq")
+    idx = F.sequence(F.lit(1), n)
+    weights = F.transform(
+        idx, lambda j: F.pow(F.lit(_EWMA_DECAY), (n - j).cast("double"))
+    )
+    weighted = F.zip_with(
+        F.col("seq"), weights, lambda x, wt: x * wt
+    )
+    s = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return seqs.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(s(weighted) / s(weights), 6).alias("ewma"),
+    )

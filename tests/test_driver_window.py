@@ -129,6 +129,7 @@ NEVER_CHECKED = (
     "q71_filtered_aggregates",
     "st17_dedup_within_watermark",
     "d25_cross_source_matrix",
+    "w11_ewma_smoothing",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
