@@ -15,11 +15,11 @@ from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only. Round-6 window: every operator that has never had a
-# driver row (the 29 new since the r5 snapshot), then the STALEST
+# driver row (the 30 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
 # seam and skew-guard refactors. All 19 r02-checked entries and the
-# oldest 2 of the 40 r03-checked entries fit (29+19+2 = 50); the
-# remaining 38 r03-stale entries lead the round-7 window.
+# oldest 1 of the 40 r03-checked entries fits (30+19+1 = 50); the
+# remaining 39 r03-stale entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
@@ -51,6 +51,7 @@ DRIVER_WINDOW: list[str] = [
     "st17_dedup_within_watermark",
     "d25_cross_source_matrix",
     "w11_ewma_smoothing",
+    "d26_passage_provenance",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -71,9 +72,8 @@ DRIVER_WINDOW: list[str] = [
     "q58_disjunctive_join",
     "q59_excess_volume_suppliers",
     "q60_waiting_orders",
-    # stalest: last driver-checked in r03 (oldest 2; the other 38 lead r07)
+    # stalest: last driver-checked in r03 (oldest 1; the other 39 lead r07)
     "q27_math_functions",
-    "q29_array_functions",
 ]
 
 set_priority(DRIVER_WINDOW)

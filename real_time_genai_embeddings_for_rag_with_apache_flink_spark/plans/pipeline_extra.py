@@ -1493,3 +1493,67 @@ def d25_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_components"))
     )
+
+
+_PASSAGE_TOKENS = 12
+
+
+@query(
+    "d26_passage_provenance",
+    oracle=f"""
+WITH {{LSH}},
+qgrams AS (
+  SELECT list_distinct(list_transform(
+    generate_series(1, least({_PASSAGE_TOKENS}, len(toks)) - 2),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS qg
+  FROM (SELECT regexp_split_to_array({{NORM}}, '\\s+') AS toks
+        FROM documents WHERE doc_id = 0)
+)
+SELECT s.doc_id,
+  ROUND(CAST(len(list_intersect(s.grams, q.qg)) AS DOUBLE) / len(q.qg), 6)
+    AS containment
+FROM shingled s, qgrams q
+WHERE len(q.qg) > 0
+  AND CAST(len(list_intersect(s.grams, q.qg)) AS DOUBLE) / len(q.qg) >= 0.5
+""".format(LSH=_SQL_LSH_CTES.strip(), NORM=_SQL_NORM),
+    tags=("dedup", "retrieval", "containment", "provenance"),
+)
+def d26_passage_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage provenance lookup — 'which documents contain this
+    passage?': the query side of containment dedup (d15), the check
+    run before quoting/attributing or when tracing a memorized span
+    back to its sources. The probe passage (doc 0's first 12 tokens,
+    standing in for a user-supplied span) is shingled ONCE and enters
+    the plan as a broadcast literal array; every corpus document
+    computes |passage∩doc| / |passage| in its own partition — a pure
+    scan-and-filter with ZERO shuffle, embarrassingly parallel at any
+    corpus size (the shingle table rides the session seam). Contrast
+    with d15, which verifies candidate PAIRS: here one side is a
+    constant, so no join exists at all."""
+    from .llmops import _shingled_df, _trigrams
+
+    norm_toks = F.split(normalized_text(F.col("text")), r"\s+")
+    passage_grams = [
+        r["g"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(
+                _trigrams(F.slice(norm_toks, 1, _PASSAGE_TOKENS))
+            ).alias("g")
+        )
+        .collect()
+    ]
+    if not passage_grams:
+        raise ValueError("probe document 0 has no shingles")
+    qg = F.array(*[F.lit(g) for g in sorted(set(passage_grams))])
+    shingled = _shingled_df(spark, sf_dir)
+    containment = F.round(
+        F.size(F.array_intersect(F.col("grams"), qg)).cast("double")
+        / F.size(qg),
+        6,
+    )
+    return (
+        shingled.select("doc_id", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )

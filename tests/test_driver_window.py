@@ -130,6 +130,7 @@ NEVER_CHECKED = (
     "st17_dedup_within_watermark",
     "d25_cross_source_matrix",
     "w11_ewma_smoothing",
+    "d26_passage_provenance",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
