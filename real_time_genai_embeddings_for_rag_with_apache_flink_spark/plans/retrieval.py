@@ -387,9 +387,7 @@ def s18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each probed cell, s05). Exact top-k via
     TakeOrderedAndProject on the filtered survivors — no shuffle
     beyond the k-row merge."""
-    from ..functions.vector import cosine_similarity
     from ..operators.similarity import query_literal
-    from ..sources.batch import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
     qvec = [
@@ -403,8 +401,6 @@ def s18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity(F.col("embedding"), query_literal(qvec)), 6
     )
     scored = cand.select("vec_id", "label", sim.alias("sim"))
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -485,7 +485,7 @@ def w11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated as a TRUNCATED window (last 8 observations, weights
     (3/4)^age, renormalized): the window form is expressible as pure
     array arithmetic over a sliding frame — no recursion, no
-    sequential scan — and the dropped tail weight is (3/4)^8 < 10%.
+    sequential scan — and the dropped tail weight is (3/4)^8 ~ 10.0%.
     Decay 3/4 is exactly representable in binary, so both engines'
     power() calls return identical doubles and the fold order matches
     — bit-for-bit parity without rounding tricks. One window shuffle

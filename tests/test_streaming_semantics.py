@@ -388,8 +388,6 @@ def test_dedup_within_watermark_expiry_and_reemission(spark, tmp_path):
         TimestampType,
     )
 
-    t0 = "2024-01-01 00:00:00"
-
     def ts(minutes):
         import datetime
 
