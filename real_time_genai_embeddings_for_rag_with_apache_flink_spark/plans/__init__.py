@@ -15,11 +15,11 @@ from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
 # entries only. Round-6 window: every operator that has never had a
-# driver row (the 30 new since the r5 snapshot), then the STALEST
+# driver row (the 31 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
 # seam and skew-guard refactors. All 19 r02-checked entries and the
-# oldest 1 of the 40 r03-checked entries fits (30+19+1 = 50); the
-# remaining 39 r03-stale entries lead the round-7 window.
+# none of the r03-checked entries fit (31+19 = 50); all 40
+# r03-stale entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
@@ -52,6 +52,7 @@ DRIVER_WINDOW: list[str] = [
     "d25_cross_source_matrix",
     "w11_ewma_smoothing",
     "d26_passage_provenance",
+    "q72_theta_setops",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -72,8 +73,6 @@ DRIVER_WINDOW: list[str] = [
     "q58_disjunctive_join",
     "q59_excess_volume_suppliers",
     "q60_waiting_orders",
-    # stalest: last driver-checked in r03 (oldest 1; the other 39 lead r07)
-    "q27_math_functions",
 ]
 
 set_priority(DRIVER_WINDOW)

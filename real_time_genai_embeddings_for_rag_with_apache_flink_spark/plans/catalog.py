@@ -622,6 +622,50 @@ FROM q71_orders GROUP BY o_orderstatus
 
 
 @query(
+    "q72_theta_setops",
+    oracle=None,  # sketch estimates are engine-specific; error-bound-gated
+    tags=("aggregation", "approx", "sketch", "setops"),
+)
+def q72_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on Theta sketches — the property that makes them
+    more than a distinct counter (and what q69 only claimed): the
+    clicker and errorer user sets are sketched INDEPENDENTLY, then
+    union / intersection / difference cardinalities come from the
+    sketches alone. At 100 TB this is the audience-overlap question
+    ('how many users did both X and Y') answered WITHOUT a join or a
+    distinct shuffle over either set — each segment keeps a KB-sized
+    sketch, and any boolean combination of segments composes
+    sketch-side after the fact. Exact counterparts computed alongside;
+    the error bound is gated in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q72_events")
+    return spark.sql(
+        """
+SELECT
+  COUNT(DISTINCT CASE WHEN event_type IN ('click','error') THEN user_id END)
+    AS n_union_exact,
+  CAST(theta_sketch_estimate(theta_union(
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click'),
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'error')))
+    AS BIGINT) AS n_union_theta,
+  COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+  + COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+  - COUNT(DISTINCT CASE WHEN event_type IN ('click','error') THEN user_id END)
+    AS n_intersect_exact,
+  CAST(theta_sketch_estimate(theta_intersection(
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click'),
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'error')))
+    AS BIGINT) AS n_intersect_theta,
+  CAST(theta_sketch_estimate(theta_difference(
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click'),
+    theta_sketch_agg(user_id) FILTER (WHERE event_type = 'error')))
+    AS BIGINT) AS n_diff_theta
+FROM q72_events
+"""
+    )
+
+
+@query(
     "q14_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

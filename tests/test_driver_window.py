@@ -131,6 +131,7 @@ NEVER_CHECKED = (
     "d25_cross_source_matrix",
     "w11_ewma_smoothing",
     "d26_passage_provenance",
+    "q72_theta_setops",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot

@@ -270,3 +270,39 @@ def test_t21_closed_form_equals_iterative_greedy(spark, tmp_path):
             want[src] = (t, a)
             remaining -= a
         assert got == want, (idx, got, want)
+
+
+def test_q72_theta_setops_error_bounds(spark, oracle_con):
+    """q72 is rows-only (sketch estimates are engine-specific); pin the
+    semantics: every sketch-side set-operation cardinality lands within
+    5% of the exact value (far below sketch saturation here), and the
+    inclusion-exclusion identity holds between the reported exacts."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    from conftest import SF_SMOKE
+
+    row = plans.get_spec("q72_theta_setops").build(spark, SF_SMOKE).collect()[0]
+    exact_union, exact_inter, exact_diff = oracle_con.execute(
+        """
+        SELECT
+          COUNT(DISTINCT CASE WHEN event_type IN ('click','error')
+                THEN user_id END),
+          COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+          + COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+          - COUNT(DISTINCT CASE WHEN event_type IN ('click','error')
+                  THEN user_id END),
+          (SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE event_type = 'click' AND user_id NOT IN
+             (SELECT user_id FROM events WHERE event_type = 'error'))
+        FROM events
+        """
+    ).fetchone()
+    assert row.n_union_exact == exact_union
+    assert row.n_intersect_exact == exact_inter
+    for est, truth in (
+        (row.n_union_theta, exact_union),
+        (row.n_intersect_theta, exact_inter),
+        (row.n_diff_theta, exact_diff),
+    ):
+        rel = abs(est - truth) / max(truth, 1)
+        assert rel <= 0.05, (est, truth)
