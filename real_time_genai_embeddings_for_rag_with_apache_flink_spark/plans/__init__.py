@@ -17,9 +17,10 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-6 window: every operator that has never had a
 # driver row (the 31 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
-# seam and skew-guard refactors. All 19 r02-checked entries and the
-# none of the r03-checked entries fit (31+19 = 50); all 40
-# r03-stale entries lead the round-7 window.
+# seam and skew-guard refactors. 33 never-checked (31 from the first
+# half of round 6 + d27/p13 from the second) + the 17 oldest
+# r02-checked entries fill the 50; q59/q60 and the 40 r03-stale
+# entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "d20_lsh_bucket_audit",
@@ -53,6 +54,8 @@ DRIVER_WINDOW: list[str] = [
     "w11_ewma_smoothing",
     "d26_passage_provenance",
     "q72_theta_setops",
+    "d27_prefix_filter_join",
+    "p13_bucketed_join",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -71,8 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "q56_top_supplier",
     "q57_supplier_part_counts",
     "q58_disjunctive_join",
-    "q59_excess_volume_suppliers",
-    "q60_waiting_orders",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -22,6 +22,7 @@ from ..sources.batch import load_table
 from .llmops import (
     _SQL_LSH_CTES,
     _SQL_NORM,
+    _SQL_TRIGRAMS,
     _shingled_df,
     d04_minhash_lsh_pairs,
     normalized_text,
@@ -1556,4 +1557,220 @@ def d26_passage_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shingled.select("doc_id", containment.alias("containment"))
         .filter(F.col("containment") >= 0.5)
+    )
+
+
+_PREFIX_TAU = 0.5  # Jaccard threshold shared with the d04/d10/d24 chain
+
+
+@query(
+    "d27_prefix_filter_join",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+          THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) END, 6)
+      AS jaccard
+  FROM shingled a JOIN shingled b ON b.doc_id > a.doc_id
+) WHERE jaccard >= {_PREFIX_TAU}
+""",
+    tags=("dedup", "similarity", "join", "exact"),
+    bench=True,
+)
+def d27_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin candidate scheme — Chaudhuri et al. 2006, Xiao et
+    al. 2008): every document pair with trigram Jaccard >= 0.5, with a
+    zero-false-negative guarantee. This is the deterministic sibling of
+    the MinHash-LSH chain (d04/d10): LSH trades recall for speed (d24
+    measures ~23% catch probability AT the 0.5 threshold), prefix
+    filtering is exact — the right tool when a compliance or
+    decontamination pass must certify "no near-dup above tau survives".
+
+    The scheme: order every document's distinct shingles by ascending
+    corpus document-frequency (rare first — any global total order is
+    correct, df-ascending minimizes candidates); a pair with
+    Jaccard >= tau must share at least one shingle inside each side's
+    first n - ceil(tau*n) + 1 shingles (prefix-filtering lemma), so
+    only PREFIX tokens are exploded into the candidate join. Frequent
+    shingles almost never appear in a prefix, which is what kills the
+    quadratic hub-token blowup a naive inverted-index join suffers.
+    The length filter (min size >= tau * max size, implied by
+    Jaccard >= tau) prunes candidates before the verify join.
+
+    Scale shape: the shuffles carry (shingle, doc_id) pairs for PREFIX
+    tokens only plus one vocabulary-sized frequency aggregate; exact
+    Jaccard is paid on candidates, not on n^2. The oracle is the
+    brute-force all-pairs join — affordable at sf0.01 (500 docs), which
+    is exactly the point: the driver certifies the pruned plan equals
+    the exhaustive one. Rounding note: the >= tau filter applies to the
+    6-dp ROUNDED score on both engines; a true Jaccard in
+    [tau - 5e-7, tau) would round up past the filter only if the union
+    exceeded ~1e6 distinct shingles — impossible at any document size
+    this corpus ships.
+    """
+    tau = _PREFIX_TAU
+    sh = _shingled_df(spark, sf_dir).filter(F.size("grams") > 0)
+
+    # Global document frequency per shingle: one vocabulary-keyed
+    # aggregate (map-side partial combine; grams are already distinct
+    # per doc so COUNT(*) is the df).
+    exploded = sh.select("doc_id", F.explode("grams").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+
+    # Re-assemble each document's shingles sorted by (df asc, g asc):
+    # one join on the shingle key + one grouped sort-collect. array_sort
+    # on (df, g) structs gives the deterministic global order both the
+    # prefix slice and the lemma rely on.
+    ordered = (
+        exploded.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg")
+        )
+    )
+    n = F.size("sg")
+    prefix_len = (n - F.ceil(F.lit(tau) * n) + 1).cast("int")
+    pre = ordered.select(
+        "doc_id",
+        n.alias("n_grams"),
+        F.explode(
+            F.transform(
+                F.slice("sg", 1, prefix_len), lambda s: s["g"]
+            )
+        ).alias("g"),
+    )
+
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            # length filter: Jaccard >= tau implies min >= tau * max
+            & (F.col("a.n_grams") >= tau * F.col("b.n_grams"))
+            & (F.col("b.n_grams") >= tau * F.col("a.n_grams")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams"))
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size(F.array_union("a_grams", "b_grams"))
+    jacc = F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+        6,
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+_N_BUCKETS = 8
+
+# Bucketed-table materializations, keyed like _ORC_CACHE by (sf_dir,
+# source content fingerprint) so a regenerated sf_dir is re-bucketed,
+# never compared stale. The value records that the catalog tables
+# graft_b_orders / graft_b_lineitem currently point at this key's data.
+_BUCKET_CACHE: dict[tuple[str, str], bool] = {}
+
+
+@query(
+    "p13_bucketed_join",
+    oracle="""
+SELECT priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+  CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT o.o_orderpriority AS priority, o.o_orderkey,
+    COUNT(*) AS n_lines,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS rev
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+) GROUP BY priority
+""",
+    tags=("join", "layout", "bucketing", "scale"),
+    bench=True,
+)
+def p13_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED table layout — the
+    canonical 100-TB fact-to-fact join strategy. orders and lineitem
+    are written once as external bucketed tables (bucketBy(8, orderkey)
+    + sortBy, hash-aligned by a pre-write repartition on the same key),
+    then the join AND the per-order aggregate both ride the bucket
+    partitioning: zero Exchange until the final 5-row priority rollup
+    (pinned in tests/test_plan_shapes.py). At 100 TB this is the
+    difference between re-shuffling two multi-TB fact tables on every
+    query and paying the layout cost once at ingest — exactly what the
+    reference's terminal store does by pre-sharding its index 5 ways
+    (KDS-P/index-creation-function/lambda_function.py:90-96).
+
+    The per-order partial aggregate also demonstrates the distribution
+    subset rule: HashPartitioning(orderkey) satisfies the group-by's
+    ClusteredDistribution(priority, orderkey), so the two-level rollup
+    adds no shuffle beyond the tiny final one. Money stays DECIMAL
+    through both aggregation levels and casts to DOUBLE only at the
+    end, keeping the sum associative and the oracle hash exact."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    key = (os.path.abspath(sf_dir), "bucket:" + _source_fingerprint(src))
+    if not _BUCKET_CACHE.get(key):
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        for tbl, col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            name = f"graft_b_{tbl}"
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                load_table(spark, sf_dir, tbl)
+                # Align write partitioning with the bucket hash so each
+                # bucket lands in one file — mandatory for the sorted
+                # property, and what keeps file counts sane at scale.
+                .repartition(_N_BUCKETS, F.col(col))
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, tbl))
+                .bucketBy(_N_BUCKETS, col)
+                .sortBy(col)
+                .saveAsTable(name)
+            )
+        _BUCKET_CACHE.clear()
+        _BUCKET_CACHE[key] = True
+    o = spark.table("graft_b_orders")
+    li = spark.table("graft_b_lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    per_order = (
+        li.hint("MERGE")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("rev"))
+    )
+    return (
+        per_order.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
     )

@@ -315,3 +315,29 @@ def test_p10_manifest_has_no_global_sort(spark):
     # Window sorts are fine (sort within shard partition); a global
     # range-partitioned Sort exchange is not.
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_d27_prefix_join_never_falls_back_to_all_pairs(spark):
+    """d27's exactness must come from the prefix-filtering lemma, not
+    from a planner fallback to an n^2 join: the only joins allowed are
+    equi-joins (shingle key, candidate ids). A CartesianProduct or
+    BroadcastNestedLoopJoin here would mean the candidate join lost its
+    equality conjunct and the plan quietly became the brute force the
+    operator exists to avoid."""
+    plan = _plan(spark, "d27_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p13_bucketed_join_has_no_pre_join_exchange(spark):
+    """The bucketed layout must eliminate the join shuffle entirely:
+    both scans read Bucketed: true, the SortMergeJoin consumes bucket
+    partitioning directly, and the ONLY hash exchange in the whole plan
+    is the final 5-row priority rollup. A second exchange appearing
+    here means the bucket spec stopped lining up with the join keys —
+    i.e. the query silently degraded to the full-shuffle join the
+    layout exists to avoid."""
+    plan = _plan(spark, "p13_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
