@@ -17,9 +17,9 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-6 window: every operator that has never had a
 # driver row (the 31 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
-# seam and skew-guard refactors. 33 never-checked (31 from the first
-# half of round 6 + d27/p13 from the second) + the 17 oldest
-# r02-checked entries fill the 50; q59/q60 and the 40 r03-stale
+# seam and skew-guard refactors. 34 never-checked (31 from the first
+# half of round 6 + d27/p13/s19 from the second) + the 16 oldest
+# r02-checked entries fill the 50; q58/q59/q60 and the 40 r03-stale
 # entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
@@ -56,6 +56,7 @@ DRIVER_WINDOW: list[str] = [
     "q72_theta_setops",
     "d27_prefix_filter_join",
     "p13_bucketed_join",
+    "s19_embedding_health",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "q55_promo_revenue",
     "q56_top_supplier",
     "q57_supplier_part_counts",
-    "q58_disjunctive_join",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1978,3 +1978,91 @@ def s16_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("label").alias("pred_label"),
         best.getField("votes_out").alias("n_votes"),
     )
+
+
+@query(
+    "s19_embedding_health",
+    oracle="""
+WITH base AS (
+  SELECT label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+flt AS (SELECT * FROM base WHERE nrm > 0),
+per_label AS (
+  SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(nrm), 6) AS avg_norm
+  FROM flt GROUP BY label
+),
+dims AS (
+  SELECT label, pos, SUM(x) AS se, SUM(x / nrm) AS su
+  FROM (SELECT label, nrm, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        FROM flt)
+  GROUP BY label, pos
+),
+sums AS (
+  SELECT label, SUM(se * se) AS ssq_e, SUM(su * su) AS ssq_u
+  FROM dims GROUP BY label
+)
+SELECT p.label, p.n_vectors, p.avg_norm,
+  ROUND(sqrt(s.ssq_e) / p.n_vectors, 6) AS centroid_norm,
+  ROUND((s.ssq_u - p.n_vectors)
+        / (p.n_vectors * (p.n_vectors - 1.0)), 6) AS mean_pairwise_cosine
+FROM per_label p JOIN sums s USING (label)
+""",
+    tags=("similarity", "governance", "quality-audit", "embeddings"),
+)
+def s19_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space HEALTH REPORT per label: vector count, mean L2
+    norm, centroid norm, and — the headline — the exact mean pairwise
+    cosine similarity, the standard anisotropy/collapse diagnostic. A
+    healthy embedding space for retrieval has mean pairwise cosine near
+    0 (directions spread out); a collapsing encoder drifts it toward 1,
+    silently destroying k-NN contrast long before recall metrics notice.
+    This is the check a pipeline owner runs on each new embedding batch
+    BEFORE building the index the reference delegates to OpenSearch HNSW
+    (KDS-P/index-creation-function/lambda_function.py:72-80).
+
+    The exact mean cosine over all n(n-1)/2 pairs needs NO pairwise
+    join: with u_i the unit vectors, sum_{i!=j} cos(i,j)
+    = ||sum u_i||^2 - n (the Gram identity), so one posexplode +
+    a (label, dim)-keyed partial-sum aggregate computes it. Shuffle
+    volume is dims x labels rows — independent of corpus size — versus
+    the O(n^2) pairwise join the naive formulation pays. Per-row norms
+    are sequential double folds, bit-identical across engines; the
+    cross-row sums commute within 6-dp rounding."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = em.select("label", dvec.alias("e"), norm.alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    per_label = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+    dims = (
+        base.select("label", "nrm", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("x").alias("se"),
+            F.sum(F.col("x") / F.col("nrm")).alias("su"),
+        )
+    )
+    sums = dims.groupBy("label").agg(
+        F.sum(F.col("se") * F.col("se")).alias("ssq_e"),
+        F.sum(F.col("su") * F.col("su")).alias("ssq_u"),
+    )
+    n = F.col("n_vectors")
+    return per_label.join(sums, "label").select(
+        "label",
+        "n_vectors",
+        "avg_norm",
+        F.round(F.sqrt("ssq_e") / n, 6).alias("centroid_norm"),
+        F.round(
+            (F.col("ssq_u") - n) / (n * (n - F.lit(1)).cast("double")), 6
+        ).alias("mean_pairwise_cosine"),
+    )

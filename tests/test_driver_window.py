@@ -134,6 +134,7 @@ NEVER_CHECKED = (
     "q72_theta_setops",
     "d27_prefix_filter_join",
     "p13_bucketed_join",
+    "s19_embedding_health",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
@@ -178,13 +179,13 @@ def test_window_is_filled_with_the_stalest_entries():
             f"{name} occupies a round-6 slot but its last driver row is "
             f"recent (r04/r05) — the slot belongs to a staler entry"
         )
-    # The 33 never-checked entries + 19 r02-stale entries overflow the
-    # 50-slot window by 2: the two youngest r02 entries yield their
+    # The 34 never-checked entries + 19 r02-stale entries overflow the
+    # 50-slot window by 3: the three youngest r02 entries yield their
     # slots (never-checked outranks stale) and lead the round-7 window.
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
     missing = r02_stale - set(window())
-    assert len(missing) <= 2, (
-        f"more r02-stale entries than the 2 overflow slots are left out "
+    assert len(missing) <= 3, (
+        f"more r02-stale entries than the 3 overflow slots are left out "
         f"of the window: {sorted(missing)}"
     )
 
