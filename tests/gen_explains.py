@@ -30,6 +30,8 @@ HEADLINES = [
     ("t19_segment_dedup_clean", "cross-document agreement shuffle carries md5 hashes; text appears only in the final per-doc regroup"),
     ("p10_training_manifest", "composition over cached seam intermediates (InMemoryTableScan); per-shard window rank, no range-partitioned global sort"),
     ("p11_partitioned_layout", "lang predicate satisfied in PartitionFilters (directory pruning), not a row filter"),
+    ("p13_bucketed_join", "both scans Bucketed: true; SortMergeJoin and the per-order aggregate with ZERO Exchange below them — the only shuffle is the 5-row final rollup"),
+    ("d27_prefix_filter_join", "equi-joins only (prefix-token candidates, id-keyed verify) — no CartesianProduct/BNLJ fallback; the all-pairs comparison exists solely in the DuckDB oracle"),
 ]
 
 
