@@ -1077,3 +1077,73 @@ def st17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
     )
     return run_to_memory(deduped, "st17", "append")
+
+
+@query(
+    "st18_stream_knn_serving",
+    oracle="""
+SELECT q_id, vec_id, sim, rank FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+  JOIN (SELECT * FROM embeddings WHERE vec_id % 50 != 0) c ON true
+) WHERE rank <= 3
+""",
+    tags=("streaming", "similarity", "knn", "serving"),
+)
+def st18_stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous k-NN query SERVING — the query-time half the
+    reference delegates to OpenSearch
+    (KDS-P/index-creation-function/lambda_function.py:72-80), run
+    inside the engine as a stream: query vectors arrive as micro-batches
+    (the embeddings file-stream filtered to every 50th vector, so
+    queries land across all replay batches, not just the first), and
+    each trigger answers its batch exactly against the static corpus
+    via the s02 knn_join — broadcast the (tiny) query batch, score
+    map-side, per-query top-3 through Catalyst's two-phase
+    WindowGroupLimit — then APPENDS the answers to a parquet result
+    log via foreachBatch. st15 maintains the index continuously; this
+    is its read path: together they are the full
+    ingest->index->serve lifecycle with no external vector store.
+
+    Scale shape per trigger: the corpus scan is the only big side and
+    it never shuffles (queries broadcast; the rank filter's Partial
+    phase caps what reaches the exchange at k rows per query per map
+    task). The result log is append-only and idempotent per batch id —
+    replaying a failed trigger overwrites nothing. The oracle is the
+    batch brute-force over the same query set: streaming arrival order
+    must not change a single answer."""
+    from ..operators.similarity import knn_join
+    from ..sources.batch import load_table
+
+    static = load_table(spark, sf_dir, "embeddings")
+    corpus = static.filter(F.col("vec_id") % 50 != 0)
+
+    results_dir = tempfile.mkdtemp(prefix="st18_results_")
+
+    def serve_batch(batch: DataFrame, batch_id: int) -> None:
+        queries = batch.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        knn_join(queries, corpus, k=3).write.mode("append").parquet(
+            results_dir
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), "st18")
+    q = (
+        stream_embeddings(spark, sf_dir)
+        .writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st18"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.read.parquet(results_dir)

@@ -135,6 +135,7 @@ NEVER_CHECKED = (
     "d27_prefix_filter_join",
     "p13_bucketed_join",
     "s19_embedding_health",
+    "st18_stream_knn_serving",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
@@ -179,13 +180,13 @@ def test_window_is_filled_with_the_stalest_entries():
             f"{name} occupies a round-6 slot but its last driver row is "
             f"recent (r04/r05) — the slot belongs to a staler entry"
         )
-    # The 34 never-checked entries + 19 r02-stale entries overflow the
-    # 50-slot window by 3: the three youngest r02 entries yield their
+    # The 35 never-checked entries + 19 r02-stale entries overflow the
+    # 50-slot window by 4: the four youngest r02 entries yield their
     # slots (never-checked outranks stale) and lead the round-7 window.
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
     missing = r02_stale - set(window())
-    assert len(missing) <= 3, (
-        f"more r02-stale entries than the 3 overflow slots are left out "
+    assert len(missing) <= 4, (
+        f"more r02-stale entries than the 4 overflow slots are left out "
         f"of the window: {sorted(missing)}"
     )
 

@@ -454,3 +454,35 @@ def test_dedup_within_watermark_expiry_and_reemission(spark, tmp_path):
     assert rows == [
         (1, "a"), (1, "a"), (2, "b"), (8, "y"), (9, "z"),
     ], rows
+
+
+def test_st18_serves_queries_across_real_micro_batches(spark):
+    """st18 contract: queries were answered over MULTIPLE triggers (the
+    %50 filter spreads them across every replay batch — a single-batch
+    run would prove nothing about serving), and the per-trigger answers
+    unioned in the result log equal the batch brute-force exactly:
+    arrival order must not change a single neighbor or rank."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        knn_join,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import get_spec
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_RUN_BATCHES,
+        N_STREAM_FILES,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    served = get_spec("st18_stream_knn_serving").build(spark, sf_dir)
+    assert LAST_RUN_BATCHES["st18"] >= N_STREAM_FILES
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = knn_join(queries, em.filter(F.col("vec_id") % 50 != 0), k=3)
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
