@@ -2062,7 +2062,13 @@ def s19_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         "avg_norm",
         F.round(F.sqrt("ssq_e") / n, 6).alias("centroid_norm"),
+        # try_divide: a label with a single nonzero vector has no pairs;
+        # n*(n-1) = 0 must yield NULL (matching the oracle's NULL), not
+        # an ANSI DIVIDE_BY_ZERO crash.
         F.round(
-            (F.col("ssq_u") - n) / (n * (n - F.lit(1)).cast("double")), 6
+            F.try_divide(
+                F.col("ssq_u") - n, (n * (n - F.lit(1))).cast("double")
+            ),
+            6,
         ).alias("mean_pairwise_cosine"),
     )

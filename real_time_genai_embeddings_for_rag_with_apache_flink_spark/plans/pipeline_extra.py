@@ -1732,8 +1732,13 @@ def p13_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    key = (os.path.abspath(sf_dir), "bucket:" + _source_fingerprint(src))
+    # Fingerprint EVERY table materialized under this key: a
+    # regenerated sf_dir where only lineitem changed must re-bucket.
+    fps = "+".join(
+        _source_fingerprint(os.path.join(os.path.abspath(sf_dir), f))
+        for f in ("orders.parquet", "lineitem.parquet")
+    )
+    key = (os.path.abspath(sf_dir), "bucket:" + fps)
     if not _BUCKET_CACHE.get(key):
         base = tempfile.mkdtemp(prefix="bucketed_")
         atexit.register(shutil.rmtree, base, ignore_errors=True)

@@ -1114,27 +1114,38 @@ def st18_stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per trigger: the corpus scan is the only big side and
     it never shuffles (queries broadcast; the rank filter's Partial
     phase caps what reaches the exchange at k rows per query per map
-    task). The result log is append-only and idempotent per batch id —
-    replaying a failed trigger overwrites nothing. The oracle is the
+    task). The result log is idempotent per batch id — each trigger
+    OVERWRITES its own batch directory, so foreachBatch's
+    at-least-once retry replaces that batch's answers instead of
+    doubling them. The oracle is the
     batch brute-force over the same query set: streaming arrival order
     must not change a single answer."""
     from ..operators.similarity import knn_join
     from ..sources.batch import load_table
 
+    import atexit
+    import shutil
+
     static = load_table(spark, sf_dir, "embeddings")
     corpus = static.filter(F.col("vec_id") % 50 != 0)
 
     results_dir = tempfile.mkdtemp(prefix="st18_results_")
+    atexit.register(shutil.rmtree, results_dir, ignore_errors=True)
 
     def serve_batch(batch: DataFrame, batch_id: int) -> None:
         queries = batch.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
-        knn_join(queries, corpus, k=3).write.mode("append").parquet(
-            results_dir
+        # One OVERWRITTEN directory per batch id, never a shared append:
+        # foreachBatch is at-least-once, so a retried trigger must
+        # replace its own output, not double it.
+        knn_join(queries, corpus, k=3).write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"b{batch_id:05d}")
         )
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), "st18")
+    ckpt_base = tempfile.mkdtemp(prefix="ssq_ckpt_")
+    atexit.register(shutil.rmtree, ckpt_base, ignore_errors=True)
+    ckpt = os.path.join(ckpt_base, "st18")
     q = (
         stream_embeddings(spark, sf_dir)
         .writeStream.foreachBatch(serve_batch)
@@ -1146,4 +1157,6 @@ def st18_stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST_RUN_BATCHES["st18"] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
-    return spark.read.parquet(results_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        results_dir
+    )

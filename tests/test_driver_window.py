@@ -185,10 +185,14 @@ def test_window_is_filled_with_the_stalest_entries():
     # slots (never-checked outranks stale) and lead the round-7 window.
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
     missing = r02_stale - set(window())
-    assert len(missing) <= 4, (
-        f"more r02-stale entries than the 4 overflow slots are left out "
-        f"of the window: {sorted(missing)}"
-    )
+    # Exactly the four YOUNGEST r02 entries yield — dropping any older
+    # entry instead would violate the oldest-first rotation.
+    assert missing == {
+        "q57_supplier_part_counts",
+        "q58_disjunctive_join",
+        "q59_excess_volume_suppliers",
+        "q60_waiting_orders",
+    }, f"wrong entries displaced from the window: {sorted(missing)}"
 
 
 def test_priority_prefix_wastes_no_slot_on_recently_checked_queries():

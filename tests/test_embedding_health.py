@@ -34,6 +34,7 @@ def test_collapsed_and_orthogonal_labels_read_exactly(spark, tmp_path):
         (11, [0.0, 1.0, 0.0, 0.0], 1),
     ]
     rows += [(20, [0.0] * 4, 2)]  # label 2: zero vector only -> dropped
+    rows += [(30, [0.0, 0.0, 1.0, 0.0], 3)]  # label 3: ONE nonzero vector
     _mkemb(spark, out, rows)
     got = {
         r.label: r
@@ -44,8 +45,10 @@ def test_collapsed_and_orthogonal_labels_read_exactly(spark, tmp_path):
     assert got[0].avg_norm == 1.0
     assert got[0].centroid_norm == 1.0  # identical vectors: centroid = vector
     assert got[1].mean_pairwise_cosine == 0.0  # orthogonality reads as 0
-    # the all-zero label contributes no finite direction; with n = 1
-    # after the norm filter the pairwise mean is undefined -> the label
-    # must not emit a NaN/garbage row for the pairwise column
-    if 2 in got:
-        assert got[2].n_vectors == 0 or got[2].mean_pairwise_cosine is None
+    # the all-zero label is filtered before grouping: no row at all
+    assert 2 not in got
+    # a single-vector label has no pairs: n*(n-1) = 0 must read as NULL
+    # (try_divide), not crash under ANSI mode and not emit NaN
+    assert got[3].n_vectors == 1
+    assert got[3].mean_pairwise_cosine is None
+    assert got[3].centroid_norm == 1.0
