@@ -17,9 +17,9 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-6 window: every operator that has never had a
 # driver row (the 31 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
-# seam and skew-guard refactors. 35 never-checked (31 from the first
-# half of round 6 + d27/p13/s19/st18 from the second) + the 15 oldest
-# r02-checked entries fill the 50; q57-q60 and the 40 r03-stale
+# seam and skew-guard refactors. 36 never-checked (31 from the first
+# half of round 6 + d27/p13/s19/st18/q73 from the second) + the 14
+# oldest r02-checked entries fill the 50; q56-q60 and the 40 r03-stale
 # entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
@@ -58,6 +58,7 @@ DRIVER_WINDOW: list[str] = [
     "p13_bucketed_join",
     "s19_embedding_health",
     "st18_stream_knn_serving",
+    "q73_mode_median",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "q52_market_share",
     "q53_product_profit",
     "q55_promo_revenue",
-    "q56_top_supplier",
 ]
 
 set_priority(DRIVER_WINDOW)

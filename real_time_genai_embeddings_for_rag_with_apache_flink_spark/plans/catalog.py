@@ -1539,3 +1539,75 @@ def q50_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         F.min("c_acctbal").alias("min_bal"),
     )
+
+
+@query(
+    "q73_mode_median",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+modes AS (
+  SELECT l_returnflag, l_quantity AS mode_qty FROM (
+    SELECT l_returnflag, l_quantity,
+      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                         ORDER BY c DESC, l_quantity) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+meds AS (
+  SELECT l_returnflag,
+    ROUND(median(l_quantity), 6) AS median_qty,
+    ROUND(median(l_extendedprice), 6) AS median_price,
+    COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT m.l_returnflag AS returnflag, modes.mode_qty,
+       m.median_qty, m.median_price, m.n_lines
+FROM meds m JOIN modes ON modes.l_returnflag = m.l_returnflag
+""",
+    tags=("aggregation", "statistics"),
+)
+def q73_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE and MEDIAN per group — the order-statistic aggregates
+    that complete the q01/q36/q50 family. Median is the built-in exact
+    interpolated percentile. Mode is deliberately NOT the built-in
+    `mode()` on either engine: both leave ties engine-defined, which
+    would make the oracle hash a coin flip — instead the mode is the
+    q50 argmax pattern over (value, count): one (group, value) hash
+    aggregate (map-side combinable; cardinality = distinct values, not
+    rows) then a struct-max with a smallest-value tiebreak, never a
+    per-group window over row data. Median is the one genuinely
+    rank-based aggregate here — Spark's exact percentile collects a
+    per-group value multiset, which is the known memory bound; at
+    100 TB swap it for approx_percentile (q36b) or a t-digest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best = F.max(
+        F.struct(
+            F.col("c"),
+            (-F.col("l_quantity")).alias("neg_q"),
+            F.col("l_quantity").alias("q"),
+        )
+    )
+    modes = counts.groupBy("l_returnflag").agg(
+        best.getField("q").alias("mode_qty")
+    )
+    meds = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        meds.join(modes, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            "mode_qty",
+            "median_qty",
+            "median_price",
+            "n_lines",
+        )
+    )
