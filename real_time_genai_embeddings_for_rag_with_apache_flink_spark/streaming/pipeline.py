@@ -131,10 +131,24 @@ def build_pipeline(
     operators/embed.py)."""
     raw = build_source(spark, cfg)
     msg = parse_raw(raw, "value")
+    # Observed metrics (Spark Observation API): per-trigger operational
+    # counters that ride the existing pass — zero extra shuffle, zero
+    # extra scan — and surface in StreamingQueryProgress.observedMetrics.
+    # The reference only LOGS its failures
+    # (BedRockEmbeddingModelAsyncCustomMessage.java:109-112); here
+    # ingest/drop/dead-letter rates are first-class queryable metrics.
+    msg = msg.observe(
+        "graft_parse",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("_corrupt").cast("long")).alias("rows_corrupt"),
+    )
     msg = msg.filter(~F.col("_corrupt")).drop("_corrupt")
     doc = normalize(msg, id_strategy=cfg.extra.get("id_strategy", "uuid"))
     doc = filter_nonempty_text(doc)
-    return embed(
+    doc = doc.observe(
+        "graft_docs", F.count(F.lit(1)).alias("rows_nonempty")
+    )
+    emb = embed(
         doc,
         text_col="text",
         embedder_factory=embedder_factory or DeterministicEmbedder,
@@ -142,6 +156,33 @@ def build_pipeline(
         batch_size=cfg.embed_batch_size,
         on_error=cfg.on_error,
     )
+    if "error" in emb.columns:
+        emb = emb.observe(
+            "graft_embed",
+            F.count(F.lit(1)).alias("rows_embedded"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias(
+                "rows_dead_lettered"
+            ),
+        )
+    return emb
+
+
+def observed_metrics(query: StreamingQuery) -> dict[str, dict[str, int]]:
+    """Aggregate the pipeline's observed metrics across every trigger of
+    a (finished or running) query: {observation_name: {metric: total}}.
+    This is the driver-side read path for the counters build_pipeline
+    attaches — the at-a-glance ingest/corrupt/empty/dead-letter
+    accounting a pipeline owner alerts on."""
+    totals: dict[str, dict[str, int]] = {}
+    for p in query.recentProgress:
+        observed = p.get("observedMetrics") or {}
+        for name, row in observed.items():
+            bucket = totals.setdefault(name, {})
+            vals = row.asDict() if hasattr(row, "asDict") else dict(row)
+            for k, v in vals.items():
+                if v is not None:
+                    bucket[k] = bucket.get(k, 0) + int(v)
+    return totals
 
 
 def run_pipeline(

@@ -79,20 +79,35 @@ def _parquet_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
         # sink guarantee); idempotent_sink upgrades BOTH the main table
         # and the dead-letter table to per-batch partition overwrite so
         # a replayed micro-batch can't duplicate either output.
-        good = batch
-        if has_error:
-            bad = batch.filter(F.col("error").isNotNull())
-            if not bad.isEmpty():
-                if idempotent:
-                    _write_idempotent(bad, dead_path, batch_id)
-                else:
-                    bad.write.mode("append").parquet(dead_path)
-            good = batch.filter(F.col("error").isNull())
-        docs = to_sink_docs(good)
-        if idempotent:
-            _write_idempotent(docs, sink_path, batch_id)
-        else:
-            docs.write.mode("append").parquet(sink_path)
+        #
+        # Dead-letter mode runs MULTIPLE actions over this batch (the
+        # bad-row probe, the dead-letter write, the main write). Without
+        # a persist each action re-evaluates the whole upstream plan —
+        # i.e. the embedding UDF, the expensive stage the pipeline
+        # exists to run, executes ~twice per micro-batch — and every
+        # observed-metrics counter double-fires. Persist once; all
+        # actions read the materialized batch.
+        multi_action = has_error
+        if multi_action:
+            batch = batch.persist()
+        try:
+            good = batch
+            if has_error:
+                bad = batch.filter(F.col("error").isNotNull())
+                if not bad.isEmpty():
+                    if idempotent:
+                        _write_idempotent(bad, dead_path, batch_id)
+                    else:
+                        bad.write.mode("append").parquet(dead_path)
+                good = batch.filter(F.col("error").isNull())
+            docs = to_sink_docs(good)
+            if idempotent:
+                _write_idempotent(docs, sink_path, batch_id)
+            else:
+                docs.write.mode("append").parquet(sink_path)
+        finally:
+            if multi_action:
+                batch.unpersist()
 
     return write_batch
 

@@ -240,3 +240,32 @@ def test_kinesis_reader_options_mirror_reference_consumer():
 
     with pytest.raises(ValueError, match="kinesis_stream"):
         kinesis_reader_options(PipelineConfig(source_format="kinesis"))
+
+
+def test_pipeline_observed_metrics_account_for_every_row(
+    spark, wire_dir, tmp_path
+):
+    """The Observation-API counters must reconcile exactly with the wire
+    fixture: 5 records in, 1 corrupt, 1 empty-text, 3 embedded, 0
+    dead-lettered — the per-stage accounting the reference only has as
+    scattered log lines. Metrics ride the existing micro-batch pass
+    (no second scan), so this is free at any scale."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        observed_metrics,
+    )
+
+    cfg = PipelineConfig(
+        source_format="json",
+        source_path=wire_dir,
+        sink_format="parquet",
+        sink_path=str(tmp_path / "vectors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        embedding_dim=32,
+        extra={"id_strategy": "deterministic"},
+    )
+    q = run_pipeline(spark, cfg)
+    q.awaitTermination(120)
+    m = observed_metrics(q)
+    assert m["graft_parse"] == {"rows_in": 5, "rows_corrupt": 1}
+    assert m["graft_docs"] == {"rows_nonempty": 3}
+    assert m["graft_embed"] == {"rows_embedded": 3, "rows_dead_lettered": 0}
