@@ -113,3 +113,57 @@ def test_threshold_pair_survives_exactly_at_tau(spark, edge_sf_dir):
     at_tau = [r for r in rows if {r.id_a, r.id_b} == {8, 9}]
     assert len(at_tau) == 1
     assert at_tau[0].jaccard == 0.5
+
+
+def test_prefix_join_equals_brute_force_on_randomized_corpus(
+    spark, tmp_path_factory
+):
+    """Seeded randomized cross-validation: 40 documents assembled from a
+    9-token vocabulary with heavy overlap (shared prefixes, shuffled
+    tails, duplicated halves) generate hundreds of pairs scattered
+    across the whole Jaccard range — far more threshold-adjacent and
+    tie-shaped pairs than any handcrafted fixture. The pruned plan must
+    agree with brute force on EVERY pair; one missed pair here means a
+    lemma off-by-one that the driver's 500-doc corpus may never
+    surface."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    # Mutation-based generation: trigram shingles are SEQUENCES, so
+    # fully random token streams almost never overlap — near-dup pairs
+    # come from documents that share runs. Five base documents, each
+    # cloned with 0-3 point mutations / truncations / appends, yield
+    # dozens of pairs clustered around the threshold.
+    bases = [
+        [rng.choice(vocab) for _ in range(rng.randint(8, 14))]
+        for _ in range(5)
+    ]
+    texts = []
+    for _ in range(40):
+        toks = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 3)):
+            op = rng.random()
+            if op < 0.4 and len(toks) > 4:
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            elif op < 0.7 and len(toks) > 5:
+                del toks[rng.randrange(len(toks))]
+            else:
+                toks.append(rng.choice(vocab))
+        texts.append(" ".join(toks))
+    out = str(tmp_path_factory.mktemp("prefix_rand") / "sf_rand")
+    _mkdocs(spark, out, texts)
+    llmops.clear_intermediate_cache()
+    try:
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in pipeline_extra.d27_prefix_filter_join(
+                spark, out
+            ).collect()
+        }
+        want = _brute_force(spark, out)
+    finally:
+        llmops.clear_intermediate_cache()
+    assert got == want
+    # the corpus must be adversarial enough to mean something
+    assert len(want) >= 20
