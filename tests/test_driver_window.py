@@ -137,6 +137,7 @@ NEVER_CHECKED = (
     "s19_embedding_health",
     "st18_stream_knn_serving",
     "q73_mode_median",
+    "w12_rolling_active_users",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
@@ -181,14 +182,15 @@ def test_window_is_filled_with_the_stalest_entries():
             f"{name} occupies a round-6 slot but its last driver row is "
             f"recent (r04/r05) — the slot belongs to a staler entry"
         )
-    # The 36 never-checked entries + 19 r02-stale entries overflow the
-    # 50-slot window by 5: the five youngest r02 entries yield their
+    # The 37 never-checked entries + 19 r02-stale entries overflow the
+    # 50-slot window by 6: the six youngest r02 entries yield their
     # slots (never-checked outranks stale) and lead the round-7 window.
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
     missing = r02_stale - set(window())
-    # Exactly the five YOUNGEST r02 entries yield — dropping any older
+    # Exactly the six YOUNGEST r02 entries yield — dropping any older
     # entry instead would violate the oldest-first rotation.
     assert missing == {
+        "q55_promo_revenue",
         "q56_top_supplier",
         "q57_supplier_part_counts",
         "q58_disjunctive_join",
