@@ -1779,3 +1779,107 @@ def p13_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+_LSH_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+@query(
+    "d28_lsh_config_advisor",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+),
+sample AS (
+  SELECT doc_id, grams FROM shingled
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 10 < 3 AND len(grams) > 0
+),
+true_pairs AS (
+  SELECT j FROM (
+    SELECT ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j
+    FROM sample a JOIN sample b ON b.doc_id > a.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) > 0
+  ) WHERE j >= 0.5
+),
+configs(bands, rows_per_band) AS (
+  VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)
+)
+SELECT c.bands, c.rows_per_band,
+  ROUND(POW(1.0 / c.bands, 1.0 / c.rows_per_band), 6) AS threshold,
+  CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+  ROUND(AVG(1 - POW(1 - POW(t.j, c.rows_per_band), c.bands)), 6)
+    AS expected_recall
+FROM configs c CROSS JOIN true_pairs t
+GROUP BY c.bands, c.rows_per_band
+""",
+    tags=("dedup", "lsh", "governance", "quality-audit"),
+)
+def d28_lsh_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH CONFIGURATION ADVISOR, grounded in the corpus: for every
+    bands x rows factorization of the 16-hash budget, the expected
+    recall of the band join ON THIS CORPUS's true near-dup pairs —
+    the number a pipeline owner actually wants when choosing an
+    operating point, not the textbook S-curve alone. d24 measures what
+    the SHIPPED 4x4 config caught; this projects every alternative
+    config through the closed form P(catch | J) = 1 - (1 - J^r)^b
+    applied to the OBSERVED exact-Jaccard distribution of true pairs
+    (same deterministic ~30% hash sample as d24, so the all-pairs cost
+    stays bounded and the two audits agree on their ground truth).
+    `threshold` is the standard (1/b)^(1/r) S-curve midpoint per
+    config. Shuffle: the sample pair join (the audit's bounded cost)
+    plus a 5-row broadcast config dimension; the projection itself is
+    arithmetic on candidate-pair rows. The rounded 6-dp Jaccard is the
+    pow() input on BOTH engines, so cross-engine pow differences stay
+    ~1 ulp, far inside the 6-dp hash gate."""
+    from .llmops import _shingled_df
+
+    shingled = _shingled_df(spark, sf_dir)
+    sample = shingled.filter(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            < 3
+        )
+        & (F.size("grams") > 0)
+    )
+    a = sample.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
+    )
+    b = sample.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size(F.array_union("a_grams", "b_grams"))
+    jacc = F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+        6,
+    )
+    true_pairs = (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .select(jacc.alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    configs = spark.createDataFrame(
+        _LSH_CONFIGS, "bands int, rows_per_band int"
+    )
+    r, bnd = F.col("rows_per_band"), F.col("bands")
+    catch = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("j"), r), bnd)
+    return (
+        true_pairs.crossJoin(F.broadcast(configs))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(
+                F.pow(F.lit(1.0) / bnd, F.lit(1.0) / r), 6
+            ).alias("threshold"),
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.round(F.avg(catch), 6).alias("expected_recall"),
+        )
+    )
