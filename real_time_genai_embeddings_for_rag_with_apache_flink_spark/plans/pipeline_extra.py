@@ -1338,23 +1338,85 @@ def p12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d24_lsh_recall_audit",
-    oracle=f"""
-WITH {{LSH}},
-sample AS (
+# ---------------------------------------------------------------------------
+# Shared audit ground truth (d24 recall audit, d28 config advisor)
+# ---------------------------------------------------------------------------
+
+# The two sketch audits MUST agree on their ground truth: same
+# deterministic ~30% hash sample, same exact-Jaccard expression, same
+# threshold. These constants are the single definition both the Spark
+# builders and both DuckDB oracles substitute, so a change to one audit
+# cannot silently desynchronize the other.
+_AUDIT_TAU = 0.5
+
+_SQL_AUDIT_SAMPLE = """
   SELECT doc_id, grams FROM shingled
   WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
              AS BIGINT) % 10 < 3 AND len(grams) > 0
-),
+"""
+
+_SQL_EXACT_JACCARD = """
+ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+      THEN 0.0
+      ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) END, 6)
+""".strip()
+
+
+def _audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic ~30% hash sample of shingled documents the
+    audits run their all-pairs exact comparison on (bounds the audit at
+    O((0.3 n)^2) on a chosen n)."""
+    from .llmops import _shingled_df
+
+    shingled = _shingled_df(spark, sf_dir)
+    return shingled.filter(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            < 3
+        )
+        & (F.size("grams") > 0)
+    )
+
+
+def _sampled_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, j): every sample pair with exact trigram Jaccard
+    >= _AUDIT_TAU — the shared ground truth of d24 and d28."""
+    sample = _audit_sample(spark, sf_dir)
+    a = sample.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
+    )
+    b = sample.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size(F.array_union("a_grams", "b_grams"))
+    jacc = F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", jacc.alias("j"))
+        .filter(F.col("j") >= _AUDIT_TAU)
+    )
+
+
+@query(
+    "d24_lsh_recall_audit",
+
+    oracle=f"""
+WITH {{LSH}},
+sample AS ({{SAMPLE}}),
 true_pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sample a JOIN sample b ON b.doc_id > a.doc_id
-  WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
-        THEN 0.0
-        ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.grams, b.grams))) END, 6)
-        >= 0.5
+  WHERE {{JACCARD}} >= {{TAU}}
 ),
 caught AS (
   SELECT t.id_a, t.id_b FROM true_pairs t
@@ -1367,7 +1429,12 @@ SELECT
   ROUND(CASE WHEN (SELECT COUNT(*) FROM true_pairs) = 0 THEN 1.0
         ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
              / (SELECT COUNT(*) FROM true_pairs) END, 6) AS recall
-""".format(LSH=_SQL_LSH_CTES.strip()),
+""".format(
+        LSH=_SQL_LSH_CTES.strip(),
+        SAMPLE=_SQL_AUDIT_SAMPLE.strip(),
+        JACCARD=_SQL_EXACT_JACCARD,
+        TAU=_AUDIT_TAU,
+    ),
     tags=("dedup", "lsh", "governance", "quality-audit"),
 )
 def d24_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,38 +1452,8 @@ def d24_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - (1 - 0.5^4)^4 ~ 23%, rising steeply toward 1 for near-exact
     dups — the audit makes that operating point visible on real data
     instead of leaving it as formula trivia."""
-    from .llmops import _shingled_df
-
-    shingled = _shingled_df(spark, sf_dir)
-    sample = shingled.filter(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16,
-                10,
-            ).cast("bigint")
-            % 10
-            < 3
-        )
-        & (F.size("grams") > 0)
-    )
-    a = sample.select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
-    )
-    b = sample.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
-    )
-    inter = F.size(F.array_intersect("a_grams", "b_grams"))
-    union = F.size(F.array_union("a_grams", "b_grams"))
-    jacc = F.round(
-        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
-        6,
-    )
-    true_pairs = (
-        a.join(b, F.col("id_b") > F.col("id_a"))
-        .filter(jacc >= 0.5)
-        .select("id_a", "id_b")
-    )
+    sample = _audit_sample(spark, sf_dir)
+    true_pairs = _sampled_true_pairs(spark, sf_dir).select("id_a", "id_b")
     lsh = d04_minhash_lsh_pairs(spark, sf_dir)
     caught = true_pairs.join(lsh, ["id_a", "id_b"])
     n_sample = sample.agg(F.count(F.lit(1)).alias("n")).select(
@@ -1787,23 +1824,13 @@ _LSH_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
 @query(
     "d28_lsh_config_advisor",
     oracle=f"""
-WITH shingled AS (
-  SELECT doc_id, {_SQL_TRIGRAMS.strip()} AS grams
-  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
-        FROM documents)
-),
-sample AS (
-  SELECT doc_id, grams FROM shingled
-  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-             AS BIGINT) % 10 < 3 AND len(grams) > 0
-),
+WITH {{LSH}},
+sample AS ({{SAMPLE}}),
 true_pairs AS (
   SELECT j FROM (
-    SELECT ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j
+    SELECT {{JACCARD}} AS j
     FROM sample a JOIN sample b ON b.doc_id > a.doc_id
-    WHERE len(list_intersect(a.grams, b.grams)) > 0
-  ) WHERE j >= 0.5
+  ) WHERE j >= {{TAU}}
 ),
 configs(bands, rows_per_band) AS (
   VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)
@@ -1815,7 +1842,12 @@ SELECT c.bands, c.rows_per_band,
     AS expected_recall
 FROM configs c CROSS JOIN true_pairs t
 GROUP BY c.bands, c.rows_per_band
-""",
+""".format(
+        LSH=_SQL_LSH_CTES.strip(),
+        SAMPLE=_SQL_AUDIT_SAMPLE.strip(),
+        JACCARD=_SQL_EXACT_JACCARD,
+        TAU=_AUDIT_TAU,
+    ),
     tags=("dedup", "lsh", "governance", "quality-audit"),
 )
 def d28_lsh_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,38 +1867,7 @@ def d28_lsh_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on candidate-pair rows. The rounded 6-dp Jaccard is the
     pow() input on BOTH engines, so cross-engine pow differences stay
     ~1 ulp, far inside the 6-dp hash gate."""
-    from .llmops import _shingled_df
-
-    shingled = _shingled_df(spark, sf_dir)
-    sample = shingled.filter(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16,
-                10,
-            ).cast("bigint")
-            % 10
-            < 3
-        )
-        & (F.size("grams") > 0)
-    )
-    a = sample.select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
-    )
-    b = sample.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
-    )
-    inter = F.size(F.array_intersect("a_grams", "b_grams"))
-    union = F.size(F.array_union("a_grams", "b_grams"))
-    jacc = F.round(
-        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
-        6,
-    )
-    true_pairs = (
-        a.join(b, F.col("id_b") > F.col("id_a"))
-        .select(jacc.alias("j"))
-        .filter(F.col("j") >= 0.5)
-    )
+    true_pairs = _sampled_true_pairs(spark, sf_dir).select("j")
     configs = spark.createDataFrame(
         _LSH_CONFIGS, "bands int, rows_per_band int"
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from ..config import PipelineConfig
 from ..operators.embed import DeterministicEmbedder, embed
@@ -159,7 +159,11 @@ def build_pipeline(
     if "error" in emb.columns:
         emb = emb.observe(
             "graft_embed",
-            F.count(F.lit(1)).alias("rows_embedded"),
+            # embedded = rows that actually got a vector; failures are
+            # counted separately, never inside the success metric
+            F.sum(F.col("error").isNull().cast("long")).alias(
+                "rows_embedded"
+            ),
             F.sum(F.col("error").isNotNull().cast("long")).alias(
                 "rows_dead_lettered"
             ),
@@ -167,22 +171,71 @@ def build_pipeline(
     return emb
 
 
+def _merge_observed(totals: dict[str, dict[str, int]], progress) -> None:
+    # recentProgress yields dict-like objects; listener events yield
+    # StreamingQueryProgress instances with an attribute instead
+    if hasattr(progress, "get"):
+        observed = progress.get("observedMetrics") or {}
+    else:
+        observed = progress.observedMetrics or {}
+    for name, row in observed.items():
+        bucket = totals.setdefault(name, {})
+        vals = row.asDict() if hasattr(row, "asDict") else dict(row)
+        for k, v in vals.items():
+            if v is not None:
+                bucket[k] = bucket.get(k, 0) + int(v)
+
+
 def observed_metrics(query: StreamingQuery) -> dict[str, dict[str, int]]:
-    """Aggregate the pipeline's observed metrics across every trigger of
-    a (finished or running) query: {observation_name: {metric: total}}.
-    This is the driver-side read path for the counters build_pipeline
-    attaches — the at-a-glance ingest/corrupt/empty/dead-letter
-    accounting a pipeline owner alerts on."""
+    """Totals of the pipeline's observed metrics over the query's RECENT
+    triggers: {observation_name: {metric: total}}.
+
+    Scope caveat: recentProgress retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    progress objects, so for a drained availableNow run (the test /
+    batch-replay mode) this is the exact total, but a long-lived
+    continuous query loses triggers older than the buffer. For lifetime
+    totals on a continuous pipeline attach a MetricsListener BEFORE
+    start() — it accumulates every onQueryProgress event."""
     totals: dict[str, dict[str, int]] = {}
     for p in query.recentProgress:
-        observed = p.get("observedMetrics") or {}
-        for name, row in observed.items():
-            bucket = totals.setdefault(name, {})
-            vals = row.asDict() if hasattr(row, "asDict") else dict(row)
-            for k, v in vals.items():
-                if v is not None:
-                    bucket[k] = bucket.get(k, 0) + int(v)
+        _merge_observed(totals, p)
     return totals
+
+
+class MetricsListener(StreamingQueryListener):
+    """StreamingQueryListener that accumulates observed-metrics totals
+    for EVERY trigger over a query's whole lifetime — the continuous-
+    mode counterpart of observed_metrics(), immune to the
+    recentProgress ring buffer (default 100 entries). Register before
+    starting the query:
+
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+        q = run_pipeline(spark, cfg)
+        ...
+        listener.totals(q.id)   # lifetime {observation: {metric: n}}
+    """
+
+    def __init__(self) -> None:
+        self._totals: dict[str, dict[str, dict[str, int]]] = {}
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        per_query = self._totals.setdefault(str(p.id), {})
+        _merge_observed(per_query, p)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    def totals(self, query_id) -> dict[str, dict[str, int]]:
+        return self._totals.get(str(query_id), {})
 
 
 def run_pipeline(

@@ -119,7 +119,7 @@ def test_prefix_join_equals_brute_force_on_randomized_corpus(
     spark, tmp_path_factory
 ):
     """Seeded randomized cross-validation: 40 documents assembled from a
-    9-token vocabulary with heavy overlap (shared prefixes, shuffled
+    30-token vocabulary with heavy overlap (shared prefixes, shuffled
     tails, duplicated halves) generate hundreds of pairs scattered
     across the whole Jaccard range — far more threshold-adjacent and
     tie-shaped pairs than any handcrafted fixture. The pruned plan must

@@ -8,6 +8,7 @@ sink, with corrupt records and empty texts dropped along the way.
 from __future__ import annotations
 
 import json
+import time
 import os
 
 import pytest
@@ -263,9 +264,27 @@ def test_pipeline_observed_metrics_account_for_every_row(
         embedding_dim=32,
         extra={"id_strategy": "deterministic"},
     )
-    q = run_pipeline(spark, cfg)
-    q.awaitTermination(120)
-    m = observed_metrics(q)
-    assert m["graft_parse"] == {"rows_in": 5, "rows_corrupt": 1}
-    assert m["graft_docs"] == {"rows_nonempty": 3}
-    assert m["graft_embed"] == {"rows_embedded": 3, "rows_dead_lettered": 0}
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        MetricsListener,
+    )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = run_pipeline(spark, cfg)
+        q.awaitTermination(120)
+        expected = {
+            "graft_parse": {"rows_in": 5, "rows_corrupt": 1},
+            "graft_docs": {"rows_nonempty": 3},
+            "graft_embed": {"rows_embedded": 3, "rows_dead_lettered": 0},
+        }
+        assert observed_metrics(q) == expected
+        # the lifetime listener (continuous-mode path, immune to the
+        # recentProgress ring buffer) must agree with the drained
+        # total; listener events are delivered asynchronously, so poll
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.totals(q.id) != expected:
+            time.sleep(0.5)
+        assert listener.totals(q.id) == expected
+    finally:
+        spark.streams.removeListener(listener)
