@@ -1568,6 +1568,7 @@ SELECT m.l_returnflag AS returnflag, modes.mode_qty,
 FROM meds m JOIN modes ON modes.l_returnflag = m.l_returnflag
 """,
     tags=("aggregation", "statistics"),
+    bench=True,
 )
 def q73_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact MODE and MEDIAN per group — the order-statistic aggregates

@@ -535,6 +535,7 @@ SELECT strftime(days.day, '%Y-%m-%d') AS day, dau.dau, wau.wau_7d
 FROM days JOIN dau ON dau.day = days.day JOIN wau ON wau.day = days.day
 """,
     tags=("window-time", "aggregation", "distinct", "analytics"),
+    bench=True,
 )
 def w12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling distinct actives — DAU and trailing-7-day WAU per day,
