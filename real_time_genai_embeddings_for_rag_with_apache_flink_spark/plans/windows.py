@@ -584,3 +584,68 @@ def w12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau_7d",
         )
     )
+
+
+@query(
+    "w13_peak_concurrency",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+run AS (
+  SELECT event_type,
+    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                     ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT r.event_type, CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+FROM run r GROUP BY r.event_type
+""",
+    tags=("window-time", "analytics", "sweep-line"),
+)
+def w13_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type — 'how many 5-minute
+    event windows were simultaneously open at the worst moment' — via
+    the classic SWEEP LINE: every interval becomes a +1 point at its
+    start and a -1 point at its end, a running sum over the
+    time-ordered points traces the concurrency curve, and its max is
+    the peak. This is the algorithmic pattern behind room-occupancy,
+    concurrent-session, and connection-pool sizing questions, and the
+    one interval aggregation the window family (w01-w12) did not cover:
+    the measure is over OVERLAPS, not fixed buckets.
+
+    Determinism at boundaries: points order by (t, delta), so a -1
+    (close) at time T sorts before a +1 (open) at the same T —
+    end-exclusive intervals; back-to-back windows never double-count.
+    Points sharing identical (t, delta) commute through the running
+    sum, so the max is order-independent. Scale shape: the sort is
+    per-partition within the event-type hash partition (one Exchange,
+    one per-partition sort, map-side nothing to combine — a sweep line
+    is inherently sequential per key); a single globally-hot key would
+    instead use range-bucketed partial sweeps with carry-in offsets,
+    the standard two-phase formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+    )
