@@ -1884,3 +1884,84 @@ def d28_lsh_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(catch), 6).alias("expected_recall"),
         )
     )
+
+
+_BACKFILL_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "p14_partition_backfill",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN backfilled THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled
+FROM (
+  SELECT lang, n_chars, FALSE AS backfilled FROM documents WHERE lang != 'de'
+  UNION ALL
+  SELECT lang, n_chars + 1 AS n_chars, TRUE AS backfilled
+  FROM documents WHERE lang = 'de'
+) GROUP BY lang
+""",
+    tags=("sinks", "partitioning", "layout", "backfill"),
+)
+def p14_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-LEVEL BACKFILL via dynamic partition overwrite — the
+    operational pattern every partitioned 100-TB corpus store lives by:
+    re-process ONE partition (here lang=de, standing in for "one day of
+    crawl") and overwrite exactly that directory, leaving every other
+    partition's files physically untouched. Without
+    partitionOverwriteMode=dynamic, mode("overwrite") on a partitioned
+    table truncates the WHOLE table — the classic way to lose 99 days
+    of data while backfilling one; with it, only partitions present in
+    the written DataFrame are replaced. The corrected rows are marked
+    (backfilled=true, n_chars+1) so the oracle certifies both halves:
+    untouched partitions byte-equivalent to the original corpus,
+    the target partition fully replaced by the corrected rows. A
+    companion test pins the physical claim — non-target partition files
+    keep their mtimes (same files, not rewritten equivalents).
+
+    Scale shape: the backfill job scans and writes ONLY the target
+    partition (directory pruning on the read, dynamic overwrite on the
+    write) — cost proportional to the partition, not the table."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = (os.path.abspath(sf_dir), "backfill:" + _source_fingerprint(src))
+    path = _BACKFILL_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="backfill_docs_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "backfilled", F.lit(False)
+        )
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+
+        # The backfill: read ONLY the target partition (directory
+        # pruning), correct it, dynamically overwrite just that
+        # partition.
+        corrected = (
+            spark.read.parquet(path)
+            .filter(F.col("lang") == "de")
+            .withColumn("n_chars", F.col("n_chars") + 1)
+            .withColumn("backfilled", F.lit(True))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            corrected.write.mode("overwrite").partitionBy("lang").parquet(
+                path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _BACKFILL_CACHE.clear()
+        _BACKFILL_CACHE[key] = path
+
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("backfilled").cast("long")).alias("n_backfilled"),
+    )
