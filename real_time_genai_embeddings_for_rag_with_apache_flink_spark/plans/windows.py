@@ -649,3 +649,67 @@ def w13_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("peak_concurrency"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
     )
+
+
+@query(
+    "w14_ohlc_downsample",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+    time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+    value, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+  ROUND(MAX(CASE WHEN rn_first = 1 THEN value END), 6) AS open,
+  ROUND(MAX(value), 6) AS high,
+  ROUND(MIN(value), 6) AS low,
+  ROUND(MAX(CASE WHEN rn_last = 1 THEN value END), 6) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY event_type, bucket_start
+""",
+    tags=("window-time", "analytics", "downsampling"),
+)
+def w14_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling per event type and
+    6-hour bucket — the candlestick query every time-series store runs
+    to compact raw ticks into chart-ready bars. The interesting
+    operators are OPEN and CLOSE: value-at-earliest/latest-timestamp
+    per bucket, i.e. an argmin/argmax by time. The engine computes them
+    as struct-min/max aggregates (min of (ts, event_id, value) structs,
+    then extract value) — combinable map-side like any aggregate, so a
+    hot bucket never funnels its raw rows through one window reducer;
+    the oracle uses the ROW_NUMBER formulation to prove the struct
+    trick equals the rank-based definition. Ties on ts break by
+    event_id on both engines, so open/close are deterministic even for
+    simultaneous events. One hash aggregate; shuffle carries
+    (type, bucket) partial bars, never ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy("event_type", bucket.alias("w"))
+        .agg(
+            F.round(first.getField("value"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(last.getField("value"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
