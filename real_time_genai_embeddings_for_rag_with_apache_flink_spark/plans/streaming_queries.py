@@ -246,8 +246,9 @@ def state_partitions(spark: SparkSession, n: int):
     that many tasks PER MICRO-BATCH — so it must be sized to state
     volume, not inherited from the batch shuffle default (32 here).
     At sf0.1 the stream-stream joins carry a few thousand state rows:
-    32 state tasks per trigger is pure scheduling overhead, and 8
-    measures ~38% faster on st13 with identical results. At 100 TB the
+    32 state tasks per trigger is pure scheduling overhead; with 8,
+    st13 measures 2.4x faster (10.85 s -> 4.44 s) with identical
+    results. At 100 TB the
     same knob goes UP (hundreds/thousands), for the same reason —
     state partitioning is a deployment decision per query, which is
     why this is set around each streaming run rather than globally.

@@ -43,12 +43,8 @@ def test_backfill_rewrites_only_the_target_partition(spark):
         spark.read.parquet(path).filter("lang = 'de'").count()
     )
     corrected = spark.read.parquet(path).filter("lang = 'de'")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with pipeline_extra.dynamic_partition_overwrite(spark):
         corrected.write.mode("overwrite").partitionBy("lang").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     after = {lang: files_with_mtimes(lang) for lang in ("en", "fr", "de")}
     # Non-target partitions: same files, same mtimes — physically
