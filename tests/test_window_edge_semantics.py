@@ -1,0 +1,87 @@
+"""w13/w14 boundary semantics on ties the shipped testdata never hits.
+
+The events fixture has no duplicate timestamps, so the driver gate
+exercises neither w13's close-before-open boundary rule nor w14's
+event_id tiebreak for simultaneous ticks. These fixtures sit exactly on
+those edges and check against hand-computed answers (w13 additionally
+against a brute-force point-stabbing count — a different algorithm than
+the sweep line, so agreement is a real cross-check).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+    windows as W,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mkevents(spark, out, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+
+def test_w13_back_to_back_windows_do_not_double_count(spark, tmp_path):
+    """Three events 5 minutes apart: each 5-minute interval CLOSES at
+    the exact instant the next opens. End-exclusive boundary semantics
+    mean concurrency never exceeds 1; an inclusive-boundary bug reads
+    2. A fourth event 1 minute after the third genuinely overlaps it
+    -> peak 2."""
+    out = str(tmp_path / "sf_w13")
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 1, "click", 1.0, "{}"),
+        (2, mins(5), 1, "click", 1.0, "{}"),
+        (3, mins(10), 1, "click", 1.0, "{}"),
+        (4, mins(11), 1, "click", 1.0, "{}"),
+    ]
+    _mkevents(spark, out, rows)
+    got = {
+        r.event_type: r.peak_concurrency
+        for r in W.w13_peak_concurrency(spark, out).collect()
+    }
+    assert got == {"click": 2}
+
+    # Brute-force cross-check: concurrency at each event start (the
+    # only places a maximum can occur) via point stabbing.
+    starts = [r[1] for r in rows]
+    brute = max(
+        sum(1 for s in starts if s <= t < s + dt.timedelta(minutes=5))
+        for t in starts
+    )
+    assert brute == 2
+
+
+def test_w14_simultaneous_ticks_break_ties_by_event_id(spark, tmp_path):
+    """Two ticks at the identical timestamp at the bucket's open and
+    two at its close: open must be the LOWER event_id's value, close
+    the HIGHER event_id's value — the deterministic tiebreak both
+    engines' formulations (struct-min/max vs ROW_NUMBER) must share."""
+    out = str(tmp_path / "sf_w14")
+    rows = [
+        (10, T0, 1, "click", 100.0, "{}"),
+        (11, T0, 1, "click", 200.0, "{}"),  # same instant, higher id
+        (12, T0 + dt.timedelta(hours=1), 1, "click", 50.0, "{}"),
+        (20, T0 + dt.timedelta(hours=2), 1, "click", 300.0, "{}"),
+        (21, T0 + dt.timedelta(hours=2), 1, "click", 400.0, "{}"),
+    ]
+    _mkevents(spark, out, rows)
+    bars = W.w14_ohlc_downsample(spark, out).collect()
+    assert len(bars) == 1  # all five ticks in one 6-hour bucket
+    bar = bars[0]
+    assert bar.open == 100.0  # event_id 10 wins the open tie
+    assert bar.close == 400.0  # event_id 21 wins the close tie
+    assert bar.high == 400.0 and bar.low == 50.0
+    assert bar.n_events == 5
