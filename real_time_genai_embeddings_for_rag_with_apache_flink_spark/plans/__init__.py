@@ -17,10 +17,9 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-6 window: every operator that has never had a
 # driver row (the 31 new since the r5 snapshot), then the STALEST
 # entries — everything whose latest driver row predates the round-4/5
-# seam and skew-guard refactors. 41 never-checked (31 from the first
-# half of round 6 + d27/p13/s19/st18/q73/w12/d28/w13/p14/w14 from the
-# second) + the 9 oldest r02-checked entries fill the 50; q50-q53/
-# q55-q60 and the 40 r03-stale
+# seam and skew-guard refactors. 42 never-checked (31 from the first
+# half of round 6 + 11 from the second) + the 8 oldest r02-checked
+# entries fill the 50; q49-q53/q55-q60 and the 40 r03-stale
 # entries lead the round-7 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
@@ -65,6 +64,7 @@ DRIVER_WINDOW: list[str] = [
     "w13_peak_concurrency",
     "p14_partition_backfill",
     "w14_ohlc_downsample",
+    "st19_stream_ohlc",
     # stalest: last driver-checked in r02
     "q28_json_functions",
     "q32_in_subquery",
@@ -74,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "q46_try_functions",
     "q47_hash_bit_functions",
     "q48_null_semantics",
-    "q49_priority_late_orders",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1195,3 +1195,70 @@ def st18_stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(
         results_dir
     )
+
+
+@query(
+    "st19_stream_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+    time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+    value, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+  ROUND(MAX(CASE WHEN rn_first = 1 THEN value END), 6) AS open,
+  ROUND(MAX(value), 6) AS high,
+  ROUND(MIN(value), 6) AS low,
+  ROUND(MAX(CASE WHEN rn_last = 1 THEN value END), 6) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, bucket_start
+HAVING bucket_start + INTERVAL 6 HOUR
+       <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+    tags=("streaming", "window-time", "downsampling", "watermark"),
+)
+def st19_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w14's OHLC bars maintained CONTINUOUSLY: the event stream rolls
+    into per-type 6-hour candlesticks under a 10-minute watermark,
+    append mode — a bar emits exactly once, when the watermark proves
+    its bucket can no longer change. The batch/stream symmetry claim
+    made concrete: the SAME struct-min/max argmin aggregates run as
+    stateful streaming operators (per-bucket state = one partial bar —
+    open/high/low/close/count — regardless of tick volume, which is
+    precisely why the struct-aggregate formulation and not a window
+    rank is the streaming-viable one). The oracle is w14's batch
+    definition restricted to the closed-bucket frontier (bucket end at
+    or below final watermark = max event time - 10 minutes) — the st02
+    emission rule applied to bars."""
+    ev = stream_events(spark, sf_dir)
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    bars = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.round(first.getField("value"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(last.getField("value"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_to_memory(bars, "st19", "append")

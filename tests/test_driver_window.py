@@ -142,6 +142,7 @@ NEVER_CHECKED = (
     "w13_peak_concurrency",
     "p14_partition_backfill",
     "w14_ohlc_downsample",
+    "st19_stream_ohlc",
 )
 
 # Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
@@ -186,14 +187,15 @@ def test_window_is_filled_with_the_stalest_entries():
             f"{name} occupies a round-6 slot but its last driver row is "
             f"recent (r04/r05) — the slot belongs to a staler entry"
         )
-    # The 41 never-checked entries + 19 r02-stale entries overflow the
-    # 50-slot window by 10: the ten youngest r02 entries yield their
+    # The 42 never-checked entries + 19 r02-stale entries overflow the
+    # 50-slot window by 11: the eleven youngest r02 entries yield their
     # slots (never-checked outranks stale) and lead the round-7 window.
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
     missing = r02_stale - set(window())
-    # Exactly the ten YOUNGEST r02 entries yield — dropping any older
+    # Exactly the eleven YOUNGEST r02 entries yield — dropping any older
     # entry instead would violate the oldest-first rotation.
     assert missing == {
+        "q49_priority_late_orders",
         "q50_argmax_aggregates",
         "q51_volume_shipping",
         "q52_market_share",
