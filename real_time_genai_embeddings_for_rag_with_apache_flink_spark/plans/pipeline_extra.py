@@ -1676,7 +1676,20 @@ def d27_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.size("sg")
-    prefix_len = (n - F.ceil(F.lit(tau) * n) + 1).cast("int")
+    # ceil(tau*n) in EXACT integer arithmetic: tau as a fraction p/q,
+    # ceil(n*p/q) = (n*p + q - 1) div q. A float multiply could land at
+    # k + 1e-15 for a non-dyadic tau, overshoot the ceil, and shorten
+    # the prefix by one token — a silent false negative in an operator
+    # whose contract is zero false negatives.
+    from fractions import Fraction
+
+    frac = Fraction(tau).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    num = n.cast("long") * p + (q - 1)
+    # subtract the remainder first so the division is exact-integer in
+    # double space (a multiple of q divided by q is always representable)
+    ceil_tau_n = ((num - num % q) / q).cast("int")
+    prefix_len = (n - ceil_tau_n + 1).cast("int")
     pre = ordered.select(
         "doc_id",
         n.alias("n_grams"),
@@ -1778,7 +1791,15 @@ def p13_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in ("orders.parquet", "lineitem.parquet")
     )
     key = (os.path.abspath(sf_dir), "bucket:" + fps)
-    if not _BUCKET_CACHE.get(key):
+    # The cache is process-global but the tables are session-scoped: a
+    # recreated SparkSession in the same process no longer has them in
+    # its catalog, so a bare cache hit would vouch for tables that don't
+    # exist (or stale registrations in a shared warehouse). Trust the
+    # cache only if THIS session's catalog still has both tables.
+    cached = _BUCKET_CACHE.get(key) and all(
+        spark.catalog.tableExists(f"graft_b_{t}") for t in ("orders", "lineitem")
+    )
+    if not cached:
         base = tempfile.mkdtemp(prefix="bucketed_")
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         for tbl, col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):

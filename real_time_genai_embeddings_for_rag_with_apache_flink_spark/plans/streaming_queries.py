@@ -253,7 +253,16 @@ def state_partitions(spark: SparkSession, n: int):
     state partitioning is a deployment decision per query, which is
     why this is set around each streaming run rather than globally.
     Each catalog entry uses a fresh checkpoint, so re-sizing never
-    collides with a prior run's state layout."""
+    collides with a prior run's state layout.
+
+    NOT re-entrant / not concurrency-safe: this mutates the
+    session-global spark.sql.shuffle.partitions for the duration of the
+    block, so any OTHER query started concurrently in the same session
+    inside the window silently inherits n, and two overlapping uses
+    restore the wrong previous value. Fine for the sequential
+    test/driver harness this repo runs; a deployment running concurrent
+    queries should set the conf per-query on a cloned session
+    (spark.newSession()) instead."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
