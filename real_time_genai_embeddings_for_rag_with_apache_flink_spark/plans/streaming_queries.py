@@ -521,6 +521,11 @@ def run_incremental_dedup(
     corpus_fps: DataFrame,
     corpus_bands: DataFrame,
     work_root: str,
+    corpus_shingles: DataFrame | None = None,
+    verify_tau: float = 0.5,
+    fp_state_mode: str = "auto",
+    delta_table_factory=None,
+    delta_create_format: str = "delta",
 ) -> DataFrame:
     """Streaming incremental dedup: new arrivals deduped against the
     ACCUMULATED corpus — the continuous-pipeline pattern the reference's
@@ -552,24 +557,92 @@ def run_incremental_dedup(
     exactly {min doc_id per fingerprint not in the corpus}, and the
     near-dup count is vs the initial corpus only (counting vs earlier
     ARRIVALS would depend on where micro-batch boundaries fall, which
-    no engine-portable oracle can replay)."""
+    no engine-portable oracle can replay).
+
+    With ``corpus_shingles`` (a (doc_id, grams) DISTINCT-trigram table
+    for the corpus, e.g. the seam's _shingled_df), each batch also
+    VERIFIES its candidates — the d10 two-stage design applied
+    stream-side: candidate (arrival, corpus) pairs from the band join
+    get exact trigram Jaccard (arrival side shingled in-batch with the
+    same _trigrams expression, corpus side joined by id from the seam
+    table), and pairs >= verify_tau land in ``{work_root}/verified`` as
+    (doc_id, corpus_doc_id, jaccard) — the reviewed-and-confirmed
+    near-dup queue, not just a count. The verify join cost is
+    proportional to candidates per batch, never corpus x batch.
+
+    Fingerprint-state storage (``fp_state_mode``): 'parquet' appends a
+    file per batch — fine here, but the accumulated table fragments
+    into thousands of files over a long-running stream and the
+    per-trigger re-listing grows with it. 'delta' keeps the state in a
+    Delta table maintained by keyed MERGE (sinks.delta_upsert_writer,
+    key = fp): listing rides the transaction log instead of the
+    filesystem, the table stays exactly-distinct, and a replayed
+    micro-batch converges instead of double-appending its fingerprints.
+    'auto' (default) picks delta when delta-spark is importable, else
+    parquet. ``delta_table_factory`` / ``delta_create_format`` are the
+    same injection points as delta_upsert_writer's, so the MERGE path
+    is testable without the jar (tests/test_streaming_semantics.py)."""
     fps_dir = os.path.join(work_root, "fps")
     results_dir = os.path.join(work_root, "results")
+    verified_dir = os.path.join(work_root, "verified")
     ckpt = os.path.join(work_root, "ckpt")
-    if not os.path.isdir(fps_dir):
-        # first run: seed the accumulated-state table with the corpus
-        corpus_fps.write.parquet(fps_dir)
+
+    if fp_state_mode == "auto":
+        import importlib.util as _ilu
+
+        fp_state_mode = "delta" if _ilu.find_spec("delta") else "parquet"
+    if fp_state_mode == "delta":
+        from ..streaming.sinks import _default_delta_factory, delta_upsert_writer
+
+        factory = delta_table_factory or _default_delta_factory
+        fp_merge = delta_upsert_writer(
+            fps_dir,
+            keys=("fp",),
+            table_factory=factory,
+            create_format=delta_create_format,
+        )
+
+        def read_fps(sp: SparkSession) -> DataFrame:
+            return sp.read.format(delta_create_format).load(fps_dir)
+
+        def append_fps(df: DataFrame, batch_id: int) -> None:
+            fp_merge(df, batch_id)
+
+        if factory(spark, fps_dir) is None:
+            # first run: seed the accumulated-state table with the corpus
+            fp_merge(corpus_fps, -1)
+    elif fp_state_mode == "parquet":
+
+        def read_fps(sp: SparkSession) -> DataFrame:
+            return sp.read.parquet(fps_dir)
+
+        def append_fps(df: DataFrame, batch_id: int) -> None:
+            df.write.mode("append").parquet(fps_dir)
+
+        if not os.path.isdir(fps_dir):
+            # first run: seed the accumulated-state table with the corpus
+            corpus_fps.write.parquet(fps_dir)
+    else:
+        raise ValueError(f"unknown fp_state_mode {fp_state_mode!r}")
 
     cb = corpus_bands.select(
         "band_idx", "band_key", F.col("doc_id").alias("corpus_doc_id")
     )
+    csh = (
+        corpus_shingles.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("grams").alias("b_grams"),
+        )
+        if corpus_shingles is not None
+        else None
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from .llmops import _lsh_bands_df, signatures_from_docs
+        from .llmops import _lsh_bands_df, _trigrams, normalized_text, signatures_from_docs
         from ..functions.text import doc_fingerprint
 
         sp = batch.sparkSession
-        known = sp.read.parquet(fps_dir)
+        known = read_fps(sp)
         arr = batch.withColumn("fp", doc_fingerprint(F.col("text")))
         fresh = arr.join(known, "fp", "left_anti")
         surv = (
@@ -579,10 +652,15 @@ def run_incremental_dedup(
             .persist()
         )
         bands = _lsh_bands_df(signatures_from_docs(surv.select("doc_id", "text")))
-        cand = (
+        pairs = (
             bands.join(cb, ["band_idx", "band_key"])
-            .groupBy("doc_id")
-            .agg(F.count_distinct("corpus_doc_id").alias("n_corpus_candidates"))
+            .select("doc_id", "corpus_doc_id")
+            .distinct()
+        )
+        if csh is not None:
+            pairs = pairs.persist()
+        cand = pairs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_corpus_candidates")
         )
         out = (
             surv.select("doc_id")
@@ -595,7 +673,31 @@ def run_incremental_dedup(
             )
         )
         out.write.mode("append").parquet(results_dir)
-        surv.select("fp").write.mode("append").parquet(fps_dir)
+        if csh is not None:
+            a = surv.select(
+                "doc_id",
+                _trigrams(
+                    F.split(normalized_text(F.col("text")), r"\s+")
+                ).alias("a_grams"),
+            )
+            inter = F.size(F.array_intersect("a_grams", "b_grams"))
+            union = F.size(F.array_union("a_grams", "b_grams"))
+            jacc = F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(
+                    inter.cast("double") / union
+                ),
+                6,
+            )
+            (
+                pairs.join(a, "doc_id")
+                .join(csh, "corpus_doc_id")
+                .select("doc_id", "corpus_doc_id", jacc.alias("jaccard"))
+                .filter(F.col("jaccard") >= verify_tau)
+                .write.mode("append")
+                .parquet(verified_dir)
+            )
+            pairs.unpersist()
+        append_fps(surv.select("fp"), batch_id)
         surv.unpersist()
 
     q = (
@@ -696,6 +798,115 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         return run_incremental_dedup(
             spark, arrivals, corpus_fps, corpus_bands, work_root
         )
+
+
+@query(
+    "st14b_stream_verified_neardups",
+    oracle="""
+WITH corpus_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 != 0
+),
+arrivals AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+fresh AS (
+  SELECT a.* FROM arrivals a
+  WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = a.fp)
+),
+surv AS (SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp),
+shingled AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       ELSE list_transform(generate_series(1, len(toks)-2),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+        FROM documents)
+), sigs AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      s -> list_min(list_transform(
+             list_transform(grams, g -> {'h1': CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT),
+                                          'h2': CAST(concat('0x', substr(md5(g), 9, 7)) AS BIGINT)}),
+             h -> (h.h1 + s * h.h2) % 268435399))) AS sig
+  FROM shingled WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b.band_idx,
+         concat_ws(',', sig[b.band_idx*4+1], sig[b.band_idx*4+2],
+                        sig[b.band_idx*4+3], sig[b.band_idx*4+4]) AS band_key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+pairs AS (
+  SELECT DISTINCT sb.doc_id, cb.doc_id AS corpus_doc_id
+  FROM bands sb
+  JOIN bands cb ON cb.band_idx = sb.band_idx AND cb.band_key = sb.band_key
+               AND cb.doc_id % 3 != 0
+  WHERE sb.doc_id IN (SELECT doc_id FROM surv)
+),
+vsh AS (
+  SELECT doc_id, list_distinct(grams) AS grams FROM shingled
+)
+SELECT doc_id, corpus_doc_id, jaccard FROM (
+  SELECT p.doc_id, p.corpus_doc_id,
+    ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) END, 6) AS jaccard
+  FROM pairs p
+  JOIN vsh a ON a.doc_id = p.doc_id
+  JOIN vsh b ON b.doc_id = p.corpus_doc_id
+) WHERE jaccard >= 0.5
+""",
+    tags=("streaming", "dedup", "incremental", "lsh", "similarity"),
+    bench=True,
+)
+def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VERIFIED near-dups — st14's candidate queue upgraded to
+    the reviewed-and-confirmed queue a production pipeline actually
+    consumes: per micro-batch, every (surviving arrival, corpus)
+    candidate pair from the LSH band join is scored with exact trigram
+    Jaccard (the d10 verify applied stream-side) and pairs >= 0.5 are
+    emitted as (doc_id, corpus_doc_id, jaccard). The corpus side joins
+    by id against the seam's distinct-shingle table (shingled once per
+    session, shared with every batch verify stage); the arrival side is
+    shingled in-batch with the same _trigrams expression, so stream and
+    batch scores are bit-identical. Verify cost is proportional to the
+    batch's candidate count, never corpus x batch. The contract stays
+    batch-boundary independent: survivors and candidates are defined vs
+    the INITIAL corpus, so the verified pair set is the same however
+    micro-batch boundaries fall — which is what makes an engine-portable
+    oracle possible."""
+    from .llmops import _lsh_bands_df, _minhash_signatures_df, _shingled_df
+    from ..functions.text import doc_fingerprint
+    from ..sources.batch import load_table
+
+    is_corpus = F.col("doc_id") % 3 != 0
+    corpus_fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_corpus)
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    corpus_bands = _lsh_bands_df(_minhash_signatures_df(spark, sf_dir)).filter(
+        is_corpus
+    )
+    corpus_shingles = _shingled_df(spark, sf_dir).filter(is_corpus)
+    arrivals = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", "text")
+    work_root = tempfile.mkdtemp(prefix="st14b_")
+    with state_partitions(spark, 8):
+        run_incremental_dedup(
+            spark,
+            arrivals,
+            corpus_fps,
+            corpus_bands,
+            work_root,
+            corpus_shingles=corpus_shingles,
+        )
+    return spark.read.schema(
+        "doc_id long, corpus_doc_id long, jaccard double"
+    ).parquet(os.path.join(work_root, "verified"))
 
 
 @query(

@@ -486,3 +486,208 @@ def test_st18_serves_queries_across_real_micro_batches(spark):
     got = {tuple(r) for r in served.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def _mk_arrival_files(spark, tmp_path, name, files):
+    """Write doc_id-ordered single-file micro-batch sources with
+    strictly increasing mtimes (the file source processes oldest
+    first)."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    base = 1_700_000_000
+    for i, (fname, rows) in enumerate(files):
+        p = os.path.join(src, fname)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p + ".tmp")
+        part = glob.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + ".tmp")
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return src
+
+
+def _arrivals_stream(spark, src):
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def test_stream_verified_neardups_multibatch(spark, tmp_path):
+    """st14b's runner contract: each micro-batch's LSH candidates are
+    exact-Jaccard verified against the matched corpus docs, the
+    verified pair set is batch-boundary independent (one-shot == split
+    replay), and exact duplicates never reach the verify stage."""
+    import os
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _lsh_bands_df,
+        _trigrams,
+        normalized_text,
+        signatures_from_docs,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_incremental_dedup,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    Z = " ".join(words)  # 30 tokens
+    Z_near = Z + " appended"  # tail edit: 28 of 29 trigrams shared
+    V = " ".join(w + "x" for w in words)  # disjoint token universe
+    V_near = V + " extra"
+    U = "totally unrelated short text with its own distinct tokens only"
+
+    corpus = spark.createDataFrame(
+        [(100, Z), (101, V)], "doc_id long, text string"
+    )
+    corpus_fps = corpus.select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    corpus_bands = _lsh_bands_df(signatures_from_docs(corpus))
+    corpus_shingles = corpus.select(
+        "doc_id",
+        _trigrams(F.split(normalized_text(F.col("text")), r"\s+")).alias(
+            "grams"
+        ),
+    )
+
+    file_a = [(3, Z_near), (6, U)]
+    file_b = [(9, V_near), (12, Z)]  # 12 exact-dups corpus -> dropped
+
+    def run(files, name):
+        src = _mk_arrival_files(spark, tmp_path, "src_" + name, files)
+        work = str(tmp_path / ("work_" + name))
+        run_incremental_dedup(
+            spark,
+            _arrivals_stream(spark, src),
+            corpus_fps,
+            corpus_bands,
+            work,
+            corpus_shingles=corpus_shingles,
+        )
+        ver = spark.read.schema(
+            "doc_id long, corpus_doc_id long, jaccard double"
+        ).parquet(os.path.join(work, "verified"))
+        return {(r.doc_id, r.corpus_doc_id, r.jaccard) for r in ver.collect()}
+
+    split = run([("a.parquet", file_a), ("b.parquet", file_b)], "split")
+    oneshot = run([("all.parquet", file_a + file_b)], "oneshot")
+
+    assert split == oneshot, "verified pairs must be batch-boundary independent"
+    got_pairs = {(d, c) for d, c, _ in split}
+    assert got_pairs == {(3, 100), (9, 101)}, got_pairs
+    assert all(j >= 0.5 for _, _, j in split)
+    # scores must equal the batch d10 formulation bit-for-bit
+    a_sh = spark.createDataFrame(
+        [(3, Z_near), (9, V_near)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        _trigrams(F.split(normalized_text(F.col("text")), r"\s+")).alias(
+            "a_grams"
+        ),
+    )
+    b_sh = corpus_shingles.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("grams").alias("b_grams")
+    )
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size(F.array_union("a_grams", "b_grams"))
+    jacc = F.round(inter.cast("double") / union, 6)
+    want = {
+        (r.doc_id, r.corpus_doc_id, r.j)
+        for r in a_sh.crossJoin(b_sh)
+        .select("doc_id", "corpus_doc_id", jacc.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert split == want
+
+
+def test_incremental_dedup_delta_fp_state(spark, tmp_path):
+    """fp_state_mode='delta': the accumulated fingerprint table is
+    maintained by keyed MERGE (injected-fake DeltaTable, the
+    test_delta_sink posture) — results match parquet mode, and the
+    state table stays exactly-distinct even when a batch's fingerprints
+    are merged twice (replay convergence, where parquet append would
+    duplicate)."""
+    import os
+
+    from test_delta_sink import fake_factory
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _lsh_bands_df,
+        signatures_from_docs,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_incremental_dedup,
+    )
+
+    X = "the first arrival document with plenty of tokens for shingles"
+    Y = "a second distinct arrival whose text also has enough tokens here"
+    Z = "corpus resident text that an arrival will duplicate exactly soon"
+
+    corpus = spark.createDataFrame([(100, Z)], "doc_id long, text string")
+    corpus_fps = corpus.select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    corpus_bands = _lsh_bands_df(signatures_from_docs(corpus))
+
+    files = [
+        ("a.parquet", [(1, X), (4, Z)]),  # 4 exact-dups the corpus
+        ("b.parquet", [(5, X), (7, Y)]),  # 5 dups arrival 1
+    ]
+
+    def run(mode, name, **kw):
+        src = _mk_arrival_files(spark, tmp_path, "src_" + name, files)
+        work = str(tmp_path / ("work_" + name))
+        out = run_incremental_dedup(
+            spark,
+            _arrivals_stream(spark, src),
+            corpus_fps,
+            corpus_bands,
+            work,
+            fp_state_mode=mode,
+            **kw,
+        )
+        return work, {(r.doc_id, r.n_corpus_candidates) for r in out.collect()}
+
+    _, want = run("parquet", "pq")
+    work_d, got = run(
+        "delta",
+        "delta",
+        delta_table_factory=fake_factory,
+        delta_create_format="parquet",
+    )
+    assert got == want
+    assert {d for d, _ in got} == {1, 7}
+
+    # replay convergence: merging a batch's fingerprints twice must not
+    # grow the state (parquet append would double it)
+    fps_dir = os.path.join(work_d, "fp_replay")
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        delta_upsert_writer,
+    )
+
+    merge = delta_upsert_writer(
+        fps_dir, keys=("fp",), table_factory=fake_factory, create_format="parquet"
+    )
+    batch_fps = spark.createDataFrame([("f1",), ("f2",)], "fp string")
+    merge(batch_fps, 0)
+    merge(batch_fps, 0)  # replay
+    state = [r.fp for r in spark.read.parquet(fps_dir).collect()]
+    assert sorted(state) == ["f1", "f2"]
