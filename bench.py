@@ -55,6 +55,7 @@ def main() -> int:
 
     _skew_stress(spark, timings, force)
     _chain_stress(spark, timings)
+    _sweep_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -159,6 +160,70 @@ def _chain_stress(spark, timings: dict[str, float]) -> None:
         f"# d21_chain_stress: {timings['d21_chain_stress']:.3f}s",
         file=sys.stderr,
     )
+
+
+def _sweep_stress(spark, timings: dict[str, float]) -> None:
+    """Adversarial hot-key sweep-line stress rows: peak concurrency
+    over 1.5M events that ALL share one event_type — the topology where
+    w13's per-key window form serializes its entire sort + running sum
+    on a single task, and the two-phase range-bucketed decomposition
+    (w13b, windows.sweep_line_peaks_twophase) spreads the same points
+    over 32 parallel partial sweeps stitched by carry-in offsets. Both
+    paths run to a 1-row answer that is asserted EQUAL (the ratio is
+    only meaningful if the decomposition is exact); the pair of rows
+    prices the hot-key hazard the same way d04_skew_guard prices the
+    LSH bucket blowup. Single measured run each (the serialized sort,
+    not JIT warmth, dominates the one-phase side)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.windows import (
+        _sweep_points,
+        sweep_line_peaks_twophase,
+    )
+
+    n = 1_500_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.lit("hot").alias("event_type"),
+            # id*7919 mod one week of seconds: duplicates + full-range
+            # spread, deterministic
+            F.timestamp_seconds(
+                1_700_000_000 + (F.col("id") * 7919) % 604_800
+            ).alias("ts"),
+        )
+        .repartition(32)
+    )
+    pts = _sweep_points(ev).persist()
+    pts.count()  # materialize the input outside both timed regions
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t0 = time.perf_counter()
+    one = (
+        pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+        .groupBy("event_type")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .collect()
+    )
+    timings["w13_sweep_hot_onephase"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    two = (
+        sweep_line_peaks_twophase(pts, n_buckets=32)
+        .select("event_type", "peak_concurrency")
+        .collect()
+    )
+    timings["w13_sweep_hot_twophase"] = round(time.perf_counter() - t0, 4)
+    pts.unpersist()
+    if {tuple(r) for r in one} != {tuple(r) for r in two}:
+        raise AssertionError(f"sweep stress mismatch: {one} != {two}")
+    for k in ("w13_sweep_hot_onephase", "w13_sweep_hot_twophase"):
+        print(f"# {k}: {timings[k]:.3f}s", file=sys.stderr)
 
 
 def _guess_sf(sf_dir: str) -> float:

@@ -627,16 +627,7 @@ def w13_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     is inherently sequential per key); a single globally-hot key would
     instead use range-bucketed partial sweeps with carry-in offsets,
     the standard two-phase formulation."""
-    ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        ev.select(
-            "event_type",
-            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+    pts = _sweep_points(load_table(spark, sf_dir, "events"))
     from pyspark.sql import Window
 
     w = (
@@ -648,6 +639,120 @@ def w13_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("event_type").agg(
         F.max("conc").alias("peak_concurrency"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+    )
+
+
+def _sweep_points(ev: DataFrame) -> DataFrame:
+    """(event_type, t, delta) sweep-line points: +1 at each event's
+    start, -1 at its end (5-minute windows, end-exclusive)."""
+    return ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+
+
+def sweep_line_peaks_twophase(pts: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Peak concurrency via RANGE-BUCKETED PARTIAL SWEEPS with carry-in
+    offsets — the two-phase formulation for a globally hot key that
+    w13's docstring names, as a callable path.
+
+    Identity: split each key's time axis into contiguous range buckets;
+    the running sum at any point in bucket k equals (sum of all deltas
+    in buckets < k) + (the local prefix sum within bucket k), so
+    per-key peak = max over buckets of (carry_in + local_max). Phase 1
+    computes local prefix maxima and bucket totals with a window
+    partitioned by (key, bucket) — a hot key's sweep spreads over
+    n_buckets parallel tasks instead of serializing on one. Phase 2 is
+    per-key over n_buckets ROWS (not points): a tiny prefix-sum window
+    for the carry-ins, then one aggregate.
+
+    Bucket boundaries are equal-width slices of the key-independent
+    global [min_t, max_t] — a 1-row driver read that enters the plan as
+    two literals (no shuffle, no per-key pass). Same-t points always
+    land in one bucket, so the (t, delta) tie order — and therefore the
+    exact peak — is preserved bit-for-bit vs the single-sweep form
+    (equality-pinned in tests/test_window_edge_semantics.py and by
+    w13b's driver oracle, which is w13's).
+
+    At 100 TB: phase 1's shuffle carries the same (key, t, delta)
+    points the one-phase form shuffles, just hashed on (key, bucket);
+    phase 2 shuffles keys x n_buckets 4-column rows — negligible. Cost
+    of generality: two window passes instead of one, so keep the
+    one-phase w13 for well-distributed keys and switch to this when one
+    key dominates (the d04 skew-guard pattern, priced in bench.py's
+    w13_sweep stress rows)."""
+    from pyspark.sql import Window
+
+    # epoch seconds computed engine-side (double cast), so the literal
+    # bounds and the per-row expression share one timezone semantics
+    lo, hi = pts.agg(
+        F.min(F.col("t").cast("timestamp").cast("double")), F.max(F.col("t").cast("timestamp").cast("double"))
+    ).collect()[0]
+    width = max(hi - lo, 1e-9) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("t").cast("timestamp").cast("double") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("bucket", bucket).withColumn(
+        "run", F.sum("delta").over(w_local)
+    )
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"),
+        F.sum("delta").alias("total"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn(
+        "carry", F.coalesce(F.sum("total").over(w_carry), F.lit(0))
+    )
+    return carried.groupBy("event_type").agg(
+        F.max(F.col("carry") + F.col("local_max")).alias("peak_concurrency"),
+        (F.sum("n_pts") / 2).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "w13b_peak_concurrency_twophase",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+run AS (
+  SELECT event_type,
+    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                     ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT r.event_type, CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+FROM run r GROUP BY r.event_type
+""",
+    tags=("window-time", "analytics", "sweep-line", "skew"),
+)
+def w13b_peak_concurrency_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w13's peak-concurrency answer computed by the two-phase
+    range-bucketed sweep (sweep_line_peaks_twophase) — the hot-key path.
+    The oracle is w13's single-sweep SQL verbatim: the driver certifies
+    the decomposition is exact, not approximately equal."""
+    return sweep_line_peaks_twophase(
+        _sweep_points(load_table(spark, sf_dir, "events"))
     )
 
 

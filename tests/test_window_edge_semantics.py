@@ -85,3 +85,51 @@ def test_w14_simultaneous_ticks_break_ties_by_event_id(spark, tmp_path):
     assert bar.close == 400.0  # event_id 21 wins the close tie
     assert bar.high == 400.0 and bar.low == 50.0
     assert bar.n_events == 5
+
+
+def test_w13b_twophase_equals_single_sweep_on_hot_key(spark, tmp_path):
+    """Adversarial single-event-type fixture: EVERY point belongs to one
+    key, so the one-phase sweep serializes on a single task while the
+    two-phase path spreads it over range buckets — and the two must be
+    bit-equal. The fixture pins the decomposition's tie hazards: points
+    exactly ON bucket boundaries (same-t open and close pairs, which
+    must stay in one bucket so the (t, delta) order is preserved), a
+    peak that spans a bucket boundary (carry-in must propagate), and a
+    peak inside the LAST bucket (the least() clamp)."""
+    out = str(tmp_path / "sf_w13b")
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    rows = []
+    eid = 0
+    # dense ramp: 40 events 1 min apart -> overlapping 5-min windows
+    for m in range(40):
+        eid += 1
+        rows.append((eid, mins(m), 1, "hot", 1.0, "{}"))
+    # boundary ties: pairs at the same instant deep in the range
+    for m in (50, 50, 55, 55, 55):
+        eid += 1
+        rows.append((eid, mins(m), 1, "hot", 1.0, "{}"))
+    # late cluster: peak inside the final range bucket
+    for m in (118, 119, 120, 120, 121):
+        eid += 1
+        rows.append((eid, mins(m), 1, "hot", 1.0, "{}"))
+    _mkevents(spark, out, rows)
+
+    one = {
+        (r.event_type, r.peak_concurrency, r.n_events)
+        for r in W.w13_peak_concurrency(spark, out).collect()
+    }
+    # sweep buckets sized so boundaries fall INSIDE the event range for
+    # several n_buckets choices, including one bigger than the points
+    for nb in (2, 3, 7, 32, 1000):
+        two = {
+            (r.event_type, r.peak_concurrency, r.n_events)
+            for r in W.sweep_line_peaks_twophase(
+                W._sweep_points(
+                    spark.read.parquet(os.path.join(out, "events.parquet"))
+                ),
+                n_buckets=nb,
+            ).collect()
+        }
+        assert two == one, f"n_buckets={nb}: {two} != {one}"
+    # sanity: the fixture really has an interior peak of 5
+    assert next(iter(one))[1] == 5
