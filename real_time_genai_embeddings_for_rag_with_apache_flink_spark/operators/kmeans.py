@@ -21,10 +21,21 @@ iteration carries k*dim*partitions partial sums.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot
+
+# Above this k the literal-expression argmin stops being the right
+# broadcast vehicle (k struct branches per row bloat the codegen'd
+# expression tree); kmeans_assign's "auto" mode switches to the
+# Arrow-batched GEMM path, whose cost is a dense (batch x k) matmul
+# regardless of k.
+LITERAL_K_CEILING = 64
 
 
 def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -54,17 +65,87 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return best.cell
 
 
+def assign_cells_broadcast(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Centroid assignment for LARGE k — the broadcast-variable path the
+    literal-argmin ceiling note promises (README 'k-means / PQ centroid
+    collects assume small k').
+
+    The centroid matrix ships to each Python worker once inside the
+    pandas-UDF closure (Spark broadcasts the serialized function with
+    the task — the same delivery as an explicit Broadcast variable,
+    without leaking a handle the caller must destroy), and each Arrow
+    batch is scored with one dense numpy GEMM: (batch x dim) @
+    (dim x k), then a row argmax/argmin. Cost is independent of k's
+    effect on plan size — thousands of centroids add zero analysis/
+    codegen burden, only FLOPs — which is exactly where the literal
+    expression tree (k struct branches per row) falls over.
+
+    Tie semantics match the literal path bit-for-bit: numpy
+    argmax/argmin return the FIRST extremum, the literal fold keeps the
+    earliest cell on ties (strict > / <), and both score in float64.
+    metric='cosine' (row norm drops out of the argmax, centroids
+    pre-normalized — _nearest_cell's contract) or 'l2' (squared
+    distances via the expansion |v|^2 - 2 v.c + |c|^2; |v|^2 is
+    row-constant so argmin needs only the GEMM and |c|^2).
+    Equality at small k is pinned in tests/test_kmeans_skew.py."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    C = np.asarray(centroids, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(C, axis=1)
+        norms[norms == 0.0] = 1.0
+        C = C / norms[:, None]
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            if len(series) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in series])
+            scores = M @ C.T
+            if metric == "cosine":
+                best = scores.argmax(axis=1)
+            else:
+                # argmin of -2 v.c + |c|^2 == argmin of squared L2
+                best = (c_sq[None, :] - 2.0 * scores).argmin(axis=1)
+            yield pd.Series(best.astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iterations: int = 3,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Run ``iterations`` Lloyd's steps (cosine assignment, mean
     re-estimation) and return (id, cell). Deterministic: initial
     centroids are the k lowest-id vectors, ties break to the lowest
-    cell index."""
+    cell index.
+
+    assign_mode: 'literal' embeds the centroids as a codegen'd argmin
+    expression (zero Python in the hot path — right for coarse
+    quantizers, k <= LITERAL_K_CEILING); 'broadcast' scores each Arrow
+    batch with a numpy GEMM against a closure-shipped centroid matrix
+    (right for large k); 'auto' picks by k. Both paths share tie
+    semantics, so the choice never changes results (equality-pinned in
+    tests/test_kmeans_skew.py)."""
+    if assign_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    use_broadcast = assign_mode == "broadcast" or (
+        assign_mode == "auto" and k > LITERAL_K_CEILING
+    )
     # Each iteration scans the corpus twice (assign + re-estimate);
     # cache the narrow (id, vector) projection once instead.
     vecs = df.select(id_col, vec_col).cache()
@@ -79,11 +160,16 @@ def kmeans_assign(
 
         assigned = None
         for _ in range(iterations):
-            assigned = vecs.select(
-                id_col,
-                vec_col,
-                _nearest_cell(F.col(vec_col), centroids).alias("cell"),
-            )
+            if use_broadcast:
+                assigned = assign_cells_broadcast(
+                    vecs.select(id_col, vec_col), centroids, vec_col=vec_col
+                )
+            else:
+                assigned = vecs.select(
+                    id_col,
+                    vec_col,
+                    _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+                )
             new_rows = (
                 assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
                 .groupBy("cell", "pos")

@@ -26,6 +26,10 @@ Correctness is pinned by tests/test_pq.py against a numpy reference
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,12 +146,33 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: tuple[str, ...] = (),
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """(id[, extra...], codes array<int>[M]): each row compressed to M
     codebook indices. Narrow per-row argmin, no shuffle; at rest this is
     the M-byte representation that replaces the raw vector. extra_cols
-    (e.g. the IVF cell id) ride along untouched."""
+    (e.g. the IVF cell id) ride along untouched.
+
+    assign_mode mirrors kmeans_assign's: 'literal' codegen's K struct
+    branches per subspace per row (right for byte codes, K <= 64);
+    'broadcast' ships the codebooks once per worker in a pandas-UDF
+    closure and scores each Arrow batch with one numpy GEMM per
+    subspace — the large-K path (e.g. 2-byte codes, K=65536, where a
+    literal tree is unbuildable). 'auto' picks by K. Ties break to the
+    lowest code on both paths (strict < fold vs numpy first-argmin);
+    equality at small K is pinned in tests/test_pq.py."""
     m = len(codebooks)
+    n_codes = len(codebooks[0])
+    if assign_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    from .kmeans import LITERAL_K_CEILING
+
+    if assign_mode == "broadcast" or (
+        assign_mode == "auto" and n_codes > LITERAL_K_CEILING
+    ):
+        return _pq_encode_broadcast(
+            df, codebooks, dim, vec_col, id_col, extra_cols
+        )
     slices = _sub_slices(F.col(vec_col), dim, m)
     return df.select(
         id_col,
@@ -156,6 +181,46 @@ def pq_encode(
             *[_l2_argmin(slices[s], codebooks[s]) for s in range(m)]
         ).alias("codes"),
     )
+
+
+def _pq_encode_broadcast(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    extra_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow-batched GEMM encode: all M subspace argmins in one Python
+    pass per batch. argmin of |s - c|^2 == argmin of |c|^2 - 2 s.c
+    (|s|^2 is row-constant), so each subspace costs one (batch x K)
+    matmul however large K is."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = dim // m
+    CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    c_sq = [(C * C).sum(axis=1) for C in CB]
+
+    @F.pandas_udf("array<int>")
+    def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            if len(series) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in series])
+            out = np.empty((len(M), m), dtype=np.int32)
+            for s in range(m):
+                S = M[:, s * sub : (s + 1) * sub]
+                out[:, s] = (c_sq[s][None, :] - 2.0 * (S @ CB[s].T)).argmin(
+                    axis=1
+                )
+            yield pd.Series([r.tolist() for r in out])
+
+    return df.select(id_col, *extra_cols, _codes(F.col(vec_col)).alias("codes"))
 
 
 def _adc_dist(codebooks: list[list[list[float]]], query_vec: list[float]):

@@ -587,6 +587,57 @@ def w12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w12b_sketch_wau",
+    oracle=None,  # sketch estimates; gated by the error-bound test
+    tags=("window-time", "aggregation", "sketch", "analytics", "scale"),
+)
+def w12b_sketch_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w12's DAU/WAU computed the way the 100-TB deployment runs it —
+    the per-day-HLL-merge path w12's docstring promises, as callable
+    code: one HLL sketch per day (hll_sketch_agg over raw events — the
+    sketch absorbs duplicate users, so no DISTINCT pre-pass and no
+    (user, day) shuffle), then each day's SINGLE sketch row fans out to
+    the <= 7 report days it serves and hll_union_agg merges 7 sketches
+    per day. The fan-out multiplies days x 7 sketch rows (~KB each),
+    never user-pair rows — the shuffle is proportional to the calendar,
+    not the corpus, at any event volume.
+
+    Estimates, not exact counts (~1.6% standard error at the default
+    lgConfigK=12), so there is no engine-portable oracle; the driver
+    records rows-only and tests/test_properties.py gates every day's
+    dau/wau estimate against w12's exact answer within a 5% relative
+    error bound — the operational form of w12's 'exact validation twin'
+    claim. Built on the same Spark DataSketches surface as q69/q72
+    (binary-compatible with the Apache DataSketches java/C++/Python
+    libraries, so downstream consumers can merge these sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    dau = daily.select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("dau_est")
+    )
+    wau = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("rday"),
+            "sk",
+        )
+        .groupBy("rday")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("wau_7d_est"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.rday)  # drops rdays past the calendar
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau_est",
+            "wau_7d_est",
+        )
+    )
+
+
+@query(
     "w13_peak_concurrency",
     oracle="""
 WITH pts AS (

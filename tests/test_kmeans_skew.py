@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 
 from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+    _nearest_cell,
     kmeans_assign,
 )
 from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.skew import (
@@ -110,3 +111,63 @@ def test_salted_count_sum_equals_plain(spark):
     p = {r.event_type: (r.n, round(r.total, 6)) for r in plain}
     s = {r.event_type: (r.n, round(r.total, 6)) for r in salted}
     assert p == s
+
+
+def test_broadcast_assignment_equals_literal(spark):
+    """The large-k GEMM path (assign_cells_broadcast / kmeans_assign
+    assign_mode='broadcast') must produce the same cells as the literal
+    codegen'd argmin at the same k — the decomposition is exact, so the
+    mode is purely a deployment decision."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+        assign_cells_broadcast,
+        kmeans_assign,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    lit = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(em, k=8, iterations=2, assign_mode="literal").collect()
+    }
+    bc = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(em, k=8, iterations=2, assign_mode="broadcast").collect()
+    }
+    assert bc == lit and len(set(lit.values())) > 1
+
+    # direct one-shot assignment too, against _nearest_cell's output
+    cents = [
+        list(map(float, r.embedding))
+        for r in em.orderBy("vec_id").limit(8).collect()
+    ]
+    one_lit = {
+        r.vec_id: r.cell
+        for r in em.select(
+            "vec_id", _nearest_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    one_bc = {
+        r.vec_id: r.cell
+        for r in assign_cells_broadcast(em, cents).select("vec_id", "cell").collect()
+    }
+    assert one_bc == one_lit
+
+
+def test_broadcast_assignment_handles_large_k(spark):
+    """k=200 (beyond LITERAL_K_CEILING): auto mode routes to the GEMM
+    path and still matches the numpy reference — the path a thousand-
+    centroid IVF build at 100 TB would take."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+        LITERAL_K_CEILING,
+    )
+
+    k = 200
+    assert k > LITERAL_K_CEILING
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    rows = em.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = [list(map(float, r.embedding)) for r in rows]
+    expected = _numpy_kmeans(ids, X, k=k, iterations=2)
+    got = {
+        r.vec_id: r.cell for r in kmeans_assign(em, k=k, iterations=2).collect()
+    }
+    assert got == expected

@@ -146,3 +146,47 @@ def test_pq_compression_beats_random(spark, corpus):
     mse = ((x - recon) ** 2).mean()
     var = x.var()
     assert mse < 0.5 * var, f"mse={mse:.4f} var={var:.4f}"
+
+
+def test_pq_encode_broadcast_equals_literal(spark, corpus):
+    """The GEMM encode path (assign_mode='broadcast') must emit exactly
+    the literal path's codes at the same codebooks — and 'auto' must
+    route above LITERAL_K_CEILING without changing the contract."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+        LITERAL_K_CEILING,
+    )
+
+    emb, ids, vecs = corpus
+    books = pq_train(emb, DIM, m=M, k=K, iterations=ITERS)
+    lit = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(emb, books, DIM, assign_mode="literal").collect()
+    }
+    bc = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(emb, books, DIM, assign_mode="broadcast").collect()
+    }
+    assert bc == lit and len(lit) > 0
+
+    # large-K codebooks (beyond the literal ceiling): auto routes to the
+    # GEMM path and matches a brute-force numpy argmin
+    big_k = LITERAL_K_CEILING + 8
+    X = vecs.astype(np.float64)
+    ids = list(ids)
+    sub = DIM // M
+    big_books = [
+        X[:big_k, s * sub : (s + 1) * sub].astype(np.float64).tolist()
+        for s in range(M)
+    ]
+    got = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(emb, big_books, DIM).collect()
+    }
+    want = {}
+    for i, vid in enumerate(ids):
+        codes = []
+        for s in range(M):
+            d = ((X[i, s * sub : (s + 1) * sub][None, :] - np.asarray(big_books[s])) ** 2).sum(axis=1)
+            codes.append(int(d.argmin()))
+        want[vid] = tuple(codes)
+    assert got == want

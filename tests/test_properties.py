@@ -306,3 +306,29 @@ def test_q72_theta_setops_error_bounds(spark, oracle_con):
     ):
         rel = abs(est - truth) / max(truth, 1)
         assert rel <= 0.05, (est, truth)
+
+
+def test_w12b_sketch_wau_error_bounds(spark):
+    """w12b is rows-only (HLL estimates are engine-specific); gate it
+    against w12's exact answer: same day set, and every day's dau/wau
+    estimate within 5% relative error (~3x the lgConfigK=12 standard
+    error, far below saturation at this scale)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+
+    from conftest import SF_ORACLE
+
+    exact = {
+        r.day: (r.dau, r.wau_7d)
+        for r in plans.get_spec("w12_rolling_active_users")
+        .build(spark, SF_ORACLE)
+        .collect()
+    }
+    est = {
+        r.day: (r.dau_est, r.wau_7d_est)
+        for r in plans.get_spec("w12b_sketch_wau").build(spark, SF_ORACLE).collect()
+    }
+    assert set(est) == set(exact)
+    for day, (dau, wau) in exact.items():
+        dau_e, wau_e = est[day]
+        assert abs(dau_e - dau) / dau <= 0.05, (day, dau_e, dau)
+        assert abs(wau_e - wau) / wau <= 0.05, (day, wau_e, wau)
