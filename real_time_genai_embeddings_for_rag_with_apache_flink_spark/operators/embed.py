@@ -88,14 +88,15 @@ class BedrockTitanEmbedder:
     becomes a per-row dead-letter via ``row_errors`` (picked up by
     ``embed()``), so one poisoned document never fails its whole batch.
 
-    Sizing note: retries back off via ``time.sleep`` ON the pool
-    thread, so under sustained throttling every worker can be parked
-    in backoff simultaneously (up to ~sum(base*2^i) ≈ 3.5 s per row at
-    defaults) and healthy rows queue behind them — unlike the
-    reference's async pool, which never holds a slot during a wait.
-    Size ``max_concurrency`` for the throttling regime (it bounds
-    in-flight requests AND parked retries together), or lower
-    ``max_retries`` and let the dead-letter channel absorb the tail.
+    Backoff never parks a pool thread: a failed attempt goes onto a
+    driver-side DELAY HEAP and is resubmitted to the back of the pool's
+    work queue once its backoff elapses, so every worker keeps serving
+    healthy rows while throttled rows wait — the same
+    no-slot-held-during-wait property as the reference's async pool
+    (DataStreamJob.java:148-154). Under sustained throttling the only
+    capacity the retries consume is their actual re-invocations
+    (tests/test_embed.py pins healthy-rows-before-second-attempt
+    ordering).
 
     Requires boto3 at runtime unless a client is injected; this
     container has no AWS SDK, so construction is gated.
@@ -146,42 +147,70 @@ class BedrockTitanEmbedder:
         payload = json.loads(body.read() if hasattr(body, "read") else body)
         return [float(x) for x in payload["embedding"]]
 
-    def _embed_one(self, text: str) -> tuple[list[float] | None, str | None]:
-        """One text: retry with exponential backoff, then dead-letter.
-        Runs on a pool thread; retry state is all local, so threads
-        never share mutable state."""
-        import time
-
-        last_err = None
-        for attempt in range(self._max_retries + 1):
-            try:
-                return self._invoke_once(text), None
-            except Exception as e:  # noqa: BLE001 - retried then dead-lettered
-                last_err = f"{type(e).__name__}: {e}"
-                if attempt < self._max_retries:
-                    time.sleep(self._retry_base * (2**attempt))
-        return None, last_err
-
     def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+        """Embed a batch with bounded concurrency and NON-BLOCKING
+        retries. Scheduler shape: every pending attempt is a pool task;
+        a failed attempt with retries left goes onto a (ready_time,
+        row) delay heap instead of sleeping on its worker, and the
+        driver loop resubmits it to the back of the pool's queue when
+        its backoff elapses (waking early from ``wait`` exactly at the
+        next retry's ready time). Results land by row index, so output
+        and dead-letter alignment are order-independent."""
+        import time
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+        from heapq import heappop, heappush
+
         out: list[list[float] | None] = [None] * len(texts)
         errs: list[str | None] = [None] * len(texts)
         work = [(i, t) for i, t in enumerate(texts) if t is not None]
-        if len(work) <= 1 or self._max_concurrency == 1:
-            for i, t in work:
-                out[i], errs[i] = self._embed_one(t)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=min(self._max_concurrency, len(work))
-            ) as pool:
-                # pool.map preserves submission order, so results land
-                # back on their source rows and the dead-letter column
-                # stays row-aligned no matter which call finishes first.
-                for (i, _), (vec, err) in zip(
-                    work, pool.map(self._embed_one, (t for _, t in work))
-                ):
-                    out[i], errs[i] = vec, err
+        if not work:
+            self.row_errors = errs
+            return out
+        with ThreadPoolExecutor(
+            max_workers=min(self._max_concurrency, len(work))
+        ) as pool:
+            in_flight = {
+                pool.submit(self._invoke_once, t): (i, t, 0) for i, t in work
+            }
+            retry_heap: list[tuple[float, int, int, str, int]] = []
+            seq = 0  # heap tiebreaker; also preserves retry FIFO on equal ready times
+            while in_flight or retry_heap:
+                now = time.monotonic()
+                while retry_heap and retry_heap[0][0] <= now:
+                    _, _, i, t, a = heappop(retry_heap)
+                    in_flight[pool.submit(self._invoke_once, t)] = (i, t, a)
+                if not in_flight:
+                    time.sleep(max(0.0, retry_heap[0][0] - time.monotonic()))
+                    continue
+                timeout = (
+                    max(0.0, retry_heap[0][0] - time.monotonic())
+                    if retry_heap
+                    else None
+                )
+                done, _ = wait(
+                    in_flight, timeout=timeout, return_when=FIRST_COMPLETED
+                )
+                for fut in done:
+                    i, t, a = in_flight.pop(fut)
+                    try:
+                        out[i] = fut.result()
+                        errs[i] = None
+                    except Exception as e:  # noqa: BLE001 - retried then dead-lettered
+                        if a < self._max_retries:
+                            seq += 1
+                            heappush(
+                                retry_heap,
+                                (
+                                    time.monotonic()
+                                    + self._retry_base * (2**a),
+                                    seq,
+                                    i,
+                                    t,
+                                    a + 1,
+                                ),
+                            )
+                        else:
+                            errs[i] = f"{type(e).__name__}: {e}"
         self.row_errors = errs
         return out
 

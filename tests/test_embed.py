@@ -338,3 +338,36 @@ def test_bedrock_sequential_when_concurrency_one():
     vecs = emb.embed_batch(["one", "two"])
     assert len(client.requests) == 2
     assert vecs[0] == [float(len("one") + i) for i in range(4)]
+
+
+def test_bedrock_backoff_does_not_block_healthy_rows():
+    """Retry backoff must not park the pool: with ONE worker (the
+    worst case), a throttled row's backoff window has to be spent
+    serving the healthy rows, so the request order is flaky#1, all
+    healthy rows, flaky#2, flaky#3 — the old sleep-on-pool-thread shape
+    would run flaky#1,#2,#3 before any healthy row."""
+    import json
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        BedrockTitanEmbedder,
+    )
+
+    client = _StubBedrockClient(fail_times=2)
+    emb = BedrockTitanEmbedder(
+        client=client, max_concurrency=1, max_retries=2, retry_base_seconds=0.3
+    )
+    texts = ["flaky slow row"] + [f"healthy row {i}" for i in range(10)]
+    vecs = emb.embed_batch(texts)
+
+    assert all(v is not None for v in vecs)
+    assert emb.row_errors == [None] * len(texts)
+    order = [json.loads(r["body"])["inputText"] for r in client.requests]
+    assert len(order) == 13  # 10 healthy + 3 flaky attempts
+    flaky_positions = [k for k, t in enumerate(order) if t.startswith("flaky")]
+    assert flaky_positions[0] == 0
+    # every healthy request was served BEFORE the flaky row's retry
+    assert flaky_positions[1] >= 11, (
+        f"retry ran at position {flaky_positions[1]}; healthy rows were "
+        f"blocked behind the backoff: {order}"
+    )
+    assert flaky_positions[2] == 12
