@@ -14,66 +14,67 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-6 window: every operator that has never had a
-# driver row (the 31 new since the r5 snapshot), then the STALEST
-# entries — everything whose latest driver row predates the round-4/5
-# seam and skew-guard refactors. 42 never-checked (31 from the first
-# half of round 6 + 11 from the second) + the 8 oldest r02-checked
-# entries fill the 50; q49-q53/q55-q60 and the 40 r03-stale
-# entries lead the round-7 window.
+# entries only. Round-7 window: the 3 entries new this round (never
+# driver-checked), then every r02-checked entry (11), then 36 of the 40
+# r03-checked entries — everything whose latest driver row predates the
+# round-4/5 seam, skew-guard and state-partition refactors. The 4
+# deferred r03 rows (q27/q29/q40/q54 — pure scalar/subquery plans no
+# refactor touched) lead the round-8 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
-    "d20_lsh_bucket_audit",
-    "p09_rag_query",
-    "st14_stream_incremental_dedup",
-    "d21_scalable_components",
-    "d22_seed_reachability",
-    "s15_knn_graph",
-    "t19_segment_dedup_clean",
-    "q67_variant_json",
-    "st15_stream_index_maintenance",
-    "q68_lateral_join",
-    "t20_heavy_hitter_sketch",
-    "p10_training_manifest",
-    "u04_python_udtf",
-    "m05_payload_phash_dedup",
-    "d23_editdist_verify",
-    "s17_gemm_knn",
-    "st16_stream_semi_join",
-    "q69_datasketches",
-    "t21_mixture_allocation",
-    "p11_partitioned_layout",
-    "w10_gap_fill_forward",
-    "q70_collation",
-    "p12_schema_evolution",
-    "d24_lsh_recall_audit",
-    "s18_filtered_ann",
-    "q71_filtered_aggregates",
-    "st17_dedup_within_watermark",
-    "d25_cross_source_matrix",
-    "w11_ewma_smoothing",
-    "d26_passage_provenance",
-    "q72_theta_setops",
-    "d27_prefix_filter_join",
-    "p13_bucketed_join",
-    "s19_embedding_health",
-    "st18_stream_knn_serving",
-    "q73_mode_median",
-    "w12_rolling_active_users",
-    "d28_lsh_config_advisor",
-    "w13_peak_concurrency",
-    "p14_partition_backfill",
-    "w14_ohlc_downsample",
-    "st19_stream_ohlc",
+    "st14b_stream_verified_neardups",
+    "w12b_sketch_wau",
+    "w13b_peak_concurrency_twophase",
     # stalest: last driver-checked in r02
-    "q28_json_functions",
-    "q32_in_subquery",
-    "q33_scalar_subquery",
-    "q44_window_navigation",
-    "q45_map_functions",
-    "q46_try_functions",
-    "q47_hash_bit_functions",
-    "q48_null_semantics",
+    "q49_priority_late_orders",
+    "q50_argmax_aggregates",
+    "q51_volume_shipping",
+    "q52_market_share",
+    "q53_product_profit",
+    "q55_promo_revenue",
+    "q56_top_supplier",
+    "q57_supplier_part_counts",
+    "q58_disjunctive_join",
+    "q59_excess_volume_suppliers",
+    "q60_waiting_orders",
+    # next-stalest: last driver-checked in r03, all predating the
+    # seam/skew/state refactors their plans now ride
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_signatures",
+    "d07_hash_sample",
+    "d09_stratified_sample",
+    "m01_multimodal_decode",
+    "m02_frame_sampling",
+    "p02_flagship_retrieval",
+    "q34_pivot",
+    "s01_topk_cosine",
+    "s02_knn_join",
+    "s03_embedding_near_dup",
+    "s04_label_centroids",
+    "s05_ivf_search",
+    "s07_scalar_quantization",
+    "s08_hyperplane_lsh_buckets",
+    "st03_stream_dedup",
+    "st04_stream_filter_project",
+    "st06_stateful_user_totals",
+    "st09_stream_static_join",
+    "st10_foreachbatch_upsert",
+    "t01_text_stats",
+    "t02_language_id",
+    "t03_quality_scores",
+    "t04_bpe_token_count",
+    "t05_rolling_hash",
+    "t06_doc_chunking",
+    "t07_pii_redaction",
+    "t08_corpus_mixture",
+    "u01_grouped_agg_udaf",
+    "u02_mapinpandas_tokens",
+    "u03_grouped_map_zscore",
+    "w01_tumbling_window",
+    "w02_sliding_window",
+    "w03_session_window",
+    "w04_interval_join",
 ]
 
 set_priority(DRIVER_WINDOW)

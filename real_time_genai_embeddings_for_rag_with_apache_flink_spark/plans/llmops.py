@@ -522,6 +522,7 @@ SELECT band_idx,
 FROM bs GROUP BY 1
 """,
     tags=("dedup", "lsh", "observability"),
+    bench=True,
 )
 def d20_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observability for the LSH skew guard: per band, the bucket

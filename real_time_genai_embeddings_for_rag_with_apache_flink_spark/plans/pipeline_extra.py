@@ -1438,6 +1438,7 @@ SELECT
         TAU=_AUDIT_TAU,
     ),
     tags=("dedup", "lsh", "governance", "quality-audit"),
+    bench=True,
 )
 def d24_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch QUALITY CONTROL: what fraction of true near-dup pairs
@@ -1872,6 +1873,7 @@ GROUP BY c.bands, c.rows_per_band
         TAU=_AUDIT_TAU,
     ),
     tags=("dedup", "lsh", "governance", "quality-audit"),
+    bench=True,
 )
 def d28_lsh_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH CONFIGURATION ADVISOR, grounded in the corpus: for every

@@ -942,6 +942,7 @@ SELECT cell, COUNT(*) AS n_vectors,
 FROM assign GROUP BY cell
 """,
     tags=("streaming", "ann", "sink", "index-maintenance"),
+    bench=True,
 )
 def st15_stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous vector-index maintenance — the engine-side version of
@@ -1264,6 +1265,7 @@ WHERE EXISTS (
     AND c.ts >= e.ts - INTERVAL '10 minutes' AND c.ts <= e.ts)
 """,
     tags=("streaming", "join", "interval-join", "semi", "watermark"),
+    bench=True,
 )
 def st16_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI stream-stream interval join — the third member of the
@@ -1312,6 +1314,7 @@ def st16_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-expiry/re-emission semantics pinned by a hand-controlled
     # batch fixture in tests/test_streaming_semantics.py
     tags=("streaming", "dedup", "watermark", "state-ttl"),
+    bench=True,
 )
 def st17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` — the STATE-BOUNDED streaming
@@ -1350,6 +1353,7 @@ SELECT q_id, vec_id, sim, rank FROM (
 ) WHERE rank <= 3
 """,
     tags=("streaming", "similarity", "knn", "serving"),
+    bench=True,
 )
 def st18_stream_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous k-NN query SERVING — the query-time half the
@@ -1442,6 +1446,7 @@ HAVING bucket_start + INTERVAL 6 HOUR
        <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
 """,
     tags=("streaming", "window-time", "downsampling", "watermark"),
+    bench=True,
 )
 def st19_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w14's OHLC bars maintained CONTINUOUSLY: the event stream rolls

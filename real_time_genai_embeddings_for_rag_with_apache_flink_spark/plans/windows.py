@@ -403,6 +403,7 @@ FROM dense d LEFT JOIN hourly h
   ON h.user_id = d.user_id AND h.hour = d.hour
 """,
     tags=("window-time", "time-series", "gap-fill"),
+    bench=True,
 )
 def w10_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification + forward fill — the gap-filling
@@ -477,6 +478,7 @@ SELECT user_id, event_id, ROUND(value, 6) AS value,
 FROM seqs
 """,
     tags=("window-time", "time-series", "smoothing"),
+    bench=True,
 )
 def w11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user — the smoothing
@@ -590,6 +592,7 @@ def w12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w12b_sketch_wau",
     oracle=None,  # sketch estimates; gated by the error-bound test
     tags=("window-time", "aggregation", "sketch", "analytics", "scale"),
+    bench=True,
 )
 def w12b_sketch_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w12's DAU/WAU computed the way the 100-TB deployment runs it —
@@ -656,6 +659,7 @@ SELECT r.event_type, CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency,
 FROM run r GROUP BY r.event_type
 """,
     tags=("window-time", "analytics", "sweep-line"),
+    bench=True,
 )
 def w13_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak interval concurrency per event type — 'how many 5-minute
@@ -796,6 +800,7 @@ SELECT r.event_type, CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency,
 FROM run r GROUP BY r.event_type
 """,
     tags=("window-time", "analytics", "sweep-line", "skew"),
+    bench=True,
 )
 def w13b_peak_concurrency_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w13's peak-concurrency answer computed by the two-phase
@@ -829,6 +834,7 @@ SELECT event_type, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
 FROM ranked GROUP BY event_type, bucket_start
 """,
     tags=("window-time", "analytics", "downsampling"),
+    bench=True,
 )
 def w14_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC (open/high/low/close) downsampling per event type and

@@ -1,10 +1,12 @@
 """The external driver records correctness rows for the FIRST 50
-catalog entries only (observed: CORRECTNESS_r02..r05 each held exactly
-the first 50 of the priority order). These tests pin the round-6
-rotation (the r5 verdict's directive): the three operators new this
-round lead (never driver-checked), and every remaining slot goes to
-the STALEST entries — rows last recorded in r02/r03, before the
-seam/skew-guard refactors — so the cross-round union stays fresh."""
+catalog entries only (observed: CORRECTNESS_r02..r06 each held exactly
+the first 50 of the priority order). These tests pin the round-7
+rotation (the r6 verdict's directive): the three operators new this
+round lead (never driver-checked), then EVERY entry whose latest driver
+row is r02 (11), then the r03-stale entries — all predating the
+seam/skew-guard/state-partition refactors — except the four pure
+scalar/subquery plans no refactor touched (q27/q29/q40/q54), which the
+window cannot fit and which lead the round-8 window."""
 
 from __future__ import annotations
 
@@ -96,59 +98,53 @@ R05_GREEN = {
     "t17_dsir_weights", "t18_zipf_vocabulary",
 }
 
-ALL_GREEN = R02_GREEN | R03_GREEN | R04_GREEN | R05_GREEN
-
-# Never driver-checked (new since the r5 snapshot, including the
-# round-6 build's own additions); MUST lead the round-6 window.
-NEVER_CHECKED = (
-    "d20_lsh_bucket_audit",
-    "p09_rag_query",
-    "st14_stream_incremental_dedup",
-    "d21_scalable_components",
-    "d22_seed_reachability",
-    "s15_knn_graph",
-    "t19_segment_dedup_clean",
-    "q67_variant_json",
-    "st15_stream_index_maintenance",
-    "q68_lateral_join",
-    "t20_heavy_hitter_sketch",
-    "p10_training_manifest",
-    "u04_python_udtf",
-    "m05_payload_phash_dedup",
-    "d23_editdist_verify",
-    "s17_gemm_knn",
-    "st16_stream_semi_join",
-    "q69_datasketches",
-    "t21_mixture_allocation",
-    "p11_partitioned_layout",
-    "w10_gap_fill_forward",
-    "q70_collation",
-    "p12_schema_evolution",
-    "d24_lsh_recall_audit",
-    "s18_filtered_ann",
-    "q71_filtered_aggregates",
-    "st17_dedup_within_watermark",
-    "d25_cross_source_matrix",
-    "w11_ewma_smoothing",
-    "d26_passage_provenance",
-    "q72_theta_setops",
-    "d27_prefix_filter_join",
-    "p13_bucketed_join",
-    "s19_embedding_health",
-    "st18_stream_knn_serving",
-    "q73_mode_median",
-    "w12_rolling_active_users",
-    "d28_lsh_config_advisor",
-    "w13_peak_concurrency",
-    "p14_partition_backfill",
+# Green in CORRECTNESS_r06 (46 hash-green + 4 rows-only-by-design):
+# the round-6 window — 42 never-checked entries + the 8 oldest
+# r02-checked scalar-function/subquery rows.
+R06_GREEN = {
+    "d20_lsh_bucket_audit", "d21_scalable_components", "d22_seed_reachability",
+    "d23_editdist_verify", "d24_lsh_recall_audit", "d25_cross_source_matrix",
+    "d26_passage_provenance", "d27_prefix_filter_join",
+    "d28_lsh_config_advisor", "m05_payload_phash_dedup", "p09_rag_query",
+    "p10_training_manifest", "p11_partitioned_layout", "p12_schema_evolution",
+    "p13_bucketed_join", "p14_partition_backfill", "q28_json_functions",
+    "q32_in_subquery", "q33_scalar_subquery", "q44_window_navigation",
+    "q45_map_functions", "q46_try_functions", "q47_hash_bit_functions",
+    "q48_null_semantics", "q67_variant_json", "q68_lateral_join",
+    "q69_datasketches", "q70_collation", "q71_filtered_aggregates",
+    "q72_theta_setops", "q73_mode_median", "s15_knn_graph", "s17_gemm_knn",
+    "s18_filtered_ann", "s19_embedding_health", "st14_stream_incremental_dedup",
+    "st15_stream_index_maintenance", "st16_stream_semi_join",
+    "st17_dedup_within_watermark", "st18_stream_knn_serving",
+    "st19_stream_ohlc", "t19_segment_dedup_clean", "t20_heavy_hitter_sketch",
+    "t21_mixture_allocation", "u04_python_udtf", "w10_gap_fill_forward",
+    "w11_ewma_smoothing", "w12_rolling_active_users", "w13_peak_concurrency",
     "w14_ohlc_downsample",
-    "st19_stream_ohlc",
+}
+
+ALL_GREEN = R02_GREEN | R03_GREEN | R04_GREEN | R05_GREEN | R06_GREEN
+
+# Never driver-checked (new in round 7); MUST lead the round-7 window.
+NEVER_CHECKED = (
+    "st14b_stream_verified_neardups",
+    "w12b_sketch_wau",
+    "w13b_peak_concurrency_twophase",
 )
 
-# Fresh driver rows recorded in r04 or r05 — a round-6 prefix slot
+# Fresh driver rows recorded in r04/r05/r06 — a round-7 prefix slot
 # spent on one of these would be waste (the round's directive is
 # staleness rotation, and none of their semantics changed this round).
-RECENTLY_CHECKED = R04_GREEN | R05_GREEN
+RECENTLY_CHECKED = R04_GREEN | R05_GREEN | R06_GREEN
+
+# The four r03-stale entries the 50-slot window cannot fit. Chosen to
+# yield because no round-4+ refactor (seam, skew guard, state
+# partitioning) touches their plans — pure scalar/subquery trees.
+DEFERRED_TO_R8 = {
+    "q27_math_functions",
+    "q29_array_functions",
+    "q40_correlated_scalar",
+    "q54_priority_lateness",
+}
 
 
 def window():
@@ -167,46 +163,39 @@ def test_window_leads_with_never_checked_entries():
     w = window()
     for i, name in enumerate(NEVER_CHECKED):
         assert w[i] == name, (
-            f"slot {i} must be {name} (never driver-checked; the r5 verdict "
-            f"requires new operators to lead the round-6 window), got {w[i]}"
+            f"slot {i} must be {name} (never driver-checked; the r6 verdict "
+            f"requires new operators to lead the round-7 window), got {w[i]}"
         )
 
 
 def test_window_is_filled_with_the_stalest_entries():
     """Every non-new slot must re-check an entry whose latest driver
-    row is r02/r03 — the staleness rotation the r5 verdict directed."""
+    row is r02/r03 — the staleness rotation the r6 verdict directed."""
     # s05/p02 recorded r03 rows-only rows; they're stale too but sit
     # outside the curated hash-green sets above.
     stale_pool = (
         R02_GREEN | R03_GREEN | {"s05_ivf_search", "p02_flagship_retrieval"}
     ) - RECENTLY_CHECKED
-    for name in window():
+    w = window()
+    for name in w:
         if name in NEVER_CHECKED:
             continue
         assert name in stale_pool, (
-            f"{name} occupies a round-6 slot but its last driver row is "
-            f"recent (r04/r05) — the slot belongs to a staler entry"
+            f"{name} occupies a round-7 slot but its last driver row is "
+            f"recent (r04/r05/r06) — the slot belongs to a staler entry"
         )
-    # The 42 never-checked entries + 19 r02-stale entries overflow the
-    # 50-slot window by 11: the eleven youngest r02 entries yield their
-    # slots (never-checked outranks stale) and lead the round-7 window.
+    # Every r02-stale entry must be IN the window (they are the oldest).
     r02_stale = R02_GREEN - R03_GREEN - RECENTLY_CHECKED
-    missing = r02_stale - set(window())
-    # Exactly the eleven YOUNGEST r02 entries yield — dropping any older
-    # entry instead would violate the oldest-first rotation.
-    assert missing == {
-        "q49_priority_late_orders",
-        "q50_argmax_aggregates",
-        "q51_volume_shipping",
-        "q52_market_share",
-        "q53_product_profit",
-        "q55_promo_revenue",
-        "q56_top_supplier",
-        "q57_supplier_part_counts",
-        "q58_disjunctive_join",
-        "q59_excess_volume_suppliers",
-        "q60_waiting_orders",
-    }, f"wrong entries displaced from the window: {sorted(missing)}"
+    missing_r02 = r02_stale - set(w)
+    assert not missing_r02, (
+        f"r02-stale entries displaced from the window: {sorted(missing_r02)}"
+    )
+    # The window overflows by exactly the four deferred refactor-immune
+    # scalar/subquery entries.
+    missing = stale_pool - set(w)
+    assert missing == DEFERRED_TO_R8, (
+        f"wrong entries deferred to round 8: {sorted(missing)}"
+    )
 
 
 def test_priority_prefix_wastes_no_slot_on_recently_checked_queries():
@@ -215,8 +204,8 @@ def test_priority_prefix_wastes_no_slot_on_recently_checked_queries():
     assert not wasted, f"recently-checked queries in the prefix: {sorted(wasted)}"
 
 
-def test_every_query_reaches_a_driver_window_by_round6():
-    """Rounds 2-6 window contents must jointly cover the whole catalog."""
+def test_every_query_reaches_a_driver_window_by_round7():
+    """Rounds 2-7 window contents must jointly cover the whole catalog."""
     covered = ALL_GREEN | set(NEVER_CHECKED) | set(window())
     covered |= {"s05_ivf_search", "p02_flagship_retrieval"}
     missing = [n for n in plans.all_specs() if n not in covered]
