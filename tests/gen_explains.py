@@ -32,6 +32,8 @@ HEADLINES = [
     ("p11_partitioned_layout", "lang predicate satisfied in PartitionFilters (directory pruning), not a row filter"),
     ("p13_bucketed_join", "both scans Bucketed: true; SortMergeJoin and the per-order aggregate with ZERO Exchange below them — the only shuffle is the 5-row final rollup"),
     ("d27_prefix_filter_join", "equi-joins only (prefix-token candidates, id-keyed verify) — no CartesianProduct/BNLJ fallback; the all-pairs comparison exists solely in the DuckDB oracle"),
+    ("w13b_peak_concurrency_twophase", "phase-1 Window partitioned by (event_type, bucket) — a hot key's sweep spreads over buckets; phase-2 carry-in Window runs over keys x n_buckets ROWS, then one aggregate"),
+    ("w12b_sketch_wau", "hll_sketch_agg partial-merges map-side; the explode fans out day-level SKETCH rows (calendar-sized), never user rows, before hll_union_agg"),
 ]
 
 

@@ -341,3 +341,21 @@ def test_p13_bucketed_join_has_no_pre_join_exchange(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_w13b_twophase_windows_partition_by_bucket(spark):
+    """w13b's promise: the phase-1 running sum windows by (event_type,
+    bucket) — a hot key's sweep spreads over range buckets instead of
+    serializing on one task — and only the tiny phase-2 carry-in window
+    partitions by the key alone."""
+    plan = _plan(spark, "w13b_peak_concurrency_twophase")
+    import re
+
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(wins) == 2, wins
+    # phase 1: partition spec [event_type#N, bucket#N]
+    assert any(
+        re.search(r"\[event_type#\d+, bucket#\d+\]", ln) for ln in wins
+    ), wins
+    # phase 2: partition spec [event_type#N] alone (the carry-in pass)
+    assert any(re.search(r"\[event_type#\d+\]", ln) for ln in wins), wins
