@@ -993,17 +993,26 @@ def st15_stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
 
-    best = None
-    for cell, cvec in sorted(cents, key=lambda t: t[0]):
-        cand = F.struct(
-            F.round(dist_to(cvec), 6).alias("dist"),
-            F.lit(int(cell)).alias("cell"),
-        )
-        best = (
-            cand
-            if best is None
-            else F.when(cand["dist"] < best["dist"], cand).otherwise(best)
-        )
+    # Linear argmin fold over an array of (dist, cell) structs — the
+    # _nearest_cell pattern. A chained when(cand < best, cand)
+    # .otherwise(best) would duplicate the whole running expression
+    # twice per cell (condition + value), i.e. a 2^k-node tree by the
+    # last cell: measured 28 s of per-micro-batch analysis/codegen at
+    # 10 cells vs ~0 for the fold, identical results.
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(dist_to(cvec), 6).alias("dist"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in sorted(cents, key=lambda t: t[0])
+        ]
+    )
+    best = F.aggregate(
+        scored,
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s["dist"] < acc["dist"], s).otherwise(acc),
+    )
 
     index_dir = tempfile.mkdtemp(prefix="st15_index_")
     compact_dir = tempfile.mkdtemp(prefix="st15_compact_")
