@@ -1,0 +1,125 @@
+"""Distributed BPE merge learning — tokenizer induction over a corpus.
+
+The reference ships no tokenizer (its only text op is the empty filter,
+KDS-P/.../msf/DataStreamJob.java:146); a 100 TB training-data pipeline
+trains one. This is Sennrich et al. 2016 byte-pair encoding, laid out
+the scalable way:
+
+- ONE corpus pass collapses the corpus to (word, count) — after that,
+  every training round runs on the VOCABULARY table (distinct words),
+  which is orders of magnitude smaller than the corpus and independent
+  of corpus growth once saturated. At 100 TB this is the difference
+  between an iterative corpus scan per merge and a loop over a few
+  million rows.
+- per round: adjacent symbol pairs explode from each word's symbol
+  array weighted by word count, one map-side-combinable aggregate finds
+  the global best pair (count DESC, pair ASC — deterministic ties), a
+  1-row collect makes it a literal, and a per-row fold rewrites each
+  word's symbols greedily left-to-right. No shuffle beyond the pair
+  aggregate; lineage is cut every few rounds with localCheckpoint so
+  round k+1's plan does not replay rounds 1..k.
+
+Not SQL-expressible (unbounded iteration + argmax-dependent rewrite),
+so the catalog entry is rows-only; correctness is pinned against a
+pure-Python reference implementation in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (one entry per
+    OCCURRENCE — 'aaa' yields (a,a) twice, as BPE counts it)."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of (left, right) -> left+right inside
+    a symbol array, as a single fold: when the incoming symbol is
+    `right` and the accumulated array ends with `left`, the tail is
+    replaced by the merged symbol. The merged symbol (left+right) can
+    never equal `left` (right is non-empty), so a just-merged tail is
+    never re-merged — exactly the textbook scan semantics ('aaa' with
+    (a,a) -> ['aa','a'])."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def chars(word: Column) -> Column:
+    """Initial BPE symbols: the word's characters ((?!^) splits between
+    every pair of adjacent characters without consuming anything).
+    Spark's split keeps trailing empty strings (Java limit=-1), and the
+    lookahead also matches at end-of-string — drop the empty tail or
+    every word ends in a phantom '' symbol."""
+    return F.filter(F.split(word, r"(?!^)"), lambda s: s != "")
+
+
+def bpe_merges(
+    word_counts: DataFrame,
+    n_merges: int = 10,
+    word_col: str = "word",
+    count_col: str = "n",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """Learn the top ``n_merges`` BPE merges from a (word, count)
+    vocabulary table. Returns [(rank, left, right, weighted pair
+    count)] — rank 1 is the first (most frequent) merge. Deterministic:
+    pair ties break lexicographically on (left, right). Stops early if
+    no adjacent pair remains."""
+    cur = word_counts.select(
+        F.col(count_col).cast("long").alias("n"),
+        chars(F.col(word_col)).alias("syms"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = cur.select(
+            "n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        cur = cur.select("n", _merge_pair(F.col("syms"), l, r).alias("syms"))
+        if rank % checkpoint_every == 0:
+            # cut lineage so later rounds don't replay every fold so far
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def corpus_word_counts(
+    docs: DataFrame, text_norm: Column, min_len: int = 1
+) -> DataFrame:
+    """(word, n) from a documents DataFrame: the single corpus-sized
+    pass of BPE training. ``text_norm`` is the normalized text column
+    expression (shared with the dedup chain so tokenization is
+    identical across operators)."""
+    words = docs.select(
+        F.explode(F.split(text_norm, r"\s+")).alias("word")
+    ).filter(F.length("word") >= min_len)
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

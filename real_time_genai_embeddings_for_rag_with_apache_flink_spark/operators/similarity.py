@@ -130,6 +130,7 @@ def ivf_assign(
     cells: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """(id, vector, cell): nearest-centroid assignment as a narrow
     per-row argmax over literal centroids (the kmeans._nearest_cell
@@ -137,7 +138,36 @@ def ivf_assign(
     row_number() OVER (PARTITION BY vec_id) — blew every corpus row up
     K-fold and shuffled the whole corpus to compute a per-row argmax;
     this plan has NO exchange at all (pinned by
-    tests/test_plan_shapes.py). Ties break to the lowest cell id."""
+    tests/test_plan_shapes.py). Ties break to the lowest cell id.
+
+    assign_mode mirrors kmeans_assign's: beyond LITERAL_K_CEILING cells
+    ('auto', or 'broadcast' explicitly) assignment routes through the
+    Arrow-GEMM path (kmeans.assign_cells_broadcast) — same cosine
+    ranking and tie order, plan size independent of the cell count.
+    Cell ids must then be the contiguous 0..K-1 the literal path also
+    assumes (both paths emit POSITIONS in the sorted cell list)."""
+    from .kmeans import LITERAL_K_CEILING, assign_cells_broadcast
+
+    ordered = sorted(cells, key=lambda t: t[0])
+    if assign_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    if assign_mode == "broadcast" or (
+        assign_mode == "auto" and len(ordered) > LITERAL_K_CEILING
+    ):
+        # positions in the GEMM matrix == positions in the sorted cell
+        # list; map back to the caller's cell ids
+        pos_to_cell = F.array(*[F.lit(int(c)) for c, _ in ordered])
+        assigned = assign_cells_broadcast(
+            corpus.select(id_col, vec_col),
+            [c for _, c in ordered],
+            vec_col=vec_col,
+            out_col="_pos",
+        )
+        return assigned.select(
+            id_col,
+            vec_col,
+            F.element_at(pos_to_cell, F.col("_pos") + 1).alias("cell"),
+        )
     scored = _cell_scores(F.col(vec_col), cells)
     best = F.aggregate(
         scored,

@@ -925,3 +925,35 @@ def t21_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_fraction"
         ),
     )
+
+
+@query(
+    "t22_bpe_merge_learning",
+    oracle=None,  # iterative argmax-dependent rewrite; pinned by tests/test_bpe.py
+    tags=("curation", "tokenizer", "bpe", "iterative"),
+    bench=True,
+)
+def t22_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: the first 10 BPE merges learned from the
+    corpus (Sennrich et al. 2016), the step every pre-training pipeline
+    runs before token counting means anything. Scale shape
+    (operators/bpe.py): ONE corpus pass collapses to (word, count);
+    every training round then runs on the vocabulary table — a pair
+    explode + one map-side-combinable aggregate + a 1-row collect + a
+    per-row greedy fold rewrite — so training cost is vocabulary-sized
+    and independent of corpus growth once the vocabulary saturates.
+    Deterministic: pair ties break lexicographically; tokenization is
+    the dedup chain's normalized_text, so 'word' means the same thing
+    here as in d01-d28. Rows-only (unbounded iteration with an
+    argmax-dependent rewrite has no engine-portable SQL); the exact
+    merge sequence is pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_merges, corpus_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    wc = corpus_word_counts(docs, normalized_text(F.col("text")))
+    merges = bpe_merges(wc, n_merges=10)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -4,9 +4,9 @@ the first 50 of the priority order). These tests pin the round-7
 rotation (the r6 verdict's directive): the three operators new this
 round lead (never driver-checked), then EVERY entry whose latest driver
 row is r02 (11), then the r03-stale entries — all predating the
-seam/skew-guard/state-partition refactors — except the four pure
-scalar/subquery plans no refactor touched (q27/q29/q40/q54), which the
-window cannot fit and which lead the round-8 window."""
+seam/skew-guard/state-partition refactors — except the five refactor-immune plans the window cannot fit
+(q27/q29/q40/q54 scalar/subquery + m02 multimodal), which lead the
+round-8 window."""
 
 from __future__ import annotations
 
@@ -129,6 +129,7 @@ NEVER_CHECKED = (
     "st14b_stream_verified_neardups",
     "w12b_sketch_wau",
     "w13b_peak_concurrency_twophase",
+    "t22_bpe_merge_learning",
 )
 
 # Fresh driver rows recorded in r04/r05/r06 — a round-7 prefix slot
@@ -144,6 +145,7 @@ DEFERRED_TO_R8 = {
     "q29_array_functions",
     "q40_correlated_scalar",
     "q54_priority_lateness",
+    "m02_frame_sampling",  # multimodal path, untouched by the refactors
 }
 
 
@@ -190,8 +192,8 @@ def test_window_is_filled_with_the_stalest_entries():
     assert not missing_r02, (
         f"r02-stale entries displaced from the window: {sorted(missing_r02)}"
     )
-    # The window overflows by exactly the four deferred refactor-immune
-    # scalar/subquery entries.
+    # The window overflows by exactly the deferred refactor-immune
+    # entries.
     missing = stale_pool - set(w)
     assert missing == DEFERRED_TO_R8, (
         f"wrong entries deferred to round 8: {sorted(missing)}"

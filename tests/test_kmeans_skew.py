@@ -171,3 +171,30 @@ def test_broadcast_assignment_handles_large_k(spark):
         r.vec_id: r.cell for r in kmeans_assign(em, k=k, iterations=2).collect()
     }
     assert got == expected
+
+
+def test_ivf_assign_broadcast_equals_literal(spark):
+    """ivf_assign's GEMM route (assign_mode='broadcast') must emit the
+    literal path's cells exactly, including non-contiguous caller cell
+    ids (the position->cell mapping)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        ivf_assign,
+        label_centroids,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cells = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(em).collect()
+    ]
+    # shift ids to be non-contiguous: the mapping must survive
+    shifted = [(c * 10 + 3, v) for c, v in cells]
+    lit = {
+        r.vec_id: r.cell
+        for r in ivf_assign(em, shifted, assign_mode="literal").collect()
+    }
+    bc = {
+        r.vec_id: r.cell
+        for r in ivf_assign(em, shifted, assign_mode="broadcast").collect()
+    }
+    assert bc == lit and len(set(lit.values())) > 1
