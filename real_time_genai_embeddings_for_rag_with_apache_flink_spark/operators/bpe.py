@@ -26,6 +26,9 @@ pure-Python reference implementation in tests/test_bpe.py.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,3 +126,43 @@ def corpus_word_counts(
         F.explode(F.split(text_norm, r"\s+")).alias("word")
     ).filter(F.length("word") >= min_len)
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """(word, n_subwords): tokenize each DISTINCT word under a learned
+    merge table. The merge list (rank-ordered) ships to each Python
+    worker in the pandas-UDF closure; each Arrow batch of words is
+    encoded with the textbook per-word merge loop — cost proportional
+    to the VOCABULARY, never the corpus, because callers tokenize
+    distinct words once and join the counts back by word (the
+    embed_distinct pattern: dedup before the expensive stage). Greedy
+    left-to-right per merge, merges applied in rank order — byte-for-
+    byte the sequence bpe_merges learned."""
+    ordered = [(l, r) for _, l, r, _ in sorted(merges)]
+
+    @F.pandas_udf("int")
+    def _encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            out = []
+            for w in series:
+                syms = list(w)
+                for l, r in ordered:
+                    i, res = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                            res.append(l + r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(len(syms))
+            yield pd.Series(out, dtype="int32")
+
+    return words.select(
+        F.col(word_col).alias("word"), _encode(F.col(word_col)).alias("n_subwords")
+    )

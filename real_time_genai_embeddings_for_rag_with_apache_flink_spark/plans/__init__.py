@@ -14,12 +14,12 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-7 window: the 4 entries new this round (never
-# driver-checked), then every r02-checked entry (11), then 35 of the 40
+# entries only. Round-7 window: the 5 entries new this round (never
+# driver-checked), then every r02-checked entry (11), then 34 of the 40
 # r03-checked entries — everything whose latest driver row predates the
-# round-4/5 seam, skew-guard and state-partition refactors. The 5
+# round-4/5 seam, skew-guard and state-partition refactors. The 6
 # deferred r03 rows (q27/q29/q40/q54 — pure scalar/subquery plans no
-# refactor touched — plus m02, whose multimodal path no refactor
+# refactor touched — plus m01/m02, whose multimodal path no refactor
 # touched either) lead the round-8 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
@@ -27,6 +27,7 @@ DRIVER_WINDOW: list[str] = [
     "w12b_sketch_wau",
     "w13b_peak_concurrency_twophase",
     "t22_bpe_merge_learning",
+    "t23_bpe_tokenize",
     # stalest: last driver-checked in r02
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -46,7 +47,6 @@ DRIVER_WINDOW: list[str] = [
     "d03_minhash_signatures",
     "d07_hash_sample",
     "d09_stratified_sample",
-    "m01_multimodal_decode",
     "p02_flagship_retrieval",
     "q34_pivot",
     "s01_topk_cosine",

@@ -957,3 +957,45 @@ def t22_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "t23_bpe_tokenize",
+    oracle=None,  # learned-merge tokenization; pinned by tests/test_bpe.py
+    tags=("curation", "tokenizer", "bpe", "token-count"),
+    bench=True,
+)
+def t23_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the LEARNED tokenizer — t22's merges
+    applied back to every document, closing the induction->apply loop
+    (t04's regex counter approximates a tokenizer; this one is the
+    tokenizer the corpus itself trained). Scale shape: the expensive
+    step (the per-word merge loop, a pandas UDF) runs once per DISTINCT
+    word — the embed_distinct pattern — and per-document counts come
+    from a pure-JVM explode + join on the word + one grouped sum, so
+    Python cost is vocabulary-sized while the corpus-sized path stays
+    codegen. Output per doc: words, learned-subword tokens, and chars —
+    the compression ladder a tokenizer report cares about. Rows-only;
+    merge learning and encode are pinned vs the Python reference in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_encode_words, bpe_merges, corpus_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    norm = normalized_text(F.col("text"))
+    wc = corpus_word_counts(docs, norm)
+    merges = bpe_merges(wc, n_merges=10)
+    vocab = bpe_encode_words(wc.select("word"), merges)
+
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(norm, r"\s+")).alias("word")
+    ).filter(F.length("word") >= 1)
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+        )
+    )

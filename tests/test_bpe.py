@@ -124,3 +124,61 @@ def test_bpe_catalog_entry_matches_reference_on_corpus(spark):
     assert got == want and len(got) == 10
     # no phantom empty symbols (the split keeps a trailing '' otherwise)
     assert all(l and r for _, l, r, _ in got)
+
+
+def test_bpe_tokenize_matches_python_reference(spark):
+    """t23 end-to-end at sf0.001: per-doc learned-subword counts equal
+    the Python reference (same merges, same encode loop), and the
+    compression ladder holds (words <= bpe tokens <= chars)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        normalized_text,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc_df = corpus_word_counts(docs, normalized_text(F.col("text")))
+    wc = {r.word: r.n for r in wc_df.collect()}
+    merges = _python_bpe(wc, 10)
+    ordered = [(l, r) for _, l, r, _ in merges]
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for l, r in ordered:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    norm_texts = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id", normalized_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    want = {}
+    for doc_id, t in norm_texts.items():
+        words = [w for w in t.split() if w]
+        if not words:
+            continue
+        want[doc_id] = (
+            len(words),
+            sum(encode_len(w) for w in words),
+            sum(len(w) for w in words),
+        )
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_word_chars)
+        for r in plans.get_spec("t23_bpe_tokenize").build(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for w, b, c in got.values():
+        assert w <= b <= c
