@@ -14,13 +14,13 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-7 window: the 5 entries new this round (never
-# driver-checked), then every r02-checked entry (11), then 34 of the 40
+# entries only. Round-7 window: the 6 entries new this round (never
+# driver-checked), then every r02-checked entry (11), then 33 of the 40
 # r03-checked entries — everything whose latest driver row predates the
-# round-4/5 seam, skew-guard and state-partition refactors. The 6
-# deferred r03 rows (q27/q29/q40/q54 — pure scalar/subquery plans no
-# refactor touched — plus m01/m02, whose multimodal path no refactor
-# touched either) lead the round-8 window.
+# round-4/5 seam, skew-guard and state-partition refactors. The 7
+# deferred r03 rows (q27/q29/q34/q40/q54 — pure scalar/pivot/subquery
+# plans no refactor touched — plus m01/m02, whose multimodal path no
+# refactor touched either) lead the round-8 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "st14b_stream_verified_neardups",
@@ -28,6 +28,7 @@ DRIVER_WINDOW: list[str] = [
     "w13b_peak_concurrency_twophase",
     "t22_bpe_merge_learning",
     "t23_bpe_tokenize",
+    "d29_bloom_decontamination",
     # stalest: last driver-checked in r02
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -48,7 +49,6 @@ DRIVER_WINDOW: list[str] = [
     "d07_hash_sample",
     "d09_stratified_sample",
     "p02_flagship_retrieval",
-    "q34_pivot",
     "s01_topk_cosine",
     "s02_knn_join",
     "s03_embedding_near_dup",

@@ -999,3 +999,151 @@ def t23_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).cast("long").alias("n_word_chars"),
         )
     )
+
+
+_BLOOM_M = 1 << 18  # bits (32 KiB) — sized for ~0.5% FP at this eval mass
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(gram_expr: str, i: int) -> str:
+    """DuckDB bit position i for a gram: first 8 md5 hex chars of
+    gram||'#i', mod m — byte-identical to the Spark expression."""
+    return (
+        f"CAST(concat('0x', substr(md5({gram_expr} || '#{i}'), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(gram: Column, i: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(gram, F.lit(f"#{i}"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "d29_bloom_decontamination",
+    oracle=f"""
+{_SQL_SHINGLED_DISTINCT}
+, eval_pos AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('gram', i)} AS pos FROM "
+        f"(SELECT DISTINCT gram FROM exploded WHERE doc_id % {_EVAL_MOD} = 0)"
+        for i in range(_BLOOM_K)
+    )}
+  )
+),
+corpus_grams AS (
+  SELECT DISTINCT gram FROM exploded WHERE doc_id % {_EVAL_MOD} != 0
+),
+gram_hits AS (
+  SELECT g.gram FROM corpus_grams g
+  WHERE {" AND ".join(
+      f"EXISTS (SELECT 1 FROM eval_pos ep WHERE ep.pos = {_bloom_pos_sql('g.gram', i)})"
+      for i in range(_BLOOM_K)
+  )}
+),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_bloom_flagged
+  FROM exploded e JOIN gram_hits USING (gram)
+  WHERE e.doc_id % {_EVAL_MOD} != 0
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n_bloom_flagged, 0) AS BIGINT) AS n_bloom_flagged,
+  COALESCE(h.n_bloom_flagged, 0) >= 3 AS contaminated_bloom
+FROM shingled s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % {_EVAL_MOD} != 0
+""",
+    tags=("dedup", "text", "curation", "bloom", "scale"),
+    bench=True,
+)
+def d29_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a BLOOM FILTER instead of d12's broadcast
+    gram dictionary — the membership structure that keeps working when
+    the eval/blocklist side stops being small (d12 broadcasts the gram
+    STRINGS: ~50 bytes each; the bloom spends ~1.8 bytes per element at
+    0.5% FP — a 100M-gram blocklist is a 5 GB broadcast as strings and
+    a ~180 MB bitset here, still one executor-resident constant).
+
+    Engine shape: eval grams hash to k=4 bit positions (first 8 md5 hex
+    chars of gram||'#i' mod m — engine-portable arithmetic, no
+    xxhash/murmur divergence); the DISTINCT position set is a
+    driver-sized collect packed into m/64 int64 words that enter the
+    plan as ONE literal array column, and the corpus side tests its 4
+    bits per distinct gram with getbit over element_at — pure codegen,
+    zero join, zero shuffle on the membership probe. Per-doc flag
+    counts then rejoin by gram. Bloom semantics exactly (never a false
+    negative; false positives only ever ADD flagged grams), and the
+    DuckDB oracle replays the identical bitset via the join
+    formulation, so the driver hash certifies the two formulations
+    agree bit-for-bit. tests/test_bloom_decontamination.py pins the
+    no-false-negative containment vs d12's exact answer and the FP
+    inflation bound."""
+    from .llmops import _exploded_grams_df, _shingled_df
+
+    # both the shingle table and its exploded (doc_id, gram) form ride
+    # the session seam — this plan walks the gram table four times
+    # (eval positions, corpus grams, per-doc hits, final counts) but
+    # the corpus is shingled AND exploded once
+    shingled = _shingled_df(spark, sf_dir)
+    exploded = _exploded_grams_df(spark, sf_dir)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+
+    eval_grams = exploded.filter(is_eval).select("gram").distinct()
+    # all k positions in ONE walk of the eval grams (explode of a
+    # k-element array — a 4-way unionAll re-ran the distinct per hash)
+    pos_df = eval_grams.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos_col(F.col("gram"), i) for i in range(_BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    # DISTINCT positions: at most k x |eval grams| ints — driver-sized
+    # for any benchmark-scale eval set (the corpus never collects)
+    positions = [int(r.pos) for r in pos_df.distinct().collect()]
+    words = [0] * (_BLOOM_M // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed int64 literals; ONE list literal
+    # (4096 per-element F.lit calls cost ~5 s of py4j round trips)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_lit = F.lit(words).cast("array<long>")
+
+    corpus_grams = (
+        exploded.filter(~is_eval).select("gram").distinct()
+        .withColumn("bw", words_lit)
+    )
+    hit = None
+    for i in range(_BLOOM_K):
+        corpus_grams = corpus_grams.withColumn(
+            f"p{i}", _bloom_pos_col(F.col("gram"), i)
+        )
+        bit = F.expr(
+            f"getbit(element_at(bw, CAST(p{i} / 64 AS INT) + 1), "
+            f"CAST(p{i} % 64 AS INT)) = 1"
+        )
+        hit = bit if hit is None else (hit & bit)
+    gram_hits = corpus_grams.filter(hit).select("gram")
+
+    hits = (
+        exploded.filter(~is_eval)
+        .join(F.broadcast(gram_hits), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_flagged"))
+    )
+    n_flag = F.coalesce(F.col("n_bloom_flagged"), F.lit(0))
+    return (
+        shingled.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            n_flag.cast("bigint").alias("n_bloom_flagged"),
+            (n_flag >= 3).alias("contaminated_bloom"),
+        )
+    )

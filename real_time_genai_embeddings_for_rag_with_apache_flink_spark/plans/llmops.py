@@ -285,6 +285,20 @@ def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_intermediate(spark, sf_dir, "shingled", build)
 
 
+def _exploded_grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) — the shingle table exploded one gram per row,
+    persisted via the seam. Plans that walk the gram table several
+    times (d29's eval positions / corpus grams / per-doc hits) pay the
+    explode once instead of per walk."""
+
+    def build() -> DataFrame:
+        return _shingled_df(spark, sf_dir).select(
+            "doc_id", F.explode("grams").alias("gram")
+        )
+
+    return _cached_intermediate(spark, sf_dir, "shingled_exploded", build)
+
+
 def signatures_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, signature array<bigint>[16]) from any (doc_id, text)
     DataFrame: shingle -> explode -> codegen'd md5 -> 16-way min

@@ -5,8 +5,8 @@ rotation (the r6 verdict's directive): the three operators new this
 round lead (never driver-checked), then EVERY entry whose latest driver
 row is r02 (11), then the r03-stale entries — all predating the
 seam/skew-guard/state-partition refactors — except the five refactor-immune plans the window cannot fit
-(q27/q29/q40/q54 scalar/subquery + m01/m02 multimodal), which lead
-the round-8 window."""
+(q27/q29/q34/q40/q54 scalar/pivot/subquery + m01/m02 multimodal),
+which lead the round-8 window."""
 
 from __future__ import annotations
 
@@ -131,6 +131,7 @@ NEVER_CHECKED = (
     "w13b_peak_concurrency_twophase",
     "t22_bpe_merge_learning",
     "t23_bpe_tokenize",
+    "d29_bloom_decontamination",
 )
 
 # Fresh driver rows recorded in r04/r05/r06 — a round-7 prefix slot
@@ -144,6 +145,7 @@ RECENTLY_CHECKED = R04_GREEN | R05_GREEN | R06_GREEN
 DEFERRED_TO_R8 = {
     "q27_math_functions",
     "q29_array_functions",
+    "q34_pivot",
     "q40_correlated_scalar",
     "q54_priority_lateness",
     "m01_multimodal_decode",  # multimodal path, untouched by the refactors
