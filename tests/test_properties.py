@@ -332,3 +332,48 @@ def test_w12b_sketch_wau_error_bounds(spark):
         dau_e, wau_e = est[day]
         assert abs(dau_e - dau) / dau <= 0.05, (day, dau_e, dau)
         assert abs(wau_e - wau) / wau <= 0.05, (day, wau_e, wau)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-3, 3)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=300, deadline=None)
+def test_twophase_sweep_identity(points, n_buckets):
+    """The identity under w13b (sweep_line_peaks_twophase): for ANY
+    multiset of (t, delta) points and ANY monotone bucketing of t, the
+    max running prefix sum (points ordered by (t, delta)) equals
+    max over buckets of (sum of earlier buckets' deltas + the bucket's
+    local max prefix). Random deltas (not just ±1) prove the
+    decomposition needs nothing interval-specific."""
+    ordered = sorted(points)
+    run, peak = 0, None
+    for _, d in ordered:
+        run += d
+        peak = run if peak is None else max(peak, run)
+
+    lo = min(t for t, _ in points)
+    hi = max(t for t, _ in points)
+    width = max(hi - lo, 1) / n_buckets
+
+    def bucket(t):
+        return min(n_buckets - 1, int((t - lo) / width))
+
+    local_max: dict = {}
+    totals: dict = {}
+    for t, d in ordered:
+        b = bucket(t)
+        totals[b] = totals.get(b, 0) + d
+        local_max[b] = (
+            totals[b] if b not in local_max else max(local_max[b], totals[b])
+        )
+    carry, twophase = 0, None
+    for b in sorted(totals):
+        cand = carry + local_max[b]
+        twophase = cand if twophase is None else max(twophase, cand)
+        carry += totals[b]
+    assert twophase == peak
