@@ -1147,3 +1147,88 @@ def d29_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_flag >= 3).alias("contaminated_bloom"),
         )
     )
+
+
+@query(
+    "t24_temperature_mixture",
+    oracle="""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_available,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS s
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_available) AS tot_n, SUM(s) AS tot_s FROM per_src),
+j AS (
+  SELECT p.*, t.tot_s, t.tot_n // 2 AS b
+  FROM per_src p CROSS JOIN tot t
+),
+appo AS (
+  SELECT source, n_available, s, b,
+    (b * s) // tot_s AS base,
+    (b * s) % tot_s AS rem,
+    SUM((b * s) // tot_s) OVER () AS base_sum,
+    ROW_NUMBER() OVER (ORDER BY (b * s) % tot_s DESC, source) AS rn
+  FROM j
+)
+SELECT source,
+  CAST(n_available AS BIGINT) AS n_available,
+  CAST(LEAST(base + CASE WHEN rn <= b - base_sum THEN 1 ELSE 0 END,
+             n_available) AS BIGINT) AS n_allocated,
+  ROUND(CAST(LEAST(base + CASE WHEN rn <= b - base_sum THEN 1 ELSE 0 END,
+             n_available) AS DOUBLE) / n_available, 6) AS sample_rate
+FROM appo
+""",
+    tags=("curation", "mixture", "sampling", "governance"),
+)
+def t24_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixture (the multilingual-
+    pretraining sampler: p_i proportional to n_i^alpha with alpha=0.5, so
+    small sources are boosted and head sources damped) apportioned to a
+    half-corpus token budget with the LARGEST-REMAINDER method — and
+    every step in EXACT integer arithmetic, which is what makes the
+    allocation deterministic across engines, partitionings and summation
+    orders: the flattened mass is floor(sqrt(n_i)) (exact for any
+    n < 2^52), shares are (B*s_i) div S with remainders (B*s_i) mod S,
+    and the leftover units go to the largest remainders (source-name
+    tiebreak). A float formulation (n^alpha / sum n^alpha) would hang
+    the final unit on last-ulp summation order — the classic
+    cross-engine hash-flake this catalog avoids by design.
+
+    Scale shape: ONE map-side-combinable aggregate collapses the corpus
+    to a row per source; everything after runs on that source-count
+    table (windows over k rows). Allocations cap at n_available
+    (flattening can over-ask a tiny source); t21's waterfill is the
+    redistribution policy when the cap bites."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_available")
+    ).withColumn("s", F.floor(F.sqrt(F.col("n_available"))).cast("long"))
+    tot = per_src.agg(
+        F.sum("n_available").alias("tot_n"), F.sum("s").alias("tot_s")
+    )
+    j = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("b", F.expr("tot_n div 2"))
+        .withColumn("base", F.expr("(b * s) div tot_s"))
+        .withColumn("rem", F.expr("(b * s) % tot_s"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("rem"), "source")
+    j = j.withColumn("base_sum", F.sum("base").over(w_all)).withColumn(
+        "rn", F.row_number().over(w_rank)
+    )
+    alloc = F.least(
+        F.col("base")
+        + F.when(F.col("rn") <= F.col("b") - F.col("base_sum"), 1).otherwise(0),
+        F.col("n_available"),
+    )
+    return j.select(
+        "source",
+        F.col("n_available").cast("bigint").alias("n_available"),
+        alloc.cast("bigint").alias("n_allocated"),
+        F.round(alloc.cast("double") / F.col("n_available"), 6).alias(
+            "sample_rate"
+        ),
+    )

@@ -132,6 +132,7 @@ NEVER_CHECKED = (
     "t22_bpe_merge_learning",
     "t23_bpe_tokenize",
     "d29_bloom_decontamination",
+    "t24_temperature_mixture",
 )
 
 # Fresh driver rows recorded in r04/r05/r06 — a round-7 prefix slot
@@ -150,6 +151,7 @@ DEFERRED_TO_R8 = {
     "q54_priority_lateness",
     "m01_multimodal_decode",  # multimodal path, untouched by the refactors
     "m02_frame_sampling",
+    "w04_interval_join",  # plain batch interval join, refactor-immune
 }
 
 

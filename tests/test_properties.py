@@ -377,3 +377,53 @@ def test_twophase_sweep_identity(points, n_buckets):
         twophase = cand if twophase is None else max(twophase, cand)
         carry += totals[b]
     assert twophase == peak
+
+
+def test_t24_temperature_apportionment_invariants(spark):
+    """t24: allocations are a largest-remainder apportionment of the
+    half-corpus budget over sqrt-flattened source masses — exact-sum
+    (unless a cap bites), boost-the-tail ordering, and equality with a
+    pure-Python reimplementation."""
+    import math
+
+    from conftest import SF_SMOKE
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    counts = {
+        r.source: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    s = {src: math.isqrt(n) for src, n in counts.items()}
+    S = sum(s.values())
+    B = sum(counts.values()) // 2
+    base = {src: (B * v) // S for src, v in s.items()}
+    rem = {src: (B * v) % S for src, v in s.items()}
+    leftover = B - sum(base.values())
+    order = sorted(counts, key=lambda src: (-rem[src], src))
+    want = {}
+    for i, src in enumerate(order):
+        a = base[src] + (1 if i < leftover else 0)
+        want[src] = min(a, counts[src])
+
+    got = {
+        r.source: r.n_allocated
+        for r in plans.get_spec("t24_temperature_mixture")
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+    if all(want[src] < counts[src] for src in want):
+        assert sum(got.values()) == B
+    # flattening: smaller sources get a HIGHER sample rate
+    rates = {
+        src: got[src] / counts[src] for src in got
+    }
+    by_size = sorted(counts, key=counts.get)
+    assert rates[by_size[0]] >= rates[by_size[-1]]
