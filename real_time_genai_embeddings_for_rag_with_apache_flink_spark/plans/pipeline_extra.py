@@ -1388,24 +1388,14 @@ def _audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sampled_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, j): every sample pair with exact trigram Jaccard
-    >= _AUDIT_TAU — the shared ground truth of d24 and d28."""
-    sample = _audit_sample(spark, sf_dir)
-    a = sample.select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams")
-    )
-    b = sample.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams")
-    )
-    inter = F.size(F.array_intersect("a_grams", "b_grams"))
-    union = F.size(F.array_union("a_grams", "b_grams"))
-    jacc = F.round(
-        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
-        6,
-    )
-    return (
-        a.join(b, F.col("id_b") > F.col("id_a"))
-        .select("id_a", "id_b", jacc.alias("j"))
-        .filter(F.col("j") >= _AUDIT_TAU)
+    >= _AUDIT_TAU — the shared ground truth of d24 and d28. Computed
+    with the prefix-filtered exact join (zero false negatives by the
+    d27 lemma, certified against the brute-force formulation by BOTH
+    audits' DuckDB oracles every driver run) — so the ground-truth pass
+    costs O(candidates) instead of O(sample^2), and the audit's sample
+    bound becomes a comfort margin rather than a hard ceiling."""
+    return prefix_filter_pairs(_audit_sample(spark, sf_dir), _AUDIT_TAU).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
     )
 
 
@@ -1656,9 +1646,17 @@ def d27_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeded ~1e6 distinct shingles — impossible at any document size
     this corpus ships.
     """
-    tau = _PREFIX_TAU
-    sh = _shingled_df(spark, sf_dir).filter(F.size("grams") > 0)
+    return prefix_filter_pairs(
+        _shingled_df(spark, sf_dir).filter(F.size("grams") > 0), _PREFIX_TAU
+    )
 
+
+def prefix_filter_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """(id_a, id_b, jaccard): every pair of (doc_id, grams) rows in
+    ``sh`` with exact Jaccard >= tau, via prefix filtering — the d27
+    engine, factored so other exact passes (d24's audit ground truth)
+    reuse the certified-zero-false-negative join instead of paying a
+    brute-force all-pairs."""
     # Global document frequency per shingle: one vocabulary-keyed
     # aggregate (map-side partial combine; grams are already distinct
     # per doc so COUNT(*) is the df).
