@@ -526,6 +526,7 @@ def run_incremental_dedup(
     fp_state_mode: str = "auto",
     delta_table_factory=None,
     delta_create_format: str = "delta",
+    run_name: str = "st14",
 ) -> DataFrame:
     """Streaming incremental dedup: new arrivals deduped against the
     ACCUMULATED corpus — the continuous-pipeline pattern the reference's
@@ -707,7 +708,7 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    LAST_RUN_BATCHES["st14"] = sum(
+    LAST_RUN_BATCHES[run_name] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
     return spark.read.schema("doc_id long, n_corpus_candidates long").parquet(
@@ -903,6 +904,7 @@ def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFram
             corpus_bands,
             work_root,
             corpus_shingles=corpus_shingles,
+            run_name="st14b",
         )
     return spark.read.schema(
         "doc_id long, corpus_doc_id long, jaccard double"
