@@ -14,14 +14,14 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-7 window: the 7 entries new this round (never
-# driver-checked), then every r02-checked entry (11), then 32 of the 40
+# entries only. Round-7 window: the 8 entries new this round (never
+# driver-checked), then every r02-checked entry (11), then 31 of the 40
 # r03-checked entries — everything whose latest driver row predates the
-# round-4/5 seam, skew-guard and state-partition refactors. The 8
+# round-4/5 seam, skew-guard and state-partition refactors. The 9
 # deferred r03 rows (q27/q29/q34/q40/q54 — pure scalar/pivot/subquery
-# plans no refactor touched — plus m01/m02 multimodal and w04's plain
-# batch interval join, none of which any refactor touched) lead the
-# round-8 window.
+# plans no refactor touched — plus m01/m02 multimodal and w03/w04's
+# native session-window / plain interval-join plans, none of which any
+# refactor touched) lead the round-8 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "st14b_stream_verified_neardups",
@@ -31,6 +31,7 @@ DRIVER_WINDOW: list[str] = [
     "t23_bpe_tokenize",
     "d29_bloom_decontamination",
     "t24_temperature_mixture",
+    "st20_stream_quota_sampling",
     # stalest: last driver-checked in r02
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -76,7 +77,6 @@ DRIVER_WINDOW: list[str] = [
     "u03_grouped_map_zscore",
     "w01_tumbling_window",
     "w02_sliding_window",
-    "w03_session_window",
 ]
 
 set_priority(DRIVER_WINDOW)

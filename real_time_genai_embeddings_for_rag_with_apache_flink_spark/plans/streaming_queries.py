@@ -1498,3 +1498,153 @@ def st19_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(bars, "st19", "append")
+
+
+def run_quota_sampling(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    quotas: DataFrame,
+    work_root: str,
+) -> DataFrame:
+    """Streaming per-source quota enforcement: arrivals are accepted in
+    doc_id order until their source's quota fills — the INGEST-side
+    enforcement of a mixture allocation (t24 computes the quota table;
+    this spends it). The st14 state pattern: per micro-batch
+    (foreachBatch, all state in restartable parquet),
+
+    1. each arrival's rank within its source = the source's accumulated
+       accepted count + its row_number within the batch (partitioned by
+       source, ordered by doc_id);
+    2. rank <= quota -> accepted, appended to the results table;
+    3. per-source accepted counts merge back into the counts table, so
+       batch k+1 ranks after every batch <= k, across restarts.
+
+    Batch-boundary independent by construction when the source replays
+    in doc_id order: the accepted set is exactly the quota_s
+    lowest-doc_id documents per source — which is what makes the exact
+    SQL oracle (row_number per source <= quota) possible. Scale shape:
+    per batch one window over the batch's rows (partitioned by source),
+    one broadcast-sized counts join, one combinable count aggregate;
+    the corpus-sized data never shuffles beyond the source hash."""
+    counts_dir = os.path.join(work_root, "counts")
+    results_dir = os.path.join(work_root, "accepted")
+    ckpt = os.path.join(work_root, "ckpt")
+    q = quotas.select("source", F.col("n_allocated").cast("long").alias("quota"))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        sp = batch.sparkSession
+        if os.path.isdir(counts_dir):
+            counts = sp.read.parquet(counts_dir)
+        else:
+            counts = sp.createDataFrame([], "source string, n_accepted long")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        ranked = (
+            batch.join(F.broadcast(counts), "source", "left")
+            .join(F.broadcast(q), "source", "left")
+            .withColumn(
+                "rank",
+                F.coalesce(F.col("n_accepted"), F.lit(0))
+                + F.row_number().over(w),
+            )
+        )
+        accepted = ranked.filter(
+            F.col("rank") <= F.coalesce(F.col("quota"), F.lit(0))
+        ).persist()
+        accepted.select("doc_id", "source").write.mode("append").parquet(
+            results_dir
+        )
+        new_counts = (
+            accepted.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("add"))
+            .join(counts, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce(F.col("add"), F.lit(0))
+                    + F.coalesce(F.col("n_accepted"), F.lit(0))
+                ).alias("n_accepted"),
+            )
+        )
+        # counts table is tiny (a row per source): rewrite atomically
+        # via a temp dir swap so a replayed batch converges
+        tmp = counts_dir + f"_tmp{batch_id}"
+        new_counts.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.isdir(counts_dir):
+            shutil.rmtree(counts_dir)
+        os.rename(tmp, counts_dir)
+        accepted.unpersist()
+
+    stream = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    LAST_RUN_BATCHES["st20"] = sum(
+        1 for p in stream.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.read.schema("doc_id long, source string").parquet(results_dir)
+
+
+@query(
+    "st20_stream_quota_sampling",
+    oracle="""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_available,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS s
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_available) AS tot_n, SUM(s) AS tot_s FROM per_src),
+j AS (
+  SELECT p.*, t.tot_s, t.tot_n // 2 AS b
+  FROM per_src p CROSS JOIN tot t
+),
+appo AS (
+  SELECT source, n_available,
+    (b * s) // tot_s AS base,
+    (b * s) % tot_s AS rem, b,
+    SUM((b * s) // tot_s) OVER () AS base_sum,
+    ROW_NUMBER() OVER (ORDER BY (b * s) % tot_s DESC, source) AS rn
+  FROM j
+),
+quota AS (
+  SELECT source,
+    LEAST(base + CASE WHEN rn <= b - base_sum THEN 1 ELSE 0 END,
+          n_available) AS quota
+  FROM appo
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rnk
+  FROM documents d
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quota q ON q.source = r.source
+WHERE r.rnk <= q.quota
+""",
+    tags=("streaming", "sampling", "mixture", "stateful"),
+    bench=True,
+)
+def st20_stream_quota_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-capped streaming ingest: documents arrive as doc_id-ordered
+    micro-batches and each source accepts rows only until its
+    temperature-mixture quota (t24's exact integer apportionment over
+    the full corpus) is spent — the continuous form of 'sample the
+    corpus to the target mixture AT ingest' that avoids landing 100 TB
+    first and sampling later. State (per-source accepted counts) lives
+    in a restartable parquet table, so the cap holds across restarts;
+    the accepted set is exactly the quota_s lowest-doc_id docs per
+    source regardless of batch boundaries, which the SQL oracle replays
+    with a per-source row_number."""
+    from .curation import t24_temperature_mixture
+
+    quotas = t24_temperature_mixture(spark, sf_dir)
+    arrivals = stream_documents(spark, sf_dir).select("doc_id", "source")
+    work_root = tempfile.mkdtemp(prefix="st20_")
+    with state_partitions(spark, 8):
+        return run_quota_sampling(spark, arrivals, quotas, work_root)

@@ -133,6 +133,7 @@ NEVER_CHECKED = (
     "t23_bpe_tokenize",
     "d29_bloom_decontamination",
     "t24_temperature_mixture",
+    "st20_stream_quota_sampling",
 )
 
 # Fresh driver rows recorded in r04/r05/r06 — a round-7 prefix slot
@@ -151,6 +152,7 @@ DEFERRED_TO_R8 = {
     "q54_priority_lateness",
     "m01_multimodal_decode",  # multimodal path, untouched by the refactors
     "m02_frame_sampling",
+    "w03_session_window",  # native session_window plan, refactor-immune
     "w04_interval_join",  # plain batch interval join, refactor-immune
 }
 

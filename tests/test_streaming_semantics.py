@@ -691,3 +691,91 @@ def test_incremental_dedup_delta_fp_state(spark, tmp_path):
     merge(batch_fps, 0)  # replay
     state = [r.fp for r in spark.read.parquet(fps_dir).collect()]
     assert sorted(state) == ["f1", "f2"]
+
+
+def test_quota_sampling_state_across_batches_and_restart(spark, tmp_path):
+    """st20's runner: per-source quotas are enforced across micro-batch
+    boundaries (batch 2 ranks AFTER batch 1's accepted counts) and
+    across a restart (counts table is restartable state); the accepted
+    set is exactly the quota_s lowest doc_ids per source either way."""
+    import os
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_quota_sampling,
+    )
+
+    quotas = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 0)], "source string, n_allocated long"
+    )
+    # doc_id-ordered arrivals: source a has 5 docs, b has 2, c has 1
+    file_1 = [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+    file_2 = [(5, "a"), (6, "b"), (7, "a"), (8, "a")]
+    want = {(1, "a"), (3, "a"), (5, "a"), (2, "b")}  # 3 a's + 1 b, no c
+
+    def mk_src(name, files):
+        import glob
+        import shutil
+
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        base = 1_700_000_000
+        for i, (fname, rows) in enumerate(files):
+            p = os.path.join(src, fname)
+            spark.createDataFrame(
+                rows, "doc_id long, source string"
+            ).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+            part = glob.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+            shutil.move(part, p)
+            shutil.rmtree(p + ".tmp")
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        return src
+
+    def arrivals(src):
+        return (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # one shot, two micro-batches
+    src1 = mk_src("src_one", [("f1.parquet", file_1), ("f2.parquet", file_2)])
+    got = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(
+            spark, arrivals(src1), quotas, str(tmp_path / "work_one")
+        ).collect()
+    }
+    assert got == want
+
+    # restart: file 1, stop; file 2 appears; same work root + checkpoint
+    src2 = mk_src("src_restart", [("f1.parquet", file_1)])
+    work = str(tmp_path / "work_restart")
+    phase1 = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(
+            spark, arrivals(src2), quotas, work
+        ).collect()
+    }
+    assert phase1 == {(1, "a"), (3, "a"), (2, "b")}
+    import shutil as _sh
+
+    base = 1_700_000_100
+    p = os.path.join(src2, "f2.parquet")
+    spark.createDataFrame(file_2, "doc_id long, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p + ".tmp")
+    import glob as _gl
+
+    part = _gl.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+    _sh.move(part, p)
+    _sh.rmtree(p + ".tmp")
+    os.utime(p, (base, base))
+    phase2 = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(
+            spark, arrivals(src2), quotas, work
+        ).collect()
+    }
+    assert phase2 == want, (
+        "post-restart batch must rank after the pre-restart accepted counts"
+    )
