@@ -22,7 +22,18 @@ def main() -> int:
         build_session,
     )
 
-    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+    # Explicit driver heap: bench runs 60+ catalog rows plus the
+    # deliberately pathological stress rows (the uncapped d04 builds
+    # ~32M pairs) in ONE JVM; Spark's 1g local default sat at the edge
+    # and OOM'd once session caches accumulated. Effective because
+    # bench creates the process's first session. Overridable for
+    # constrained hosts via SPARK_GRAFT_DRIVER_MEM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.driver.memory": driver_mem},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in plans.all_specs().items() if s.bench}

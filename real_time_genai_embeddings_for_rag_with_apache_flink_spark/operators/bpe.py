@@ -81,38 +81,47 @@ def bpe_merges(
     n_merges: int = 10,
     word_col: str = "word",
     count_col: str = "n",
-    checkpoint_every: int = 4,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the top ``n_merges`` BPE merges from a (word, count)
     vocabulary table. Returns [(rank, left, right, weighted pair
     count)] — rank 1 is the first (most frequent) merge. Deterministic:
     pair ties break lexicographically on (left, right). Stops early if
-    no adjacent pair remains."""
-    cur = word_counts.select(
+    no adjacent pair remains.
+
+    Memory contract: the INPUT vocabulary is persisted once and
+    released on return; rounds build linear lineage on top of it (round
+    k replays <= k vocab-sized folds from the cache — O(n_merges^2 x
+    vocab) total, trivial against re-scanning the corpus per round),
+    and because the function returns plain driver-side tuples, nothing
+    it caches outlives the call (an earlier localCheckpoint-per-4-
+    rounds variant leaked its checkpoint blocks for the session's
+    lifetime — measured as heap pressure in long bench sessions)."""
+    base = word_counts.select(
         F.col(count_col).cast("long").alias("n"),
         chars(F.col(word_col)).alias("syms"),
-    )
+    ).persist()
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        pairs = cur.select(
-            "n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
-        )
-        top = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((rank, l, r, cnt))
-        cur = cur.select("n", _merge_pair(F.col("syms"), l, r).alias("syms"))
-        if rank % checkpoint_every == 0:
-            # cut lineage so later rounds don't replay every fold so far
-            cur = cur.localCheckpoint(eager=True)
-    return merges
+    try:
+        cur = base
+        for rank in range(1, n_merges + 1):
+            pairs = cur.select(
+                "n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            top = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, l, r, cnt))
+            cur = cur.select("n", _merge_pair(F.col("syms"), l, r).alias("syms"))
+        return merges
+    finally:
+        base.unpersist()
 
 
 def corpus_word_counts(
