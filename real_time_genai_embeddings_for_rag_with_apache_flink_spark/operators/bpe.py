@@ -16,8 +16,9 @@ the scalable way:
   the global best pair (count DESC, pair ASC — deterministic ties), a
   1-row collect makes it a literal, and a per-row fold rewrites each
   word's symbols greedily left-to-right. No shuffle beyond the pair
-  aggregate; lineage is cut every few rounds with localCheckpoint so
-  round k+1's plan does not replay rounds 1..k.
+  aggregate; the input vocabulary is persisted once (and released on
+  return) so each round replays only its chain of cheap folds from
+  cache, never the corpus.
 
 Not SQL-expressible (unbounded iteration + argmax-dependent rewrite),
 so the catalog entry is rows-only; correctness is pinned against a
@@ -35,12 +36,19 @@ from pyspark.sql import functions as F
 
 def _adjacent_pairs(syms: Column) -> Column:
     """array<struct<l,r>> of adjacent symbol pairs (one entry per
-    OCCURRENCE — 'aaa' yields (a,a) twice, as BPE counts it)."""
+    OCCURRENCE — 'aaa' yields (a,a) twice, as BPE counts it).
+    Empty-safe: fewer than 2 symbols (an empty word contributes n=0,
+    where slice(_, 1, n-1) would reject its negative length) yields an
+    empty pair array rather than an error."""
     n = F.size(syms)
-    return F.zip_with(
-        F.slice(syms, 1, n - 1),
-        F.slice(syms, 2, n - 1),
-        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    return F.when(
+        n < 2, F.array().cast("array<struct<l string, r string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
     )
 
 

@@ -86,9 +86,15 @@ def assign_cells_broadcast(
     codegen burden, only FLOPs — which is exactly where the literal
     expression tree (k struct branches per row) falls over.
 
-    Tie semantics match the literal path bit-for-bit: numpy
-    argmax/argmin return the FIRST extremum, the literal fold keeps the
-    earliest cell on ties (strict > / <), and both score in float64.
+    Tie semantics match the literal path: numpy argmax/argmin return
+    the FIRST extremum and the literal fold keeps the earliest cell on
+    ties (strict > / <), both scoring in float64. Caveat stated
+    honestly: the two paths SUM in different orders (sequential codegen
+    fold vs BLAS accumulation), so a vector whose two best centroids
+    are within ~1 ulp can flip between modes — equality is pinned
+    empirically on the test corpus, not guaranteed for adversarial
+    near-ties. Pick one mode per pipeline when bit-reproducibility
+    across runs matters.
     metric='cosine' (row norm drops out of the argmax, centroids
     pre-normalized — _nearest_cell's contract) or 'l2' (squared
     distances via the expansion |v|^2 - 2 v.c + |c|^2; |v|^2 is
@@ -138,9 +144,12 @@ def kmeans_assign(
     expression (zero Python in the hot path — right for coarse
     quantizers, k <= LITERAL_K_CEILING); 'broadcast' scores each Arrow
     batch with a numpy GEMM against a closure-shipped centroid matrix
-    (right for large k); 'auto' picks by k. Both paths share tie
-    semantics, so the choice never changes results (equality-pinned in
-    tests/test_kmeans_skew.py)."""
+    (right for large k); 'auto' picks by k. Both paths share tie-break
+    direction and float64 scoring; summation order differs (fold vs
+    BLAS), so last-ulp near-ties between centroids can in principle
+    flip — equality is pinned empirically at small and large k in
+    tests/test_kmeans_skew.py, and a pipeline that needs bit-stable
+    assignments across k changes should fix assign_mode explicitly."""
     if assign_mode not in ("auto", "literal", "broadcast"):
         raise ValueError(f"unknown assign_mode {assign_mode!r}")
     use_broadcast = assign_mode == "broadcast" or (

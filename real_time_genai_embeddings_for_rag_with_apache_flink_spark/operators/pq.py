@@ -159,8 +159,11 @@ def pq_encode(
     closure and scores each Arrow batch with one numpy GEMM per
     subspace — the large-K path (e.g. 2-byte codes, K=65536, where a
     literal tree is unbuildable). 'auto' picks by K. Ties break to the
-    lowest code on both paths (strict < fold vs numpy first-argmin);
-    equality at small K is pinned in tests/test_pq.py."""
+    lowest code on both paths (strict < fold vs numpy first-argmin),
+    but the paths compute distance differently (sum (s-c)^2 fold vs
+    the GEMM expansion |c|^2 - 2 s.c), so codes can flip on last-ulp
+    near-ties between codewords; equality is pinned empirically in
+    tests/test_pq.py, and K-stable pipelines should fix assign_mode."""
     m = len(codebooks)
     n_codes = len(codebooks[0])
     if assign_mode not in ("auto", "literal", "broadcast"):

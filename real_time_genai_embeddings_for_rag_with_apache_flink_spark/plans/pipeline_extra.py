@@ -1705,9 +1705,12 @@ def prefix_filter_pairs(sh: DataFrame, tau: float) -> DataFrame:
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("b.doc_id") > F.col("a.doc_id"))
-            # length filter: Jaccard >= tau implies min >= tau * max
-            & (F.col("a.n_grams") >= tau * F.col("b.n_grams"))
-            & (F.col("b.n_grams") >= tau * F.col("a.n_grams")),
+            # length filter: Jaccard >= tau implies min >= tau * max —
+            # in the same exact p/q integer form as the prefix length
+            # (a float tau*n can land at k+1e-15 and drop a pair whose
+            # size sits exactly on the bound, e.g. tau=0.55, 55 vs 100)
+            & (F.col("a.n_grams").cast("long") * q >= F.col("b.n_grams") * p)
+            & (F.col("b.n_grams").cast("long") * q >= F.col("a.n_grams") * p),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")

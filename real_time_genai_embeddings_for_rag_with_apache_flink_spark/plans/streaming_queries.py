@@ -591,7 +591,16 @@ def run_incremental_dedup(
     if fp_state_mode == "auto":
         import importlib.util as _ilu
 
-        fp_state_mode = "delta" if _ilu.find_spec("delta") else "parquet"
+        # the Python package alone is not capability: the session must
+        # also carry the Delta JVM extension/catalog (a pip-installed
+        # delta-spark with an unconfigured session would crash at the
+        # first write with DATA_SOURCE_NOT_FOUND)
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+        fp_state_mode = (
+            "delta"
+            if _ilu.find_spec("delta") and "DeltaSparkSessionExtension" in exts
+            else "parquet"
+        )
     if fp_state_mode == "delta":
         from ..streaming.sinks import _default_delta_factory, delta_upsert_writer
 
@@ -1515,9 +1524,20 @@ def run_quota_sampling(
     1. each arrival's rank within its source = the source's accumulated
        accepted count + its row_number within the batch (partitioned by
        source, ordered by doc_id);
-    2. rank <= quota -> accepted, appended to the results table;
-    3. per-source accepted counts merge back into the counts table, so
-       batch k+1 ranks after every batch <= k, across restarts.
+    2. rank <= quota -> accepted, written to the batch's own results
+       subdirectory (overwrite — a replayed batch rewrites the same
+       rows rather than appending duplicates);
+    3. per-source accepted counts merge back into the counts table
+       atomically WITH a per-batch applied marker (one tmp-dir rename),
+       so batch k+1 ranks after every batch <= k, across restarts.
+
+    Replay protocol (each micro-batch is idempotent end to end): a
+    marker file _applied_{batch_id} travels inside the counts dir and
+    is committed by the same rename that commits the counts. On
+    replay, marker present -> the batch fully applied (its results
+    subdir was written BEFORE the counts swap) -> skip; marker absent
+    -> the counts are still pre-batch, so the recomputed accepted set
+    is identical and the overwrite converges.
 
     Batch-boundary independent by construction when the source replays
     in doc_id order: the accepted set is exactly the quota_s
@@ -1525,16 +1545,28 @@ def run_quota_sampling(
     SQL oracle (row_number per source <= quota) possible. Scale shape:
     per batch one window over the batch's rows (partitioned by source),
     one broadcast-sized counts join, one combinable count aggregate;
-    the corpus-sized data never shuffles beyond the source hash."""
+    the corpus-sized data never shuffles beyond the source hash. The
+    quota table is materialized ONCE to driver rows (one per source)
+    before the stream starts — passing the lazy plan through would
+    re-execute the full-corpus allocation query every batch."""
     counts_dir = os.path.join(work_root, "counts")
     results_dir = os.path.join(work_root, "accepted")
     ckpt = os.path.join(work_root, "ckpt")
-    q = quotas.select("source", F.col("n_allocated").cast("long").alias("quota"))
+    # driver-sized (a row per source): collect once so each batch joins
+    # a local-relation broadcast, not a re-executed corpus aggregate
+    q_rows = [
+        (r["source"], int(r["n_allocated"]))
+        for r in quotas.select("source", "n_allocated").collect()
+    ]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         sp = batch.sparkSession
+        marker = os.path.join(counts_dir, f"_applied_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch already fully applied
+        q = sp.createDataFrame(q_rows, "source string, quota long")
         if os.path.isdir(counts_dir):
             counts = sp.read.parquet(counts_dir)
         else:
@@ -1552,8 +1584,9 @@ def run_quota_sampling(
         accepted = ranked.filter(
             F.col("rank") <= F.coalesce(F.col("quota"), F.lit(0))
         ).persist()
-        accepted.select("doc_id", "source").write.mode("append").parquet(
-            results_dir
+        # idempotent per-batch output: overwrite this batch's own subdir
+        accepted.select("doc_id", "source").write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"b{batch_id}")
         )
         new_counts = (
             accepted.groupBy("source")
@@ -1567,10 +1600,16 @@ def run_quota_sampling(
                 ).alias("n_accepted"),
             )
         )
-        # counts table is tiny (a row per source): rewrite atomically
-        # via a temp dir swap so a replayed batch converges
+        # counts table is tiny (a row per source): rewrite + marker
+        # committed by ONE atomic dir swap
         tmp = counts_dir + f"_tmp{batch_id}"
         new_counts.write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+        # carry forward prior batches' markers through the swap
+        if os.path.isdir(counts_dir):
+            for f in os.listdir(counts_dir):
+                if f.startswith("_applied_"):
+                    open(os.path.join(tmp, f), "w").close()
         import shutil
 
         if os.path.isdir(counts_dir):
@@ -1588,7 +1627,11 @@ def run_quota_sampling(
     LAST_RUN_BATCHES["st20"] = sum(
         1 for p in stream.recentProgress if p["numInputRows"] > 0
     )
-    return spark.read.schema("doc_id long, source string").parquet(results_dir)
+    return (
+        spark.read.schema("doc_id long, source string")
+        .option("recursiveFileLookup", "true")
+        .parquet(results_dir)
+    )
 
 
 @query(

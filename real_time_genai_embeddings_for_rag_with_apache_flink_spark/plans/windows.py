@@ -748,6 +748,10 @@ def sweep_line_peaks_twophase(pts: DataFrame, n_buckets: int = 32) -> DataFrame:
     lo, hi = pts.agg(
         F.min(F.col("t").cast("timestamp").cast("double")), F.max(F.col("t").cast("timestamp").cast("double"))
     ).collect()[0]
+    if lo is None:
+        # empty input: any bucketing of zero points works; pick one so
+        # the plan builds and (like the one-phase form) returns 0 rows
+        lo, hi = 0.0, 1.0
     width = max(hi - lo, 1e-9) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),

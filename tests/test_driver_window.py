@@ -1,12 +1,13 @@
 """The external driver records correctness rows for the FIRST 50
 catalog entries only (observed: CORRECTNESS_r02..r06 each held exactly
 the first 50 of the priority order). These tests pin the round-7
-rotation (the r6 verdict's directive): the three operators new this
+rotation (the r6 verdict's directive): the eight operators new this
 round lead (never driver-checked), then EVERY entry whose latest driver
 row is r02 (11), then the r03-stale entries — all predating the
-seam/skew-guard/state-partition refactors — except the five refactor-immune plans the window cannot fit
-(q27/q29/q34/q40/q54 scalar/pivot/subquery + m01/m02 multimodal),
-which lead the round-8 window."""
+seam/skew-guard/state-partition refactors — except the nine
+refactor-immune plans the window cannot fit (q27/q29/q34/q40/q54
+scalar/pivot/subquery + m01/m02 multimodal + w03/w04 native
+session-window / interval-join), which lead the round-8 window."""
 
 from __future__ import annotations
 
@@ -141,9 +142,10 @@ NEVER_CHECKED = (
 # staleness rotation, and none of their semantics changed this round).
 RECENTLY_CHECKED = R04_GREEN | R05_GREEN | R06_GREEN
 
-# The four r03-stale entries the 50-slot window cannot fit. Chosen to
+# The r03-stale entries the 50-slot window cannot fit (one yielded per
+# operator added to the never-checked head during round 7). Chosen to
 # yield because no round-4+ refactor (seam, skew guard, state
-# partitioning) touches their plans — pure scalar/subquery trees.
+# partitioning) touches their plans.
 DEFERRED_TO_R8 = {
     "q27_math_functions",
     "q29_array_functions",

@@ -488,7 +488,9 @@ def test_st18_serves_queries_across_real_micro_batches(spark):
     assert got == want and len(want) > 0
 
 
-def _mk_arrival_files(spark, tmp_path, name, files):
+def _mk_arrival_files(
+    spark, tmp_path, name, files, schema="doc_id long, text string"
+):
     """Write doc_id-ordered single-file micro-batch sources with
     strictly increasing mtimes (the file source processes oldest
     first)."""
@@ -501,7 +503,7 @@ def _mk_arrival_files(spark, tmp_path, name, files):
     base = 1_700_000_000
     for i, (fname, rows) in enumerate(files):
         p = os.path.join(src, fname)
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        spark.createDataFrame(rows, schema).coalesce(
             1
         ).write.mode("overwrite").parquet(p + ".tmp")
         part = glob.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
@@ -713,22 +715,9 @@ def test_quota_sampling_state_across_batches_and_restart(spark, tmp_path):
     want = {(1, "a"), (3, "a"), (5, "a"), (2, "b")}  # 3 a's + 1 b, no c
 
     def mk_src(name, files):
-        import glob
-        import shutil
-
-        src = str(tmp_path / name)
-        os.makedirs(src)
-        base = 1_700_000_000
-        for i, (fname, rows) in enumerate(files):
-            p = os.path.join(src, fname)
-            spark.createDataFrame(
-                rows, "doc_id long, source string"
-            ).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
-            part = glob.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
-            shutil.move(part, p)
-            shutil.rmtree(p + ".tmp")
-            os.utime(p, (base + 10 * i, base + 10 * i))
-        return src
+        return _mk_arrival_files(
+            spark, tmp_path, name, files, schema="doc_id long, source string"
+        )
 
     def arrivals(src):
         return (
