@@ -768,3 +768,35 @@ def test_quota_sampling_state_across_batches_and_restart(spark, tmp_path):
     assert phase2 == want, (
         "post-restart batch must rank after the pre-restart accepted counts"
     )
+
+
+def test_quota_exceeding_availability_accepts_everything(spark, tmp_path):
+    """st20 edge: a quota larger than a source's arrivals accepts every
+    row and never blocks the stream (the rank filter simply never
+    trips); unknown sources (no quota row) accept nothing."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_quota_sampling,
+    )
+
+    quotas = spark.createDataFrame(
+        [("a", 99), ("b", 2)], "source string, n_allocated long"
+    )
+    files = [
+        ("f1.parquet", [(1, "a"), (2, "zzz")]),  # zzz has no quota row
+        ("f2.parquet", [(3, "a"), (4, "b")]),
+    ]
+    src = _mk_arrival_files(
+        spark, tmp_path, "src_q", files, schema="doc_id long, source string"
+    )
+    out = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(
+            spark,
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            quotas,
+            str(tmp_path / "work_q"),
+        ).collect()
+    }
+    assert out == {(1, "a"), (3, "a"), (4, "b")}
