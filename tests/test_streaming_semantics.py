@@ -580,9 +580,11 @@ def test_stream_verified_neardups_multibatch(spark, tmp_path):
             work,
             corpus_shingles=corpus_shingles,
         )
-        ver = spark.read.schema(
-            "doc_id long, corpus_doc_id long, jaccard double"
-        ).parquet(os.path.join(work, "verified"))
+        ver = (
+            spark.read.schema("doc_id long, corpus_doc_id long, jaccard double")
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(work, "verified"))
+        )
         return {(r.doc_id, r.corpus_doc_id, r.jaccard) for r in ver.collect()}
 
     split = run([("a.parquet", file_a), ("b.parquet", file_b)], "split")
