@@ -62,7 +62,11 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
         F.element_at(scored, 1),
         lambda acc, s: F.when(s.sim > acc.sim, s).otherwise(acc),
     )
-    return best.cell
+    # A NULL vector scores NULL against every centroid, and the fold's
+    # null-comparison keeps the initial accumulator — without the guard
+    # it would silently land in cell 0. Emit NULL instead (matching the
+    # broadcast path's masked rows).
+    return F.when(vec.isNotNull(), best.cell)
 
 
 def assign_cells_broadcast(
@@ -112,17 +116,22 @@ def assign_cells_broadcast(
     @F.pandas_udf("int")
     def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            if len(series) == 0:
-                yield pd.Series([], dtype="int32")
-                continue
-            M = np.array([np.asarray(v, dtype=np.float64) for v in series])
-            scores = M @ C.T
-            if metric == "cosine":
-                best = scores.argmax(axis=1)
-            else:
-                # argmin of -2 v.c + |c|^2 == argmin of squared L2
-                best = (c_sq[None, :] - 2.0 * scores).argmin(axis=1)
-            yield pd.Series(best.astype("int32"))
+            # NULL vectors get NULL cells (the literal path's guarded
+            # semantics); np.asarray(None) would otherwise crash the task
+            mask = series.notna().to_numpy()
+            out = pd.Series([None] * len(series), dtype="Int32")
+            if mask.any():
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in series[mask]]
+                )
+                scores = M @ C.T
+                if metric == "cosine":
+                    best = scores.argmax(axis=1)
+                else:
+                    # argmin of -2 v.c + |c|^2 == argmin of squared L2
+                    best = (c_sq[None, :] - 2.0 * scores).argmin(axis=1)
+                out.iloc[np.flatnonzero(mask)] = best.astype("int32")
+            yield out
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 

@@ -177,11 +177,15 @@ def pq_encode(
             df, codebooks, dim, vec_col, id_col, extra_cols
         )
     slices = _sub_slices(F.col(vec_col), dim, m)
+    # NULL vector -> NULL codes (not [0]*m — a null subvector's null
+    # dist keeps the fold's initial accumulator), matching the
+    # broadcast path's masked rows.
     return df.select(
         id_col,
         *extra_cols,
-        F.array(
-            *[_l2_argmin(slices[s], codebooks[s]) for s in range(m)]
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.array(*[_l2_argmin(slices[s], codebooks[s]) for s in range(m)]),
         ).alias("codes"),
     )
 
@@ -211,17 +215,23 @@ def _pq_encode_broadcast(
     @F.pandas_udf("array<int>")
     def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            if len(series) == 0:
-                yield pd.Series([], dtype=object)
-                continue
-            M = np.array([np.asarray(v, dtype=np.float64) for v in series])
-            out = np.empty((len(M), m), dtype=np.int32)
-            for s in range(m):
-                S = M[:, s * sub : (s + 1) * sub]
-                out[:, s] = (c_sq[s][None, :] - 2.0 * (S @ CB[s].T)).argmin(
-                    axis=1
+            # NULL vectors get NULL codes (the literal path's guarded
+            # semantics); np.asarray(None) would otherwise crash the task
+            mask = series.notna().to_numpy()
+            out = [None] * len(series)
+            if mask.any():
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in series[mask]]
                 )
-            yield pd.Series([r.tolist() for r in out])
+                codes = np.empty((len(M), m), dtype=np.int32)
+                for s in range(m):
+                    S = M[:, s * sub : (s + 1) * sub]
+                    codes[:, s] = (
+                        c_sq[s][None, :] - 2.0 * (S @ CB[s].T)
+                    ).argmin(axis=1)
+                for j, i in enumerate(np.flatnonzero(mask)):
+                    out[i] = codes[j].tolist()
+            yield pd.Series(out, dtype=object)
 
     return df.select(id_col, *extra_cols, _codes(F.col(vec_col)).alias("codes"))
 

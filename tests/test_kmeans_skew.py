@@ -198,3 +198,41 @@ def test_ivf_assign_broadcast_equals_literal(spark):
         for r in ivf_assign(em, shifted, assign_mode="broadcast").collect()
     }
     assert bc == lit and len(set(lit.values())) > 1
+
+
+def test_null_embedding_gets_null_cell_in_both_modes(spark):
+    """A NULL vector must assign to a NULL cell in BOTH paths: the
+    broadcast UDF used to crash the task on np.asarray(None), and the
+    literal fold used to silently keep its initial accumulator (cell 0).
+    Flipping assign_mode must never change null handling."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+        assign_cells_broadcast,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    lit = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _nearest_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    bc = {
+        r.vec_id: r.cell
+        for r in assign_cells_broadcast(df, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert lit == {1: 0, 2: None, 3: 1}
+    assert bc == lit
+    for metric in ("l2",):
+        bc2 = {
+            r.vec_id: r.cell
+            for r in assign_cells_broadcast(df, cents, metric=metric)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert bc2 == lit

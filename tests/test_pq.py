@@ -190,3 +190,29 @@ def test_pq_encode_broadcast_equals_literal(spark, corpus):
             codes.append(int(d.argmin()))
         want[vid] = tuple(codes)
     assert got == want
+
+
+def test_null_embedding_gets_null_codes_in_both_modes(spark):
+    """A NULL vector must encode to NULL codes in BOTH paths: the
+    broadcast UDF used to crash on np.asarray(None), and the literal
+    fold used to emit [0]*M (its initial accumulator) — silently
+    assigning junk codes. Flipping assign_mode must not change null
+    handling."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 1.0], [1.0, 0.0]],
+    ]
+    lit = {
+        r.vec_id: (tuple(r.codes) if r.codes is not None else None)
+        for r in pq_encode(df, books, 4, assign_mode="literal").collect()
+    }
+    bc = {
+        r.vec_id: (tuple(r.codes) if r.codes is not None else None)
+        for r in pq_encode(df, books, 4, assign_mode="broadcast").collect()
+    }
+    assert lit == {1: (0, 0), 2: None}
+    assert bc == lit
