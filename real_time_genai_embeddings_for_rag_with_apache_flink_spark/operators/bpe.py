@@ -132,6 +132,128 @@ def bpe_merges(
         base.unpersist()
 
 
+def _train_incremental(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Worker-side BPE trainer: the full Sennrich loop in one process.
+
+    Same contract as the naive per-round formulation (pair counts with
+    per-occurrence multiplicity, argmax by count DESC / pair ASC,
+    greedy left-to-right rewrite — pinned equal in tests/test_bpe.py),
+    but O(touched words) per merge instead of O(vocabulary): a pair ->
+    word-index inverted index confines each rewrite to the words that
+    actually contain the merged pair, and the argmax is a lazy-deletion
+    heap (stale entries are re-validated against the live count on
+    pop). The (-count, pair) heap ordering IS the tie rule. This is
+    what makes real merge counts (30k) one task instead of 30k Spark
+    jobs with fold-deepening lineage."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in vocab]
+    counts = [int(c) for _, c in vocab]
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for idx, syms in enumerate(words):
+        c = counts[idx]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            where[p].add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if -negc > 0 and pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (l, r), cnt = best
+        merges.append((rank, l, r, cnt))
+        touched = where.pop((l, r), set())
+        for idx in touched:
+            syms = words[idx]
+            c = counts[idx]
+            if not any(
+                a == l and b == r for a, b in zip(syms, syms[1:])
+            ):
+                continue  # stale index entry: pair already rewritten away
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                else:
+                    heapq.heappush(heap, (-pair_counts[p], p))
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                where[p].add(idx)
+                heapq.heappush(heap, (-pair_counts[p], p))
+        pair_counts.pop((l, r), None)
+    return merges
+
+
+def bpe_merges_local(
+    word_counts: DataFrame,
+    n_merges: int = 1000,
+    word_col: str = "word",
+    count_col: str = "n",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges with the WHOLE training loop inside
+    one Spark task — the real-merge-count path (a production vocab is
+    O(30k) merges, where the distributed per-round loop would be 30k
+    sequential jobs with an unbuildable fold lineage).
+
+    The vocabulary streams to the task as Arrow batches (mapInPandas
+    over a single partition — no driver collect, no py4j row loop; the
+    task runs executor-side with executor memory), the incremental
+    trainer (_train_incremental) runs the full loop there, and only the
+    merge table (n_merges rows) comes back. Same deterministic contract
+    as bpe_merges — the two are pinned equal per-rank in
+    tests/test_bpe.py, and both equal the pure-Python reference.
+
+    Scale split: a (word, count) vocabulary saturates in the millions
+    of rows at any corpus size — single-task-sized by construction.
+    For a vocabulary that genuinely exceeds one worker, fall back to
+    bpe_merges (per-round distributed aggregate), which never holds
+    the vocabulary in one place."""
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: list[tuple[str, int]] = []
+        for pdf in batches:
+            vocab.extend(zip(pdf["word"], pdf["n"]))
+        merges = _train_incremental(vocab, n_merges)
+        yield pd.DataFrame(
+            merges, columns=["merge_rank", "left", "right", "pair_count"]
+        )
+
+    out = (
+        word_counts.select(
+            F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("n")
+        )
+        .repartition(1)
+        .mapInPandas(
+            train, "merge_rank int, left string, right string, pair_count long"
+        )
+    )
+    return [
+        (int(r.merge_rank), r.left, r.right, int(r.pair_count))
+        for r in out.collect()
+    ]
+
+
 def corpus_word_counts(
     docs: DataFrame, text_norm: Column, min_len: int = 1
 ) -> DataFrame:

@@ -960,6 +960,40 @@ def t22_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t22b_bpe_vocab_local",
+    oracle=None,  # iterative argmax-dependent rewrite; pinned by tests/test_bpe.py
+    tags=("curation", "tokenizer", "bpe", "iterative"),
+    bench=True,
+)
+def t22b_bpe_vocab_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction at REAL merge counts — 1000 BPE merges in
+    ONE Spark job. t22 demonstrates the distributed per-round loop
+    (one pair-aggregate job + driver collect per merge: fine at 10,
+    an unbuildable 30k-job lineage at production vocab sizes); this
+    entry runs the whole Sennrich loop inside a single mapInPandas
+    task over the (word, count) vocabulary (operators/bpe.py
+    bpe_merges_local): the vocabulary streams in as Arrow batches —
+    never through the driver — and an incremental pair-index trainer
+    (O(touched words) per merge, lazy-deletion heap argmax) emits the
+    full merge table in milliseconds per merge. Cost is one corpus
+    pass (word counting) + one vocabulary-sized task, independent of
+    n_merges x jobs — the scale shape a 30k-merge production vocab
+    needs. Deterministic (count DESC, pair ASC ties) and pinned
+    per-rank equal to BOTH the distributed path and the pure-Python
+    Sennrich reference in tests/test_bpe.py; rows-only here (unbounded
+    iteration has no engine-portable SQL)."""
+    from ..operators.bpe import bpe_merges_local, corpus_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    wc = corpus_word_counts(docs, normalized_text(F.col("text")))
+    merges = bpe_merges_local(wc, n_merges=1000)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+@query(
     "t23_bpe_tokenize",
     oracle=None,  # learned-merge tokenization; pinned by tests/test_bpe.py
     tags=("curation", "tokenizer", "bpe", "token-count"),

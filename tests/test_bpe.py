@@ -182,3 +182,76 @@ def test_bpe_tokenize_matches_python_reference(spark):
     assert got == want
     for w, b, c in got.values():
         assert w <= b <= c
+
+
+def test_local_trainer_matches_reference_at_1000_merges(spark):
+    """bpe_merges_local (the one-task incremental trainer) must emit
+    the EXACT merge sequence of the naive per-round reference at real
+    merge depth — the inverted-index + lazy-heap rewrite is an
+    optimization, not a semantics change. Synthetic vocab sized so
+    1000 merges don't exhaust it."""
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.bpe import (
+        bpe_merges_local,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefghij"
+    wc = {}
+    for _ in range(800):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 14)))
+        wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+
+    got = bpe_merges_local(df, n_merges=1000)
+    want = _python_bpe(wc, 1000)
+    assert len(got) >= 1000, "vocab must not exhaust before 1000 merges"
+    assert got == want
+
+
+def test_local_trainer_matches_distributed_path_on_corpus(spark):
+    """The two trainers (per-round distributed jobs vs one incremental
+    task) are the same algorithm: per-rank identical merges and counts
+    on the real sf0.001 vocabulary, at the distributed path's depth."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.text import (
+        normalized_text,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.bpe import (
+        bpe_merges_local,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc_df = corpus_word_counts(docs, normalized_text(F.col("text")))
+    dist = bpe_merges(wc_df, n_merges=10)
+    local = bpe_merges_local(wc_df, n_merges=10)
+    assert local == dist
+
+    # and the catalog entry's depth against the pure-Python reference
+    wc = {r.word: r.n for r in wc_df.collect()}
+    deep = bpe_merges_local(wc_df, n_merges=1000)
+    assert deep == _python_bpe(wc, 1000)
+
+
+def test_local_trainer_edge_vocabularies(spark):
+    """Exhaustion (merges stop when no pair remains), single-char-only
+    vocab (zero merges), and the 'aaa' multiplicity rule."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.bpe import (
+        bpe_merges_local,
+    )
+
+    df = spark.createDataFrame([("ab", 3), ("a", 5)], "word string, n long")
+    got = bpe_merges_local(df, n_merges=50)
+    assert got == _python_bpe({"ab": 3, "a": 5}, 50)
+    assert len(got) == 1  # 'ab' merges once, then nothing remains
+
+    single = spark.createDataFrame([("a", 9), ("b", 2)], "word string, n long")
+    assert bpe_merges_local(single, n_merges=5) == []
+
+    aaa = spark.createDataFrame([("aaa", 4)], "word string, n long")
+    got3 = bpe_merges_local(aaa, n_merges=5)
+    assert got3 == _python_bpe({"aaa": 4}, 5)
+    assert got3[0] == (1, "a", "a", 8)  # 2 occurrences x count 4
