@@ -230,6 +230,34 @@ def stream_documents(
 # name actually executed (tests pin >= N_STREAM_FILES for split sources).
 LAST_RUN_BATCHES: dict[str, int] = {}
 
+# Session conf: when set to a directory (any Hadoop-FS URI), the
+# stateful streaming entries (st14/st14b/st20) root their work dirs —
+# checkpoint, accumulated state, results, and st14b's verified-pairs
+# review queue — under it at a stable, input-fingerprint-keyed path
+# instead of a fresh tempdir per run. With a stable root, a re-run
+# resumes the checkpoint (already-processed input adds zero batches)
+# and a pipeline owner can actually CONSUME the verified queue across
+# runs — the same restartable posture as the batch seam's
+# spark.graft.intermediateDir.
+STREAM_STATE_DIR_CONF = "spark.graft.streamStateDir"
+
+
+def _stream_work_root(spark: SparkSession, sf_dir: str, name: str) -> str:
+    base = spark.conf.get(STREAM_STATE_DIR_CONF, None)
+    if not base:
+        return tempfile.mkdtemp(prefix=f"{name}_")
+    import hashlib
+
+    from ..sources.batch import source_fingerprint
+
+    # same staleness key as the seam: a regenerated sf_dir (same path,
+    # new data) must get a fresh root, never resume stale state
+    fp = source_fingerprint(
+        os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    )
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12]
+    return f"{base.rstrip('/')}/{name}-{tag}"
+
 # name -> (append_dir, compacted_dir) of the last index-maintenance run
 # (tests pin partition pruning and the append->compact file contract).
 LAST_INDEX_DIRS: dict[str, tuple[str, str]] = {}
@@ -850,7 +878,7 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     arrivals = stream_documents(spark, sf_dir).filter(
         F.col("doc_id") % 3 == 0
     ).select("doc_id", "text")
-    work_root = tempfile.mkdtemp(prefix="st14_")
+    work_root = _stream_work_root(spark, sf_dir, "st14")
     with state_partitions(spark, 8):
         return run_incremental_dedup(
             spark, arrivals, corpus_fps, corpus_bands, work_root
@@ -932,7 +960,9 @@ def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFram
     batch-boundary independent: survivors and candidates are defined vs
     the INITIAL corpus, so the verified pair set is the same however
     micro-batch boundaries fall — which is what makes an engine-portable
-    oracle possible."""
+    oracle possible. Set spark.graft.streamStateDir to root the queue
+    (and checkpoint/state) at a stable location a pipeline owner can
+    consume across runs; unset, each run gets a fresh tempdir."""
     from .llmops import _lsh_bands_df, _minhash_signatures_df, _shingled_df
     from ..functions.text import doc_fingerprint
     from ..sources.batch import load_table
@@ -951,7 +981,7 @@ def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFram
     arrivals = stream_documents(spark, sf_dir).filter(
         F.col("doc_id") % 3 == 0
     ).select("doc_id", "text")
-    work_root = tempfile.mkdtemp(prefix="st14b_")
+    work_root = _stream_work_root(spark, sf_dir, "st14b")
     with state_partitions(spark, 8):
         run_incremental_dedup(
             spark,
@@ -1732,6 +1762,6 @@ def st20_stream_quota_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     quotas = t24_temperature_mixture(spark, sf_dir)
     arrivals = stream_documents(spark, sf_dir).select("doc_id", "source")
-    work_root = tempfile.mkdtemp(prefix="st20_")
+    work_root = _stream_work_root(spark, sf_dir, "st20")
     with state_partitions(spark, 8):
         return run_quota_sampling(spark, arrivals, quotas, work_root)

@@ -802,3 +802,38 @@ def test_quota_exceeding_availability_accepts_everything(spark, tmp_path):
         ).collect()
     }
     assert out == {(1, "a"), (3, "a"), (4, "b")}
+
+
+def test_stream_state_dir_conf_makes_runs_restartable(spark, tmp_path):
+    """spark.graft.streamStateDir: st14b's work root (checkpoint, fp
+    state, verified review queue) lands at a stable fingerprint-keyed
+    path under the configured dir, and a SECOND run of the same entry
+    resumes the checkpoint — zero new micro-batches, identical verified
+    queue (no duplication) — so the queue is consumable across runs."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        streaming_queries as sq,
+    )
+
+    from conftest import SF_SMOKE
+
+    base = str(tmp_path / "stream_state")
+    spark.conf.set(sq.STREAM_STATE_DIR_CONF, base)
+    try:
+        build = plans.get_spec("st14b_stream_verified_neardups").build
+        first = {tuple(r) for r in build(spark, SF_SMOKE).collect()}
+        assert sq.LAST_RUN_BATCHES["st14b"] > 0
+
+        import os
+
+        roots = os.listdir(base)
+        assert len(roots) == 1 and roots[0].startswith("st14b-")
+        assert os.path.isdir(os.path.join(base, roots[0], "verified"))
+
+        second = {tuple(r) for r in build(spark, SF_SMOKE).collect()}
+        assert second == first, "re-run must not duplicate the queue"
+        assert sq.LAST_RUN_BATCHES["st14b"] == 0, (
+            "already-processed input must add zero micro-batches"
+        )
+    finally:
+        spark.conf.unset(sq.STREAM_STATE_DIR_CONF)
