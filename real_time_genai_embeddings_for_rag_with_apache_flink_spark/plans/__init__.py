@@ -14,69 +14,67 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-7 window: the 8 entries new this round (never
-# driver-checked), then every r02-checked entry (11), then 31 of the 40
-# r03-checked entries — everything whose latest driver row predates the
-# round-4/5 seam, skew-guard and state-partition refactors. The 9
-# deferred r03 rows (q27/q29/q34/q40/q54 — pure scalar/pivot/subquery
-# plans no refactor touched — plus m01/m02 multimodal and w03/w04's
-# native session-window / plain interval-join plans, none of which any
-# refactor touched) lead the round-8 window.
+# entries only. Round-8 window (the r7 verdict's directive): the 2
+# entries new this round (never driver-checked) lead, then the 9
+# refactor-immune rows deferred from round 7 (latest driver row r03),
+# then 39 of the 46 rows whose latest driver row is r04. The 7 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q64 — pure pivot/percentile/
+# subquery/histogram plans untouched by any refactor since r04) lead
+# the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
-    "st14b_stream_verified_neardups",
-    "w12b_sketch_wau",
-    "w13b_peak_concurrency_twophase",
-    "t22_bpe_merge_learning",
-    "t23_bpe_tokenize",
-    "d29_bloom_decontamination",
-    "t24_temperature_mixture",
-    "st20_stream_quota_sampling",
-    # stalest: last driver-checked in r02
-    "q49_priority_late_orders",
-    "q50_argmax_aggregates",
-    "q51_volume_shipping",
-    "q52_market_share",
-    "q53_product_profit",
-    "q55_promo_revenue",
-    "q56_top_supplier",
-    "q57_supplier_part_counts",
-    "q58_disjunctive_join",
-    "q59_excess_volume_suppliers",
-    "q60_waiting_orders",
-    # next-stalest: last driver-checked in r03, all predating the
-    # seam/skew/state refactors their plans now ride
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_signatures",
-    "d07_hash_sample",
-    "d09_stratified_sample",
-    "p02_flagship_retrieval",
-    "s01_topk_cosine",
-    "s02_knn_join",
-    "s03_embedding_near_dup",
-    "s04_label_centroids",
-    "s05_ivf_search",
-    "s07_scalar_quantization",
-    "s08_hyperplane_lsh_buckets",
-    "st03_stream_dedup",
-    "st04_stream_filter_project",
-    "st06_stateful_user_totals",
-    "st09_stream_static_join",
-    "st10_foreachbatch_upsert",
-    "t01_text_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_bpe_token_count",
-    "t05_rolling_hash",
-    "t06_doc_chunking",
-    "t07_pii_redaction",
-    "t08_corpus_mixture",
-    "u01_grouped_agg_udaf",
-    "u02_mapinpandas_tokens",
-    "u03_grouped_map_zscore",
-    "w01_tumbling_window",
-    "w02_sliding_window",
+    "t22b_bpe_vocab_local",
+    "w15_rolling_zscore_anomaly",
+    # stalest: last driver-checked in r03 (deferred from round 7)
+    "m01_multimodal_decode",
+    "m02_frame_sampling",
+    "q27_math_functions",
+    "q29_array_functions",
+    "q34_pivot",
+    "q40_correlated_scalar",
+    "q54_priority_lateness",
+    "w03_session_window",
+    "w04_interval_join",
+    # next-stalest: last driver-checked in r04
+    "d11_repeated_ngrams",
+    "d12_decontamination",
+    "d13_training_shards",
+    "d14_semantic_dedup",
+    "m03_media_features",
+    "m04_media_resize",
+    "p01_pipeline_sink_docs",
+    "p03_embed_distinct",
+    "p04_python_datasource",
+    "p05_vecdir_sink_roundtrip",
+    "q61_important_parts",
+    "q62_returned_items",
+    "q63_customer_distribution",
+    "r01_salted_join",
+    "r02_salted_aggregation",
+    "s06_kmeans_cells",
+    "s09_product_quantization",
+    "s10_ivfpq_search",
+    "s11_hybrid_rrf",
+    "s12_random_projection",
+    "st01_stream_tumbling_complete",
+    "st02_stream_watermark_append",
+    "st05_stream_embed_pipeline",
+    "st07_stream_stream_join",
+    "st08_stream_session_append",
+    "st12_python_stream_source",
+    "t09_curation_rules",
+    "t10_repetition_stats",
+    "t11_bm25_retrieval",
+    "t12_vocab_heavy_hitters",
+    "t13_sequence_packing",
+    "t14_source_caps",
+    "t15_bigram_lm_quality",
+    "t16_source_datacard",
+    "w05_windowed_topk_users",
+    "w06_time_weighted_avg",
+    "w07_event_funnel",
+    "w08_subsequence_search",
+    "w09_retention_cohorts",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -879,3 +879,73 @@ def w14_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "w15_rolling_zscore_anomaly",
+    oracle="""
+WITH stats AS (
+  SELECT event_id, event_type, value,
+    AVG(value) OVER w AS mu,
+    STDDEV_SAMP(value) OVER w AS sd,
+    COUNT(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ROUND(value, 6) AS value,
+       ROUND((value - mu) / sd, 6) AS zscore
+FROM stats
+WHERE n_prior >= 10 AND sd > 0 AND ABS((value - mu) / sd) >= 2.5
+""",
+    tags=("window-time", "analytics", "anomaly", "data-quality"),
+    bench=True,
+)
+def w15_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    >= 2.5 sample standard deviations from the mean of the PRECEDING 20
+    same-type events — the self-calibrating outlier feed a data-quality
+    monitor runs over an ingest stream (a fixed threshold drifts; a
+    trailing window adapts per event type). The frame excludes the
+    current row (20 PRECEDING .. 1 PRECEDING), so an anomaly never
+    suppresses its own detection by inflating the window's variance,
+    and needs >= 10 prior events before scoring (cold-start guard).
+    Determinism: frames order by (ts, event_id) on both engines, so
+    simultaneous events don't reshuffle each other's windows. Scale
+    shape: ONE shuffle on event_type, then a bounded ROWS frame both
+    engines evaluate with running sums — O(n) per partition, state is
+    21 rows however long the stream. Per-type sequential evaluation is
+    the w13-class hazard; at 100 TB with few event types, range-bucket
+    the time axis and replicate each bucket's trailing 20 rows into its
+    successor (the w13b carry-in pattern) to restore parallelism
+    without changing any frame's contents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+        )
+        .filter(
+            (F.col("n_prior") >= 10)
+            & (F.col("sd") > 0)
+            & (F.abs(z) >= 2.5)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -35,6 +35,7 @@ HEADLINES = [
     ("w13b_peak_concurrency_twophase", "phase-1 Window partitioned by (event_type, bucket) — a hot key's sweep spreads over buckets; phase-2 carry-in Window runs over keys x n_buckets ROWS, then one aggregate"),
     ("w12b_sketch_wau", "hll_sketch_agg partial-merges map-side; the explode fans out day-level SKETCH rows (calendar-sized), never user rows, before hll_union_agg"),
     ("d29_bloom_decontamination", "the bloom probe is a Project/Filter over the distinct-gram scan — getbit over a literal word array, NO join on the membership test; joins appear only for per-doc counts"),
+    ("w15_rolling_zscore_anomaly", "one Exchange on event_type; bounded RowFrame(-20,-1) window (21-row state regardless of stream length); ReadSchema pruned to 4 columns — props/user_id never read"),
 ]
 
 

@@ -359,3 +359,14 @@ def test_w13b_twophase_windows_partition_by_bucket(spark):
     ), wins
     # phase 2: partition spec [event_type#N] alone (the carry-in pass)
     assert any(re.search(r"\[event_type#\d+\]", ln) for ln in wins), wins
+
+
+def test_w15_zscore_single_exchange_pruned_scan(spark):
+    """w15's promise: ONE shuffle (the event_type window exchange), a
+    bounded ROWS frame (no unbounded sort-spill window), and a scan
+    pruned to the 4 referenced columns — props/user_id never read."""
+    plan = _plan(spark, "w15_rolling_zscore_anomaly")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "specifiedwindowframe(RowFrame, -20, -1)" in plan, plan
+    read = plan.split("ReadSchema:")[1][:200]
+    assert "props" not in read and "user_id" not in read, read
