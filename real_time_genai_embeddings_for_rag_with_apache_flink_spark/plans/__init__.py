@@ -14,17 +14,18 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 2
+# entries only. Round-8 window (the r7 verdict's directive): the 3
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 39 of the 46 rows whose latest driver row is r04. The 7 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q64 — pure pivot/percentile/
+# then 38 of the 46 rows whose latest driver row is r04. The 8 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q63/q64 — pure pivot/percentile/
 # subquery/histogram plans untouched by any refactor since r04) lead
 # the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",
     "w15_rolling_zscore_anomaly",
+    "st21_stream_zscore_anomaly",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -48,7 +49,6 @@ DRIVER_WINDOW: list[str] = [
     "p05_vecdir_sink_roundtrip",
     "q61_important_parts",
     "q62_returned_items",
-    "q63_customer_distribution",
     "r01_salted_join",
     "r02_salted_aggregation",
     "s06_kmeans_cells",

@@ -1765,3 +1765,152 @@ def st20_stream_quota_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_root = _stream_work_root(spark, sf_dir, "st20")
     with state_partitions(spark, 8):
         return run_quota_sampling(spark, arrivals, quotas, work_root)
+
+
+def run_rolling_zscore(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    frame: int = 20,
+    min_prior: int = 10,
+    tau: float = 2.5,
+) -> DataFrame:
+    """Streaming rolling z-score anomalies: w15's bounded ROWS-frame
+    analytic run continuously — a shape native Structured Streaming
+    cannot express (row-count frames aren't a streaming window), made
+    incremental with the engine's own state protocol.
+
+    Per micro-batch (foreachBatch): the per-type TRAILING BUFFER (the
+    last ``frame`` rows per event_type before this batch) is read from
+    a VersionedState table, unioned with the batch, and the exact w15
+    window expression runs over the union; only the batch's own rows
+    are emitted (the buffer rows exist solely to supply their frames),
+    to the batch's overwrite-committed results subdir. The new buffer —
+    last ``frame`` rows per type of (buffer ∪ batch), a rank-desc
+    filter — commits as the next state version (statefs: one atomic
+    _COMMIT file creation, object-store-safe, replay converges because
+    the committed version number IS the applied-batch marker).
+
+    Correctness is exact, not approximate: a row's frame (the
+    ``frame`` preceding same-type rows) is always contained in
+    buffer ∪ earlier-in-batch rows when arrivals replay in global
+    (ts, event_id) order — which the split source guarantees — so the
+    emitted set equals the batch computation row for row (the w15 SQL
+    is this entry's oracle, hash-checked). State is ``frame`` rows per
+    event type however long the stream runs; per batch: one window
+    over (buffer + batch) rows, one rank filter, no corpus-sized
+    anything."""
+    from pyspark.sql import Window
+
+    from ..streaming.statefs import VersionedState, mkdirs
+
+    root = work_root.rstrip("/")
+    state = VersionedState(spark, f"{root}/trail")
+    results_dir = f"{root}/anomalies"
+    ckpt = os.path.join(work_root, "ckpt")
+    mkdirs(spark, results_dir)
+    cols = ["event_id", "ts", "event_type", "value"]
+    state_schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        buffer = state.read(state_schema)
+        allr = buffer.withColumn("is_new", F.lit(False)).unionByName(
+            batch.select(*cols).withColumn("is_new", F.lit(True))
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-frame, -1)
+        )
+        z = (F.col("value") - F.col("mu")) / F.col("sd")
+        scored = allr.select(
+            "*",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+        )
+        (
+            scored.filter(
+                F.col("is_new")
+                & (F.col("n_prior") >= min_prior)
+                & (F.col("sd") > 0)
+                & (F.abs(z) >= tau)
+            )
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 6).alias("value"),
+                F.round(z, 6).alias("zscore"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{results_dir}/b{batch_id}")
+        )
+        wdesc = Window.partitionBy("event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        new_buffer = (
+            allr.select(*cols)
+            .withColumn("rn", F.row_number().over(wdesc))
+            .filter(F.col("rn") <= frame)
+            .drop("rn")
+        )
+        state.commit(new_buffer, batch_id)
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st21"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return (
+        spark.read.schema(
+            "event_id long, event_type string, value double, zscore double"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(results_dir)
+    )
+
+
+@query(
+    "st21_stream_zscore_anomaly",
+    oracle="""
+WITH stats AS (
+  SELECT event_id, event_type, value,
+    AVG(value) OVER w AS mu,
+    STDDEV_SAMP(value) OVER w AS sd,
+    COUNT(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ROUND(value, 6) AS value,
+       ROUND((value - mu) / sd, 6) AS zscore
+FROM stats
+WHERE n_prior >= 10 AND sd > 0 AND ABS((value - mu) / sd) >= 2.5
+""",
+    tags=("streaming", "stateful", "anomaly", "data-quality"),
+    bench=True,
+)
+def st21_stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w15's rolling z-score anomaly feed, STREAMING: events replay as
+    N_STREAM_FILES time-ordered micro-batches and each batch's outliers
+    are scored against the trailing 20 same-type events — across batch
+    boundaries — via a per-type trailing buffer carried in restartable
+    VersionedState (see run_rolling_zscore). The emitted anomaly set is
+    row-for-row the batch computation's (bounded ROWS frames are
+    inexpressible in native streaming windows; the buffer construction
+    makes the incremental result exact, and the w15 SQL is the oracle,
+    hash-checked). Honors spark.graft.streamStateDir for a stable,
+    resumable work root."""
+    arrivals = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st21")
+    with state_partitions(spark, 8):
+        return run_rolling_zscore(spark, arrivals, work_root)

@@ -4,8 +4,8 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the seven pivot/percentile/subquery/histogram plans the
-window cannot fit (latest row r04, untouched by any refactor since),
+rows — except the eight pivot/percentile/subquery/histogram/TPC-H plans
+the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
 from __future__ import annotations
@@ -47,6 +47,7 @@ LATEST_R04 = {
 NEVER_CHECKED = (
     "t22b_bpe_vocab_local",
     "w15_rolling_zscore_anomaly",
+    "st21_stream_zscore_anomaly",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -54,6 +55,7 @@ NEVER_CHECKED = (
 # GEMM assignment, streaming state protocol) touches their plans.
 DEFERRED_TO_R9 = {
     "q34b_pivot_native",
+    "q63_customer_distribution",
     "q35_unpivot",
     "q36_percentiles",
     "q41_min_price_line",

@@ -143,6 +143,7 @@ def test_split_source_replays_multiple_microbatches(spark):
         ("st02_stream_watermark_append", sq.st02_stream_watermark_append),
         ("st03_stream_dedup", sq.st03_stream_dedup),
         ("st14_stream_incremental_dedup", sq.st14_stream_incremental_dedup),
+        ("st21_stream_zscore_anomaly", sq.st21_stream_zscore_anomaly),
     ):
         builder(spark, sf_dir).collect()
         short = name.split("_")[0]
