@@ -362,3 +362,63 @@ def ivfpq_search(
         )
         scored = part if scored is None else scored.unionAll(part)
     return scored.orderBy("approx_dist", id_col).limit(k)
+
+
+def ivfpq_search_refined(
+    corpus: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC+R: the two-stage refinement on top of ivfpq_search — ADC
+    shortlists k * shortlist_mult candidates cheaply, then the TRUE
+    squared-L2 against the raw vectors re-ranks the shortlist and cuts
+    to k. This is how a production ANN serves quality: quantization
+    error only has to preserve membership in the shortlist, not the
+    final ordering, so recall jumps while the expensive exact math runs
+    on k * mult rows instead of the corpus.
+
+    Scale shape: stage 1 is ivfpq_search's scan (nprobe/K of the code
+    table, no shuffle); stage 2 BROADCASTS the driver-small shortlist
+    (k * mult rows of ids) back against the corpus — a broadcast hash
+    join, so the corpus is never shuffled and the raw vectors of
+    non-candidates are never deserialized past the join filter. The
+    query enters the exact fold as ONE array literal (a per-element
+    literal loop would cost dim py4j round trips). Deterministic:
+    exact-distance ties break on id; the shortlist's own ties already
+    break on id inside ivfpq_search."""
+    shortlist = ivfpq_search(
+        corpus,
+        query_vec,
+        nprobe=nprobe,
+        k=k * shortlist_mult,
+        m=m,
+        n_codes=n_codes,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), q, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        corpus.join(F.broadcast(shortlist), id_col)
+        .select(
+            id_col,
+            "approx_dist",
+            F.round(exact, 6).alias("exact_dist"),
+        )
+        .orderBy("exact_dist", id_col)
+        .limit(k)
+    )

@@ -386,6 +386,33 @@ def s10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s20_ivfpq_refined",
+    oracle=None,  # Lloyd-iterative codebook training is not SQL-expressible
+    tags=("similarity", "quantization", "ann", "rerank"),
+)
+def s20_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R — s10's IVF-PQ search with the production refinement
+    stage (operators/pq.py ivfpq_search_refined): the ADC scan
+    shortlists 4x the requested k, then TRUE squared-L2 against the raw
+    vectors re-ranks the shortlist and cuts to 10. Quantization error
+    now only has to keep true neighbors inside the shortlist, not order
+    them, so recall rises while the exact math runs on 40 rows instead
+    of the corpus; the shortlist rejoins the corpus as a BROADCAST hash
+    join (ids only — the corpus never shuffles and non-candidates'
+    vectors are never touched). Rows-only; tests/test_pq.py pins
+    exact_dist equal to brute force on every returned id, the ordering,
+    and refined-recall >= unrefined-recall."""
+    from ..operators.pq import ivfpq_search_refined
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+    return ivfpq_search_refined(
+        emb, [float(x) for x in qrow], nprobe=4, k=10, shortlist_mult=4,
+        m=4, n_codes=16, iterations=2,
+    )
+
+
+@query(
     "p04_python_datasource",
     oracle="""
 WITH gen AS (

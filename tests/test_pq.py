@@ -216,3 +216,41 @@ def test_null_embedding_gets_null_codes_in_both_modes(spark):
     }
     assert lit == {1: (0, 0), 2: None}
     assert bc == lit
+
+
+def test_ivfpq_refined_rerank_is_exact_on_shortlist(spark, corpus):
+    """IVFADC+R (ivfpq_search_refined): the refined stage's exact_dist
+    must equal brute-force squared-L2 for every returned id, the
+    result must be ordered by it, and refined recall@10 vs exact
+    search must be >= the unrefined ADC ordering's recall (refinement
+    can only fix orderings inside the shortlist, never hurt them)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
+        ivfpq_search,
+        ivfpq_search_refined,
+    )
+
+    emb, ids, vecs = corpus
+    X = vecs.astype(np.float64)
+    ids = list(ids)
+    q = X[0]
+    exact_order = sorted(
+        range(len(ids)), key=lambda i: (((X[i] - q) ** 2).sum(), ids[i])
+    )
+    exact_top = {ids[i] for i in exact_order[:10]}
+
+    kwargs = dict(nprobe=4, k=10, m=M, n_codes=K, iterations=ITERS)
+    plain = ivfpq_search(emb, [float(x) for x in q], **kwargs).collect()
+    refined = ivfpq_search_refined(
+        emb, [float(x) for x in q], shortlist_mult=4, **kwargs
+    ).collect()
+
+    by_id = {ids[i]: ((X[i] - q) ** 2).sum() for i in range(len(ids))}
+    for r in refined:
+        assert abs(r.exact_dist - by_id[r.vec_id]) < 1e-6
+    dists = [r.exact_dist for r in refined]
+    assert dists == sorted(dists)
+
+    recall_plain = len({r.vec_id for r in plain} & exact_top) / 10
+    recall_refined = len({r.vec_id for r in refined} & exact_top) / 10
+    assert recall_refined >= recall_plain
+    assert recall_refined >= 0.5, recall_refined
