@@ -14,11 +14,11 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 4
+# entries only. Round-8 window (the r7 verdict's directive): the 6
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 37 of the 46 rows whose latest driver row is r04. The 9 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q62/q63/q64 — pure pivot/percentile/
+# then 35 of the 46 rows whose latest driver row is r04. The 11 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13 — pure pivot/percentile/
 # subquery/histogram plans untouched by any refactor since r04) lead
 # the round-9 window.
 DRIVER_WINDOW: list[str] = [
@@ -27,6 +27,8 @@ DRIVER_WINDOW: list[str] = [
     "w15_rolling_zscore_anomaly",
     "st21_stream_zscore_anomaly",
     "s20_ivfpq_refined",
+    "w16_windowed_distinct_users",
+    "p15_snapshot_diff",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -48,7 +50,6 @@ DRIVER_WINDOW: list[str] = [
     "p03_embed_distinct",
     "p04_python_datasource",
     "p05_vecdir_sink_roundtrip",
-    "q61_important_parts",
     "r01_salted_join",
     "r02_salted_aggregation",
     "s06_kmeans_cells",
@@ -66,7 +67,6 @@ DRIVER_WINDOW: list[str] = [
     "t10_repetition_stats",
     "t11_bm25_retrieval",
     "t12_vocab_heavy_hitters",
-    "t13_sequence_packing",
     "t14_source_caps",
     "t15_bigram_lm_quality",
     "t16_source_datacard",

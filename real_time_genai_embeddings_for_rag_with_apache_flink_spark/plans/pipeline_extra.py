@@ -2026,3 +2026,81 @@ def p14_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.col("backfilled").cast("long")).alias("n_backfilled"),
     )
+
+
+@query(
+    "p15_snapshot_diff",
+    oracle="""
+WITH v0 AS (
+  SELECT doc_id, md5(text) AS fp, n_chars FROM documents WHERE doc_id % 3 != 0
+),
+v1 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END) AS fp,
+         n_chars + CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 4 != 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT CASE WHEN v0.doc_id IS NULL THEN 'added'
+              WHEN v1.doc_id IS NULL THEN 'removed'
+              WHEN v0.fp != v1.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(v1.n_chars, v0.n_chars) AS chars
+  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+)
+GROUP BY status
+""",
+    tags=("governance", "diff", "pipeline"),
+)
+def p15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version diff — the governance query every training-data
+    release runs: given two corpus snapshots, classify every document
+    as added / removed / changed / unchanged by content fingerprint and
+    report per-status counts and character mass. Here v0 is the corpus
+    split (doc_id % 3 != 0) and v1 a simulated next release (different
+    membership, every fifth document's text edited — both engines apply
+    the same deterministic edit, so 'changed' is real fingerprint
+    drift, not trivia). Shape: two fingerprint projections (16-byte
+    md5, never the text twice) full-outer-joined on doc_id — ONE
+    shuffle on the id, the same-table scan shared; the status rollup is
+    a combinable 4-group aggregate. At 100 TB this is the id-partition
+    join d25's cross-source matrix already prices; snapshots stored
+    id-bucketed make it zero-Exchange (the p13 layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v0 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars"
+    )
+    edited = F.col("doc_id") % 5 == 0
+    v1 = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(edited, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+        (F.col("n_chars") + F.when(edited, F.lit(8)).otherwise(F.lit(0))).alias(
+            "n_chars"
+        ),
+    )
+    j = v0.alias("a").join(
+        v1.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.n_chars"), F.col("a.n_chars")).alias("chars"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -949,3 +949,57 @@ def w15_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "w16_windowed_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(MAX(du) AS BIGINT) AS max_distinct_50,
+       ROUND(AVG(du), 6) AS avg_distinct_50
+FROM (
+  SELECT event_type,
+         COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS du
+  FROM events
+)
+GROUP BY event_type
+""",
+    tags=("window-time", "analytics", "distinct"),
+    bench=True,
+)
+def w16_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation inside a sliding ROWS frame: per event the
+    count of distinct users among the trailing 50 same-type events,
+    summarized per type (max + mean) — the 'how concentrated is recent
+    activity' signal a rate-limiter or abuse monitor reads. Spark has
+    no COUNT(DISTINCT) OVER; the engine expresses it as
+    size(collect_set(user) OVER frame) — semantically identical (both
+    count distinct non-null values in the frame), which the DuckDB
+    oracle proves by computing the literal COUNT(DISTINCT) OVER form.
+    Determinism: frames order by (ts, event_id). Scale shape: one
+    shuffle on event_type + a bounded 50-row frame whose state is the
+    frame's user set (<= 50 entries); the per-type summary is a
+    combinable aggregate. Per-type serialization is the w13-class
+    hazard; the w13b range-bucket + carry-in pattern applies unchanged
+    if a single type dominates."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.size(F.collect_set("user_id").over(w)).alias("du"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("du").cast("long").alias("max_distinct_50"),
+            F.round(F.avg("du"), 6).alias("avg_distinct_50"),
+        )
+    )

@@ -4,7 +4,8 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the nine pivot/percentile/subquery/histogram/TPC-H plans
+rows — except the eleven pivot/percentile/subquery/histogram/TPC-H/
+packing plans
 the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -30,6 +31,7 @@ LATEST_R04 = {
     "p05_vecdir_sink_roundtrip", "q34b_pivot_native", "q35_unpivot",
     "q36_percentiles", "q41_min_price_line", "q42_rich_inactive_customers",
     "q43_large_volume_orders", "q61_important_parts", "q62_returned_items",
+    "q61_important_parts",
     "q62_returned_items",
     "q63_customer_distribution", "q64_histogram", "r01_salted_join",
     "r02_salted_aggregation", "s06_kmeans_cells", "s09_product_quantization",
@@ -50,6 +52,8 @@ NEVER_CHECKED = (
     "w15_rolling_zscore_anomaly",
     "st21_stream_zscore_anomaly",
     "s20_ivfpq_refined",
+    "w16_windowed_distinct_users",
+    "p15_snapshot_diff",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -57,6 +61,7 @@ NEVER_CHECKED = (
 # GEMM assignment, streaming state protocol) touches their plans.
 DEFERRED_TO_R9 = {
     "q34b_pivot_native",
+    "q61_important_parts",
     "q62_returned_items",
     "q63_customer_distribution",
     "q35_unpivot",
@@ -65,6 +70,7 @@ DEFERRED_TO_R9 = {
     "q42_rich_inactive_customers",
     "q43_large_volume_orders",
     "q64_histogram",
+    "t13_sequence_packing",
 }
 
 
