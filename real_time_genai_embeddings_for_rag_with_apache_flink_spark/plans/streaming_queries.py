@@ -242,7 +242,9 @@ LAST_RUN_BATCHES: dict[str, int] = {}
 STREAM_STATE_DIR_CONF = "spark.graft.streamStateDir"
 
 
-def _stream_work_root(spark: SparkSession, sf_dir: str, name: str) -> str:
+def _stream_work_root(
+    spark: SparkSession, sf_dir: str, name: str, table: str = "documents"
+) -> str:
     base = spark.conf.get(STREAM_STATE_DIR_CONF, None)
     if not base:
         return tempfile.mkdtemp(prefix=f"{name}_")
@@ -250,10 +252,11 @@ def _stream_work_root(spark: SparkSession, sf_dir: str, name: str) -> str:
 
     from ..sources.batch import source_fingerprint
 
-    # same staleness key as the seam: a regenerated sf_dir (same path,
-    # new data) must get a fresh root, never resume stale state
+    # same staleness key as the seam, fingerprinting the table the
+    # entry actually streams: a regenerated sf_dir (same path, new
+    # data) must get a fresh root, never resume stale state
     fp = source_fingerprint(
-        os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+        os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     )
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12]
     return f"{base.rstrip('/')}/{name}-{tag}"
@@ -1911,6 +1914,6 @@ def st21_stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = stream_events(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value"
     )
-    work_root = _stream_work_root(spark, sf_dir, "st21")
+    work_root = _stream_work_root(spark, sf_dir, "st21", table="events")
     with state_partitions(spark, 8):
         return run_rolling_zscore(spark, arrivals, work_root)
