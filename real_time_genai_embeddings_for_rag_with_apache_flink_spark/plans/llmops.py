@@ -74,11 +74,11 @@ INTERMEDIATE_DIR_CONF = "spark.graft.intermediateDir"
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the JVM Hadoop FileSystem, so the
     restartable mode works against object stores, not just the
-    driver-local filesystem."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    driver-local filesystem. Single implementation: streaming.statefs
+    (the streaming state protocol shares it)."""
+    from ..streaming.statefs import exists
+
+    return exists(spark, path)
 
 
 def _cached_intermediate(

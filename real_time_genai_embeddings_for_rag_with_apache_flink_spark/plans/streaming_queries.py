@@ -117,13 +117,44 @@ def _split_source_dir(
     time 1000x — every watermark, window and interval-join result is
     then wrong while still "running green" as a plain row stream. The
     split copy therefore stores ts as a decoded TIMESTAMP, never a
-    raw int64."""
+    raw int64.
+
+    Location: a per-process tempdir normally, but when
+    spark.graft.streamStateDir is set the split copy materializes at a
+    STABLE fingerprint-keyed path under it ({base}/_sources/...,
+    committed by a _SPLIT_READY marker written after the mtime
+    staggering). This matters for the restartable streaming entries: a
+    checkpoint records source files by absolute path, so a resumed run
+    in a NEW process must see the same paths — a fresh tempdir would
+    make the checkpoint treat the whole input as unseen and replay it
+    against end-of-stream state (wrong output for st21, wasted replay
+    for st14/st20). The split dir (unlike the state dirs) requires a
+    local filesystem — the mtime trick is POSIX-only; it is a test
+    harness construct, not a production source."""
     key = (os.path.abspath(sf_dir), table, n_files)
     cached = _SPLIT_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
 
-    out = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
+    base_conf = spark.conf.get(STREAM_STATE_DIR_CONF, None)
+    if base_conf:
+        import hashlib
+
+        from ..sources.batch import source_fingerprint
+
+        fp = source_fingerprint(
+            os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+        )
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{fp}|{n_files}".encode()
+        ).hexdigest()[:12]
+        out = os.path.join(base_conf, "_sources", f"{table}-{tag}")
+        if os.path.isfile(os.path.join(out, "_SPLIT_READY")):
+            _SPLIT_CACHE[key] = out
+            return out
+        os.makedirs(out, exist_ok=True)
+    else:
+        out = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
     if table == "events":
         from ..sources.batch import load_table
 
@@ -148,6 +179,10 @@ def _split_source_dir(
     for i, p in enumerate(parts):
         # 10 s apart: distinct at any FS/Hadoop listing granularity
         os.utime(p, (base + 10 * i, base + 10 * i))
+    if base_conf:
+        # commit marker LAST: a crash mid-materialization leaves no
+        # marker, and the next run rewrites the dir (mode overwrite)
+        open(os.path.join(out, "_SPLIT_READY"), "w").close()
     _SPLIT_CACHE[key] = out
     return out
 
@@ -1777,6 +1812,7 @@ def run_rolling_zscore(
     frame: int = 20,
     min_prior: int = 10,
     tau: float = 2.5,
+    run_name: str = "st21",
 ) -> DataFrame:
     """Streaming rolling z-score anomalies: w15's bounded ROWS-frame
     analytic run continuously — a shape native Structured Streaming
@@ -1868,7 +1904,7 @@ def run_rolling_zscore(
         .start()
     )
     q.awaitTermination()
-    LAST_RUN_BATCHES["st21"] = sum(
+    LAST_RUN_BATCHES[run_name] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
     return (

@@ -31,8 +31,6 @@ LATEST_R04 = {
     "p05_vecdir_sink_roundtrip", "q34b_pivot_native", "q35_unpivot",
     "q36_percentiles", "q41_min_price_line", "q42_rich_inactive_customers",
     "q43_large_volume_orders", "q61_important_parts", "q62_returned_items",
-    "q61_important_parts",
-    "q62_returned_items",
     "q63_customer_distribution", "q64_histogram", "r01_salted_join",
     "r02_salted_aggregation", "s06_kmeans_cells", "s09_product_quantization",
     "s10_ivfpq_search", "s11_hybrid_rrf", "s12_random_projection",
@@ -130,17 +128,50 @@ def test_priority_prefix_wastes_no_slot_on_recently_checked_queries():
     assert not wasted, f"recently-checked queries in the prefix: {sorted(wasted)}"
 
 
+def test_stale_sets_match_the_recorded_artifacts():
+    """The hand-pinned staleness sets above must agree with the actual
+    CORRECTNESS_r02..r07 artifacts (latest round each name appears in)
+    — catching copy-paste slips in the bookkeeping sets."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        if rnd > 7:
+            continue  # this file pins the ROUND-8 rotation inputs
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    assert {n for n, r in latest.items() if r == 3} == LATEST_R03
+    assert {n for n, r in latest.items() if r == 4} == LATEST_R04
+    assert len(LATEST_R04) == 46
+
+
 def test_every_query_has_a_driver_row_or_a_window_slot():
-    """By round 8 the cross-round union covers the whole catalog: every
-    entry either has a driver row already (checked r02-r07) or is new
-    this round and sits in the round-8 window."""
-    checked_somewhere = set(plans.all_specs()) - set(NEVER_CHECKED)
+    """The real coverage invariant: every catalog entry either already
+    has a driver row (appears in SOME CORRECTNESS artifact) or sits in
+    the current window to get one this round. A new @query added
+    without a window slot fails here instead of silently never being
+    driver-checked."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        checked |= set(json.load(open(f)))
+    w = set(window())
+    uncovered = [
+        n for n in plans.all_specs() if n not in checked and n not in w
+    ]
+    assert not uncovered, (
+        f"queries with no driver row and no window slot: {uncovered}"
+    )
     for name in NEVER_CHECKED:
-        assert name in window(), f"new entry {name} missing from the window"
-    # sanity: the stale sets really are catalog names
-    unknown = (LATEST_R03 | LATEST_R04) - set(plans.all_specs())
-    assert not unknown, f"stale sets reference unknown queries: {unknown}"
-    assert checked_somewhere  # non-empty catalog
+        assert name in w, f"new entry {name} missing from the window"
 
 
 def test_window_outputs_survive_pandas_canonicalization(spark):

@@ -827,7 +827,7 @@ def test_stream_state_dir_conf_makes_runs_restartable(spark, tmp_path):
 
         import os
 
-        roots = os.listdir(base)
+        roots = [d for d in os.listdir(base) if not d.startswith("_")]
         assert len(roots) == 1 and roots[0].startswith("st14b-")
         assert os.path.isdir(os.path.join(base, roots[0], "verified"))
 
@@ -838,3 +838,38 @@ def test_stream_state_dir_conf_makes_runs_restartable(spark, tmp_path):
         )
     finally:
         spark.conf.unset(sq.STREAM_STATE_DIR_CONF)
+
+
+def test_stream_state_dir_survives_process_restart(spark, tmp_path):
+    """Cross-PROCESS resume: the split-source cache dies with the
+    process, so the split copy must live at a STABLE path under
+    streamStateDir — otherwise the resumed checkpoint sees a fresh
+    tempdir, treats the whole input as unseen, and st21 re-scores the
+    earliest events against the END-of-stream trailing buffer (wrong
+    rows). Simulated by clearing _SPLIT_CACHE between runs."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        streaming_queries as sq,
+    )
+
+    from conftest import SF_SMOKE
+
+    base = str(tmp_path / "stream_state")
+    spark.conf.set(sq.STREAM_STATE_DIR_CONF, base)
+    saved_cache = dict(sq._SPLIT_CACHE)
+    sq._SPLIT_CACHE.clear()
+    try:
+        build = plans.get_spec("st21_stream_zscore_anomaly").build
+        first = {tuple(r) for r in build(spark, SF_SMOKE).collect()}
+        assert sq.LAST_RUN_BATCHES["st21"] > 0
+
+        sq._SPLIT_CACHE.clear()  # new process: in-memory cache is gone
+        second = {tuple(r) for r in build(spark, SF_SMOKE).collect()}
+        assert second == first, (
+            "cross-process resume must not replay the input as new batches"
+        )
+        assert sq.LAST_RUN_BATCHES["st21"] == 0
+    finally:
+        spark.conf.unset(sq.STREAM_STATE_DIR_CONF)
+        sq._SPLIT_CACHE.clear()
+        sq._SPLIT_CACHE.update(saved_cache)
