@@ -175,6 +175,13 @@ def _train_incremental(
         (l, r), cnt = best
         merges.append((rank, l, r, cnt))
         touched = where.pop((l, r), set())
+        # Batched heap maintenance: collect changed pairs and push ONE
+        # entry per pair at its round-final count — every current
+        # (pair, count) state still has a live heap entry (initial
+        # heapify + one push per round-final value), but the heap grows
+        # O(changed pairs) per merge instead of O(touched words x word
+        # length) intermediate values.
+        changed: set[tuple[str, str]] = set()
         for idx in touched:
             syms = words[idx]
             c = counts[idx]
@@ -184,10 +191,9 @@ def _train_incremental(
                 continue  # stale index entry: pair already rewritten away
             for p in zip(syms, syms[1:]):
                 pair_counts[p] -= c
+                changed.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
-                else:
-                    heapq.heappush(heap, (-pair_counts[p], p))
             i, out = 0, []
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
@@ -199,9 +205,14 @@ def _train_incremental(
             words[idx] = out
             for p in zip(out, out[1:]):
                 pair_counts[p] += c
+                changed.add(p)
                 where[p].add(idx)
-                heapq.heappush(heap, (-pair_counts[p], p))
         pair_counts.pop((l, r), None)
+        changed.discard((l, r))
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
