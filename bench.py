@@ -248,10 +248,6 @@ def _guess_sf(sf_dir: str) -> float:
     return -1.0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
-
 def _bpe_stress(spark, timings: dict[str, float]) -> None:
     """Production-shaped tokenizer-induction stress row: the testdata
     vocabulary exhausts after ~90 merges, so the catalog's t22b row
@@ -292,3 +288,7 @@ def _bpe_stress(spark, timings: dict[str, float]) -> None:
         f"for 1000 merges / {len(wc)} words",
         file=sys.stderr,
     )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
