@@ -14,11 +14,11 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 6
+# entries only. Round-8 window (the r7 verdict's directive): the 7
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 35 of the 46 rows whose latest driver row is r04. The 11 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13 — pure pivot/percentile/
+# then 34 of the 46 rows whose latest driver row is r04. The 12 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/w09 — pure pivot/percentile/
 # subquery/histogram plans untouched by any refactor since r04) lead
 # the round-9 window.
 DRIVER_WINDOW: list[str] = [
@@ -29,6 +29,7 @@ DRIVER_WINDOW: list[str] = [
     "s20_ivfpq_refined",
     "w16_windowed_distinct_users",
     "p15_snapshot_diff",
+    "w17_scd2_dimension_join",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -74,7 +75,6 @@ DRIVER_WINDOW: list[str] = [
     "w06_time_weighted_avg",
     "w07_event_funnel",
     "w08_subsequence_search",
-    "w09_retention_cohorts",
 ]
 
 set_priority(DRIVER_WINDOW)

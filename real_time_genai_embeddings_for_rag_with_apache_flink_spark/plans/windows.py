@@ -1003,3 +1003,75 @@ def w16_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("du"), 6).alias("avg_distinct_50"),
         )
     )
+
+
+@query(
+    "w17_scd2_dimension_join",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts AS eff_from, value AS tier,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+  FROM events WHERE event_type = 'signup'
+),
+facts AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, ROUND(f.value, 6) AS amount,
+       ROUND(c.tier, 6) AS tier_at_purchase
+FROM facts f JOIN changes c
+  ON c.user_id = f.user_id
+ AND f.ts >= c.eff_from AND (c.eff_to IS NULL OR f.ts < c.eff_to)
+""",
+    tags=("join", "scd2", "temporal", "warehouse"),
+    bench=True,
+)
+def w17_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build + point-in-time fact
+    join — the warehouse staple behind 'what was this user's tier WHEN
+    they purchased'. Stage 1 turns a change log (signup events as
+    attribute changes) into validity intervals with one LEAD window per
+    user: [eff_from, eff_to), the last version open-ended — an
+    as-of-join-ready dimension without a single self-join. Stage 2
+    joins facts (purchases) to the version valid at fact time: an
+    EQUI-join on user_id with the interval test as a residual
+    predicate — a hash join whose probe side only range-checks within
+    the user's own versions, never a cross product (the w04/q30
+    pattern; intervals per user are non-overlapping by construction,
+    so each fact matches at most one version and row counts are
+    fact-exact). Determinism: version order breaks ts ties on
+    event_id in both engines. At 100 TB: the dimension build shuffles
+    the CHANGE LOG (small) once; the fact join shuffles on user_id or
+    goes zero-Exchange when both sides are user-bucketed (p13
+    layout); a hot user's versions are still one hash bucket —
+    versions per entity is naturally bounded, unlike events per
+    entity."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("eff_from"),
+            F.col("value").alias("tier"),
+            F.lead("ts").over(w).alias("eff_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts"), "value"
+    )
+    return (
+        facts.join(
+            changes,
+            (facts.user_id == changes.user_id)
+            & (F.col("fact_ts") >= F.col("eff_from"))
+            & (F.col("eff_to").isNull() | (F.col("fact_ts") < F.col("eff_to"))),
+        )
+        .select(
+            "event_id",
+            facts.user_id.alias("user_id"),
+            F.round("value", 6).alias("amount"),
+            F.round("tier", 6).alias("tier_at_purchase"),
+        )
+    )

@@ -4,8 +4,8 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the eleven pivot/percentile/subquery/histogram/TPC-H/
-packing plans
+rows — except the twelve pivot/percentile/subquery/histogram/TPC-H/
+packing/cohort plans
 the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -52,6 +52,7 @@ NEVER_CHECKED = (
     "s20_ivfpq_refined",
     "w16_windowed_distinct_users",
     "p15_snapshot_diff",
+    "w17_scd2_dimension_join",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -69,6 +70,7 @@ DEFERRED_TO_R9 = {
     "q43_large_volume_orders",
     "q64_histogram",
     "t13_sequence_packing",
+    "w09_retention_cohorts",
 }
 
 

@@ -370,3 +370,14 @@ def test_w15_zscore_single_exchange_pruned_scan(spark):
     assert "specifiedwindowframe(RowFrame, -20, -1)" in plan, plan
     read = plan.split("ReadSchema:")[1][:200]
     assert "props" not in read and "user_id" not in read, read
+
+
+def test_w17_scd2_join_is_equi_with_residual(spark):
+    """w17's promise: the point-in-time join is an EQUI hash join on
+    user_id with the validity interval as a residual predicate — never
+    a nested-loop/cartesian fallback."""
+    plan = _plan(spark, "w17_scd2_dimension_join")
+    assert "Join [user_id" in plan or "HashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "eff_from" in plan and "eff_to" in plan  # residual survived
