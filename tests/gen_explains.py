@@ -36,6 +36,9 @@ HEADLINES = [
     ("w12b_sketch_wau", "hll_sketch_agg partial-merges map-side; the explode fans out day-level SKETCH rows (calendar-sized), never user rows, before hll_union_agg"),
     ("d29_bloom_decontamination", "the bloom probe is a Project/Filter over the distinct-gram scan — getbit over a literal word array, NO join on the membership test; joins appear only for per-doc counts"),
     ("w15_rolling_zscore_anomaly", "one Exchange on event_type; bounded RowFrame(-20,-1) window (21-row state regardless of stream length); ReadSchema pruned to 4 columns — props/user_id never read"),
+    ("w16_windowed_distinct_users", "collect_set inside a bounded 50-row frame (the COUNT(DISTINCT) OVER Spark lacks), then a combinable per-type summary aggregate"),
+    ("w17_scd2_dimension_join", "SCD2: one LEAD window builds validity intervals; the point-in-time join is an EQUI hash join on user_id with the interval as a residual predicate — no nested loop"),
+    ("p15_snapshot_diff", "two 16-byte fingerprint projections of the same scan full-outer-joined on doc_id — one shuffle, text never ships; 4-group combinable rollup"),
 ]
 
 
