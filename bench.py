@@ -259,9 +259,12 @@ def _bpe_stress(spark, timings: dict[str, float]) -> None:
     at this scale, i.e. ~5 minutes for the same 1,000 merges; the
     vocabulary-local trainer does the whole run in seconds because its
     per-merge cost is O(words containing the merged pair), not
-    O(jobs). Input build + Arrow transfer excluded from the timed
-    region (the DataFrame is materialized first); the training loop
-    itself is what's being priced."""
+    O(jobs). The DataFrame build is excluded (materialized before the
+    clock starts), but the timed region still includes the
+    repartition(1) shuffle, the Arrow transfer to the Python worker,
+    and one Spark job launch — a small fixed overhead on top of the
+    training loop; measure on a quiet box before comparing to the
+    frozen baseline."""
     import random
 
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.bpe import (
@@ -278,11 +281,13 @@ def _bpe_stress(spark, timings: dict[str, float]) -> None:
     vocab.count()
     t0 = time.perf_counter()
     merges = bpe_merges_local(vocab, n_merges=1000)
-    timings["t22b_stress_1000merges_50kvocab"] = round(
-        time.perf_counter() - t0, 4
-    )
+    elapsed = round(time.perf_counter() - t0, 4)
     vocab.unpersist()
-    assert len(merges) == 1000, len(merges)
+    if len(merges) != 1000:
+        raise AssertionError(
+            f"t22b stress short-circuited: {len(merges)} merges != 1000"
+        )
+    timings["t22b_stress_1000merges_50kvocab"] = elapsed
     print(
         f"# t22b_stress: {timings['t22b_stress_1000merges_50kvocab']:.3f}s "
         f"for 1000 merges / {len(wc)} words",

@@ -18,9 +18,9 @@ from . import retrieval  # noqa: E402,F401
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
 # then 34 of the 46 rows whose latest driver row is r04. The 12 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/w09 — pure pivot/percentile/
-# subquery/histogram plans untouched by any refactor since r04) lead
-# the round-9 window.
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/w09 — pivot/
+# percentile/subquery/histogram/packing/cohort plans untouched by any
+# refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",

@@ -1037,8 +1037,10 @@ def w17_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate — a hash join whose probe side only range-checks within
     the user's own versions, never a cross product (the w04/q30
     pattern; intervals per user are non-overlapping by construction,
-    so each fact matches at most one version and row counts are
-    fact-exact). Determinism: version order breaks ts ties on
+    so each fact matches at most ONE version — output is at most one
+    row per fact; facts with no valid version, e.g. a purchase
+    timestamped before the user's first signup, are dropped by the
+    inner join). Determinism: version order breaks ts ties on
     event_id in both engines. At 100 TB: the dimension build shuffles
     the CHANGE LOG (small) once; the fact join shuffles on user_id or
     goes zero-Exchange when both sides are user-bucketed (p13
