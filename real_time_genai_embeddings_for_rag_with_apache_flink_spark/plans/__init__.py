@@ -14,13 +14,13 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 7
+# entries only. Round-8 window (the r7 verdict's directive): the 10
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 34 of the 46 rows whose latest driver row is r04. The 12 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/w09 — pivot/
-# percentile/subquery/histogram/packing/cohort plans untouched by any
-# refactor since r04) lead the round-9 window.
+# then 31 of the 46 rows whose latest driver row is r04. The 15 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/w06/w07/w08/w09
+# — pivot/percentile/subquery/histogram/packing/cohort/window plans
+# untouched by any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",
@@ -30,6 +30,9 @@ DRIVER_WINDOW: list[str] = [
     "w16_windowed_distinct_users",
     "p15_snapshot_diff",
     "w17_scd2_dimension_join",
+    "p16_cdc_apply",
+    "d30_leakage_safe_split",
+    "s21_pca_projection",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -72,9 +75,6 @@ DRIVER_WINDOW: list[str] = [
     "t15_bigram_lm_quality",
     "t16_source_datacard",
     "w05_windowed_topk_users",
-    "w06_time_weighted_avg",
-    "w07_event_funnel",
-    "w08_subsequence_search",
 ]
 
 set_priority(DRIVER_WINDOW)

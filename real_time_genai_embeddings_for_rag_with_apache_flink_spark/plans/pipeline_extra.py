@@ -2104,3 +2104,214 @@ def p15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_CDC_CUTOFF = "2024-01-16"
+
+
+@query(
+    "p16_cdc_apply",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS state_type, value AS state_value
+FROM ranked WHERE rn = 1 AND event_type != 'error'
+""",
+    tags=("pipeline", "cdc", "governance"),
+    bench=True,
+)
+def p16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog onto an existing snapshot — the companion
+    of p15's diff, and the batch twin of st10's streaming upsert. The
+    events table is read as a keyed change stream over a user-state
+    table: every event upserts (event_type, value) for its user and an
+    'error' event tombstones the account. The Spark side runs the
+    INCREMENTAL shape a warehouse actually runs: compact the pre-cutoff
+    half of the log into a base snapshot, compact the post-cutoff delta,
+    then merge delta-over-base with a full-outer coalesce that drops
+    tombstoned keys. The oracle recomputes the final state from the
+    WHOLE log from scratch — so every driver run re-certifies the
+    incremental-apply algebra (apply(compact(h1), h2) == compact(h1
+    UNION h2)) hash-exactly, the property that lets 100 TB deployments
+    apply daily deltas instead of re-compacting history. Shape: last
+    writer per key is max(struct(ts, event_id, ...)) — a COMBINABLE
+    aggregate (map-side partials, no per-key sort, skew-immune), never
+    a row_number window; the merge is one equi-join on the key, and
+    both sides stored key-bucketed (p13 layout) make it zero-Exchange.
+    Ties cannot occur: event_id is unique and orders the struct after
+    ts in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+
+    def compact(log: DataFrame) -> DataFrame:
+        last = log.groupBy("user_id").agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last")
+        )
+        return last.select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").cast("long").alias("last_event_id"),
+            F.col("last.event_type").alias("state_type"),
+            F.col("last.value").alias("state_value"),
+        )
+
+    # Base snapshot: compacted pre-cutoff history WITH tombstones kept —
+    # a snapshot must remember deletions that happened inside its own
+    # half, or a tombstoned key with no delta op would wrongly survive.
+    base = compact(ev.filter(F.col("ts") < cutoff))
+    delta = compact(ev.filter(F.col("ts") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"), F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+    )
+    pick = F.when(F.col("d.user_id").isNotNull(), F.struct(
+        F.col("d.last_ts").alias("last_ts"),
+        F.col("d.last_event_id").alias("last_event_id"),
+        F.col("d.state_type").alias("state_type"),
+        F.col("d.state_value").alias("state_value"),
+    )).otherwise(F.struct(
+        F.col("b.last_ts").alias("last_ts"),
+        F.col("b.last_event_id").alias("last_event_id"),
+        F.col("b.state_type").alias("state_type"),
+        F.col("b.state_value").alias("state_value"),
+    ))
+    return (
+        merged.select(
+            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+            pick.alias("s"),
+        )
+        .filter(F.col("s.state_type") != F.lit("error"))
+        .select(
+            "user_id",
+            F.col("s.last_ts").alias("last_ts"),
+            F.col("s.last_event_id").alias("last_event_id"),
+            F.col("s.state_type").alias("state_type"),
+            F.col("s.state_value").alias("state_value"),
+        )
+    )
+
+
+@query(
+    "d30_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, group_id,
+  CASE WHEN bkt < 80 THEN 'train'
+       WHEN bkt < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_id,
+    CAST(('0x' || substr(
+      md5(CAST(group_id AS VARCHAR) || ':split42'), 1, 8)) AS BIGINT)
+      % 100 AS bkt
+  FROM grouped
+)
+""",
+    tags=("curation", "dedup", "sampling", "governance"),
+)
+def d30_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    NEAR-DUP COMPONENT, not the document — a doc-keyed hash split puts
+    near-identical pairs on both sides of the train/eval boundary and
+    silently inflates every benchmark number trained on the corpus.
+    Group key = connected component of the LSH dup graph (d21's
+    alternating-star operator, O(log n) rounds at any diameter);
+    singleton docs are their own group. The split is a seeded md5
+    bucket of the GROUP id (engine-portable first-8-hex-chars
+    arithmetic, the d13 pattern) at 80/10/10 — so by construction every
+    member of a component lands in the same split, the invariant the
+    dedicated property test pins. At 100 TB: components are computed on
+    the edge list alone (edges << docs), the assignment joins back to
+    the corpus on doc_id (one shuffle, or zero-Exchange from the p13
+    bucketed layout), and the bucket is a pure map — no global sort, no
+    driver state, reproducible on any engine from the seed alone."""
+    from ..operators.graph import connected_components_star
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_id")
+    )
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("group_id").cast("string"), F.lit(":split42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(bkt < 80, F.lit("train"))
+        .when(bkt < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_PCA_K = 8
+
+
+@query(
+    "s21_pca_projection",
+    tags=("similarity", "projection", "iterative"),
+    bench=True,
+)
+def s21_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 8 dims, long form (vec_id, component p,
+    projected value) — s12's output contract with the variance-OPTIMAL
+    basis instead of random planes (top-k PCA provably maximizes
+    captured variance over all orthonormal k-sets; the gap vs s12's JL
+    planes is measured in tests/test_pca.py). Fit is ONE pass: each
+    Arrow batch emits a (count, sum, gram) partial from mapInPandas
+    (map-side combine by construction), the driver sums the bounded
+    partials and eigendecomposes the dim x dim covariance; projection
+    is one GEMM per batch against the closure-shipped basis — zero
+    shuffle end to end except the partials' own collect (one row per
+    batch). Deterministic: eigh on a fixed covariance plus the
+    largest-entry-positive sign convention, so reruns emit identical
+    rows. Not SQL-expressible (eigendecomposition) -> rows-only;
+    determinism, orthonormality, variance-equals-eigenvalue, and
+    optimality-over-s12 are pinned in tests/test_pca.py."""
+    from ..config import PipelineConfig
+    from ..operators.pca import pca_fit, pca_project_broadcast
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dim = PipelineConfig().resolved_dim()
+    W, _, mu = pca_fit(em, "embedding", dim=dim, k=_PCA_K)
+    proj = pca_project_broadcast(em, W, mu, "embedding")
+    return proj.select(
+        "vec_id",
+        F.posexplode(F.col("proj")),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("p"),
+        F.round(F.col("col"), 6).alias("proj"),
+    )

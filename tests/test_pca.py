@@ -1,0 +1,133 @@
+"""PCA operator invariants (operators/pca.py, catalog s21).
+
+PCA is rows-only in the driver gate (no SQL eigensolver), so THIS file
+is its correctness pin: moments vs numpy on the collected corpus, basis
+orthonormality, variance-equals-eigenvalue, determinism, the null
+contract, and the optimality claim vs s12's random planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import SF_SMOKE
+
+DIM = 64
+K = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    X = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in df.collect()]
+    )
+    return df, X
+
+
+def test_moments_match_numpy(spark, corpus):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        covariance_moments,
+    )
+
+    df, X = corpus
+    n, mu, cov = covariance_moments(df, "embedding", DIM)
+    assert n == len(X)
+    np.testing.assert_allclose(mu, X.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(cov, np.cov(X.T, bias=True), atol=1e-8)
+
+
+def test_basis_orthonormal_and_variance(spark, corpus):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        pca_fit,
+    )
+
+    df, X = corpus
+    W, vals, mu = pca_fit(df, "embedding", dim=DIM, k=K)
+    assert W.shape == (DIM, K)
+    np.testing.assert_allclose(W.T @ W, np.eye(K), atol=1e-10)
+    # eigenvalues descending, non-negative (covariance is PSD)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(K - 1))
+    assert vals[-1] >= -1e-10
+    # variance along component j equals eigenvalue j
+    P = (X - mu[None, :]) @ W
+    np.testing.assert_allclose(P.var(axis=0), vals, rtol=1e-8, atol=1e-12)
+    # sign convention: largest-|coeff| entry positive
+    for j in range(K):
+        assert W[int(np.argmax(np.abs(W[:, j]))), j] > 0
+
+
+def test_fit_deterministic(spark, corpus):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        pca_fit,
+    )
+
+    df, _ = corpus
+    W1, v1, m1 = pca_fit(df, "embedding", dim=DIM, k=K)
+    W2, v2, m2 = pca_fit(df, "embedding", dim=DIM, k=K)
+    assert np.array_equal(W1, W2) and np.array_equal(v1, v2)
+    assert np.array_equal(m1, m2)
+
+
+def test_projection_matches_numpy_and_null_contract(spark, corpus):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        pca_fit,
+        pca_project_broadcast,
+    )
+
+    df, X = corpus
+    W, _, mu = pca_fit(df, "embedding", dim=DIM, k=K)
+    rows = pca_project_broadcast(df, W, mu, "embedding").orderBy("vec_id").collect()
+    got = np.array([r.proj for r in rows])
+    want = np.array(
+        [(np.asarray(r.embedding, np.float64) - mu) @ W for r in rows]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+    null_df = spark.createDataFrame(
+        [(1, [0.0] * DIM), (2, None), (3, [1.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.proj
+        for r in pca_project_broadcast(null_df, W, mu, "embedding").collect()
+    }
+    assert out[2] is None and out[3] is None and out[1] is not None
+
+
+def test_pca_beats_random_planes(spark, corpus):
+    """Top-k PCA maximizes captured variance over ALL orthonormal
+    k-bases, so it must capture at least as much as s12's hyperplane
+    family (orthonormalized). Deterministic: both bases are fixed."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        pca_fit,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _hyperplane,
+    )
+
+    df, X = corpus
+    W, vals, mu = pca_fit(df, "embedding", dim=DIM, k=K)
+    Xc = X - X.mean(axis=0)
+    R = np.array([_hyperplane(p, DIM) for p in range(K)]).T  # dim x k
+    Q, _ = np.linalg.qr(R)
+    captured_pca = ((Xc @ W) ** 2).sum() / len(X)
+    captured_rand = ((Xc @ Q) ** 2).sum() / len(X)
+    assert captured_pca >= captured_rand
+    np.testing.assert_allclose(captured_pca, vals.sum(), rtol=1e-8)
+
+
+def test_catalog_entry_long_form(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    out = get_spec("s21_pca_projection").build(spark, SF_SMOKE)
+    rows = out.limit(200).collect()
+    assert {r.p for r in rows} <= set(range(K))
+    assert out.columns == ["vec_id", "p", "proj"]

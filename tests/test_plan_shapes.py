@@ -381,3 +381,31 @@ def test_w17_scd2_join_is_equi_with_residual(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "eff_from" in plan and "eff_to" in plan  # residual survived
+
+
+def test_p16_cdc_compaction_is_combinable_not_window(spark):
+    """p16's promise: last-writer-per-key is a COMBINABLE struct-max
+    aggregate (map-side partial_max before each exchange), never a
+    row_number window sort — the skew-immune compaction shape."""
+    plan = _plan(spark, "p16_cdc_apply")
+    assert "partial_max(struct(ts" in plan, plan
+    assert "Window" not in plan, plan
+    assert "row_number" not in plan, plan
+
+
+def test_d30_split_bucket_is_pure_map_after_join(spark):
+    """d30's promise: after the component join the split assignment is
+    pure projection arithmetic — no extra exchange, window, or Python
+    between the corpus join and the output."""
+    plan = _plan(spark, "d30_leakage_safe_split")
+    assert "Window" not in plan, plan
+    assert "md5" in plan and "conv" in plan, plan  # codegen'd bucket
+
+
+def test_s21_projection_scan_is_pruned(spark):
+    """s21's promise: the projection pass reads only (vec_id,
+    embedding) — the label column is never scanned."""
+    plan = _plan(spark, "s21_pca_projection")
+    read = plan.split("ReadSchema:")[-1][:200]
+    assert "label" not in read, read
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
