@@ -1953,3 +1953,118 @@ def st21_stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_root = _stream_work_root(spark, sf_dir, "st21", table="events")
     with state_partitions(spark, 8):
         return run_rolling_zscore(spark, arrivals, work_root)
+
+
+def run_cdc_apply(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st22",
+) -> DataFrame:
+    """Streaming CDC apply: maintain the last-writer-wins user-state
+    table (p16's semantics — every event upserts, 'error' tombstones)
+    continuously across micro-batches in restartable VersionedState.
+
+    Per batch (foreachBatch): compact the batch to its last op per key
+    (combinable struct-max, p16's compaction), union with the previous
+    state version, and take the struct-max again — last-writer-wins by
+    the (ts, event_id) total order is ASSOCIATIVE and COMMUTATIVE, so
+    the committed state is independent of micro-batch boundaries AND of
+    arrival order within the stream; the batch twin's whole-log SQL is
+    this entry's oracle, hash-checked. Tombstones stay IN state (a
+    deleted key must shadow nothing-newer and be resurrectable by a
+    later upsert); the final read filters them. Replay converges: the
+    committed version number is the applied-batch marker (statefs), so
+    a retried batch is a no-op. State is one row per live-or-tombstoned
+    key — the table a production run would keep in Delta via MERGE
+    (st10's note); per batch the work is one partial-aggregated
+    compaction of batch ∪ state, shuffled on the key."""
+    from ..streaming.statefs import VersionedState
+
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    state_schema = (
+        "user_id long, last_ts timestamp, last_event_id long, "
+        "state_type string, state_value double"
+    )
+
+    def compact(df: DataFrame) -> DataFrame:
+        last = df.groupBy("user_id").agg(
+            F.max(
+                F.struct(
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("state_type").alias("event_type"),
+                    F.col("state_value").alias("value"),
+                )
+            ).alias("last")
+        )
+        return last.select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("state_type"),
+            F.col("last.value").alias("state_value"),
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        delta = batch.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("state_type"),
+            F.col("value").alias("state_value"),
+        )
+        merged = compact(state.read(state_schema).unionByName(delta))
+        state.commit(merged, batch_id)
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return state.read(state_schema).filter(
+        F.col("state_type") != F.lit("error")
+    )
+
+
+@query(
+    "st22_stream_cdc_apply",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS state_type, value AS state_value
+FROM ranked WHERE rn = 1 AND event_type != 'error'
+""",
+    tags=("streaming", "cdc", "stateful", "upsert"),
+    bench=True,
+)
+def st22_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p16's CDC apply as a CONTINUOUS stream — the events feed replays
+    as time-ordered micro-batches and the last-writer-wins state table
+    (with tombstones) folds forward batch by batch in restartable,
+    object-store-safe VersionedState (see run_cdc_apply: the fold is
+    associative+commutative, so the final table is provably independent
+    of batch boundaries — and the driver gate re-proves it hash-exactly
+    against the batch twin's whole-log SQL every run). Completes the
+    CDC story: p15 diffs two snapshots into a changelog, p16 applies a
+    changelog batch-wise, st22 applies it as it arrives. Honors
+    spark.graft.streamStateDir for a resumable work root."""
+    arrivals = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st22", table="events")
+    with state_partitions(spark, 8):
+        return run_cdc_apply(spark, arrivals, work_root)

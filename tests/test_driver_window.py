@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the fifteen pivot/percentile/subquery/histogram/TPC-H/
+rows — except the sixteen pivot/percentile/subquery/histogram/TPC-H/
 packing/cohort/window plans the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -55,6 +55,7 @@ NEVER_CHECKED = (
     "p16_cdc_apply",
     "d30_leakage_safe_split",
     "s21_pca_projection",
+    "st22_stream_cdc_apply",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -73,6 +74,7 @@ DEFERRED_TO_R9 = {
     "q64_histogram",
     "t13_sequence_packing",
     "w09_retention_cohorts",
+    "w05_windowed_topk_users",
     "w06_time_weighted_avg",
     "w07_event_funnel",
     "w08_subsequence_search",

@@ -873,3 +873,98 @@ def test_stream_state_dir_survives_process_restart(spark, tmp_path):
         spark.conf.unset(sq.STREAM_STATE_DIR_CONF)
         sq._SPLIT_CACHE.clear()
         sq._SPLIT_CACHE.update(saved_cache)
+
+
+def test_cdc_apply_state_across_batches_and_restart(spark, tmp_path):
+    """st22's runner: last-writer-wins with tombstones folds correctly
+    across micro-batch boundaries (delete in batch 1 shadows nothing
+    newer; a later upsert resurrects the key) and across a restart with
+    the same work root; the fold's batch-boundary independence means
+    the two-phase run ends in the same state as the one-shot run."""
+    import datetime as dt
+    import glob as _gl
+    import os
+    import shutil as _sh
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_cdc_apply,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    t = lambda d: dt.datetime(2024, 1, d)
+    file_1 = [
+        (1, t(1), 1, "click", 1.0),   # u1 upsert
+        (2, t(2), 2, "view", 2.0),    # u2 upsert
+        (3, t(3), 2, "error", 0.0),   # u2 tombstoned in batch 1
+        (4, t(4), 3, "error", 0.0),   # u3 tombstoned, never resurrected
+    ]
+    file_2 = [
+        (5, t(10), 1, "error", 0.0),  # u1 deleted in batch 2
+        (6, t(11), 2, "signup", 3.0), # u2 resurrected in batch 2
+        (7, t(12), 4, "purchase", 4.0),  # u4 inserted
+    ]
+    want = {(2, "signup", 3.0, 6), (4, "purchase", 4.0, 7)}
+
+    def key(rows):
+        return {
+            (r.user_id, r.state_type, r.state_value, r.last_event_id)
+            for r in rows
+        }
+
+    def arrivals(src):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    src1 = _mk_arrival_files(
+        spark,
+        tmp_path,
+        "cdc_one",
+        [("f1.parquet", file_1), ("f2.parquet", file_2)],
+        schema=schema,
+    )
+    got = key(
+        run_cdc_apply(
+            spark, arrivals(src1), str(tmp_path / "cdc_work_one")
+        ).collect()
+    )
+    assert got == want
+
+    # restart: batch 1, stop; batch 2 appears; same work root
+    src2 = _mk_arrival_files(
+        spark, tmp_path, "cdc_restart", [("f1.parquet", file_1)], schema=schema
+    )
+    work = str(tmp_path / "cdc_work_restart")
+    phase1 = key(run_cdc_apply(spark, arrivals(src2), work).collect())
+    assert phase1 == {(1, "click", 1.0, 1)}  # u2/u3 tombstoned, hidden
+    p = os.path.join(src2, "f2.parquet")
+    spark.createDataFrame(file_2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p + ".tmp")
+    part = _gl.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+    _sh.move(part, p)
+    _sh.rmtree(p + ".tmp")
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+    phase2 = key(run_cdc_apply(spark, arrivals(src2), work).collect())
+    assert phase2 == want, "restarted fold must equal the one-shot fold"
+
+
+def test_st22_catalog_entry_runs_multi_batch(spark):
+    """The catalog st22 must actually exercise the cross-batch fold —
+    the split source replays events as multiple non-empty triggers."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_RUN_BATCHES,
+    )
+    from conftest import SF_SMOKE
+
+    out = get_spec("st22_stream_cdc_apply").build(spark, SF_SMOKE)
+    assert out.count() > 0
+    assert LAST_RUN_BATCHES["st22"] >= 2
