@@ -1266,3 +1266,63 @@ def t24_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate"
         ),
     )
+
+
+_WSAMPLE_N = 100
+_WSAMPLE_DENOM = 4294967297.0  # 2^32 + 1: u in (0, 1]
+
+
+@query(
+    "d31_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    -LN((CAST(('0x' || substr(
+        md5(CAST(doc_id AS VARCHAR) || ':wsample42'), 1, 8)) AS BIGINT)
+      + 1.0) / {_WSAMPLE_DENOM}) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(k, 6) AS skey
+FROM keyed ORDER BY k, doc_id LIMIT {_WSAMPLE_N}
+""",
+    tags=("curation", "sampling", "importance-weighting"),
+)
+def d31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 exponential sort): each doc draws a seeded uniform u
+    from the d13 md5 arithmetic (engine-portable: same first-8-hex-chars
+    integer on both engines) and is ranked by -ln(u)/w — keeping the n
+    smallest keys is exactly a weight-proportional sample without
+    replacement. Weight here is n_chars (token-budget-proportional
+    selection: uniform-over-TOKENS sampling expressed over docs); any
+    positive weight column drops in — exp(t17's dsir_logweight) is the
+    DSIR resampling step, the composition tests/test_weighted_sample.py
+    exercises. Scale shape: the key is pure codegen'd arithmetic on the
+    scan, and the top-n is orderBy+limit — Catalyst's
+    TakeOrderedAndProject, per-partition top-n then a driver merge of
+    n x partitions rows, NO global sort; reproducible on any engine
+    from the seed alone. The only cross-engine float caveat: ln() may
+    differ by an ulp between libm and java.lang.Math, so the selection
+    boundary could in principle flip on adversarially near-tied keys —
+    at any real corpus size adjacent key gaps are ~10 orders above ulp
+    (and the driver gate re-checks the actual boundary every run)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_WSAMPLE_DENOM)
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(_WSAMPLE_N)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("skey"))
+    )

@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the sixteen pivot/percentile/subquery/histogram/TPC-H/
+rows — except the seventeen pivot/percentile/subquery/histogram/TPC-H/
 packing/cohort/window plans the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -56,6 +56,7 @@ NEVER_CHECKED = (
     "d30_leakage_safe_split",
     "s21_pca_projection",
     "st22_stream_cdc_apply",
+    "d31_weighted_sample",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -74,6 +75,7 @@ DEFERRED_TO_R9 = {
     "q64_histogram",
     "t13_sequence_packing",
     "w09_retention_cohorts",
+    "t16_source_datacard",
     "w05_windowed_topk_users",
     "w06_time_weighted_avg",
     "w07_event_funnel",
