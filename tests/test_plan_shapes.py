@@ -409,3 +409,50 @@ def test_s21_projection_scan_is_pruned(spark):
     read = plan.split("ReadSchema:")[-1][:200]
     assert "label" not in read, read
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark):
+    """Engine capability pin: Catalyst's runtime bloom-filter injection
+    (semi-join reduction) — the classic 100 TB join optimization. When
+    a shuffled join's build side carries a selective filter, Spark
+    builds a bloom filter of the build-side join keys at runtime and
+    pushes a might_contain() predicate into the PROBE side's scan, so
+    the big table's non-matching rows die before the exchange. On by
+    default (spark.sql.optimizer.runtime.bloomFilter.enabled); the two
+    thresholds lowered here gate it to genuinely big probe sides in
+    production (sf0.01's lineitem is far below the 10 GB default — at
+    the 100 TB target the filter injects with stock settings)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the runtime filter must test the PROBE side's key (l_orderkey)
+        assert "l_orderkey" in plan.split("might_contain")[1][:120]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
