@@ -39,6 +39,10 @@ HEADLINES = [
     ("w16_windowed_distinct_users", "collect_set inside a bounded 50-row frame (the COUNT(DISTINCT) OVER Spark lacks), then a combinable per-type summary aggregate"),
     ("w17_scd2_dimension_join", "SCD2: one LEAD window builds validity intervals; the point-in-time join is an EQUI hash join on user_id with the interval as a residual predicate — no nested loop"),
     ("p15_snapshot_diff", "two 16-byte fingerprint projections of the same scan full-outer-joined on doc_id — one shuffle, text never ships; 4-group combinable rollup"),
+    ("p16_cdc_apply", "CDC compaction is partial_max(struct) map-side on BOTH halves (no row_number window anywhere); delta-over-base merge is one full-outer SortMergeJoin on the key"),
+    ("d30_leakage_safe_split", "components come from the edge list alone; the corpus join back is one shuffle and the 80/10/10 split bucket is codegen'd md5/conv arithmetic — no window, no Python"),
+    ("s21_pca_projection", "fit reduced to one mapInPandas partial-moments pass (bounded driver read); the projection GEMM is a single ArrowEvalPython over a (vec_id, embedding)-pruned scan"),
+    ("d31_weighted_sample", "exp-sort key is pure codegen'd arithmetic on the scan; the weighted top-n is TakeOrderedAndProject — per-partition top-n, driver merge, no global sort"),
 ]
 
 
