@@ -68,6 +68,7 @@ def main() -> int:
     _chain_stress(spark, timings)
     _sweep_stress(spark, timings)
     _bpe_stress(spark, timings)
+    _pca_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -292,6 +293,54 @@ def _bpe_stress(spark, timings: dict[str, float]) -> None:
         f"# t22b_stress: {timings['t22b_stress_1000merges_50kvocab']:.3f}s "
         f"for 1000 merges / {len(wc)} words",
         file=sys.stderr,
+    )
+
+
+def _pca_stress(spark, timings: dict[str, float]) -> None:
+    """Production-width PCA fit: the catalog's s21 row runs at the
+    testdata's 64 dims, but the reference's Titan v2 vectors are 1024-d
+    (KDS-P/index-creation-function/lambda_function.py:66-70) — and the
+    fit's driver partials grow as dim^2 (1024-d: 8 MiB of gram per
+    Arrow batch), so the interesting number is the one-pass moment
+    collection at REAL width. 20k synthetic 1024-d vectors generated
+    executor-side (mapInPandas, seeded per batch — never shipped
+    through py4j), materialized BEFORE the clock; the timed region is
+    covariance partials + driver eigh + top-16 basis — the whole fit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pca import (
+        pca_fit,
+    )
+
+    dim, n = 1024, 20_000
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(int(ids[0]) % (2**31))
+            M = rng.standard_normal((len(ids), dim)) * 0.1
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.tolist() for r in M]}
+            )
+
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    df.count()
+    t0 = time.perf_counter()
+    W, vals, _ = pca_fit(df, "embedding", dim=dim, k=16)
+    elapsed = round(time.perf_counter() - t0, 4)
+    df.unpersist()
+    if W.shape != (dim, 16) or len(vals) != 16:
+        raise AssertionError(f"pca stress bad fit shape {W.shape}")
+    timings["s21_stress_pca_1024d_20k"] = elapsed
+    print(
+        f"# s21_stress: {elapsed:.3f}s for {n} x {dim}d fit", file=sys.stderr
     )
 
 

@@ -11,19 +11,22 @@ on the collected corpus in tests/test_pca.py.
 Spark shape (the textbook scalable layout — one data pass, tiny driver
 state):
 - FIT: every Arrow batch emits ONE partial-moment row (n, sum-vector,
-  flattened gram matrix) from ``mapInPandas`` — the map-side-combine
-  shape by construction; the driver sums the bounded partials (one per
-  batch, dim^2 doubles each), forms the covariance, and runs
-  ``numpy.linalg.eigh`` on the dim x dim matrix (driver-trivial for any
-  embedding dim that fits a vector column);
+  flattened gram matrix as raw float64 BYTES) from ``mapInPandas`` —
+  the map-side-combine shape by construction; a single reduce task sums
+  the partials executor-side so the driver collects exactly one row,
+  forms the covariance, and runs ``numpy.linalg.eigh`` on the
+  dim x dim matrix (driver-trivial for any embedding dim that fits a
+  vector column);
 - PROJECT: the (dim x k) basis ships in a pandas-UDF closure and each
   batch is projected with one dense GEMM — the assign_cells_broadcast
   delivery (operators/kmeans.py), cost independent of k's effect on
   plan size, zero shuffle.
 
 At 100 TB the fit is one scan producing ~partitions * dim^2 * 8 bytes
-of partials (64-dim: 32 KiB each — far below any collect guardrail) and
-the projection is embarrassingly parallel. Determinism: eigh is
+of partials (1024-d: 8 MiB each) that reduce to ONE row before the
+driver sees them — shuffle bytes, never a py4j list — and the
+projection is embarrassingly parallel. The bench's s21_stress row
+prices the whole fit at Titan-v2 width. Determinism: eigh is
 deterministic for a fixed covariance; residual sign ambiguity is fixed
 by orienting each component so its largest-|coefficient| entry is
 positive (first such index on exact ties).
@@ -50,10 +53,15 @@ def covariance_moments(
 
     Rows with a NULL or wrong-length vector are excluded from the
     moments (the fit must not crash on the corpus hygiene the
-    projection path handles by emitting NULL). The per-batch partials
-    are summed on the driver — a bounded read: one row per Arrow batch,
-    each dim^2 + dim + 1 doubles, independent of row count."""
-    schema = "n long, s array<double>, g array<double>"
+    projection path handles by emitting NULL). Two Arrow stages: every
+    batch emits one (n, sum, gram) partial with the float64 buffers as
+    BINARY (dim^2 doubles as one bytes cell — never a million-element
+    Python list), and a single reduce task sums the partials so the
+    driver collects exactly ONE row regardless of partition count (at
+    1024 dims the partials are 8 MiB each: collecting them raw cost
+    more than the GEMMs; the repartition(1) reduce moves them as
+    JVM-side shuffle bytes instead)."""
+    schema = "n long, s binary, g binary"
 
     def _partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -69,21 +77,38 @@ def covariance_moments(
             yield pd.DataFrame(
                 {
                     "n": [len(rows)],
-                    "s": [M.sum(axis=0).tolist()],
-                    "g": [(M.T @ M).ravel().tolist()],
+                    "s": [M.sum(axis=0).tobytes()],
+                    "g": [np.ascontiguousarray(M.T @ M).tobytes()],
                 }
             )
 
-    parts = df.select(vec_col).mapInPandas(_partials, schema).collect()
+    def _reduce(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros(dim * dim)
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                s += np.frombuffer(r["s"], dtype=np.float64)
+                g += np.frombuffer(r["g"], dtype=np.float64)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tobytes()], "g": [g.tobytes()]}
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_partials, schema)
+        .repartition(1)
+        .mapInPandas(_reduce, schema)
+        .collect()
+    )
     if not parts:
         raise ValueError(f"no usable {vec_col!r} vectors of length {dim}")
-    n = sum(r["n"] for r in parts)
-    s = np.zeros(dim)
-    g = np.zeros((dim, dim))
-    for r in parts:
-        s += np.asarray(r["s"])
-        g += np.asarray(r["g"]).reshape(dim, dim)
-    mu = s / n
+    (row,) = parts
+    n = int(row["n"])
+    mu = np.frombuffer(row["s"], dtype=np.float64) / n
+    g = np.frombuffer(row["g"], dtype=np.float64).reshape(dim, dim)
     cov = g / n - np.outer(mu, mu)
     return n, mu, cov
 

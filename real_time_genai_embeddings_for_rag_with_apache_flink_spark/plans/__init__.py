@@ -14,14 +14,14 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 12
+# entries only. Round-8 window (the r7 verdict's directive): the 13
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 29 of the 46 rows whose latest driver row is r04. The 17 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/t16/w05/w06/
-# w07/w08/w09 — pivot/percentile/subquery/histogram/packing/cohort/
-# window/datacard plans untouched by any refactor since r04) lead the
-# round-9 window.
+# then 28 of the 46 rows whose latest driver row is r04. The 18 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/t15/t16/w05/
+# w06/w07/w08/w09 — pivot/percentile/subquery/histogram/packing/cohort/
+# window/LM-quality/datacard plans untouched by any refactor since r04)
+# lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",
@@ -36,6 +36,7 @@ DRIVER_WINDOW: list[str] = [
     "s21_pca_projection",
     "st22_stream_cdc_apply",
     "d31_weighted_sample",
+    "w18_scd2_snapshot",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -75,7 +76,6 @@ DRIVER_WINDOW: list[str] = [
     "t11_bm25_retrieval",
     "t12_vocab_heavy_hitters",
     "t14_source_caps",
-    "t15_bigram_lm_quality",
 ]
 
 set_priority(DRIVER_WINDOW)

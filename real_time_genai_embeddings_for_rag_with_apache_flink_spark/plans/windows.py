@@ -1077,3 +1077,51 @@ def w17_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tier", 6).alias("tier_at_purchase"),
         )
     )
+
+
+_W18_ASOF = "2024-01-16"
+
+
+@query(
+    "w18_scd2_snapshot",
+    oracle=f"""
+WITH dim AS (
+  SELECT user_id, ts AS eff_from, value AS tier,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+  FROM events WHERE event_type = 'signup'
+)
+SELECT user_id, eff_from, ROUND(tier, 6) AS tier
+FROM dim
+WHERE eff_from <= TIMESTAMP '{_W18_ASOF}'
+  AND (eff_to IS NULL OR eff_to > TIMESTAMP '{_W18_ASOF}')
+""",
+    tags=("window", "scd2", "time-travel"),
+)
+def w18_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot of the w17 SCD2 dimension — 'the table AS
+    OF time T', the time-travel read a warehouse serves from the same
+    validity intervals w17 builds (one LEAD window over the change log;
+    no second copy of history, no log replay). The snapshot predicate
+    eff_from <= T < eff_to selects exactly one version per entity that
+    existed at T, so output is at most one row per user — the ROW
+    FILTER formulation of time travel, which at 100 TB is a pure scan
+    over the interval-stored dimension (partition-prunable on eff_from
+    if the dim is date-partitioned), versus replaying a changelog
+    (p16's job) or snapshotting per query. Completes the slowly-
+    changing-dimension family: w17 joins facts to versions, w18 reads
+    the dimension at an instant, p15/p16 diff and apply the changelogs
+    between snapshots."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("eff_from"),
+        F.col("value").alias("tier"),
+        F.lead("ts").over(w).alias("eff_to"),
+    )
+    t = F.lit(_W18_ASOF).cast("timestamp")
+    return dim.filter(
+        (F.col("eff_from") <= t) & (F.col("eff_to").isNull() | (F.col("eff_to") > t))
+    ).select("user_id", "eff_from", F.round("tier", 6).alias("tier"))

@@ -133,3 +133,36 @@ def test_w13b_twophase_equals_single_sweep_on_hot_key(spark, tmp_path):
         assert two == one, f"n_buckets={nb}: {two} != {one}"
     # sanity: the fixture really has an interior peak of 5
     assert next(iter(one))[1] == 5
+
+
+def test_w18_snapshot_one_version_per_user(spark):
+    """w18: the interval predicate selects AT MOST one version per
+    entity, and that version is the user's latest signup at or before
+    the snapshot instant."""
+    from conftest import SF_SMOKE
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.windows import (
+        _W18_ASOF,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    import datetime as dt
+
+    rows = get_spec("w18_scd2_snapshot").build(spark, SF_SMOKE).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)) > 0
+    t = dt.datetime.fromisoformat(_W18_ASOF)
+    sign = load_table(spark, SF_SMOKE, "events").filter(
+        "event_type = 'signup'"
+    ).select("user_id", "ts").collect()
+    latest = {}
+    for e in sign:
+        if e.ts <= t and (e.user_id not in latest or e.ts > latest[e.user_id]):
+            latest[e.user_id] = e.ts
+    got = {r.user_id: r.eff_from for r in rows}
+    assert got == latest
