@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the eighteen pivot/percentile/subquery/histogram/TPC-H/
+rows — except the nineteen pivot/percentile/subquery/histogram/TPC-H/
 packing/cohort/window plans the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -38,6 +38,7 @@ LATEST_R04 = {
     "st08_stream_session_append", "st12_python_stream_source",
     "t09_curation_rules", "t10_repetition_stats", "t11_bm25_retrieval",
     "t12_vocab_heavy_hitters", "t13_sequence_packing", "t14_source_caps",
+    "t14_source_caps",
     "t15_bigram_lm_quality", "t16_source_datacard", "w05_windowed_topk_users",
     "w06_time_weighted_avg", "w07_event_funnel", "w08_subsequence_search",
     "w09_retention_cohorts",
@@ -58,6 +59,7 @@ NEVER_CHECKED = (
     "st22_stream_cdc_apply",
     "d31_weighted_sample",
     "w18_scd2_snapshot",
+    "s22_pca_ann",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -76,6 +78,7 @@ DEFERRED_TO_R9 = {
     "q64_histogram",
     "t13_sequence_packing",
     "w09_retention_cohorts",
+    "t14_source_caps",
     "t15_bigram_lm_quality",
     "t16_source_datacard",
     "w05_windowed_topk_users",
