@@ -14,14 +14,14 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 14
+# entries only. Round-8 window (the r7 verdict's directive): the 15
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 27 of the 46 rows whose latest driver row is r04. The 19 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t13/t14/t15/t16/
-# w05/w06/w07/w08/w09 — pivot/percentile/subquery/histogram/packing/
-# cohort/window/caps/LM-quality/datacard plans untouched by any refactor
-# since r04) lead the round-9 window.
+# then 26 of the 46 rows whose latest driver row is r04. The 20 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t12/t13/t14/t15/
+# t16/w05/w06/w07/w08/w09 — pivot/percentile/subquery/histogram/packing/
+# cohort/window/caps/LM-quality/datacard/heavy-hitter plans untouched by
+# any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",
@@ -38,6 +38,7 @@ DRIVER_WINDOW: list[str] = [
     "d31_weighted_sample",
     "w18_scd2_snapshot",
     "s22_pca_ann",
+    "p17_data_quality_gate",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -75,7 +76,6 @@ DRIVER_WINDOW: list[str] = [
     "t09_curation_rules",
     "t10_repetition_stats",
     "t11_bm25_retrieval",
-    "t12_vocab_heavy_hitters",
 ]
 
 set_priority(DRIVER_WINDOW)

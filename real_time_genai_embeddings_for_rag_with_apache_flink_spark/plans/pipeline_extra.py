@@ -2403,3 +2403,190 @@ def s22_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _S22_K)
         .select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@query(
+    "p17_data_quality_gate",
+    oracle="""
+WITH orders_corr AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL
+              WHEN o_orderkey % 101 = 0 THEN -1 - o_custkey
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+lineitem_corr AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 89 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+         l_discount
+  FROM lineitem
+),
+checks AS (
+  SELECT 'raw' AS dataset, 'orders' AS table_name, 'custkey_not_null' AS rule,
+    COUNT(*) FILTER (o_custkey IS NULL) AS n_violations, COUNT(*) AS n_checked FROM orders
+  UNION ALL
+  SELECT 'corrupted', 'orders', 'custkey_not_null',
+    COUNT(*) FILTER (o_custkey IS NULL), COUNT(*) FROM orders_corr
+  UNION ALL
+  SELECT 'raw', 'orders', 'pk_unique',
+    COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0), COALESCE(SUM(cnt), 0)
+  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'raw', 'orders', 'custkey_fk_customer',
+    COUNT(*) FILTER (c.c_custkey IS NULL AND o.o_custkey IS NOT NULL), COUNT(*)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'corrupted', 'orders', 'custkey_fk_customer',
+    COUNT(*) FILTER (c.c_custkey IS NULL AND o.o_custkey IS NOT NULL), COUNT(*)
+  FROM orders_corr o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'raw', 'lineitem', 'orderkey_fk_orders',
+    COUNT(*) FILTER (o.o_orderkey IS NULL), COUNT(*)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'raw', 'lineitem', 'qty_range_1_50',
+    COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'corrupted', 'lineitem', 'qty_range_1_50',
+    COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50), COUNT(*) FROM lineitem_corr
+  UNION ALL
+  SELECT 'raw', 'lineitem', 'returnflag_enum',
+    COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'corrupted', 'lineitem', 'returnflag_enum',
+    COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')), COUNT(*) FROM lineitem_corr
+  UNION ALL
+  SELECT 'raw', 'lineitem', 'discount_range',
+    COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1), COUNT(*) FROM lineitem
+)
+SELECT dataset, table_name, rule,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_checked AS BIGINT) AS n_checked
+FROM checks
+""",
+    tags=("governance", "data-quality", "pipeline"),
+    bench=True,
+)
+def p17_data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate — the validation pass a production
+    pipeline runs before promoting a batch: nullability, primary-key
+    uniqueness, referential integrity, range and enum rules, each
+    reported as (dataset, table, rule, n_violations, n_checked). Run
+    twice: over the RAW tables (all zeros — the generator's integrity,
+    asserted end to end) and over a deterministically CORRUPTED twin
+    (seeded modulo edits break ~1% of keys/values) proving every rule
+    actually fires — a gate that has never failed is untested. Shapes,
+    per rule class: value rules are conditional aggregates SHARING one
+    scan per table (combinable, map-side partials — at 100 TB the whole
+    value suite costs one pass per table); PK uniqueness is a
+    count-per-key aggregate whose violation and total counts come from
+    the SAME groupBy; FK rules are key-only LEFT joins with a
+    null-probe count (broadcast for dims; bloom-filter-reducible for
+    fact-fact, see tests/test_plan_shapes.py's runtime-filter pin) —
+    never a row-fetching subquery per rule."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    o_corr = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 101 == 0, -1 - F.col("o_custkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    li_corr = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 97 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_discount",
+    )
+
+    def report(dataset: str, table: str, pairs, df: DataFrame) -> DataFrame:
+        """One scan: every (rule, violation-predicate) as a conditional
+        sum, exploded to long form."""
+        aggs = [
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(rule)
+            for rule, pred in pairs
+        ] + [F.count(F.lit(1)).alias("_n")]
+        row = df.agg(*aggs)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.col(rule).alias("n_violations"),
+                )
+                for rule, _ in pairs
+            ]
+        )
+        return row.select(F.inline(entries), F.col("_n")).select(
+            F.lit(dataset).alias("dataset"),
+            F.lit(table).alias("table_name"),
+            "rule",
+            "n_violations",
+            F.col("_n").alias("n_checked"),
+        )
+
+    def fk_report(dataset, table, rule, left, key, right, rkey) -> DataFrame:
+        j = left.select(F.col(key)).join(
+            right.select(F.col(rkey).alias("_hit")).distinct(),
+            F.col(key) == F.col("_hit"),
+            "left",
+        )
+        return j.agg(
+            F.sum(
+                F.when(F.col("_hit").isNull() & F.col(key).isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(
+            F.lit(dataset).alias("dataset"),
+            F.lit(table).alias("table_name"),
+            F.lit(rule).alias("rule"),
+            "n_violations",
+            "n_checked",
+        )
+
+    pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_checked"),
+        )
+        .select(
+            F.lit("raw").alias("dataset"),
+            F.lit("orders").alias("table_name"),
+            F.lit("pk_unique").alias("rule"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+
+    qty = lambda d: ("qty_range_1_50", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    flag = lambda d: ("returnflag_enum", ~F.col("l_returnflag").isin("A", "N", "R"))
+    parts = [
+        report("raw", "orders", [("custkey_not_null", F.col("o_custkey").isNull())], o),
+        report("corrupted", "orders", [("custkey_not_null", F.col("o_custkey").isNull())], o_corr),
+        pk,
+        fk_report("raw", "orders", "custkey_fk_customer", o, "o_custkey", c, "c_custkey"),
+        fk_report("corrupted", "orders", "custkey_fk_customer", o_corr, "o_custkey", c, "c_custkey"),
+        fk_report("raw", "lineitem", "orderkey_fk_orders", li, "l_orderkey", o, "o_orderkey"),
+        report("raw", "lineitem", [qty(0), flag(0), ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))], li),
+        report("corrupted", "lineitem", [qty(0), flag(0)], li_corr),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

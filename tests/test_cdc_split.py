@@ -84,3 +84,20 @@ def test_leakage_safe_split_invariants(spark):
     c = Counter(r.split for r in rows)
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] + c["test"]
+
+
+def test_data_quality_gate_fires_on_corruption_only(spark):
+    """p17's contract: every rule is ZERO on the raw tables (generator
+    integrity) and every corrupted-twin rule is NON-zero (a gate that
+    never fails is untested); totals match the table sizes."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    rows = get_spec("p17_data_quality_gate").build(spark, SF_SMOKE).collect()
+    raw = [r for r in rows if r.dataset == "raw"]
+    corr = [r for r in rows if r.dataset == "corrupted"]
+    assert len(raw) == 7 and len(corr) == 4
+    assert all(r.n_violations == 0 for r in raw), raw
+    assert all(r.n_violations > 0 for r in corr), corr
+    assert all(0 < r.n_violations < r.n_checked for r in corr)

@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the nineteen pivot/percentile/subquery/histogram/TPC-H/
+rows — except the twenty pivot/percentile/subquery/histogram/TPC-H/
 packing/cohort/window plans the window cannot fit (latest row r04, untouched by any refactor since),
 which lead the round-9 window."""
 
@@ -60,6 +60,7 @@ NEVER_CHECKED = (
     "d31_weighted_sample",
     "w18_scd2_snapshot",
     "s22_pca_ann",
+    "p17_data_quality_gate",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -76,6 +77,7 @@ DEFERRED_TO_R9 = {
     "q42_rich_inactive_customers",
     "q43_large_volume_orders",
     "q64_histogram",
+    "t12_vocab_heavy_hitters",
     "t13_sequence_packing",
     "w09_retention_cohorts",
     "t14_source_caps",
