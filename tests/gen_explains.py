@@ -43,6 +43,9 @@ HEADLINES = [
     ("d30_leakage_safe_split", "components come from the edge list alone; the corpus join back is one shuffle and the 80/10/10 split bucket is codegen'd md5/conv arithmetic — no window, no Python"),
     ("s21_pca_projection", "fit reduced to one mapInPandas partial-moments pass (bounded driver read); the projection GEMM is a single ArrowEvalPython over a (vec_id, embedding)-pruned scan"),
     ("d31_weighted_sample", "exp-sort key is pure codegen'd arithmetic on the scan; the weighted top-n is TakeOrderedAndProject — per-partition top-n, driver merge, no global sort"),
+    ("w18_scd2_snapshot", "time travel as a pure row filter over the LEAD-built validity intervals — one window, one filter, at most one version per entity"),
+    ("s22_pca_ann", "coarse pass joins only (vec_id, proj) against the broadcast projected queries; the 40-id shortlist rejoins raw vectors as a broadcast hash join for the exact re-rank"),
+    ("p17_data_quality_gate", "11 rule evaluations: conditional aggregates sharing one scan per table, PK uniqueness from one groupBy, FK rules as key-only left joins — unioned into one report"),
 ]
 
 
