@@ -337,7 +337,9 @@ def _pca_stress(spark, timings: dict[str, float]) -> None:
     elapsed = round(time.perf_counter() - t0, 4)
     df.unpersist()
     if W.shape != (dim, 16) or len(vals) != 16:
-        raise AssertionError(f"pca stress bad fit shape {W.shape}")
+        raise AssertionError(
+            f"pca stress bad fit: W {W.shape}, {len(vals)} eigenvalues"
+        )
     timings["s21_stress_pca_1024d_20k"] = elapsed
     print(
         f"# s21_stress: {elapsed:.3f}s for {n} x {dim}d fit", file=sys.stderr

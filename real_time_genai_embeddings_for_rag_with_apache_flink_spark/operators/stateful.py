@@ -142,3 +142,41 @@ def user_value_extremes(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def last_writer_compact(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    eid: str = "event_id",
+    etype: str = "event_type",
+    val: str = "value",
+) -> DataFrame:
+    """Last-writer-wins compaction of a keyed change log: one row per
+    key carrying the fields of its latest op under the (ts, event_id)
+    total order — the shared CDC algebra behind p16 (batch apply) and
+    st22 (streaming fold), kept in ONE place because st22's
+    batch-boundary-independence proof depends on both engines running
+    the SAME tiebreak. A COMBINABLE struct-max aggregate (map-side
+    partials, no per-key sort, skew-immune), never a row_number window.
+    Output columns: (key, last_ts, last_event_id, state_type,
+    state_value)."""
+    from pyspark.sql import functions as F
+
+    last = df.groupBy(key).agg(
+        F.max(
+            F.struct(
+                F.col(ts).alias("ts"),
+                F.col(eid).alias("event_id"),
+                F.col(etype).alias("event_type"),
+                F.col(val).alias("value"),
+            )
+        ).alias("last")
+    )
+    return last.select(
+        key,
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").cast("long").alias("last_event_id"),
+        F.col("last.event_type").alias("state_type"),
+        F.col("last.value").alias("state_value"),
+    )

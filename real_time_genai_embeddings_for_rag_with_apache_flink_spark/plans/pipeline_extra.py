@@ -2145,22 +2145,10 @@ def p16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides stored key-bucketed (p13 layout) make it zero-Exchange.
     Ties cannot occur: event_id is unique and orders the struct after
     ts in both engines."""
+    from ..operators.stateful import last_writer_compact as compact
+
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
-
-    def compact(log: DataFrame) -> DataFrame:
-        last = log.groupBy("user_id").agg(
-            F.max(
-                F.struct("ts", "event_id", "event_type", "value")
-            ).alias("last")
-        )
-        return last.select(
-            "user_id",
-            F.col("last.ts").alias("last_ts"),
-            F.col("last.event_id").cast("long").alias("last_event_id"),
-            F.col("last.event_type").alias("state_type"),
-            F.col("last.value").alias("state_value"),
-        )
 
     # Base snapshot: compacted pre-cutoff history WITH tombstones kept —
     # a snapshot must remember deletions that happened inside its own
@@ -2307,9 +2295,16 @@ def s21_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = PipelineConfig().resolved_dim()
     W, _, mu = pca_fit(em, "embedding", dim=dim, k=_PCA_K)
     proj = pca_project_broadcast(em, W, mu, "embedding")
+    # a NULL/wrong-length embedding projects to NULL; emit the same 8
+    # (p, NULL) rows s12 emits for it — posexplode on the raw NULL
+    # array would silently DROP the entity from the long form
+    filled = F.coalesce(
+        F.col("proj"),
+        F.array(*[F.lit(None).cast("double") for _ in range(_PCA_K)]),
+    )
     return proj.select(
         "vec_id",
-        F.posexplode(F.col("proj")),
+        F.posexplode(filled),
     ).select(
         "vec_id",
         F.col("pos").cast("bigint").alias("p"),
@@ -2360,13 +2355,19 @@ def s22_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = PipelineConfig().resolved_dim()
     W, _, mu = pca_fit(corpus, "embedding", dim=dim, k=8)
 
-    cp = pca_project_broadcast(corpus, W, mu, "embedding").select(
-        "vec_id", "proj"
+    # NULL projections (NULL/wrong-length embeddings) must be dropped
+    # BEFORE the coarse rank: d2 over a NULL proj is NULL and ascending
+    # sort is NULLS FIRST, so one bad corpus vector would otherwise
+    # occupy rank 1 of EVERY query's shortlist
+    cp = (
+        pca_project_broadcast(corpus, W, mu, "embedding")
+        .select("vec_id", "proj")
+        .filter(F.col("proj").isNotNull())
     )
     qp = F.broadcast(
-        pca_project_broadcast(queries, W, mu, "embedding").select(
-            F.col("vec_id").alias("q_id"), F.col("proj").alias("q_proj")
-        )
+        pca_project_broadcast(queries, W, mu, "embedding")
+        .select(F.col("vec_id").alias("q_id"), F.col("proj").alias("q_proj"))
+        .filter(F.col("q_proj").isNotNull())
     )
     d2 = F.aggregate(
         F.zip_with(F.col("proj"), F.col("q_proj"), lambda x, y: (x - y) * (x - y)),
@@ -2574,8 +2575,11 @@ def p17_data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    qty = lambda d: ("qty_range_1_50", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
-    flag = lambda d: ("returnflag_enum", ~F.col("l_returnflag").isin("A", "N", "R"))
+    qty_rule = (
+        "qty_range_1_50",
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    flag_rule = ("returnflag_enum", ~F.col("l_returnflag").isin("A", "N", "R"))
     parts = [
         report("raw", "orders", [("custkey_not_null", F.col("o_custkey").isNull())], o),
         report("corrupted", "orders", [("custkey_not_null", F.col("o_custkey").isNull())], o_corr),
@@ -2583,8 +2587,8 @@ def p17_data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk_report("raw", "orders", "custkey_fk_customer", o, "o_custkey", c, "c_custkey"),
         fk_report("corrupted", "orders", "custkey_fk_customer", o_corr, "o_custkey", c, "c_custkey"),
         fk_report("raw", "lineitem", "orderkey_fk_orders", li, "l_orderkey", o, "o_orderkey"),
-        report("raw", "lineitem", [qty(0), flag(0), ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))], li),
-        report("corrupted", "lineitem", [qty(0), flag(0)], li_corr),
+        report("raw", "lineitem", [qty_rule, flag_rule, ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))], li),
+        report("corrupted", "lineitem", [qty_rule, flag_rule], li_corr),
     ]
     out = parts[0]
     for p in parts[1:]:

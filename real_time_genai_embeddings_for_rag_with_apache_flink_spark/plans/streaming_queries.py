@@ -1989,22 +1989,15 @@ def run_cdc_apply(
     )
 
     def compact(df: DataFrame) -> DataFrame:
-        last = df.groupBy("user_id").agg(
-            F.max(
-                F.struct(
-                    F.col("last_ts").alias("ts"),
-                    F.col("last_event_id").alias("event_id"),
-                    F.col("state_type").alias("event_type"),
-                    F.col("state_value").alias("value"),
-                )
-            ).alias("last")
-        )
-        return last.select(
-            "user_id",
-            F.col("last.ts").alias("last_ts"),
-            F.col("last.event_id").alias("last_event_id"),
-            F.col("last.event_type").alias("state_type"),
-            F.col("last.value").alias("state_value"),
+        # the SHARED p16 algebra (operators/stateful.last_writer_compact),
+        # applied to state-named columns — st22's batch-boundary-
+        # independence proof depends on both entries running the same
+        # tiebreak, so there is exactly one copy of it
+        from ..operators.stateful import last_writer_compact
+
+        return last_writer_compact(
+            df, ts="last_ts", eid="last_event_id",
+            etype="state_type", val="state_value",
         )
 
     def process(batch: DataFrame, batch_id: int) -> None:

@@ -38,7 +38,6 @@ LATEST_R04 = {
     "st08_stream_session_append", "st12_python_stream_source",
     "t09_curation_rules", "t10_repetition_stats", "t11_bm25_retrieval",
     "t12_vocab_heavy_hitters", "t13_sequence_packing", "t14_source_caps",
-    "t14_source_caps",
     "t15_bigram_lm_quality", "t16_source_datacard", "w05_windowed_topk_users",
     "w06_time_weighted_avg", "w07_event_funnel", "w08_subsequence_search",
     "w09_retention_cohorts",

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from conftest import SF_SMOKE
+from pyspark.sql.functions import col as F_col
 
 DIM = 64
 K = 8
@@ -198,3 +199,46 @@ def test_s22_recall_floor_and_beats_jl_coarse(spark, corpus):
     # determinism: a second run returns the identical rows
     again = get_spec("s22_pca_ann").build(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_s21_s22_null_embedding_contracts(spark, tmp_path):
+    """Review regression pins: (1) s21 emits 8 (p, NULL) rows for a
+    NULL/wrong-length embedding — the s12 long-form contract — instead
+    of silently dropping the entity; (2) s22's coarse shortlist never
+    contains a bad vector (NULL d2 would otherwise rank FIRST under
+    NULLS FIRST ascending order and poison every query's shortlist)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(61):
+        if i == 7:
+            rows.append((i, None))
+        elif i == 9:
+            rows.append((i, [1.0, 2.0]))  # wrong length
+        else:
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(DIM)]))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("label", (F_col("vec_id") % 3).cast("int")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    s21 = get_spec("s21_pca_projection").build(spark, str(tmp_path)).collect()
+    by_vec = {}
+    for r in s21:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert len(by_vec[7]) == K and all(r.proj is None for r in by_vec[7])
+    assert len(by_vec[9]) == K and all(r.proj is None for r in by_vec[9])
+    assert len(by_vec[1]) == K and all(r.proj is not None for r in by_vec[1])
+
+    s22 = get_spec("s22_pca_ann").build(spark, str(tmp_path)).collect()
+    assert len(s22) > 0
+    bad = {7, 9}
+    assert not bad & {r.vec_id for r in s22}
+    # query 50 is a real vector; its 5 answers are all good ids
+    assert len([r for r in s22 if r.q_id == 50]) == 5
