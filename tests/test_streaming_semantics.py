@@ -968,3 +968,73 @@ def test_st22_catalog_entry_runs_multi_batch(spark):
     out = get_spec("st22_stream_cdc_apply").build(spark, SF_SMOKE)
     assert out.count() > 0
     assert LAST_RUN_BATCHES["st22"] >= 2
+
+
+def test_lww_fold_is_partition_and_duplicate_invariant(spark):
+    """The algebra behind st22's batch-boundary-independence claim,
+    exercised adversarially: folding a seeded random change log through
+    last_writer_compact in ANY batching — shuffled assignment (not just
+    time-ordered splits), varying batch counts, and with events
+    DUPLICATED across batches (at-least-once delivery) — produces the
+    identical state table as one whole-log compaction. Includes same-ts
+    ties (event_id breaks them) and tombstones."""
+    import datetime as dt
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.stateful import (
+        last_writer_compact,
+    )
+
+    rng = random.Random(88)
+    base = dt.datetime(2024, 1, 1)
+    types = ["click", "view", "signup", "purchase", "error"]
+    log = []
+    for eid in range(40):
+        ts = base + dt.timedelta(hours=rng.randrange(30))
+        log.append(
+            (eid, ts, rng.randrange(6), rng.choice(types), float(rng.randrange(100)))
+        )
+    # force same-ts ties on one user
+    log.append((40, base, 0, "click", 1.0))
+    log.append((41, base, 0, "view", 2.0))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+
+    def to_state(rows):
+        df = spark.createDataFrame(rows, schema).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("state_type"),
+            F.col("value").alias("state_value"),
+        )
+        return df
+
+    def compact(df):
+        return last_writer_compact(
+            df, ts="last_ts", eid="last_event_id",
+            etype="state_type", val="state_value",
+        )
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = key(compact(to_state(log)))
+    for trial in range(4):
+        n_batches = rng.randrange(2, 5)
+        batches = [[] for _ in range(n_batches)]
+        for ev in log:
+            batches[rng.randrange(n_batches)].append(ev)
+            if rng.random() < 0.2:  # duplicate delivery into another batch
+                batches[rng.randrange(n_batches)].append(ev)
+        state = None
+        for b in batches:
+            if not b:
+                continue
+            delta = to_state(b)
+            state = delta if state is None else compact(
+                state.unionByName(delta)
+            )
+        assert key(compact(state)) == want, f"trial {trial} diverged"
