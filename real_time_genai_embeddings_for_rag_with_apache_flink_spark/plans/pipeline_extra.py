@@ -2406,6 +2406,148 @@ def s22_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S23_COARSE = 40
+_S23_K = 5
+
+_SQL_SIGN_BITS = """
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series({lo}, {hi}), d ->
+      CASE WHEN CAST(embedding[d] AS DOUBLE) > 0
+           THEN CAST(1 AS BIGINT) << (d - {lo}) ELSE CAST(0 AS BIGINT) END)),
+    (a, b) -> a + b)
+"""
+
+
+@query(
+    "s23_binary_hamming_ann",
+    oracle=f"""
+WITH bits AS (
+  SELECT vec_id, embedding,
+    {_SQL_SIGN_BITS.format(lo=1, hi=32).strip()} AS b0,
+    {_SQL_SIGN_BITS.format(lo=33, hi=64).strip()} AS b1
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+coarse AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         c.embedding AS c_emb, q.embedding AS q_emb,
+         CAST(bit_count(xor(q.b0, c.b0))
+              + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)),
+                    c.vec_id) AS crank
+  FROM (SELECT * FROM bits WHERE vec_id % 50 = 0) q
+  JOIN (SELECT * FROM bits WHERE vec_id % 50 != 0) c ON true
+)
+SELECT q_id, vec_id, hamming, sim, rank FROM (
+  SELECT q_id, vec_id, hamming,
+    ROUND(list_cosine_similarity(CAST(c_emb AS DOUBLE[]),
+                                 CAST(q_emb AS DOUBLE[])), 6) AS sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q_id
+      ORDER BY ROUND(list_cosine_similarity(CAST(c_emb AS DOUBLE[]),
+                                            CAST(q_emb AS DOUBLE[])), 6) DESC,
+               vec_id) AS rank
+  FROM coarse WHERE crank <= {_S23_COARSE}
+) WHERE rank <= {_S23_K}
+""",
+    tags=("similarity", "ann", "quantization", "rerank"),
+    bench=True,
+)
+def s23_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign quantization packs each 64-dim
+    vector into TWO BIGINT words (functions/vector.py pack_sign_bits);
+    the coarse pass ranks corpus vectors per query by Hamming distance —
+    ``bit_count(b XOR q)``, two popcount instructions per candidate
+    inside whole-stage codegen — and only the 40-wide shortlist
+    pays the exact full-space cosine re-rank (keep 5). The public
+    recipe behind faiss' binary indexes / "Binary Passage Retrieval"
+    (Yamada et al. 2021): sign bits are Charikar hyperplane LSH with the
+    coordinate axes as planes, so Hamming rank preserves angular order
+    well enough for a shortlist, and 1-bit quantization is a 32x
+    compression at Titan's 1024-dim width (128 bytes/vector). Unlike
+    s22 (PCA, rows-only — eigh isn't SQL), EVERY stage here is
+    relational, so the whole approximate pipeline is oracle-certified
+    hash-exact. Scale shape: the coarse exchange carries (q_id, vec_id,
+    hamming) — 24 bytes/candidate, never the raw vectors (s22's
+    contract); both cuts ride Catalyst's two-phase WindowGroupLimit;
+    the re-rank re-joins raw vectors by BROADCAST id join (queries x
+    40 rows). At 100 TB the bit table is its own compact
+    materialization (16 bytes/vector at dim 64, 128 at dim 1024) and
+    the corpus scan reads ONLY it — the full-precision column stays
+    parquet-pruned until the shortlist asks for 40 rows per
+    query. Recall@5 vs exact brute force is 0.76 at the 40-wide
+    shortlist on the near-isotropic testdata — vs 0.46 for s22's 8-dim
+    PCA coarse pass at the SAME width (64 sign planes out-rank 8
+    variance-optimal dims); floor pinned in tests/test_binary_ann.py. The reference delegates all similarity to
+    OpenSearch HNSW (KDS-P/index-creation-function/lambda_function.py:72-80);
+    this is the engine-native path."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity, pack_sign_bits
+
+    em = load_table(spark, sf_dir, "embeddings")
+    bits = em.select(
+        "vec_id",
+        "embedding",
+        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+    ).filter(F.col("b0").isNotNull())
+    queries = bits.filter(F.col("vec_id") % 50 == 0)
+    corpus = bits.filter(F.col("vec_id") % 50 != 0)
+
+    qb = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("b0").alias("q0"),
+            F.col("b1").alias("q1"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        corpus.select("vec_id", "b0", "b1")
+        .join(qb, F.lit(True))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _S23_COARSE)
+        .select("q_id", "vec_id", "hamming")
+    )
+
+    qv = em.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = (
+        em.select("vec_id", "embedding")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S23_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            "sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 @query(
     "p17_data_quality_gate",
     oracle="""
