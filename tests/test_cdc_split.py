@@ -101,3 +101,30 @@ def test_data_quality_gate_fires_on_corruption_only(spark):
     assert all(r.n_violations == 0 for r in raw), raw
     assert all(r.n_violations > 0 for r in corr), corr
     assert all(0 < r.n_violations < r.n_checked for r in corr)
+
+
+def test_ivm_refresh_cutoff_invariance(spark):
+    """p18's retraction algebra must produce the SAME view for every
+    base/delta split point — including the degenerate splits where the
+    whole log is base (delta empty) or all delta (cold start). The
+    all-delta refresh IS the full recompute, so equality across cutoffs
+    certifies incremental == recompute inside Spark alone (the driver's
+    oracle certifies it cross-engine at the registered cutoff)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _ivm_refresh,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    views = {}
+    for cutoff in ("1990-01-01", "2024-01-10", "2024-01-16", "2024-01-22", "2100-01-01"):
+        views[cutoff] = {
+            r.state_type: (r.n_users, r.total_value)
+            for r in _ivm_refresh(ev, cutoff).collect()
+        }
+    ref = views["1990-01-01"]  # all-delta == full recompute
+    assert ref, "empty view — testdata regression"
+    for cutoff, v in views.items():
+        assert v == ref, f"cutoff {cutoff} diverged from recompute"
