@@ -2844,3 +2844,96 @@ def _ivm_refresh(ev: DataFrame, cutoff_str: str) -> DataFrame:
             F.col("total_value").cast("double").alias("total_value"),
         )
     )
+
+
+_Z_BITS = 12
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # keep the top 6 z-bits -> 64 buckets
+
+
+def _sql_z_value(xexpr: str, yexpr: str) -> str:
+    """Flat 24-term bit-interleave of two 12-bit ints, DuckDB dialect."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xexpr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yexpr} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_value(x, y):
+    """Same interleave as _sql_z_value, as a flat Catalyst sum."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@query(
+    "p19_zorder_clustering",
+    oracle=f"""
+WITH keyed AS (
+  SELECT CAST(o_custkey % 4096 AS BIGINT) AS ck,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              % 4096 AS BIGINT) AS dy
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT CAST(z >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       MIN(dy) AS min_day, MAX(dy) AS max_day
+FROM (SELECT ck, dy, {_sql_z_value("ck", "dy")} AS z FROM keyed)
+GROUP BY 1
+""",
+    tags=("pipeline", "layout", "zorder", "data-skipping"),
+    bench=True,
+)
+def p19_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering key for multi-dimensional data
+    skipping — the layout primitive behind Delta/Iceberg OPTIMIZE
+    ZORDER BY: interleaving the bits of (customer, order-day) gives ONE
+    sort key under which every contiguous range is a small axis-aligned
+    rectangle in BOTH dimensions, so parquet row-group min/max stats
+    prune 2-D predicates (customer range AND date range) that a 1-D
+    sort can only prune on its leading column. The interleave is a FLAT
+    24-term shift/mask sum (pure codegen, no UDF — same flat-sum
+    discipline as pack_sign_bits); the query reports, per top-6-bit
+    z-range bucket, the row count and both per-dimension [min, max]
+    envelopes — exactly the footer stats a scan planner consults — and
+    the oracle recomputes the curve bit-for-bit in SQL.
+    tests/test_zorder.py pins the locality claims: every bucket's
+    envelope is <= 512 wide in BOTH dims (vs a 2400-day full-range
+    envelope for the 1-D customer sort's buckets), and a written
+    z-clustered layout lets a 2-D box predicate skip >75% of files on
+    footer stats alone. Scale: the z key is a map-side expression;
+    clustering 100 TB is one repartitionByRange(z) + sortWithinPartitions
+    write (the same shuffle a 1-D sort pays), after which EVERY query
+    with selective predicates on either or both dims reads a vanishing
+    fraction of footers. Buckets here = z >> 18 (64
+    ranges), deterministic — not ntile — so the report is stable under
+    any parallelism."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    ck = (F.col("o_custkey") % 4096).cast("long")
+    dy = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        % 4096
+    ).cast("long")
+    keyed = o.select(ck.alias("ck"), dy.alias("dy"))
+    z = _z_value(F.col("ck"), F.col("dy"))
+    return (
+        keyed.select("ck", "dy", z.alias("z"))
+        .groupBy(
+            F.shiftright(F.col("z"), _Z_BUCKET_SHIFT).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dy").alias("min_day"),
+            F.max("dy").alias("max_day"),
+        )
+    )
