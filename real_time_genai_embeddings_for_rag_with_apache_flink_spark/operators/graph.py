@@ -156,3 +156,90 @@ def star_round_count(
     propagation). Delegates to the same fixpoint loop the labeler
     runs."""
     return _star_fixpoint(edges, src, dst, max_rounds)[1]
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "doc_id",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list (Brin & Page 1998 power
+    iteration) — centrality in the near-dup graph flags the HUB
+    documents: boilerplate/templates that near-duplicate many other
+    pages score far above their neighbors, which min-label components
+    (d08/d21) cannot see (a hub and a leaf get the same component id).
+
+    Execution shape per iteration: one equi-join of the symmetrized
+    edge list against the current (node, rank/degree) table and one
+    sum-by-destination — shuffle ∝ E, nothing funnels through the
+    driver except the two bounded scalars (node count N, dangling mass
+    per round: a 1-row aggregate collect that becomes a literal, the
+    kmeans-centroid pattern). Dangling nodes (no edges — here, docs
+    with no dup candidates) donate their mass to everyone, keeping the
+    distribution a distribution (sums to 1, asserted in the tests).
+    Lineage is cut per round with localCheckpoint exactly like the
+    star fixpoint above; iteration count is FIXED (power iteration
+    converges geometrically; production uses 10-20 rounds at any graph
+    size) so the plan depth is bounded and known.
+
+    Returns (node_col, pagerank). Iterative -> rows-only at the
+    driver; pinned against a dense numpy reference in
+    tests/test_pagerank.py.
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_total = nodes.select(node_col).distinct().count()
+    if n_total == 0:
+        return nodes.select(
+            F.col(node_col), F.lit(0.0).alias("pagerank")
+        )
+    deg = sym.groupBy(F.col("u").alias(node_col)).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = (
+        nodes.select(node_col)
+        .distinct()
+        .join(deg, node_col, "left")
+        .select(
+            node_col,
+            F.col("deg"),
+            F.lit(1.0 / n_total).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
+        contrib = (
+            sym.join(
+                ranks.filter(F.col("deg").isNotNull()).select(
+                    F.col(node_col).alias("u"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias(node_col))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        ranks = (
+            ranks.select(node_col, "deg")
+            .join(contrib, node_col, "left")
+            .select(
+                node_col,
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(node_col, F.col("rank").alias("pagerank"))

@@ -14,14 +14,15 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 15
+# entries only. Round-8 window (the r7 verdict's directive): the 20
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 26 of the 46 rows whose latest driver row is r04. The 20 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/t12/t13/t14/t15/
-# t16/w05/w06/w07/w08/w09 — pivot/percentile/subquery/histogram/packing/
-# cohort/window/caps/LM-quality/datacard/heavy-hitter plans untouched by
-# any refactor since r04) lead the round-9 window.
+# then 21 of the 46 rows whose latest driver row is r04. The 25 deferred
+# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/s11/s12/t09/t10/
+# t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 — pivot/percentile/
+# subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
+# LM-quality/datacard/heavy-hitter/curation/repetition/BM25 plans
+# untouched by any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "t22b_bpe_vocab_local",
@@ -39,6 +40,11 @@ DRIVER_WINDOW: list[str] = [
     "w18_scd2_snapshot",
     "s22_pca_ann",
     "p17_data_quality_gate",
+    "s23_binary_hamming_ann",
+    "p18_incremental_view_maintenance",
+    "p19_zorder_clustering",
+    "d32_dup_graph_pagerank",
+    "w19_purchase_attribution",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -65,17 +71,12 @@ DRIVER_WINDOW: list[str] = [
     "s06_kmeans_cells",
     "s09_product_quantization",
     "s10_ivfpq_search",
-    "s11_hybrid_rrf",
-    "s12_random_projection",
     "st01_stream_tumbling_complete",
     "st02_stream_watermark_append",
     "st05_stream_embed_pipeline",
     "st07_stream_stream_join",
     "st08_stream_session_append",
     "st12_python_stream_source",
-    "t09_curation_rules",
-    "t10_repetition_stats",
-    "t11_bm25_retrieval",
 ]
 
 set_priority(DRIVER_WINDOW)

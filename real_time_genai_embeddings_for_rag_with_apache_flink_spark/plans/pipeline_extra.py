@@ -2937,3 +2937,30 @@ def p19_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("max_day"),
         )
     )
+
+
+@query(
+    "d32_dup_graph_pagerank",
+    oracle=None,  # iterative power iteration; pinned vs dense numpy in tests/test_pagerank.py
+    tags=("dedup", "graph", "iterative", "centrality"),
+)
+def d32_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup candidate graph
+    (operators/graph.py pagerank) — the curation signal the component
+    id HIDES: inside one duplicate cluster, the boilerplate/template
+    HUB that near-duplicates many other pages scores far above the
+    leaves that each only resemble the hub, so 'which document is the
+    template' (and 'how much of the corpus is template-derived') reads
+    straight off the rank. Components (d08/d21) answer 'what merges';
+    this answers 'what dominates'. Per-iteration cost is one edge-list
+    join + one sum-by-destination (shuffle ∝ candidate pairs, NOT
+    docs^2), dangling docs fold in via a 1-row scalar, and the
+    iteration count is fixed — the plan survives any corpus size the
+    LSH stage itself survives. Ranks sum to 1 and match a dense numpy
+    power iteration to 1e-12 at sf0.001 (tests/test_pagerank.py)."""
+    from ..operators.graph import pagerank
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pr = pagerank(pairs, docs, iterations=5)
+    return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))

@@ -1125,3 +1125,92 @@ def w18_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.filter(
         (F.col("eff_from") <= t) & (F.col("eff_to").isNull() | (F.col("eff_to") > t))
     ).select("user_id", "eff_from", F.round("tier", 6).alias("tier"))
+
+
+_W19_WINDOW_S = 7 * 24 * 3600  # 7-day attribution lookback
+
+
+@query(
+    "w19_purchase_attribution",
+    oracle=f"""
+WITH touched AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN ts END IGNORE NULLS)
+      OVER w AS touch_ts,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN event_type END IGNORE NULLS)
+      OVER w AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT
+  CASE WHEN touch_ts IS NOT NULL
+        AND date_diff('second', touch_ts, ts) <= {_W19_WINDOW_S}
+       THEN touch_type ELSE 'none' END AS attributed_type,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(25, 6))) AS DOUBLE)
+    AS total_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    tags=("window", "attribution", "behavioral"),
+)
+def w19_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's
+    most recent preceding touch event (click/view/signup) within a
+    7-day lookback, else 'none' — the marketing-analytics workhorse
+    that completes the behavioral family (w07 asks 'did the funnel
+    complete', w09 'did the user return'; this asks 'what gets credit
+    for the conversion'). Shape: ONE pass — an IGNORE-NULLS last_value
+    over the per-user event sequence carries the latest touch's
+    (ts, type) forward (two columns over the SAME frame, so they come
+    from the same touch row), and the lookback is a pure row predicate;
+    the report is a <=4-group combinable aggregate. No self-join of
+    purchases against touches (the naive as-of formulation — a second
+    shuffle plus a range join), no Expand. At 100 TB: one shuffle on
+    user_id, linear state per user inside the sort-based window, and
+    the same plan serves first-touch (first_value) or any-touch
+    (count over the frame) by swapping the window function. Value sums
+    in exact DECIMAL (the p18 discipline) so the group totals are
+    order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    age_s = F.col("ts").cast("timestamp").cast("double") - F.col(
+        "touch_ts"
+    ).cast("timestamp").cast("double")
+    attributed = F.when(
+        F.col("touch_ts").isNotNull() & (age_s <= _W19_WINDOW_S),
+        F.col("touch_type"),
+    ).otherwise(F.lit("none"))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

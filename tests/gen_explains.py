@@ -46,6 +46,9 @@ HEADLINES = [
     ("w18_scd2_snapshot", "time travel as a pure row filter over the LEAD-built validity intervals — one window, one filter, at most one version per entity"),
     ("s22_pca_ann", "coarse pass joins only (vec_id, proj) against the broadcast projected queries; the 40-id shortlist rejoins raw vectors as a broadcast hash join for the exact re-rank"),
     ("p17_data_quality_gate", "11 rule evaluations: conditional aggregates sharing one scan per table, PK uniqueness from one groupBy, FK rules as key-only left joins — unioned into one report"),
+    ("s23_binary_hamming_ann", "coarse pass carries only (vec_id, b0, b1) — popcount Hamming in WholeStageCodegen against the broadcast 10-row query side; WindowGroupLimit under both rank cuts; the shortlist rejoins raw vectors as broadcast hash joins"),
+    ("p18_incremental_view_maintenance", "both compactions are partial_max(struct) map-side; the only base-state touch is one key equi-join on delta keys; retract/insert unions telescope in ONE group-count-sized final aggregate"),
+    ("p19_zorder_clustering", "the Morton key is a flat 24-term shift/mask Project inside WholeStageCodegen over a 2-column pruned scan; one Exchange for the 64-bucket envelope aggregate, no sort anywhere"),
 ]
 
 

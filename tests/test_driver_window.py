@@ -4,9 +4,10 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the twenty pivot/percentile/subquery/histogram/TPC-H/
-packing/cohort/window plans the window cannot fit (latest row r04, untouched by any refactor since),
-which lead the round-9 window."""
+rows — except the twenty-five pivot/percentile/subquery/histogram/
+TPC-H/packing/cohort/window/curation plans the window cannot fit
+(latest row r04, untouched by any refactor since), which lead the
+round-9 window."""
 
 from __future__ import annotations
 
@@ -60,6 +61,11 @@ NEVER_CHECKED = (
     "w18_scd2_snapshot",
     "s22_pca_ann",
     "p17_data_quality_gate",
+    "s23_binary_hamming_ann",
+    "p18_incremental_view_maintenance",
+    "p19_zorder_clustering",
+    "d32_dup_graph_pagerank",
+    "w19_purchase_attribution",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -86,6 +92,11 @@ DEFERRED_TO_R9 = {
     "w06_time_weighted_avg",
     "w07_event_funnel",
     "w08_subsequence_search",
+    "t09_curation_rules",
+    "t10_repetition_stats",
+    "t11_bm25_retrieval",
+    "s11_hybrid_rrf",
+    "s12_random_projection",
 }
 
 
