@@ -456,3 +456,39 @@ def test_runtime_bloom_filter_semijoin_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_s23_hamming_coarse_is_codegen_with_group_limits(spark):
+    plan = _plan(spark, "s23_binary_hamming_ann")
+    # popcount Hamming evaluated in-plan (no Python), both rank cuts
+    # ride two-phase WindowGroupLimit, query/shortlist sides broadcast
+    assert "bit_count" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 cuts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p18_ivm_compactions_are_combinable_and_delta_joined(spark):
+    plan = _plan(spark, "p18_incremental_view_maintenance")
+    # LWW compaction = partial-aggregated struct max, never a window;
+    # the base state is touched by exactly one key equi-join
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+    assert "Window" not in plan
+
+
+def test_p19_zorder_key_is_pure_map_over_pruned_scan(spark):
+    plan = _plan(spark, "p19_zorder_clustering")
+    # Morton key + bucket = shift/mask projection; one aggregate
+    # exchange; ReadSchema pruned to the two clustering columns
+    assert "Sort " not in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_w19_attribution_is_one_window_pass_no_self_join(spark):
+    plan = _plan(spark, "w19_purchase_attribution")
+    # single per-user window pass; no purchase-vs-touch self-join
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
