@@ -14,13 +14,13 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 20
+# entries only. Round-8 window (the r7 verdict's directive): the 21
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 21 of the 46 rows whose latest driver row is r04. The 25 deferred
-# r04 rows (q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/s11/s12/t09/t10/
+# then 20 of the 46 rows whose latest driver row is r04. The 26 deferred
+# r04 rows (m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/s11/s12/t09/t10/
 # t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 — pivot/percentile/
-# subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
+# media-resize/subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
 # LM-quality/datacard/heavy-hitter/curation/repetition/BM25 plans
 # untouched by any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
@@ -45,6 +45,7 @@ DRIVER_WINDOW: list[str] = [
     "p19_zorder_clustering",
     "d32_dup_graph_pagerank",
     "w19_purchase_attribution",
+    "s24_hamming_width_advisor",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -61,7 +62,6 @@ DRIVER_WINDOW: list[str] = [
     "d13_training_shards",
     "d14_semantic_dedup",
     "m03_media_features",
-    "m04_media_resize",
     "p01_pipeline_sink_docs",
     "p03_embed_distinct",
     "p04_python_datasource",

@@ -2964,3 +2964,114 @@ def d32_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pr = pagerank(pairs, docs, iterations=5)
     return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
+
+
+_S24_WIDTHS = (10, 20, 40, 80)
+_S24_K = 5
+
+
+@query(
+    "s24_hamming_width_advisor",
+    oracle=f"""
+WITH bits AS (
+  SELECT vec_id, embedding,
+    {_SQL_SIGN_BITS.format(lo=1, hi=32).strip()} AS b0,
+    {_SQL_SIGN_BITS.format(lo=33, hi=64).strip()} AS b1
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+ranked AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) DESC,
+               c.vec_id) AS erank,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)),
+               c.vec_id) AS hrank
+  FROM (SELECT * FROM bits WHERE vec_id % 50 = 0) q
+  JOIN (SELECT * FROM bits WHERE vec_id % 50 != 0) c ON true
+)
+SELECT CAST(w.width AS BIGINT) AS width,
+       ROUND(CAST(SUM(CASE WHEN hrank <= w.width THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall
+FROM (SELECT * FROM ranked WHERE erank <= {_S24_K}) t
+CROSS JOIN (VALUES (10), (20), (40), (80)) AS w(width)
+GROUP BY w.width
+""",
+    tags=("similarity", "ann", "quantization", "governance", "quality-audit"),
+)
+def s24_hamming_width_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN CONFIGURATION ADVISOR for the binary-quantized path — d28's
+    corpus-grounded-tuning pattern transplanted to embedding space:
+    before anyone trusts s23's 40-wide shortlist, measure ON THIS
+    CORPUS what recall@5 each candidate width actually buys. For every
+    query, the exact cosine top-5 (the ground truth — the same
+    brute-force audit shape as d24's LSH recall audit) is joined with
+    each true neighbor's HAMMING rank; recall at width w is then just
+    'what fraction of true neighbors rank <= w', evaluated for all
+    widths from ONE ranked pair table (widths fan out over a 4-row
+    literal, not a re-scan per width). Every stage is relational, so
+    the advisor's recall numbers are themselves oracle-certified
+    hash-exact — the driver re-verifies the measurement, not only the
+    mechanism. Both rankings share one pair pass; integer counts make
+    the recall ratio exactly reproducible across engines. Scale: this
+    is an AUDIT (run on a query sample, like d24), not the serving
+    path — cost is queries x corpus with the same WindowGroupLimit
+    discipline, and the output is the (width, recall) curve a pipeline
+    owner reads before setting the production shortlist."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity, pack_sign_bits
+
+    em = load_table(spark, sf_dir, "embeddings")
+    bits = em.select(
+        "vec_id",
+        "embedding",
+        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+    ).filter(F.col("b0").isNotNull())
+    queries = bits.filter(F.col("vec_id") % 50 == 0)
+    corpus = bits.filter(F.col("vec_id") % 50 != 0)
+
+    qb = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("b0").alias("q0"),
+            F.col("b1").alias("q1"),
+        )
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
+    ham = F.bit_count(F.col("b0").bitwiseXOR(F.col("q0"))) + F.bit_count(
+        F.col("b1").bitwiseXOR(F.col("q1"))
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    wh = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    ranked = (
+        corpus.join(qb, F.lit(True))
+        .select("q_id", "vec_id", sim.alias("sim"), ham.alias("hamming"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.row_number().over(we).alias("erank"),
+            F.row_number().over(wh).alias("hrank"),
+        )
+    )
+    widths = F.array(*[F.lit(w) for w in _S24_WIDTHS])
+    return (
+        ranked.filter(F.col("erank") <= _S24_K)
+        .select("hrank", F.explode(widths).alias("width"))
+        .groupBy(F.col("width").cast("long").alias("width"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("hrank") <= F.col("width"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall")
+        )
+    )

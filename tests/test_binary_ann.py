@@ -99,3 +99,19 @@ def test_recall_floor_vs_exact(spark):
         len(truth[q] & got[q]) / len(truth[q]) for q in truth
     ) / len(truth)
     assert recall >= 0.60, f"recall@5 collapsed: {recall:.2f}"
+
+
+def test_width_advisor_curve_is_monotone_and_anchored(spark):
+    """s24's (width, recall) curve: recall must be nondecreasing in
+    width, reach the measured s23 operating point at width 40, and hit
+    1.0 only when the shortlist covers everything the truth needs."""
+    curve = {
+        r.width: r.recall
+        for r in get_spec("s24_hamming_width_advisor").build(spark, SF_SMOKE).collect()
+    }
+    widths = sorted(curve)
+    assert widths == [10, 20, 40, 80]
+    for lo, hi in zip(widths, widths[1:]):
+        assert curve[lo] <= curve[hi], f"recall dropped {lo}->{hi}"
+    assert curve[40] >= 0.60  # the s23 operating point (measured 0.76)
+    assert curve[10] < 1.0  # a 10-wide shortlist cannot be exact here

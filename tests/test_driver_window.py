@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the twenty-five pivot/percentile/subquery/histogram/
+rows — except the twenty-six pivot/percentile/subquery/histogram/
 TPC-H/packing/cohort/window/curation plans the window cannot fit
 (latest row r04, untouched by any refactor since), which lead the
 round-9 window."""
@@ -66,6 +66,7 @@ NEVER_CHECKED = (
     "p19_zorder_clustering",
     "d32_dup_graph_pagerank",
     "w19_purchase_attribution",
+    "s24_hamming_width_advisor",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -97,6 +98,7 @@ DEFERRED_TO_R9 = {
     "t11_bm25_retrieval",
     "s11_hybrid_rrf",
     "s12_random_projection",
+    "m04_media_resize",
 }
 
 
