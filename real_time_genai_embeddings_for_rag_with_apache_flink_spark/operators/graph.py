@@ -190,11 +190,22 @@ def pagerank(
     driver; pinned against a dense numpy reference in
     tests/test_pagerank.py.
     """
+    node_ids = nodes.select(node_col).distinct()
     e = _canonical_edges(edges, src, dst)
+    # Restrict to the INDUCED subgraph of `nodes`: an edge endpoint
+    # missing from the node table would receive contributions (via the
+    # sum-by-destination) but hold no rank row to send them back, so
+    # its neighbors' mass would silently leak and the result would stop
+    # summing to 1. Dropping foreign edges keeps the distribution exact
+    # on whatever node universe the caller declared.
+    e = (
+        e.join(node_ids.select(F.col(node_col).alias("u")), "u", "left_semi")
+        .join(node_ids.select(F.col(node_col).alias("v")), "v", "left_semi")
+    )
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    n_total = nodes.select(node_col).distinct().count()
+    n_total = node_ids.count()
     if n_total == 0:
         return nodes.select(
             F.col(node_col), F.lit(0.0).alias("pagerank")
@@ -203,8 +214,7 @@ def pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     ranks = (
-        nodes.select(node_col)
-        .distinct()
+        node_ids
         .join(deg, node_col, "left")
         .select(
             node_col,

@@ -2409,6 +2409,31 @@ def s22_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S23_COARSE = 40
 _S23_K = 5
 
+
+def _sign_bits_split(em: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE construction of the binary-quantization universe shared
+    by s23 (serving) and s24 (the advisor measuring it): packed sign
+    bits (functions/vector.py pack_sign_bits, dims 1-32 / 33-64) over
+    the embedding table, NULL-word rows dropped BEFORE any ascending
+    Hamming rank (NULLS FIRST would otherwise top every shortlist),
+    split into (queries, corpus) on vec_id % 50 — the same query
+    universe as s22 so recall numbers compare across coarse passes.
+    Any change to the bit layout, null policy, or split rule lands in
+    both entries (and both oracle strings via _SQL_SIGN_BITS) from
+    exactly one place."""
+    from ..functions.vector import pack_sign_bits
+
+    bits = em.select(
+        "vec_id",
+        "embedding",
+        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+    ).filter(F.col("b0").isNotNull())
+    return (
+        bits.filter(F.col("vec_id") % 50 == 0),
+        bits.filter(F.col("vec_id") % 50 != 0),
+    )
+
 _SQL_SIGN_BITS = """
   list_reduce(list_prepend(CAST(0 AS BIGINT),
     list_transform(generate_series({lo}, {hi}), d ->
@@ -2485,17 +2510,10 @@ def s23_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the engine-native path."""
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity, pack_sign_bits
+    from ..functions.vector import cosine_similarity
 
     em = load_table(spark, sf_dir, "embeddings")
-    bits = em.select(
-        "vec_id",
-        "embedding",
-        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
-        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
-    ).filter(F.col("b0").isNotNull())
-    queries = bits.filter(F.col("vec_id") % 50 == 0)
-    corpus = bits.filter(F.col("vec_id") % 50 != 0)
+    queries, corpus = _sign_bits_split(em)
 
     qb = F.broadcast(
         queries.select(
@@ -2518,11 +2536,11 @@ def s23_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "hamming")
     )
 
-    qv = em.filter(F.col("vec_id") % 50 == 0).select(
+    qv = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cand = (
-        em.select("vec_id", "embedding")
+        corpus.select("vec_id", "embedding")
         .join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(qv), "q_id")
         .select(
@@ -3024,17 +3042,10 @@ def s24_hamming_width_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner reads before setting the production shortlist."""
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity, pack_sign_bits
+    from ..functions.vector import cosine_similarity
 
     em = load_table(spark, sf_dir, "embeddings")
-    bits = em.select(
-        "vec_id",
-        "embedding",
-        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
-        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
-    ).filter(F.col("b0").isNotNull())
-    queries = bits.filter(F.col("vec_id") % 50 == 0)
-    corpus = bits.filter(F.col("vec_id") % 50 != 0)
+    queries, corpus = _sign_bits_split(em)
 
     qb = F.broadcast(
         queries.select(

@@ -1197,9 +1197,14 @@ def w19_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("touch_type"),
     )
-    age_s = F.col("ts").cast("timestamp").cast("double") - F.col(
-        "touch_ts"
-    ).cast("timestamp").cast("double")
+    # WHOLE-SECOND age, matching the oracle's date_diff('second')
+    # boundary-count semantics exactly: both sides truncate to the
+    # second BEFORE differencing (a raw fractional epoch difference
+    # disagrees with date_diff at the 7-day boundary whenever the two
+    # sub-second fractions differ — a latent cross-engine hash flake).
+    age_s = F.date_trunc("second", F.col("ts")).cast("timestamp").cast(
+        "double"
+    ) - F.date_trunc("second", F.col("touch_ts")).cast("timestamp").cast("double")
     attributed = F.when(
         F.col("touch_ts").isNotNull() & (age_s <= _W19_WINDOW_S),
         F.col("touch_type"),

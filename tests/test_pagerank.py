@@ -75,3 +75,19 @@ def test_d32_entry_runs_and_is_complete(spark):
     n_docs = load_table(spark, SF_SMOKE, "documents").count()
     assert len(rows) == n_docs
     assert out.columns == ["doc_id", "pagerank"]
+
+
+def test_pagerank_foreign_edge_endpoints_conserve_mass(spark):
+    """An edge endpoint absent from the node table must not siphon rank
+    mass: pagerank computes on the INDUCED subgraph of `nodes`, so the
+    result still sums to 1 and matches numpy on the kept edges."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 98)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {r.doc_id: r.pagerank for r in pagerank(edges, nodes).collect()}
+    assert set(got) == {1, 2, 3}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    want = _numpy_pagerank([1, 2, 3], [(1, 2)])
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-12

@@ -166,3 +166,49 @@ def test_w18_snapshot_one_version_per_user(spark):
             latest[e.user_id] = e.ts
     got = {r.user_id: r.eff_from for r in rows}
     assert got == latest
+
+
+def test_w19_attribution_subsecond_boundary_matches_oracle(spark, tmp_path):
+    """The 7-day lookback boundary with sub-second timestamps: both
+    engines must truncate to the second BEFORE differencing (DuckDB's
+    date_diff('second') counts boundaries). The first pair's raw
+    fractional age is 604800.8 s (> 7 days) but its whole-second age is
+    exactly 604800 (= 7 days) — the case where a raw epoch difference
+    on the Spark side silently diverges from the oracle."""
+    import datetime as dt
+
+    import duckdb
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    rows = [
+        # u1: touch .1 -> purchase +7d .9: trunc age 604800 -> attributed
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0, 100000), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 8, 0, 0, 0, 900000), 1, "purchase", 10.0, "{}"),
+        # u2: touch -> purchase +7d+1s: trunc age 604801 -> 'none'
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0, 500000), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 8, 0, 0, 1, 500000), 2, "purchase", 20.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    spec = get_spec("w19_purchase_attribution")
+    got = {
+        r.attributed_type: (r.n_purchases, r.total_value)
+        for r in spec.build(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = {
+        t: (n, v) for t, n, v in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
+    assert got == {"click": (1, 10.0), "none": (1, 20.0)}
