@@ -180,3 +180,78 @@ def last_writer_compact(
         F.col("last.event_type").alias("state_type"),
         F.col("last.value").alias("state_value"),
     )
+
+
+def _dec6(c):
+    from pyspark.sql import functions as F
+
+    return F.round(c, 6).cast("decimal(25,6)")
+
+
+def view_of_state(state: DataFrame) -> DataFrame:
+    """The p18/st23 maintained VIEW of an LWW-compacted state table:
+    per live state_type, (n_users, total_value) with values in exact
+    DECIMAL(25,6) so partial views merge order-independently. One copy
+    of the aggregate definition — the batch refresher (p18) and the
+    streaming fold (st23) must maintain the SAME view or the
+    batch-boundary-independence proof is vacuous."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.filter(F.col("state_type") != F.lit("error"))
+        .groupBy("state_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(_dec6(F.col("state_value"))).alias("total_value"),
+        )
+    )
+
+
+def view_delta_changes(prev_state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Gupta-Mumick counting deltas that move view_of_state(prev_state)
+    to view_of_state(apply(prev_state, delta)): every delta key emits a
+    RETRACTION of its old contribution (-1, -old_value against its old
+    group, if it was live) and an INSERTION of its new one (+1,
+    +new_value, unless the new op is a tombstone). Both inputs are
+    LWW-compacted tables (last_writer_compact columns); the only
+    non-delta touch is the one key equi-join against prev_state.
+    Precondition (holds for LWW compaction by construction): delta
+    carries at most one row per key."""
+    from pyspark.sql import functions as F
+
+    touched = delta.alias("d").join(
+        prev_state.alias("b"), F.col("d.user_id") == F.col("b.user_id"), "left"
+    )
+    retract = touched.filter(
+        F.col("b.state_type").isNotNull() & (F.col("b.state_type") != "error")
+    ).select(
+        F.col("b.state_type").alias("state_type"),
+        F.lit(-1).cast("long").alias("n_users"),
+        (-_dec6(F.col("b.state_value"))).alias("total_value"),
+    )
+    insert = touched.filter(F.col("d.state_type") != "error").select(
+        F.col("d.state_type").alias("state_type"),
+        F.lit(1).cast("long").alias("n_users"),
+        _dec6(F.col("d.state_value")).alias("total_value"),
+    )
+    return retract.unionByName(insert)
+
+
+def merge_view(*parts: DataFrame) -> DataFrame:
+    """Fold view partials (stored view + change sets) into the current
+    view: one group-count-sized aggregate; groups whose count
+    telescopes to zero vanish (the DECIMAL arithmetic makes the
+    cancellation exact, so the filter is hash-stable)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    merged = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        merged.groupBy("state_type")
+        .agg(
+            F.sum("n_users").cast("long").alias("n_users"),
+            F.sum("total_value").cast("decimal(25,6)").alias("total_value"),
+        )
+        .filter(F.col("n_users") > 0)
+    )

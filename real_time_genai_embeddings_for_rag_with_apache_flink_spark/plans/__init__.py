@@ -14,13 +14,13 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 21
+# entries only. Round-8 window (the r7 verdict's directive): the 22
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 20 of the 46 rows whose latest driver row is r04. The 26 deferred
-# r04 rows (m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/s11/s12/t09/t10/
+# then 19 of the 46 rows whose latest driver row is r04. The 27 deferred
+# r04 rows (m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r02/s11/s12/t09/t10/
 # t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 — pivot/percentile/
-# media-resize/subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
+# media-resize/salted-agg/subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
 # LM-quality/datacard/heavy-hitter/curation/repetition/BM25 plans
 # untouched by any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
@@ -46,6 +46,7 @@ DRIVER_WINDOW: list[str] = [
     "d32_dup_graph_pagerank",
     "w19_purchase_attribution",
     "s24_hamming_width_advisor",
+    "st23_stream_ivm",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -67,7 +68,6 @@ DRIVER_WINDOW: list[str] = [
     "p04_python_datasource",
     "p05_vecdir_sink_roundtrip",
     "r01_salted_join",
-    "r02_salted_aggregation",
     "s06_kmeans_cells",
     "s09_product_quantization",
     "s10_ivfpq_search",

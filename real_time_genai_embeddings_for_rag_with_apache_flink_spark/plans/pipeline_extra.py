@@ -2810,57 +2810,27 @@ def p18_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 def _ivm_refresh(ev: DataFrame, cutoff_str: str) -> DataFrame:
     """p18's refresh body, cutoff-parameterized: the algebra must hold
     for ANY base/delta split point (tests/test_cdc_split.py sweeps
-    several; the registered cutoff is just the driver-checked one)."""
-    from ..operators.stateful import last_writer_compact as compact
+    several; the registered cutoff is just the driver-checked one).
+    The view definition, the retract/insert delta builder, and the
+    telescoping merge live in operators/stateful.py — ONE copy shared
+    with the streaming fold (st23), whose batch-boundary-independence
+    proof depends on both engines maintaining the SAME view."""
+    from ..operators.stateful import (
+        last_writer_compact as compact,
+        merge_view,
+        view_delta_changes,
+        view_of_state,
+    )
 
     cutoff = F.lit(cutoff_str).cast("timestamp")
     base = compact(ev.filter(F.col("ts") < cutoff))
     delta = compact(ev.filter(F.col("ts") >= cutoff))
-
-    def dec(c):
-        return F.round(c, 6).cast("decimal(25,6)")
-
-    live = F.col("state_type") != F.lit("error")
-    # the stored view: one aggregate of the base snapshot's live rows
-    base_agg = (
-        base.filter(live)
-        .groupBy("state_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum(dec(F.col("state_value"))).alias("total_value"),
-        )
-    )
-    # delta propagation: each touched key retracts its old contribution
-    # and inserts its new one; only delta keys join the base state
-    touched = delta.alias("d").join(
-        base.alias("b"), F.col("d.user_id") == F.col("b.user_id"), "left"
-    )
-    retract = touched.filter(
-        F.col("b.state_type").isNotNull() & (F.col("b.state_type") != "error")
+    return merge_view(
+        view_of_state(base), view_delta_changes(base, delta)
     ).select(
-        F.col("b.state_type").alias("state_type"),
-        F.lit(-1).cast("long").alias("n_users"),
-        (-dec(F.col("b.state_value"))).alias("total_value"),
-    )
-    insert = touched.filter(F.col("d.state_type") != "error").select(
-        F.col("d.state_type").alias("state_type"),
-        F.lit(1).cast("long").alias("n_users"),
-        dec(F.col("d.state_value")).alias("total_value"),
-    )
-    return (
-        base_agg.unionByName(retract)
-        .unionByName(insert)
-        .groupBy("state_type")
-        .agg(
-            F.sum("n_users").alias("n_users"),
-            F.sum("total_value").alias("total_value"),
-        )
-        .filter(F.col("n_users") > 0)
-        .select(
-            "state_type",
-            F.col("n_users").cast("long").alias("n_users"),
-            F.col("total_value").cast("double").alias("total_value"),
-        )
+        "state_type",
+        "n_users",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 

@@ -2061,3 +2061,136 @@ def st22_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_root = _stream_work_root(spark, sf_dir, "st22", table="events")
     with state_partitions(spark, 8):
         return run_cdc_apply(spark, arrivals, work_root)
+
+
+def run_stream_ivm(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st23",
+) -> DataFrame:
+    """Streaming INCREMENTAL-VIEW MAINTENANCE: p18's aggregate view
+    (per live state_type: n_users, total_value over the LWW user state)
+    maintained continuously, O(|batch|) per micro-batch, without ever
+    re-aggregating the state table.
+
+    Two state tables move together in ONE VersionedState version — the
+    LWW key state (needed to RETRACT a key's old contribution when a
+    later op moves or tombstones it) and the maintained view — made
+    visible by a single atomic _COMMIT marker (statefs commit_tables),
+    so no crash point can publish a view that disagrees with the key
+    state it was derived from. Per batch: compact the batch (combinable
+    struct-max), compute retract/insert deltas against the PREVIOUS key
+    state, fold them into the previous view, fold the key state
+    forward, commit both. The view/delta/merge algebra is the ONE copy
+    in operators/stateful.py that p18 also runs, and the whole-log SQL
+    is the oracle — so the driver gate re-proves, hash-exactly, that
+    the streaming fold is independent of batch boundaries AND equals a
+    from-scratch recompute. Replay-idempotent: the committed version
+    number is the applied-batch marker.
+
+    Scale: per batch the work is one batch-sized compaction, one key
+    equi-join of batch keys against the state, and a group-count-sized
+    view merge — the state table is live-keys-sized, the view is
+    groups-sized, and NEITHER is rescanned proportionally to history.
+    This is the update-semantics streaming aggregate Flink serves from
+    managed state and vanilla Structured Streaming cannot express for
+    LWW-with-tombstones inputs (complete-mode would re-aggregate, and
+    native update-mode aggregates cannot retract an upserted key's old
+    value)."""
+    from ..operators.stateful import (
+        last_writer_compact,
+        merge_view,
+        view_delta_changes,
+        view_of_state,  # noqa: F401  (the definition st23 must share)
+    )
+    from ..streaming.statefs import VersionedState
+
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    state_schema = (
+        "user_id long, last_ts timestamp, last_event_id long, "
+        "state_type string, state_value double"
+    )
+    view_schema = "state_type string, n_users long, total_value decimal(25,6)"
+
+    def compact_state(df: DataFrame) -> DataFrame:
+        return last_writer_compact(
+            df, ts="last_ts", eid="last_event_id",
+            etype="state_type", val="state_value",
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        delta = compact_state(
+            batch.select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("state_type"),
+                F.col("value").alias("state_value"),
+            )
+        )
+        prev_state = state.read_table("state", state_schema)
+        prev_view = state.read_table("view", view_schema)
+        new_state = compact_state(prev_state.unionByName(delta))
+        new_view = merge_view(prev_view, view_delta_changes(prev_state, delta))
+        state.commit_tables({"state": new_state, "view": new_view}, batch_id)
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return state.read_table("view", view_schema).select(
+        "state_type",
+        "n_users",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "st23_stream_ivm",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type AS state_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(25, 6))) AS DOUBLE)
+         AS total_value
+FROM ranked
+WHERE rn = 1 AND event_type != 'error'
+GROUP BY event_type
+""",
+    tags=("streaming", "cdc", "ivm", "stateful", "incremental"),
+    bench=True,
+)
+def st23_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p18's materialized view maintained CONTINUOUSLY (see
+    run_stream_ivm): the events feed replays as time-ordered
+    micro-batches; each batch retracts/inserts its keys' contributions
+    against the previous LWW state and folds the group-sized view
+    forward — key state and view committed atomically in one
+    VersionedState version (the new statefs multi-table protocol).
+    The oracle recomputes the view from the whole log, so the driver
+    gate re-proves fold == recompute hash-exactly at every run;
+    batch-split invariance and the torn-commit crash window are pinned
+    in tests/test_streaming_semantics.py / tests/test_statefs.py.
+    Completes the IVM story: p18 refreshes from a changelog batch,
+    st23 maintains as it arrives. Honors spark.graft.streamStateDir."""
+    arrivals = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st23", table="events")
+    with state_partitions(spark, 8):
+        return run_stream_ivm(spark, arrivals, work_root)

@@ -137,6 +137,45 @@ class VersionedState:
         vdir = f"{self.root}/v{batch_id}"
         df.write.mode("overwrite").parquet(vdir)
         touch(self.spark, f"{vdir}/{_COMMIT}")
+        self._prune(batch_id)
+
+    # -- multi-table protocol ------------------------------------------
+    #
+    # Some stateful patterns carry MORE than one table that must move
+    # together or not at all — e.g. streaming incremental-view
+    # maintenance (st23) holds the LWW key state (for old-value
+    # retraction) AND the maintained aggregate; committing them with
+    # two independent markers would open a crash window where the view
+    # reflects a state the key table does not (exactly the torn-commit
+    # class the single-table protocol closed). Here each version dir
+    # holds one parquet subdirectory per table and ONE ``_COMMIT``
+    # marker at the version root — the same single object creation
+    # makes every table of the version visible atomically. An instance
+    # uses EITHER commit()/read() or commit_tables()/read_table(); the
+    # version/prune/applied machinery is shared.
+
+    def read_table(self, name: str, schema: str) -> DataFrame:
+        cur = self.current_version()
+        path = f"{self.root}/v{cur}/{name}"
+        if cur is None or not exists(self.spark, path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def commit_tables(self, tables: dict[str, DataFrame], batch_id: int) -> None:
+        """Write every table under version ``batch_id`` and make them
+        visible with ONE marker creation. Table names must be stable
+        across batches (a table absent from ``tables`` simply has no
+        data in this version and reads empty — pass every table every
+        commit). ``_COMMIT`` is reserved."""
+        if _COMMIT in tables:
+            raise ValueError(f"table name {_COMMIT!r} is reserved")
+        vdir = f"{self.root}/v{batch_id}"
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{vdir}/{name}")
+        touch(self.spark, f"{vdir}/{_COMMIT}")
+        self._prune(batch_id)
+
+    def _prune(self, batch_id: int) -> None:
         for name in listdir(self.spark, self.root):
             if name.startswith("v") and name != f"v{batch_id}":
                 try:

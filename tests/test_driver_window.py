@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the twenty-six pivot/percentile/subquery/histogram/
+rows — except the twenty-seven pivot/percentile/subquery/histogram/
 TPC-H/packing/cohort/window/curation plans the window cannot fit
 (latest row r04, untouched by any refactor since), which lead the
 round-9 window."""
@@ -67,6 +67,7 @@ NEVER_CHECKED = (
     "d32_dup_graph_pagerank",
     "w19_purchase_attribution",
     "s24_hamming_width_advisor",
+    "st23_stream_ivm",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -99,6 +100,7 @@ DEFERRED_TO_R9 = {
     "s11_hybrid_rrf",
     "s12_random_projection",
     "m04_media_resize",
+    "r02_salted_aggregation",
 }
 
 

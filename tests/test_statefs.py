@@ -235,3 +235,56 @@ def test_incremental_dedup_replays_over_orphaned_fp_state(spark, tmp_path):
     assert {r.doc_id for r in out2.collect()} == {1, 7}, (
         "replayed batch must not be masked by its own orphaned fingerprints"
     )
+
+
+def test_commit_tables_atomic_multi_table_protocol(spark, tmp_path):
+    """commit_tables: both tables become visible with ONE marker; a
+    torn commit (tables written, no marker) leaves BOTH invisible —
+    there is no crash point where one table reflects a version the
+    other does not."""
+    root = str(tmp_path / "ivm")
+    st = VersionedState(spark, root)
+    a = "k string, n long"
+    b = "g string, total long"
+    assert st.read_table("state", a).count() == 0
+
+    st.commit_tables(
+        {
+            "state": spark.createDataFrame([("u1", 1)], a),
+            "view": spark.createDataFrame([("click", 1)], b),
+        },
+        0,
+    )
+    assert st.current_version() == 0
+    assert [(r.k, r.n) for r in st.read_table("state", a).collect()] == [("u1", 1)]
+    assert [(r.g, r.total) for r in st.read_table("view", b).collect()] == [
+        ("click", 1)
+    ]
+
+    # torn v1: both tables written, marker never created
+    spark.createDataFrame([("u2", 2)], a).write.parquet(f"{root}/v1/state")
+    spark.createDataFrame([("view", 9)], b).write.parquet(f"{root}/v1/view")
+    assert st.current_version() == 0
+    assert not st.applied(1)
+    assert [r.n for r in st.read_table("state", a).collect()] == [1]
+    assert [r.total for r in st.read_table("view", b).collect()] == [1]
+
+    # replay overwrites the orphan atomically; old version pruned
+    st.commit_tables(
+        {
+            "state": spark.createDataFrame([("u2", 5)], a),
+            "view": spark.createDataFrame([("view", 5)], b),
+        },
+        1,
+    )
+    assert st.current_version() == 1
+    assert [r.n for r in st.read_table("state", a).collect()] == [5]
+    assert not statefs.exists(spark, f"{root}/v0")
+
+    # a table name missing from a committed version reads empty, and
+    # the marker name is reserved
+    assert st.read_table("nope", a).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.commit_tables({"_COMMIT": spark.createDataFrame([("x", 1)], a)}, 2)

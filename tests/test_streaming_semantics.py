@@ -1038,3 +1038,93 @@ def test_lww_fold_is_partition_and_duplicate_invariant(spark):
                 state.unionByName(delta)
             )
         assert key(compact(state)) == want, f"trial {trial} diverged"
+
+
+def test_stream_ivm_view_across_batches_and_restart(spark, tmp_path):
+    """st23's runner: the maintained view retracts a key's old
+    contribution when a later batch moves or tombstones it (u1's click
+    credit must VANISH when batch 2 deletes u1 — a native update-mode
+    aggregate cannot do this), and a restarted two-phase run converges
+    to the one-shot view."""
+    import datetime as dt
+    import glob as _gl
+    import os
+    import shutil as _sh
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_stream_ivm,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    t = lambda d: dt.datetime(2024, 1, d)
+    file_1 = [
+        (1, t(1), 1, "click", 1.0),
+        (2, t(2), 2, "view", 2.0),
+        (3, t(3), 2, "error", 0.0),   # u2 tombstoned in batch 1
+        (4, t(4), 3, "error", 0.0),
+    ]
+    file_2 = [
+        (5, t(10), 1, "error", 0.0),  # u1 deleted -> click credit retracts
+        (6, t(11), 2, "signup", 3.0), # u2 resurrected into a NEW group
+        (7, t(12), 4, "purchase", 4.0),
+    ]
+    want = {("signup", 1, 3.0), ("purchase", 1, 4.0)}
+
+    def key(rows):
+        return {(r.state_type, r.n_users, r.total_value) for r in rows}
+
+    def arrivals(src):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    src1 = _mk_arrival_files(
+        spark,
+        tmp_path,
+        "ivm_one",
+        [("f1.parquet", file_1), ("f2.parquet", file_2)],
+        schema=schema,
+    )
+    got = key(
+        run_stream_ivm(
+            spark, arrivals(src1), str(tmp_path / "ivm_work_one")
+        ).collect()
+    )
+    assert got == want
+
+    src2 = _mk_arrival_files(
+        spark, tmp_path, "ivm_restart", [("f1.parquet", file_1)], schema=schema
+    )
+    work = str(tmp_path / "ivm_work_restart")
+    phase1 = key(run_stream_ivm(spark, arrivals(src2), work).collect())
+    assert phase1 == {("click", 1, 1.0)}
+    p = os.path.join(src2, "f2.parquet")
+    spark.createDataFrame(file_2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p + ".tmp")
+    part = _gl.glob(os.path.join(p + ".tmp", "part-*.parquet"))[0]
+    _sh.move(part, p)
+    _sh.rmtree(p + ".tmp")
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+    phase2 = key(run_stream_ivm(spark, arrivals(src2), work).collect())
+    assert phase2 == want, "restarted fold must equal the one-shot view"
+
+
+def test_st23_catalog_entry_runs_multi_batch(spark):
+    """The catalog st23 must actually exercise the cross-batch fold."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_RUN_BATCHES,
+    )
+    from conftest import SF_SMOKE
+
+    out = get_spec("st23_stream_ivm").build(spark, SF_SMOKE)
+    assert out.count() > 0
+    assert LAST_RUN_BATCHES["st23"] >= 2
