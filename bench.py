@@ -69,6 +69,7 @@ def main() -> int:
     _sweep_stress(spark, timings)
     _bpe_stress(spark, timings)
     _pca_stress(spark, timings)
+    _binary_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -343,6 +344,102 @@ def _pca_stress(spark, timings: dict[str, float]) -> None:
     timings["s21_stress_pca_1024d_20k"] = elapsed
     print(
         f"# s21_stress: {elapsed:.3f}s for {n} x {dim}d fit", file=sys.stderr
+    )
+
+
+def _binary_stress(spark, timings: dict[str, float]) -> None:
+    """Production-width binary quantization: s23's catalog row packs 64
+    dims with the pure-codegen flat-sum expression (the right call at
+    that width), but at Titan's 1024 dims the 1024 CASE terms exceed
+    janino's method limits — whole-stage codegen FAILS COMPILE and
+    Spark silently drops to interpreted evaluation. Two priced rows
+    (the w13/w13b hazard-and-alternative pattern):
+
+    - s23_stress_flatsum_1024d_5k — the HAZARD: flat-sum pack of just
+      5k 1024-d vectors through the interpreted fallback;
+    - s23_stress_pack1024d_20k — the scale path: Arrow/numpy packer
+      (operators/similarity.pack_sign_words_arrow, bit-layout-equal by
+      test) over 4x the rows, plus the full popcount coarse top-40 via
+      the word-array fold (which stays codegen at ANY width).
+
+    Same auto-switch philosophy as kmeans literal-vs-GEMM: the bench
+    prices WHERE the expression path stops being the right answer."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
+        pack_sign_bits,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        hamming_words,
+        pack_sign_words_arrow,
+    )
+
+    dim, n = 1024, 20_000
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(int(ids[0]) % (2**31))
+            M = rng.standard_normal((len(ids), dim)) * 0.1
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.tolist() for r in M]}
+            )
+
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    df.count()
+
+    # hazard: interpreted-fallback flat-sum pack, 5k rows
+    flat_words = [
+        pack_sign_bits(F.col("embedding"), 32 * w + 1, 32 * w + 32).alias(f"b{w}")
+        for w in range(32)
+    ]
+    small = df.filter(F.col("vec_id") < 5_000)
+    t0 = time.perf_counter()
+    small.select("vec_id", *flat_words).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["s23_stress_flatsum_1024d_5k"] = round(time.perf_counter() - t0, 4)
+
+    # scale path: arrow pack of all 20k + popcount coarse top-40
+    t0 = time.perf_counter()
+    bits = pack_sign_words_arrow(df, dim=dim).persist()
+    bits.count()
+    qb = F.broadcast(
+        bits.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("words").alias("q_words")
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        bits.filter(F.col("vec_id") >= 8)
+        .join(qb, F.lit(True))
+        .select(
+            "q_id",
+            "vec_id",
+            hamming_words(F.col("words"), F.col("q_words")).alias("hamming"),
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 40)
+    )
+    n_rows = shortlist.count()
+    timings["s23_stress_pack1024d_20k"] = round(time.perf_counter() - t0, 4)
+    bits.unpersist()
+    df.unpersist()
+    if n_rows != 8 * 40:
+        raise AssertionError(f"binary stress shortlist {n_rows} rows")
+    print(
+        f"# s23_stress: flatsum(5k) {timings['s23_stress_flatsum_1024d_5k']:.3f}s"
+        f"  arrow(20k)+coarse {timings['s23_stress_pack1024d_20k']:.3f}s",
+        file=sys.stderr,
     )
 
 

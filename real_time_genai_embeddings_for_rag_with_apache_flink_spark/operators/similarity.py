@@ -239,3 +239,87 @@ def ivf_search(
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def pack_sign_words_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Binary (sign-bit) quantization at PRODUCTION width: pack each
+    vector's sign pattern into ``ceil(dim/word_bits)`` non-negative
+    BIGINT words, as one vectorized numpy pass per Arrow batch.
+
+    WHY this exists next to functions/vector.pack_sign_bits: the pure
+    codegen flat-sum pack is the right call at catalog width (64 dims =
+    two words, zero Python in the plan), but at Titan width (1024 dims,
+    KDS-P/index-creation-function/lambda_function.py:66-70) the 1024
+    CASE terms exceed janino's method limits — whole-stage codegen
+    FAILS COMPILE and Spark silently falls back to interpreted
+    evaluation, ~24 s for a 20k-row pack where this path takes well
+    under a second (measured; the s23_stress bench row prices both).
+    Same auto-switch philosophy as kmeans' literal-vs-GEMM assignment:
+    stay expression-native while the expression is small, cross to
+    Arrow-batched numpy when width would break codegen. Bit layout is
+    IDENTICAL to pack_sign_bits (bit d-within-word set when
+    vec[d] > 0), asserted equal in tests/test_binary_ann.py.
+
+    Output: (id_col, words array<bigint>). NULL/wrong-length vectors
+    pack to a NULL words array (the pack_sign_bits null contract).
+    Hamming over the array form stays fully codegen:
+    ``aggregate(zip_with(a, b, (x, y) -> bit_count(x ^ y)), 0, +)`` —
+    a ceil(dim/32)-element fold, independent of dim's CASE blowup.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        raise ValueError("dim is required (wrong-length rows pack to NULL)")
+    n_words = math.ceil(dim / word_bits)
+    weights = (1 << np.arange(word_bits, dtype=np.int64))
+
+    def pack(batches):
+        for pdf in batches:
+            vals = pdf[vec_col]
+            valid = vals.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
+            out: list = [None] * len(pdf)
+            if valid.any():
+                # one vectorized pass over every valid row of the batch:
+                # (k, dim) sign matrix -> zero-padded (k, n_words, bits)
+                # -> one matmul against the bit weights
+                M = np.stack(vals[valid].to_numpy()).astype(np.float64) > 0
+                padded = np.zeros((M.shape[0], n_words * word_bits), dtype=bool)
+                padded[:, :dim] = M
+                words = (
+                    padded.reshape(-1, n_words, word_bits) @ weights
+                ).astype(np.int64)
+                wlist = words.tolist()
+                j = 0
+                for i, ok in enumerate(valid):
+                    if ok:
+                        out[i] = wlist[j]
+                        j += 1
+            yield pd.DataFrame({id_col: pdf[id_col], "words": out})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        pack, f"{id_col} long, words array<bigint>"
+    )
+
+
+def hamming_words(a, b):
+    """Hamming distance between two packed sign-word arrays — a
+    word-count-sized codegen fold (bit_count over xor), never a
+    per-dimension expression."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

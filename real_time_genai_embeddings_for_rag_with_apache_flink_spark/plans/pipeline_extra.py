@@ -2502,7 +2502,14 @@ def s23_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization (16 bytes/vector at dim 64, 128 at dim 1024) and
     the corpus scan reads ONLY it — the full-precision column stays
     parquet-pruned until the shortlist asks for 40 rows per
-    query. Recall@5 vs exact brute force is 0.76 at the 40-wide
+    query. Width ceiling, honestly priced: the flat-sum pack is right
+    at THIS width (two words, zero Python), but at Titan's 1024 dims
+    its 1024 CASE terms break janino compile and fall back to
+    interpreted eval — production width packs via the bit-layout-equal
+    Arrow packer (operators/similarity.pack_sign_words_arrow) with the
+    word-array popcount fold, both priced in the s23_stress bench pair
+    (the kmeans literal-vs-GEMM auto-switch philosophy).
+    Recall@5 vs exact brute force is 0.76 at the 40-wide
     shortlist on the near-isotropic testdata — vs 0.46 for s22's 8-dim
     PCA coarse pass at the SAME width (64 sign planes out-rank 8
     variance-optimal dims); floor pinned in tests/test_binary_ann.py. The reference delegates all similarity to

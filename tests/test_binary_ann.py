@@ -115,3 +115,58 @@ def test_width_advisor_curve_is_monotone_and_anchored(spark):
         assert curve[lo] <= curve[hi], f"recall dropped {lo}->{hi}"
     assert curve[40] >= 0.60  # the s23 operating point (measured 0.76)
     assert curve[10] < 1.0  # a 10-wide shortlist cannot be exact here
+
+
+def test_arrow_packer_matches_flat_sum_layout(spark):
+    """pack_sign_words_arrow must produce the EXACT bit layout of the
+    codegen flat-sum pack (word w, bit d-within-word), pack NULL and
+    wrong-length vectors to NULL, and hamming_words over the arrays
+    must equal the scalar popcount form."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        hamming_words,
+        pack_sign_words_arrow,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    flat = {
+        r.vec_id: [r.b0, r.b1]
+        for r in em.select(
+            "vec_id",
+            pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+            pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.words
+        for r in pack_sign_words_arrow(em, dim=64).collect()
+    }
+    assert arrow == flat
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [0.5] * 10)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.words
+        for r in pack_sign_words_arrow(bad, dim=64).collect()
+    }
+    assert got[1] == [(1 << 32) - 1, (1 << 32) - 1]
+    assert got[2] is None and got[3] is None
+
+    words = pack_sign_words_arrow(em, dim=64)
+    a = words.select(F.col("vec_id").alias("ia"), F.col("words").alias("wa"))
+    b = words.select(F.col("vec_id").alias("ib"), F.col("words").alias("wb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select("ia", "ib", hamming_words(F.col("wa"), F.col("wb")).alias("h"))
+        .collect()
+    )
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in em.collect()
+    }
+    for r in pairs[:100]:
+        want = int(((emb[r.ia] > 0) != (emb[r.ib] > 0)).sum())
+        assert r.h == want
