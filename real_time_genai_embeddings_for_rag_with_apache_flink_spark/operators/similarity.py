@@ -323,3 +323,121 @@ def hamming_words(a, b):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation (recall@k / MRR / nDCG@k)
+# ---------------------------------------------------------------------------
+
+def ndcg_weights(k: int, scale: int = 1_000_000) -> list[int]:
+    """Position weights for binary-gain DCG@k as SCALED INTEGERS:
+    ``w[p] = round(scale / log2(p + 1))`` for 1-based rank p. Summing
+    integers instead of ``1/log2`` doubles makes the per-query DCG
+    order-independent and bit-exact across engines (the t24 exact-
+    arithmetic discipline); the only float op left in nDCG is the final
+    single division, which both engines perform identically."""
+    import math
+
+    return [round(scale / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def retrieval_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    query_label: str = "q_label",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics for exact cosine top-k
+    against label ground truth: a corpus item is *relevant* to a query
+    iff it carries the query's label. Returns one row per query:
+    ``(q_id, q_label, n_rel, hits_at_k, recall_at_k, mrr, ndcg_at_k)``.
+
+    The offline eval harness for the retrieval surface the reference
+    delegates to OpenSearch k-NN (the HNSW index created by
+    ``KDS-P/index-creation-function/lambda_function.py:66-97`` serves
+    the RAG queries; this measures whether what it returns is RIGHT).
+
+    Shape (one corpus pass, everything JVM-side):
+    - queries are broadcast; cosine is scored map-side and the per-query
+      top-k is the rank-filtered window, which plans as a two-phase
+      ``WindowGroupLimit`` — at most k rows per query per map task reach
+      the exchange, so the shuffle is |Q|*k-sized at any corpus size;
+    - the corpus label is carried THROUGH the score/rank pass, so no
+      second corpus join is needed to mark hits;
+    - ``n_rel`` (per-label corpus count) is a combinable group-count
+      aggregate of label-cardinality size, broadcast back;
+    - recall@k divides by ``min(n_rel, k)`` (standard capped recall);
+      MRR is ``1/first_hit_rank`` (0 when no hit); DCG sums the
+      ``ndcg_weights`` integers at hit ranks and nDCG divides by the
+      ideal prefix sum — hits/DCG/IDCG are exact integers, each metric
+      is ONE final float division rounded to 6 dp.
+
+    Ranking ties are broken on ``ROUND(sim, 6)`` then corpus id — the
+    s02 cross-engine-stable ordering."""
+    w_dcg = ndcg_weights(k)
+    idcg_prefix = [0]
+    for w in w_dcg:
+        idcg_prefix.append(idcg_prefix[-1] + w)
+
+    q = F.broadcast(queries.select(query_id, query_vec, query_label))
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id),
+        F.col(query_label),
+        F.col(corpus_id),
+        F.col(corpus_label),
+        F.round(
+            cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6
+        ).alias("sim"),
+    )
+    win = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    hit = F.col(corpus_label) == F.col(query_label)
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+    )
+    per_q = ranked.groupBy(query_id, query_label).agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("hits_at_k"),
+        F.min(F.when(hit, F.col("rnk"))).alias("first_hit"),
+        F.sum(
+            F.when(hit, F.element_at(F.lit(w_dcg), F.col("rnk"))).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_scaled"),
+    )
+    n_rel = F.broadcast(
+        corpus.groupBy(F.col(corpus_label).alias("_rel_label")).agg(
+            F.count(F.lit(1)).alias("n_rel")
+        )
+    )
+    ideal = F.least(F.col("n_rel"), F.lit(k).cast("bigint"))
+    idcg = F.element_at(F.lit(idcg_prefix), (ideal + 1).cast("int"))
+    return (
+        per_q.join(n_rel, F.col(query_label) == F.col("_rel_label"), "left")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")))
+        .select(
+            query_id,
+            query_label,
+            "n_rel",
+            "hits_at_k",
+            F.when(
+                ideal > 0,
+                F.round(F.col("hits_at_k").cast("double") / ideal, 6),
+            )
+            .otherwise(0.0)
+            .alias("recall_at_k"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_hit"), 6), F.lit(0.0)
+            ).alias("mrr"),
+            F.when(
+                ideal > 0,
+                F.round(F.col("dcg_scaled").cast("double") / idcg, 6),
+            )
+            .otherwise(0.0)
+            .alias("ndcg_at_k"),
+        )
+    )

@@ -406,3 +406,96 @@ def s18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# s25: retrieval-quality evaluation
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import ndcg_weights as _ndcg_weights  # noqa: E402
+
+_S25_K = 10
+_S25_W = _ndcg_weights(_S25_K)
+_S25_IDCG = [0]
+for _w in _S25_W:
+    _S25_IDCG.append(_S25_IDCG[-1] + _w)
+_S25_W_SQL = "[" + ", ".join(str(w) for w in _S25_W) + "]"
+_S25_IDCG_SQL = "[" + ", ".join(str(w) for w in _S25_IDCG) + "]"
+
+
+@query(
+    "s25_retrieval_eval",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 25 <> 0
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT q.q_id, q.q_label, c.vec_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                     q.q_vec), 6) DESC,
+        c.vec_id) AS rnk
+    FROM c JOIN q ON true)
+  WHERE rnk <= {_S25_K}
+),
+nrel AS (SELECT label, COUNT(*) AS n_rel FROM c GROUP BY label),
+m AS (
+  SELECT q_id, q_label,
+    CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits_at_k,
+    MIN(CASE WHEN label = q_label THEN rnk END) AS first_hit,
+    CAST(SUM(CASE WHEN label = q_label THEN {_S25_W_SQL}[rnk] ELSE 0 END)
+         AS BIGINT) AS dcg_scaled
+  FROM ranked GROUP BY q_id, q_label
+)
+SELECT m.q_id, m.q_label,
+  CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+  m.hits_at_k,
+  CASE WHEN COALESCE(n.n_rel, 0) > 0
+       THEN ROUND(CAST(m.hits_at_k AS DOUBLE) / LEAST(n.n_rel, {_S25_K}), 6)
+       ELSE 0.0 END AS recall_at_k,
+  COALESCE(ROUND(1.0 / m.first_hit, 6), 0.0) AS mrr,
+  CASE WHEN COALESCE(n.n_rel, 0) > 0
+       THEN ROUND(CAST(m.dcg_scaled AS DOUBLE)
+                  / {_S25_IDCG_SQL}[CAST(LEAST(n.n_rel, {_S25_K}) AS INT) + 1], 6)
+       ELSE 0.0 END AS ndcg_at_k
+FROM m LEFT JOIN nrel n ON n.label = m.q_label
+""",
+    tags=("similarity", "eval", "rag"),
+    bench=True,
+)
+def s25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVAL: recall@10 / MRR / nDCG@10 per query for
+    exact cosine top-k against label ground truth (relevant = same
+    label) — the offline answer to "is what the index returns RIGHT?",
+    the metric layer every RAG deployment needs next to its index and
+    the one thing the reference's delegated OpenSearch retrieval
+    (``KDS-P/index-creation-function/lambda_function.py:66-97``) never
+    measures. Every s-entry so far builds or serves an index; this one
+    grades it, and the same operator evaluates ANY ranked candidate
+    list (swap the exact ranker for s05/s22/s23 output to certify an
+    ANN's quality drop).
+
+    Scale shape: ONE corpus pass — broadcast queries, map-side cosine,
+    two-phase WindowGroupLimit top-k (shuffle carries <= |Q|*k rows),
+    corpus label carried through the rank pass so hits need no second
+    corpus join; n_rel is a label-cardinality group count broadcast
+    back. Hits, DCG and IDCG are EXACT INTEGERS (scaled 1e6/log2
+    position weights, the t24 discipline) so per-query metrics are one
+    float division each — no float-summation-order hash risk."""
+    from ..operators.similarity import retrieval_eval
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = em.filter(F.col("vec_id") % 25 != 0)
+    return retrieval_eval(queries, corpus, k=_S25_K)
