@@ -14,14 +14,14 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 22
+# entries only. Round-8 window (the r7 verdict's directive): the 24
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 19 of the 46 rows whose latest driver row is r04. The 27 deferred
-# r04 rows (m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r02/s11/s12/t09/t10/
-# t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 — pivot/percentile/
-# media-resize/salted-agg/subquery/histogram/RRF/JL-projection/packing/cohort/window/caps/
-# LM-quality/datacard/heavy-hitter/curation/repetition/BM25 plans
+# then 17 of the 46 rows whose latest driver row is r04. The 29 deferred
+# r04 rows (m03/m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r01/r02/s11/s12/
+# t09/t10/t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 — pivot/percentile/
+# media/salted-join-agg/subquery/histogram/RRF/JL-projection/packing/cohort/
+# window/caps/LM-quality/datacard/heavy-hitter/curation/repetition/BM25 plans
 # untouched by any refactor since r04) lead the round-9 window.
 DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
@@ -47,6 +47,8 @@ DRIVER_WINDOW: list[str] = [
     "w19_purchase_attribution",
     "s24_hamming_width_advisor",
     "st23_stream_ivm",
+    "s25_retrieval_eval",
+    "p20_compaction_planner",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -62,12 +64,10 @@ DRIVER_WINDOW: list[str] = [
     "d12_decontamination",
     "d13_training_shards",
     "d14_semantic_dedup",
-    "m03_media_features",
     "p01_pipeline_sink_docs",
     "p03_embed_distinct",
     "p04_python_datasource",
     "p05_vecdir_sink_roundtrip",
-    "r01_salted_join",
     "s06_kmeans_cells",
     "s09_product_quantization",
     "s10_ivfpq_search",

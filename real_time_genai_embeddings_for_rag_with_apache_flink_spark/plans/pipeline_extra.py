@@ -3063,3 +3063,102 @@ def s24_hamming_width_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p20: small-file compaction planner
+# ---------------------------------------------------------------------------
+
+_P20_SMALL = 400  # files below this size are compaction candidates
+_P20_TARGET = 2000  # target compacted-bin size
+_P20_KEEP_BASE = 1_000_000  # bin-id namespace for pass-through files
+
+
+@query(
+    "p20_compaction_planner",
+    oracle=f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+    CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {_P20_TARGET}) AS BIGINT) AS bin_id
+  FROM documents WHERE n_chars < {_P20_SMALL}
+)
+SELECT source, 'compact' AS action, bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM binned GROUP BY source, bin_id
+UNION ALL
+SELECT source, 'keep' AS action,
+  CAST({_P20_KEEP_BASE} + doc_id AS BIGINT) AS bin_id,
+  CAST(1 AS BIGINT) AS n_files,
+  CAST(n_chars AS BIGINT) AS total_chars,
+  doc_id AS min_doc, doc_id AS max_doc
+FROM documents WHERE n_chars >= {_P20_SMALL}
+""",
+    tags=("pipeline", "compaction", "maintenance"),
+    bench=True,
+)
+def p20_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLANNER — the manifest an OPTIMIZE /
+    bin-packing table-maintenance job executes: within each partition
+    (source), files below the small-file threshold are packed in id
+    order into target-sized rewrite bins (bin = exclusive-running-sum
+    div target — first-fit-in-order, so each bin is a CONTIGUOUS id
+    range and a rewrite task reads sequentially); files already at
+    least threshold-sized pass through as singleton 'keep' rows in a
+    disjoint bin-id namespace, so the output covers every file —
+    it IS the rewrite plan. Completes the table-maintenance family:
+    p19 chooses the clustering key, this plans the file rewrite,
+    p11/p14 lay out and backfill partitions.
+
+    Scale shape: the input is a file LISTING (one row per file —
+    ~800k rows for 100 TB of 128 MB files, metadata-sized), not data;
+    the only shuffle is the hash partition on `source` for the window,
+    and the per-partition packing is inherently sequential-in-order (a
+    linear scan of the partition's listing). Every value is an exact
+    integer — no float in the plan beyond the bin division, which is
+    exact for any cumulative size below 2^53."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    csum = F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("bigint"))
+    compact = (
+        docs.filter(F.col("n_chars") < _P20_SMALL)
+        .withColumn("bin_id", F.floor(csum / _P20_TARGET))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            "source",
+            F.lit("compact").alias("action"),
+            "bin_id",
+            "n_files",
+            "total_chars",
+            "min_doc",
+            "max_doc",
+        )
+    )
+    keep = docs.filter(F.col("n_chars") >= _P20_SMALL).select(
+        "source",
+        F.lit("keep").alias("action"),
+        (F.lit(_P20_KEEP_BASE) + F.col("doc_id")).cast("bigint").alias("bin_id"),
+        F.lit(1).cast("bigint").alias("n_files"),
+        F.col("n_chars").cast("bigint").alias("total_chars"),
+        F.col("doc_id").alias("min_doc"),
+        F.col("doc_id").alias("max_doc"),
+    )
+    return compact.unionByName(keep)
