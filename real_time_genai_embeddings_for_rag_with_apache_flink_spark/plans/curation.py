@@ -1326,3 +1326,150 @@ def d31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_N)
         .select("doc_id", "n_chars", F.round("k", 6).alias("skey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# t25: pairwise source divergence (Jensen-Shannon over unigram mixtures)
+# ---------------------------------------------------------------------------
+
+_T25_LN2 = "0.6931471805599453"  # repr(math.log(2)) — identical literal both engines
+_T25_TERM_SCALE = 1_000_000_000  # per-token JS terms rounded at 1e-9
+_T25_MASS_SCALE = 1_000_000_000_000  # per-token probability mass at 1e-12
+
+
+@query(
+    "t25_source_divergence",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source,
+          unnest(regexp_split_to_array({_SQL_NORM}, '\\s+')) AS token
+        FROM documents WHERE {_SQL_NORM} != '')
+  GROUP BY source, token
+),
+totals AS (SELECT source, SUM(cnt) AS tot FROM counts GROUP BY source),
+probs AS (
+  SELECT c.source, c.token, CAST(c.cnt AS DOUBLE) / t.tot AS p
+  FROM counts c JOIN totals t ON c.source = t.source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared,
+    CAST(SUM(CAST(ROUND((a.p * ln(2 * a.p / (a.p + b.p))
+                         + b.p * ln(2 * b.p / (a.p + b.p)))
+                        * {_T25_TERM_SCALE}) AS BIGINT)) AS BIGINT)
+      AS shared_scaled,
+    CAST(SUM(CAST(ROUND(a.p * {_T25_MASS_SCALE}) AS BIGINT)) AS BIGINT)
+      AS mass_a,
+    CAST(SUM(CAST(ROUND(b.p * {_T25_MASS_SCALE}) AS BIGINT)) AS BIGINT)
+      AS mass_b
+  FROM probs a JOIN probs b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b,
+  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+  ROUND(0.5 * COALESCE(s.shared_scaled, 0) / {_T25_TERM_SCALE}
+        + 0.5 * {_T25_LN2}
+          * (2.0 * {_T25_MASS_SCALE} - COALESCE(s.mass_a, 0)
+             - COALESCE(s.mass_b, 0)) / {_T25_MASS_SCALE}, 6)
+    AS js_divergence
+FROM (SELECT ta.source AS source_a, tb.source AS source_b
+      FROM totals ta JOIN totals tb ON ta.source < tb.source) p
+LEFT JOIN shared s
+  ON s.source_a = p.source_a AND s.source_b = p.source_b
+""",
+    tags=("text", "curation", "mixture", "governance"),
+    bench=True,
+)
+def t25_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE SOURCE DIVERGENCE: Jensen-Shannon divergence between
+    every pair of per-source unigram distributions — the data-mixture
+    diagnostic behind source weighting and drift review ("which
+    corpus sources actually differ, and by how much?"; JS is the
+    symmetric, bounded-[0, ln 2] divergence standard in data-selection
+    work, e.g. the DoReMi/DSIR family t17 already implements the
+    importance-weight side of). Complements t08/t24 (which ALLOCATE
+    across sources) with the measurement that says whether two sources
+    are even distinct, and t16's per-source datacard with a
+    cross-source comparison matrix.
+
+    JS(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2. Tokens present
+    in both sources contribute p*ln(2p/(p+q)) + q*ln(2q/(p+q)); a
+    token private to one side contributes exactly p*ln 2 — so instead
+    of a full-outer pair fan-out, the private mass rides the IDENTITY
+    sum(private p) = 1 - sum(shared p): one INNER token join plus the
+    shared-mass totals reconstructs the exact divergence, and sources
+    sharing no tokens fall out as ln 2 via the LEFT join against the
+    pair frame. Per-token terms and masses are rounded to scaled
+    BIGINTs before summing (the t24/s25/s26 discipline) so the
+    aggregate is order-independent and hash-exact; ln itself is pinned
+    cross-engine by the same libm contract t11's BM25 idf already
+    relies on.
+
+    Scale shape: the corpus collapses to (source, token, count) with
+    map-side combine — shuffle is vocabulary-sized, text never moves;
+    per-source totals broadcast back; the pair join is token-keyed
+    over the vocabulary (each token fans out only to the source pairs
+    that BOTH contain it); the pair frame is |sources|^2 driver-sized.
+    At 100 TB the only corpus-proportional cost is the first scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    norm = normalized_text(F.col("text"))
+    counts = (
+        docs.select("source", F.explode(F.split(norm, r"\s+")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "token", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                F.round(term * _T25_TERM_SCALE).cast("long")
+            ).alias("shared_scaled"),
+            F.sum(F.round(pa * _T25_MASS_SCALE).cast("long")).alias("mass_a"),
+            F.sum(F.round(pb * _T25_MASS_SCALE).cast("long")).alias("mass_b"),
+        )
+    )
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    pair_frame = ta.join(
+        F.broadcast(tb), F.col("ta.source") < F.col("tb.source")
+    ).select(
+        F.col("ta.source").alias("source_a"),
+        F.col("tb.source").alias("source_b"),
+    )
+    ln2 = F.lit(float(_T25_LN2))
+    js = F.round(
+        0.5 * F.coalesce(F.col("shared_scaled"), F.lit(0)) / _T25_TERM_SCALE
+        + 0.5
+        * ln2
+        * (
+            2.0 * _T25_MASS_SCALE
+            - F.coalesce(F.col("mass_a"), F.lit(0))
+            - F.coalesce(F.col("mass_b"), F.lit(0))
+        )
+        / _T25_MASS_SCALE,
+        6,
+    )
+    return pair_frame.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias("n_shared"),
+        js.alias("js_divergence"),
+    )

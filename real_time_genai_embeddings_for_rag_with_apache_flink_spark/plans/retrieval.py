@@ -499,3 +499,104 @@ def s25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = em.filter(F.col("vec_id") % 25 != 0)
     return retrieval_eval(queries, corpus, k=_S25_K)
+
+
+# ---------------------------------------------------------------------------
+# s26: multi-vector late-interaction (MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+_S26_N_QUERIES = 4  # query token sets (vec_id % _S26_N_QUERIES over the pool)
+_S26_QPOOL = 32  # vec_id < _S26_QPOOL are query tokens; the rest are doc vecs
+_S26_TOPK = 3
+
+
+@query(
+    "s26_maxsim_late_interaction",
+    oracle=f"""
+WITH qt AS (
+  SELECT vec_id % {_S26_N_QUERIES} AS q_id, vec_id AS tok_id,
+         CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < {_S26_QPOOL}
+),
+dv AS (
+  SELECT label AS doc_label, embedding
+  FROM embeddings WHERE vec_id >= {_S26_QPOOL}
+),
+tokmax AS (
+  SELECT qt.q_id, dv.doc_label, qt.tok_id,
+    MAX(CAST(ROUND(ROUND(list_cosine_similarity(
+          CAST(dv.embedding AS DOUBLE[]), qt.q_vec), 6) * 1000000)
+        AS BIGINT)) AS tok_sim
+  FROM dv JOIN qt ON true
+  GROUP BY qt.q_id, dv.doc_label, qt.tok_id
+),
+scored AS (
+  SELECT q_id, doc_label, CAST(SUM(tok_sim) AS BIGINT) AS maxsim_scaled
+  FROM tokmax GROUP BY q_id, doc_label
+)
+SELECT q_id, doc_label, maxsim_scaled, rnk FROM (
+  SELECT q_id, doc_label, maxsim_scaled,
+    ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY maxsim_scaled DESC, doc_label) AS rnk
+  FROM scored)
+WHERE rnk <= {_S26_TOPK}
+""",
+    tags=("similarity", "rag", "late-interaction"),
+    bench=True,
+)
+def s26_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT MaxSim,
+    Khattab & Zaharia 2020): a query is a SET of token vectors, a
+    document a SET of vectors (here: the label group), and
+    score(q, d) = sum over query tokens of max over doc vectors of
+    cosine — the interaction happens AFTER encoding, so one corpus
+    representation serves every query. The reference's single-vector
+    k-NN (one HNSW lookup per query embedding,
+    ``KDS-P/index-creation-function/lambda_function.py:66-97``) cannot
+    express this; it is the standard quality step above pooled-vector
+    retrieval and the natural next stage for the engine's RAG path
+    (s01 exact single-vector -> s11 hybrid -> this).
+
+    Relational decomposition: cosine per (doc vector, query token)
+    pair -> MAX per (query, doc, token) -> SUM per (query, doc) ->
+    top-k per query. MAX is order-independent; the SUM is made
+    order-independent by the t24/s25 integer discipline (round the
+    cosine at 1e-6, scale to BIGINT, sum exact integers) so the
+    score — and the hash — cannot drift with aggregation order.
+
+    Scale shape: the query token set is broadcast (queries are always
+    driver-sized); ONE corpus scan computes all |tokens| cosines per
+    vector map-side; the first aggregate is a map-side-combinable MAX
+    whose post-combine cardinality is |queries| x |tokens| x |docs| —
+    independent of how many vectors each document has, so the shuffle
+    never carries corpus-proportional rows; top-k is a per-query
+    window over doc-count-sized input. No UDF anywhere — the whole
+    late-interaction pipeline is codegen expressions, which is why it
+    can be oracle-certified hash-exact end to end."""
+    em = load_table(spark, sf_dir, "embeddings")
+    qt = em.filter(F.col("vec_id") < _S26_QPOOL).select(
+        (F.col("vec_id") % _S26_N_QUERIES).alias("q_id"),
+        F.col("vec_id").alias("tok_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    dv = em.filter(F.col("vec_id") >= _S26_QPOOL).select(
+        F.col("label").alias("doc_label"), "embedding"
+    )
+    sim6 = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
+    tok_sim = F.round(sim6 * F.lit(1_000_000.0)).cast("long")
+    tokmax = (
+        dv.crossJoin(F.broadcast(qt))
+        .select("q_id", "doc_label", "tok_id", tok_sim.alias("tok_sim"))
+        .groupBy("q_id", "doc_label", "tok_id")
+        .agg(F.max("tok_sim").alias("tok_sim"))
+    )
+    scored = tokmax.groupBy("q_id", "doc_label").agg(
+        F.sum("tok_sim").cast("long").alias("maxsim_scaled")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim_scaled").desc(), "doc_label"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _S26_TOPK)
+    )

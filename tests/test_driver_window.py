@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the twenty-nine pivot/percentile/subquery/histogram/
+rows — except the thirty-one pivot/percentile/subquery/histogram/
 TPC-H/media/salted/packing/cohort/window/curation plans the window cannot fit
 (latest row r04, untouched by any refactor since), which lead the
 round-9 window."""
@@ -70,12 +70,16 @@ NEVER_CHECKED = (
     "st23_stream_ivm",
     "s25_retrieval_eval",
     "p20_compaction_planner",
+    "s26_maxsim_late_interaction",
+    "t25_source_divergence",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
 # because no round-5+ refactor (seam, skew guard, state partitioning,
 # GEMM assignment, streaming state protocol) touches their plans.
 DEFERRED_TO_R9 = {
+    "d11_repeated_ngrams",
+    "d13_training_shards",
     "m03_media_features",
     "r01_salted_join",
     "q34b_pivot_native",
