@@ -49,6 +49,10 @@ HEADLINES = [
     ("s23_binary_hamming_ann", "coarse pass carries only (vec_id, b0, b1) — popcount Hamming in WholeStageCodegen against the broadcast 10-row query side; WindowGroupLimit under both rank cuts; the shortlist rejoins raw vectors as broadcast hash joins"),
     ("p18_incremental_view_maintenance", "both compactions are partial_max(struct) map-side; the only base-state touch is one key equi-join on delta keys; retract/insert unions telescope in ONE group-count-sized final aggregate"),
     ("p19_zorder_clustering", "the Morton key is a flat 24-term shift/mask Project inside WholeStageCodegen over a 2-column pruned scan; one Exchange for the 64-bucket envelope aggregate, no sort anywhere"),
+    ("s25_retrieval_eval", "broadcast query side; two-phase WindowGroupLimit under the rank cut so the shuffle carries <= |Q|*k rows; hits/DCG fold as integer aggregates over the ranked rows"),
+    ("s26_maxsim_late_interaction", "BroadcastNestedLoopJoin against the driver-sized query-token set; the (query, doc, token) MAX shows partial_max below the Exchange — post-combine rows independent of per-doc vector counts; integer SUM then per-query WindowGroupLimit"),
+    ("t25_source_divergence", "corpus collapses to (source, token, count) with partial_count below the Exchange; the pair join is token-keyed over the vocabulary; per-source totals and the pair frame are broadcast"),
+    ("p20_compaction_planner", "one hash Exchange on source for the running-sum window; both branches of the union read the same 3-column pruned scan; all-integer output, no sort"),
 ]
 
 

@@ -492,3 +492,36 @@ def test_w19_attribution_is_one_window_pass_no_self_join(spark):
     # single per-user window pass; no purchase-vs-touch self-join
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_s26_maxsim_broadcasts_tokens_and_combines_max(spark):
+    plan = _plan(spark, "s26_maxsim_late_interaction")
+    # the query-token set is broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the per-(query, doc, token) MAX combines map-side, so the shuffle
+    # never carries corpus-proportional rows
+    assert "partial_max" in plan
+    # top-k per query is the two-phase group limit, not a global sort
+    assert "WindowGroupLimit" in plan
+    # no Python anywhere — the whole late-interaction pipeline is codegen
+    assert "Python" not in plan
+
+
+def test_t25_divergence_shuffles_vocabulary_not_corpus(spark):
+    plan = _plan(spark, "t25_source_divergence")
+    # (source, token) counts combine map-side before any exchange
+    assert "partial_count" in plan
+    # per-source totals and the pair frame ride broadcast joins
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_p20_compaction_single_exchange_pruned_scan(spark):
+    plan = _plan(spark, "p20_compaction_planner")
+    # the listing scan reads only the 3 referenced columns
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+    # one hash partition on source feeds the running-sum window;
+    # no global sort anywhere
+    assert plan.count("Window") == 1
+    assert "rangepartitioning" not in plan
