@@ -2194,3 +2194,155 @@ def st23_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_root = _stream_work_root(spark, sf_dir, "st23", table="events")
     with state_partitions(spark, 8):
         return run_stream_ivm(spark, arrivals, work_root)
+
+
+def run_stream_compaction(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st24",
+    small: int | None = None,
+    target: int | None = None,
+) -> DataFrame:
+    """Streaming COMPACTION PLANNING: p20's bin-packing manifest
+    maintained continuously as file listings arrive — the shape of a
+    lakehouse auto-compaction service, which watches commits and plans
+    rewrites incrementally instead of re-scanning the whole listing.
+
+    Two state tables move in ONE VersionedState version (the st23
+    atomic multi-table protocol): per-source CUMULATIVE small-file
+    chars (the carry-in offset — w13b's two-phase running-sum pattern,
+    run over time instead of over range buckets) and the accumulated
+    per-(source, bin) manifest. Per batch: the batch's exclusive
+    running sum (ordered by doc_id within the batch) plus the carry-in
+    reproduces the GLOBAL exclusive running sum — micro-batches replay
+    in doc_id order — so bin assignment folds forward exactly; a bin
+    spanning a batch boundary merges by (source, bin_id) sum/min/max,
+    which is associative, so the committed manifest equals p20's
+    single-pass answer for ANY batch split (pinned by the split sweep
+    in tests/test_streaming_semantics.py and re-proved hash-exactly by
+    the driver against the whole-listing SQL oracle every run).
+    Replay-idempotent: the committed version is the applied marker.
+
+    Scale: per batch the work is batch-sized (one window over the
+    batch's listing slice, one merge keyed on the touched bins); state
+    is one row per source plus one per open bin — listing-metadata
+    sized, never corpus sized."""
+    from .pipeline_extra import _P20_SMALL, _P20_TARGET
+    from ..streaming.statefs import VersionedState
+    from pyspark.sql import Window
+
+    small = _P20_SMALL if small is None else small
+    target = _P20_TARGET if target is None else target
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    cum_schema = "source string, cum_chars long"
+    bins_schema = (
+        "source string, bin_id long, n_files long, total_chars long, "
+        "min_doc long, max_doc long"
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        small_files = batch.filter(F.col("n_chars") < small).select(
+            "source", "doc_id", "n_chars"
+        )
+        prev_cum = state.read_table("cum", cum_schema)
+        prev_bins = state.read_table("bins", bins_schema)
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local_excl = F.coalesce(
+            F.sum("n_chars").over(w), F.lit(0).cast("bigint")
+        )
+        binned = (
+            small_files.join(prev_cum, "source", "left")
+            .withColumn(
+                "bin_id",
+                F.floor(
+                    (F.coalesce(F.col("cum_chars"), F.lit(0)) + local_excl)
+                    / target
+                ),
+            )
+        )
+        batch_bins = binned.groupBy("source", "bin_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        new_bins = (
+            prev_bins.unionByName(batch_bins)
+            .groupBy("source", "bin_id")
+            .agg(
+                F.sum("n_files").alias("n_files"),
+                F.sum("total_chars").alias("total_chars"),
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
+            )
+        )
+        new_cum = (
+            prev_cum.unionByName(
+                small_files.groupBy("source").agg(
+                    F.sum("n_chars").alias("cum_chars")
+                )
+            )
+            .groupBy("source")
+            .agg(F.sum("cum_chars").alias("cum_chars"))
+        )
+        state.commit_tables({"cum": new_cum, "bins": new_bins}, batch_id)
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return state.read_table("bins", bins_schema)
+
+
+@query(
+    "st24_stream_compaction",
+    oracle="""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+    CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 2000) AS BIGINT) AS bin_id
+  FROM documents WHERE n_chars < 400
+)
+SELECT source, bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM binned GROUP BY source, bin_id
+""",
+    tags=("streaming", "compaction", "maintenance", "stateful"),
+    bench=True,
+)
+def st24_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p20's compaction manifest maintained CONTINUOUSLY (see
+    run_stream_compaction): the documents listing replays as
+    doc_id-ordered micro-batches; each batch bins its small files with
+    the carried per-source running sum and folds the per-(source, bin)
+    manifest forward — both state tables committed atomically in one
+    VersionedState version. The oracle recomputes the manifest from
+    the whole listing in one window pass, so the driver gate re-proves
+    fold == single-pass hash-exactly every run. Completes the
+    table-maintenance story in-stream: p19 picks the clustering key,
+    p20 plans the rewrite batch-wise, st24 plans it as commits arrive.
+    Honors spark.graft.streamStateDir for a resumable work root."""
+    arrivals = stream_documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st24", table="documents")
+    with state_partitions(spark, 8):
+        return run_stream_compaction(spark, arrivals, work_root)

@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the thirty-one pivot/percentile/subquery/histogram/
+rows — except the thirty-two pivot/percentile/subquery/histogram/
 TPC-H/media/salted/packing/cohort/window/curation plans the window cannot fit
 (latest row r04, untouched by any refactor since), which lead the
 round-9 window."""
@@ -72,6 +72,7 @@ NEVER_CHECKED = (
     "p20_compaction_planner",
     "s26_maxsim_late_interaction",
     "t25_source_divergence",
+    "st24_stream_compaction",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -79,6 +80,7 @@ NEVER_CHECKED = (
 # GEMM assignment, streaming state protocol) touches their plans.
 DEFERRED_TO_R9 = {
     "d11_repeated_ngrams",
+    "d12_decontamination",
     "d13_training_shards",
     "m03_media_features",
     "r01_salted_join",

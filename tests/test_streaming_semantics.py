@@ -1128,3 +1128,69 @@ def test_st23_catalog_entry_runs_multi_batch(spark):
     out = get_spec("st23_stream_ivm").build(spark, SF_SMOKE)
     assert out.count() > 0
     assert LAST_RUN_BATCHES["st23"] >= 2
+
+
+def test_stream_compaction_fold_is_split_invariant(spark, tmp_path):
+    """st24's runner: the carried-running-sum bin fold must produce the
+    IDENTICAL manifest for any doc_id-ordered micro-batch split — the
+    one-shot run, an even split, and a ragged split (a bin spanning a
+    batch boundary) all end in the same state — and must equal the
+    single-pass window computation p20 runs in batch."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_stream_compaction,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    # two sources; src-a's files force a bin to SPAN the 2/1 split
+    # (cum 150+180=330 in batch 1, file at 340 continues bin 0 of 500)
+    rows = [
+        (1, "a", 150), (2, "a", 180), (3, "a", 170), (4, "a", 120),
+        (5, "b", 90), (6, "b", 600), (7, "b", 95),  # 600 is a keep-file
+        (8, "a", 210), (9, "b", 130),
+    ]
+    splits = {
+        "oneshot": [("f1.parquet", rows)],
+        "even": [("f1.parquet", rows[:5]), ("f2.parquet", rows[5:])],
+        "ragged": [
+            ("f1.parquet", rows[:2]),
+            ("f2.parquet", rows[2:3]),
+            ("f3.parquet", rows[3:]),
+        ],
+    }
+
+    def key(out):
+        return {
+            (r.source, r.bin_id, r.n_files, r.total_chars, r.min_doc, r.max_doc)
+            for r in out.collect()
+        }
+
+    got = {}
+    for name, files in splits.items():
+        src = _mk_arrival_files(
+            spark, tmp_path, "cmp_" + name, files, schema=schema
+        )
+        arrivals = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        got[name] = key(
+            run_stream_compaction(
+                spark,
+                arrivals,
+                str(tmp_path / ("cmp_work_" + name)),
+                small=500,
+                target=500,
+            )
+        )
+    assert got["oneshot"] == got["even"] == got["ragged"]
+    # equals the single-pass exclusive-running-sum binning (p20's form):
+    # src-a small files in doc_id order: 150,180,170,120,210 ->
+    # exclusive sums 0,150,330,500,620 -> bins 0,0,0,1,1
+    # src-b small files: 90,95,130 -> 0,90,185 -> all bin 0
+    want = {
+        ("a", 0, 3, 500, 1, 3),
+        ("a", 1, 2, 330, 4, 8),
+        ("b", 0, 3, 315, 5, 9),
+    }
+    assert got["oneshot"] == want
