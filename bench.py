@@ -70,6 +70,7 @@ def main() -> int:
     _bpe_stress(spark, timings)
     _pca_stress(spark, timings)
     _binary_stress(spark, timings)
+    _maxsim_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -441,6 +442,132 @@ def _binary_stress(spark, timings: dict[str, float]) -> None:
         f"  arrow(20k)+coarse {timings['s23_stress_pack1024d_20k']:.3f}s",
         file=sys.stderr,
     )
+
+
+def _maxsim_stress(spark, timings: dict[str, float]) -> None:
+    """Late-interaction MaxSim at retrieval-serving scale: the catalog
+    s26 scores 500 vectors against 32 query tokens with the pure-codegen
+    cosine fold — the right call at that size. At serving scale the
+    expression path pays one 64-term fold per (vector, token) NLJ row:
+    100k vectors x 64 tokens = 6.4M folds, and every one of those rows
+    crosses an Exchange into the (query, doc, token) MAX. The scale
+    path computes ALL 64 token sims per vector in ONE numpy GEMM per
+    Arrow batch and reduces to the per-batch partial MAX inside the
+    task, so only |docs-in-batch| x |tokens| rows ever leave Python —
+    the kmeans literal-vs-GEMM auto-switch philosophy applied to the
+    retrieval read path. Both paths' final top-k manifests are asserted
+    EQUAL (same round-6 integer discipline as the catalog row) before
+    either is timed."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    dim, n, n_tokens, n_queries, n_docs = 64, 100_000, 64, 8, 2_000
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(int(ids[0]) % (2**31))
+            M = rng.standard_normal((len(ids), dim))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.tolist() for r in M]}
+            )
+
+    corpus = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .withColumn("doc_id", F.col("vec_id") % n_docs)
+        .persist()
+    )
+    corpus.count()
+    tok_rng = np.random.RandomState(7)
+    T = tok_rng.standard_normal((n_tokens, dim))
+    tok_rows = [
+        (int(i % n_queries), int(i), [float(x) for x in T[i]])
+        for i in range(n_tokens)
+    ]
+    tokens = spark.createDataFrame(
+        tok_rows, "q_id long, tok_id long, q_vec array<double>"
+    )
+
+    def topk(scored):
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("maxsim_scaled").desc(), "doc_id"
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+        )
+
+    # expression path: broadcast NLJ fan-out, one cosine fold per row
+    sim6 = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
+    expr_scored = (
+        corpus.crossJoin(F.broadcast(tokens))
+        .select(
+            "q_id", "doc_id", "tok_id",
+            F.round(sim6 * 1_000_000.0).cast("long").alias("tok_sim"),
+        )
+        .groupBy("q_id", "doc_id", "tok_id")
+        .agg(F.max("tok_sim").alias("tok_sim"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("tok_sim").alias("maxsim_scaled"))
+    )
+
+    # GEMM path: all token sims per vector in one matmul per Arrow
+    # batch, partial MAX reduced INSIDE the task before anything moves
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    q_ids = np.arange(n_tokens) % n_queries
+
+    def gemm_maxsim(it):
+        for pdf in it:
+            M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.rint(np.round(M @ Tn.T, 6) * 1_000_000.0).astype(
+                np.int64
+            )  # (batch, n_tokens)
+            out = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_tokens),
+                    "q_id": np.tile(q_ids, len(pdf)),
+                    "tok_id": np.tile(np.arange(n_tokens), len(pdf)),
+                    "tok_sim": sims.reshape(-1),
+                }
+            )
+            yield (
+                out.groupby(["q_id", "doc_id", "tok_id"], as_index=False)
+                .agg(tok_sim=("tok_sim", "max"))
+            )
+
+    gemm_scored = (
+        corpus.mapInPandas(
+            gemm_maxsim,
+            "q_id long, doc_id long, tok_id long, tok_sim long",
+        )
+        .groupBy("q_id", "doc_id", "tok_id")
+        .agg(F.max("tok_sim").alias("tok_sim"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("tok_sim").alias("maxsim_scaled"))
+    )
+
+    key = lambda rows: {(r.q_id, r.doc_id, r.rnk) for r in rows}
+    assert key(topk(expr_scored).collect()) == key(
+        topk(gemm_scored).collect()
+    ), "expression and GEMM MaxSim top-k must agree"
+
+    t0 = time.perf_counter()
+    topk(expr_scored).write.format("noop").mode("overwrite").save()
+    timings["s26_stress_expr_100kx64tok"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    topk(gemm_scored).write.format("noop").mode("overwrite").save()
+    timings["s26_stress_gemm_100kx64tok"] = round(time.perf_counter() - t0, 4)
+    corpus.unpersist()
 
 
 if __name__ == "__main__":
