@@ -2308,16 +2308,20 @@ def run_stream_compaction(
     return state.read_table("bins", bins_schema)
 
 
+from .pipeline_extra import _P20_SMALL as _ST24_SMALL  # noqa: E402
+from .pipeline_extra import _P20_TARGET as _ST24_TARGET  # noqa: E402
+
+
 @query(
     "st24_stream_compaction",
-    oracle="""
+    oracle=f"""
 WITH binned AS (
   SELECT source, doc_id, n_chars,
     CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         / 2000) AS BIGINT) AS bin_id
-  FROM documents WHERE n_chars < 400
+         / {_ST24_TARGET}) AS BIGINT) AS bin_id
+  FROM documents WHERE n_chars < {_ST24_SMALL}
 )
 SELECT source, bin_id,
   CAST(COUNT(*) AS BIGINT) AS n_files,
