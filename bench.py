@@ -464,8 +464,8 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
-        cosine_similarity,
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        maxsim_scores,
     )
 
     dim, n, n_tokens, n_queries, n_docs = 64, 100_000, 64, 8, 2_000
@@ -506,19 +506,9 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
             .filter(F.col("rnk") <= 10)
         )
 
-    # expression path: broadcast NLJ fan-out, one cosine fold per row
-    sim6 = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
-    expr_scored = (
-        corpus.crossJoin(F.broadcast(tokens))
-        .select(
-            "q_id", "doc_id", "tok_id",
-            F.round(sim6 * 1_000_000.0).cast("long").alias("tok_sim"),
-        )
-        .groupBy("q_id", "doc_id", "tok_id")
-        .agg(F.max("tok_sim").alias("tok_sim"))
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum("tok_sim").alias("maxsim_scaled"))
-    )
+    # expression path: the catalog s26 algebra (one shared copy),
+    # broadcast NLJ fan-out, one cosine fold per row
+    expr_scored = maxsim_scores(corpus, tokens, doc_col="doc_id")
 
     # GEMM path: all token sims per vector in one matmul per Arrow
     # batch, partial MAX reduced INSIDE the task before anything moves
@@ -529,9 +519,14 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
         for pdf in it:
             M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
             M = M / np.linalg.norm(M, axis=1, keepdims=True)
-            sims = np.rint(np.round(M @ Tn.T, 6) * 1_000_000.0).astype(
-                np.int64
-            )  # (batch, n_tokens)
+            raw = M @ Tn.T  # (batch, n_tokens)
+            # round half-AWAY-from-zero at 1e-6 + scale in one step —
+            # Spark F.round is HALF_UP (away from zero); np.round is
+            # half-even, which would categorically disagree on boundary
+            # cosines
+            sims = np.copysign(
+                np.floor(np.abs(raw) * 1_000_000.0 + 0.5), raw
+            ).astype(np.int64)
             out = pd.DataFrame(
                 {
                     "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_tokens),

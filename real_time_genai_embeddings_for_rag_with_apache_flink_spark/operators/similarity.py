@@ -441,3 +441,32 @@ def retrieval_eval(
             .alias("ndcg_at_k"),
         )
     )
+
+
+def maxsim_scores(
+    corpus: DataFrame, tokens: DataFrame, doc_col: str = "doc_label"
+) -> DataFrame:
+    """Late-interaction MaxSim scoring (ColBERT, Khattab & Zaharia
+    2020): score(q, d) = sum over q's token vectors of max over d's
+    vectors of cosine. ``corpus`` carries (doc_col, embedding);
+    ``tokens`` carries (q_id, tok_id, q_vec) and is broadcast (query
+    token sets are driver-sized by construction). Returns one row per
+    (q_id, doc) with ``maxsim_scaled`` — the score as an EXACT BIGINT
+    (each cosine rounded half-away-from-zero at 1e-6 and scaled, the
+    t24/s25 integer discipline), so the sum is aggregation-order
+    independent and the result hash-stable across engines. The first
+    aggregate is a map-side-combinable MAX keyed (q, doc, token):
+    post-combine cardinality is independent of per-doc vector counts,
+    so the shuffle never carries corpus-proportional rows. Shared by
+    the s26 catalog entry, its bench stress pair, and the dense-numpy
+    reference pin in tests/test_maxsim.py — one copy of the algebra."""
+    sim6 = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
+    tok_sim = F.round(sim6 * F.lit(1_000_000.0)).cast("long")
+    return (
+        corpus.crossJoin(F.broadcast(tokens))
+        .select("q_id", doc_col, "tok_id", tok_sim.alias("tok_sim"))
+        .groupBy("q_id", doc_col, "tok_id")
+        .agg(F.max("tok_sim").alias("tok_sim"))
+        .groupBy("q_id", doc_col)
+        .agg(F.sum("tok_sim").cast("long").alias("maxsim_scaled"))
+    )

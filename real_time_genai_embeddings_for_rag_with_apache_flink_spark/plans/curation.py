@@ -1337,6 +1337,71 @@ _T25_TERM_SCALE = 1_000_000_000  # per-token JS terms rounded at 1e-9
 _T25_MASS_SCALE = 1_000_000_000_000  # per-token probability mass at 1e-12
 
 
+def js_divergence_matrix(counts: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram mixtures
+    of every source pair, from a (source, token, cnt) count table.
+    Returns (source_a, source_b, n_shared, js_divergence) with
+    source_a < source_b — the ONE copy of the algebra the t25 catalog
+    entry and the adversarial numpy pins in tests/test_divergence.py
+    both run. See t25_source_divergence for the identity and the
+    integer-scaling discipline."""
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "token",
+        (F.col("cnt").cast("double") / F.col("tot")).alias("p"),
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                F.round(term * _T25_TERM_SCALE).cast("long")
+            ).alias("shared_scaled"),
+            F.sum(F.round(pa * _T25_MASS_SCALE).cast("long")).alias("mass_a"),
+            F.sum(F.round(pb * _T25_MASS_SCALE).cast("long")).alias("mass_b"),
+        )
+    )
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    pair_frame = ta.join(
+        F.broadcast(tb), F.col("ta.source") < F.col("tb.source")
+    ).select(
+        F.col("ta.source").alias("source_a"),
+        F.col("tb.source").alias("source_b"),
+    )
+    ln2 = F.lit(float(_T25_LN2))
+    js = (
+        0.5 * F.coalesce(F.col("shared_scaled"), F.lit(0)) / _T25_TERM_SCALE
+        + 0.5
+        * ln2
+        * (
+            2.0 * _T25_MASS_SCALE
+            - F.coalesce(F.col("mass_a"), F.lit(0))
+            - F.coalesce(F.col("mass_b"), F.lit(0))
+        )
+        / _T25_MASS_SCALE
+    )
+    return pair_frame.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias(
+            "n_shared"
+        ),
+        js.alias("js_divergence"),
+    )
+
+
 @query(
     "t25_source_divergence",
     oracle=f"""
@@ -1421,55 +1486,9 @@ def t25_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
-    probs = counts.join(F.broadcast(totals), "source").select(
-        "source", "token", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
-    )
-    a, b = probs.alias("a"), probs.alias("b")
-    pa, pb = F.col("a.p"), F.col("b.p")
-    term = pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
-    shared = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.sum(
-                F.round(term * _T25_TERM_SCALE).cast("long")
-            ).alias("shared_scaled"),
-            F.sum(F.round(pa * _T25_MASS_SCALE).cast("long")).alias("mass_a"),
-            F.sum(F.round(pb * _T25_MASS_SCALE).cast("long")).alias("mass_b"),
-        )
-    )
-    ta, tb = totals.alias("ta"), totals.alias("tb")
-    pair_frame = ta.join(
-        F.broadcast(tb), F.col("ta.source") < F.col("tb.source")
-    ).select(
-        F.col("ta.source").alias("source_a"),
-        F.col("tb.source").alias("source_b"),
-    )
-    ln2 = F.lit(float(_T25_LN2))
-    js = F.round(
-        0.5 * F.coalesce(F.col("shared_scaled"), F.lit(0)) / _T25_TERM_SCALE
-        + 0.5
-        * ln2
-        * (
-            2.0 * _T25_MASS_SCALE
-            - F.coalesce(F.col("mass_a"), F.lit(0))
-            - F.coalesce(F.col("mass_b"), F.lit(0))
-        )
-        / _T25_MASS_SCALE,
-        6,
-    )
-    return pair_frame.join(shared, ["source_a", "source_b"], "left").select(
+    return js_divergence_matrix(counts).select(
         "source_a",
         "source_b",
-        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias("n_shared"),
-        js.alias("js_divergence"),
+        "n_shared",
+        F.round("js_divergence", 6).alias("js_divergence"),
     )

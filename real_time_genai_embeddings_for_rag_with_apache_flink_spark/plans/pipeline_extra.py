@@ -3071,7 +3071,11 @@ def s24_hamming_width_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _P20_SMALL = 400  # files below this size are compaction candidates
 _P20_TARGET = 2000  # target compacted-bin size
-_P20_KEEP_BASE = 1_000_000  # bin-id namespace for pass-through files
+# Pass-through files live in the NEGATIVE bin-id namespace (-(doc_id+1)):
+# compact bins are running-sum quotients and therefore always >= 0, so
+# the two namespaces are disjoint at ANY cumulative listing size — a
+# positive offset base would collide once a source's small-file chars
+# exceeded base * target.
 
 
 @query(
@@ -3092,7 +3096,7 @@ SELECT source, 'compact' AS action, bin_id,
 FROM binned GROUP BY source, bin_id
 UNION ALL
 SELECT source, 'keep' AS action,
-  CAST({_P20_KEEP_BASE} + doc_id AS BIGINT) AS bin_id,
+  CAST(-(doc_id + 1) AS BIGINT) AS bin_id,
   CAST(1 AS BIGINT) AS n_files,
   CAST(n_chars AS BIGINT) AS total_chars,
   doc_id AS min_doc, doc_id AS max_doc
@@ -3108,8 +3112,10 @@ def p20_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     order into target-sized rewrite bins (bin = exclusive-running-sum
     div target — first-fit-in-order, so each bin is a CONTIGUOUS id
     range and a rewrite task reads sequentially); files already at
-    least threshold-sized pass through as singleton 'keep' rows in a
-    disjoint bin-id namespace, so the output covers every file —
+    least threshold-sized pass through as singleton 'keep' rows in the
+    negative bin-id namespace (compact bins are running-sum quotients,
+    always >= 0, so disjointness holds at ANY listing size), and the
+    output covers every file —
     it IS the rewrite plan. Completes the table-maintenance family:
     p19 chooses the clustering key, this plans the file rewrite,
     p11/p14 lay out and backfill partitions.
@@ -3155,7 +3161,7 @@ def p20_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = docs.filter(F.col("n_chars") >= _P20_SMALL).select(
         "source",
         F.lit("keep").alias("action"),
-        (F.lit(_P20_KEEP_BASE) + F.col("doc_id")).cast("bigint").alias("bin_id"),
+        (-(F.col("doc_id") + F.lit(1))).cast("bigint").alias("bin_id"),
         F.lit(1).cast("bigint").alias("n_files"),
         F.col("n_chars").cast("bigint").alias("total_chars"),
         F.col("doc_id").alias("min_doc"),

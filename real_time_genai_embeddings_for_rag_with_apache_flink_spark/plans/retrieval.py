@@ -573,6 +573,8 @@ def s26_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over doc-count-sized input. No UDF anywhere — the whole
     late-interaction pipeline is codegen expressions, which is why it
     can be oracle-certified hash-exact end to end."""
+    from ..operators.similarity import maxsim_scores
+
     em = load_table(spark, sf_dir, "embeddings")
     qt = em.filter(F.col("vec_id") < _S26_QPOOL).select(
         (F.col("vec_id") % _S26_N_QUERIES).alias("q_id"),
@@ -582,17 +584,7 @@ def s26_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = em.filter(F.col("vec_id") >= _S26_QPOOL).select(
         F.col("label").alias("doc_label"), "embedding"
     )
-    sim6 = F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6)
-    tok_sim = F.round(sim6 * F.lit(1_000_000.0)).cast("long")
-    tokmax = (
-        dv.crossJoin(F.broadcast(qt))
-        .select("q_id", "doc_label", "tok_id", tok_sim.alias("tok_sim"))
-        .groupBy("q_id", "doc_label", "tok_id")
-        .agg(F.max("tok_sim").alias("tok_sim"))
-    )
-    scored = tokmax.groupBy("q_id", "doc_label").agg(
-        F.sum("tok_sim").cast("long").alias("maxsim_scaled")
-    )
+    scored = maxsim_scores(dv, qt)
     w = Window.partitionBy("q_id").orderBy(
         F.col("maxsim_scaled").desc(), "doc_label"
     )

@@ -2228,12 +2228,14 @@ def run_stream_compaction(
     batch's listing slice, one merge keyed on the touched bins); state
     is one row per source plus one per open bin — listing-metadata
     sized, never corpus sized."""
-    from .pipeline_extra import _P20_SMALL, _P20_TARGET
     from ..streaming.statefs import VersionedState
     from pyspark.sql import Window
 
-    small = _P20_SMALL if small is None else small
-    target = _P20_TARGET if target is None else target
+    # _ST24_SMALL/_ST24_TARGET are the module-level aliases of p20's
+    # constants — ONE binding shared by the runner, the catalog entry,
+    # and the f-string oracle
+    small = _ST24_SMALL if small is None else small
+    target = _ST24_TARGET if target is None else target
     state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
     ckpt = os.path.join(work_root, "ckpt")
     cum_schema = "source string, cum_chars long"

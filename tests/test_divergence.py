@@ -1,11 +1,11 @@
-"""t25's Jensen-Shannon algebra, pinned adversarially:
+"""t25's Jensen-Shannon algebra (plans/curation.js_divergence_matrix —
+the ONE copy the catalog entry also runs), pinned adversarially:
 
 1. the inner-join + private-mass-identity formulation must equal the
    textbook full-support JS computed densely in numpy on seeded random
-   corpora (including sources with mostly-disjoint vocabularies — the
-   case the identity exists for);
-2. JS's mathematical contract: symmetric inputs are handled by the
-   source < source pair frame, JS(P, P) = 0, and 0 <= JS <= ln 2 with
+   corpora (including sources with partially disjoint vocabularies —
+   the case the identity exists for);
+2. JS's mathematical contract: JS(P, P) = 0, and 0 <= JS <= ln 2 with
    the ln 2 ceiling REACHED by fully disjoint sources (via the LEFT
    join against the pair frame, which the inner token join alone would
    silently drop)."""
@@ -16,67 +16,25 @@ import math
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.curation import (
+    js_divergence_matrix,
+)
+
 
 def _spark_js(spark, rows):
-    """Run t25's exact plan over an in-memory (source, token) corpus by
-    rebinding the documents scan — one token per row, text == token."""
-    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.curation import (
-        _T25_MASS_SCALE,
-        _T25_TERM_SCALE,
-    )
-    from pyspark.sql import functions as F
-
+    """Run the production helper over an in-memory (source, token)
+    stream of occurrences."""
     counts = (
         spark.createDataFrame(rows, "source string, token string")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
-    probs = counts.join(F.broadcast(totals), "source").select(
-        "source", "token", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
-    )
-    a, b = probs.alias("a"), probs.alias("b")
-    pa, pb = F.col("a.p"), F.col("b.p")
-    term = pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
-    shared = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(
-            F.sum(F.round(term * _T25_TERM_SCALE).cast("long")).alias("ss"),
-            F.sum(F.round(pa * _T25_MASS_SCALE).cast("long")).alias("ma"),
-            F.sum(F.round(pb * _T25_MASS_SCALE).cast("long")).alias("mb"),
-        )
-    )
-    ta, tb = totals.alias("ta"), totals.alias("tb")
-    pair_frame = ta.join(
-        F.broadcast(tb), F.col("ta.source") < F.col("tb.source")
-    ).select(
-        F.col("ta.source").alias("source_a"),
-        F.col("tb.source").alias("source_b"),
-    )
-    out = pair_frame.join(shared, ["source_a", "source_b"], "left").select(
-        "source_a",
-        "source_b",
-        (
-            0.5 * F.coalesce(F.col("ss"), F.lit(0)) / _T25_TERM_SCALE
-            + 0.5
-            * F.lit(math.log(2))
-            * (
-                2.0 * _T25_MASS_SCALE
-                - F.coalesce(F.col("ma"), F.lit(0))
-                - F.coalesce(F.col("mb"), F.lit(0))
-            )
-            / _T25_MASS_SCALE
-        ).alias("js"),
-    )
-    return {(r.source_a, r.source_b): r.js for r in out.collect()}
+    return {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in js_divergence_matrix(counts).collect()
+    }
 
 
 def _dense_js(p, q):
