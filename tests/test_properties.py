@@ -427,3 +427,78 @@ def test_t24_temperature_apportionment_invariants(spark):
     }
     by_size = sorted(counts, key=counts.get)
     assert rates[by_size[0]] >= rates[by_size[-1]]
+
+
+def test_p20_packing_matches_sequential_reference(spark, tmp_path):
+    """p20's window-expression bin packing equals a pure-Python
+    sequential first-fit-in-order packer on adversarial listings
+    (all-small source, all-big source, a file exactly AT the
+    threshold, and seeded random sizes), and every compact bin is a
+    contiguous doc_id range whose size can overshoot the target by at
+    most one sub-threshold file."""
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _P20_SMALL,
+        _P20_TARGET,
+        p20_compaction_planner,
+    )
+
+    rng = random.Random(1234)
+    rows = []
+    doc_id = 0
+    # all-small, all-big, boundary, and mixed-random sources
+    for src, sizes in {
+        "tiny": [50] * 40,
+        "big": [5000] * 5,
+        "edge": [_P20_SMALL - 1, _P20_SMALL, _P20_SMALL + 1, 1],
+        "mix": [rng.randrange(1, 900) for _ in range(120)],
+    }.items():
+        for sz in sizes:
+            rows.append((doc_id, "x", "en", src, sz))
+            doc_id += 1
+    rng.shuffle(rows)  # physical order must not matter (window orders)
+
+    sf = tmp_path / "p20sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        (r.source, r.action, r.bin_id): (
+            r.n_files, r.total_chars, r.min_doc, r.max_doc
+        )
+        for r in p20_compaction_planner(spark, str(sf)).collect()
+    }
+
+    # pure-Python reference: first-fit-in-order by exclusive running sum
+    want = {}
+    by_src = {}
+    for d, _, _, src, sz in sorted(rows):
+        by_src.setdefault(src, []).append((d, sz))
+    for src, files in by_src.items():
+        cum = 0
+        for d, sz in files:
+            if sz >= _P20_SMALL:
+                want[(src, "keep", -(d + 1))] = (1, sz, d, d)
+                continue
+            b = cum // _P20_TARGET
+            k = (src, "compact", b)
+            n, tot, lo, hi = want.get(k, (0, 0, d, d))
+            want[k] = (n + 1, tot + sz, min(lo, d), max(hi, d))
+            cum += sz
+    assert got == want
+
+    # contract: contiguous id ranges and bounded overshoot per source
+    for src in by_src:
+        bins = sorted(
+            (b, v) for (s, a, b), v in got.items()
+            if s == src and a == "compact"
+        )
+        for (b1, v1), (b2, v2) in zip(bins, bins[1:]):
+            assert v1[3] < v2[2], "bins must cover disjoint ascending id ranges"
+        for _, (_, tot, _, _) in bins[:-1]:
+            assert tot >= _P20_TARGET - _P20_SMALL  # closed bins are near-full
+        for _, (_, tot, _, _) in bins:
+            assert tot < _P20_TARGET + _P20_SMALL  # overshoot < one small file
