@@ -90,3 +90,37 @@ def test_maxsim_single_vector_docs_reduce_to_cosine_sum(spark):
     sims = _scale_half_away(Mn @ Tn.T)
     want = {(0, i): int(sims[i].sum()) for i in range(5)}
     assert got == want
+
+
+def test_maxsim_null_embeddings_never_poison_a_doc(spark):
+    """Null corpus vectors: cosine_similarity is null-safe (null in ->
+    null out), aggregate MAX ignores nulls — so a doc with SOME null
+    vectors scores from its real vectors only, and a doc with ONLY
+    null vectors yields a null maxsim (never a zero that would rank it
+    above negative-similarity docs)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    T = rng.standard_normal((2, 4))
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (0, None),  # mixed doc: null vector must be ignored
+            (1, None),  # all-null doc
+            (1, None),
+        ],
+        "doc_label int, embedding array<double>",
+    )
+    tokens = spark.createDataFrame(
+        [(0, i, [float(x) for x in T[i]]) for i in range(2)],
+        "q_id long, tok_id long, q_vec array<double>",
+    )
+    got = {
+        r.doc_label: r.maxsim_scaled for r in maxsim_scores(corpus, tokens).collect()
+    }
+    sims = _scale_half_away(
+        (np.array([1.0, 0.0, 0.0, 0.0]) / 1.0)
+        @ (T / np.linalg.norm(T, axis=1, keepdims=True)).T
+    )
+    assert got[0] == int(sims.sum())  # nulls ignored, real vector scores
+    assert got[1] is None  # all-null doc is null, not zero

@@ -1194,3 +1194,58 @@ def test_stream_compaction_fold_is_split_invariant(spark, tmp_path):
         ("b", 0, 3, 315, 5, 9),
     }
     assert got["oneshot"] == want
+
+
+def test_stream_compaction_fold_randomized_split_sweep(spark, tmp_path):
+    """st24's fold under a seeded randomized sweep: random listings
+    (random sizes straddling the small threshold, multiple sources)
+    cut at random doc_id-ordered split points must all reproduce the
+    one-shot manifest — the property the hand-picked 3-split test
+    can't cover by itself."""
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_stream_compaction,
+    )
+
+    rng = random.Random(2718)
+    schema = "doc_id long, source string, n_chars long"
+    rows = [
+        (d, f"s{rng.randrange(3)}", rng.randrange(1, 800))
+        for d in range(60)
+    ]
+
+    def key(out):
+        return {
+            (r.source, r.bin_id, r.n_files, r.total_chars, r.min_doc, r.max_doc)
+            for r in out.collect()
+        }
+
+    def run(tag, files):
+        src = _mk_arrival_files(
+            spark, tmp_path, "cmpr_" + tag, files, schema=schema
+        )
+        arrivals = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return key(
+            run_stream_compaction(
+                spark,
+                arrivals,
+                str(tmp_path / ("cmpr_work_" + tag)),
+                small=500,
+                target=700,
+            )
+        )
+
+    oneshot = run("one", [("f1.parquet", rows)])
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, len(rows)), rng.randrange(1, 4)))
+        bounds = [0] + cuts + [len(rows)]
+        files = [
+            (f"f{i}.parquet", rows[lo:hi])
+            for i, (lo, hi) in enumerate(zip(bounds, bounds[1:]))
+        ]
+        assert run(f"t{trial}", files) == oneshot, (trial, cuts)
