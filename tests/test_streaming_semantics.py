@@ -1249,3 +1249,20 @@ def test_stream_compaction_fold_randomized_split_sweep(spark, tmp_path):
             for i, (lo, hi) in enumerate(zip(bounds, bounds[1:]))
         ]
         assert run(f"t{trial}", files) == oneshot, (trial, cuts)
+
+
+def test_st24_catalog_entry_runs_multi_batch(spark):
+    """The catalog st24 must actually exercise the cross-batch carry —
+    the split source replays the listing as multiple non-empty
+    triggers."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_RUN_BATCHES,
+    )
+    from conftest import SF_SMOKE
+
+    out = get_spec("st24_stream_compaction").build(spark, SF_SMOKE)
+    assert out.count() > 0
+    assert LAST_RUN_BATCHES["st24"] >= 2
