@@ -14,11 +14,11 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 27
+# entries only. Round-8 window (the r7 verdict's directive): the 28
 # entries new this round (never driver-checked) lead, then the 9
 # refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 14 of the 46 rows whose latest driver row is r04. The 32 deferred
-# r04 rows (d11/d12/d13/m03/m04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r01/
+# then 13 of the 46 rows whose latest driver row is r04. The 33 deferred
+# r04 rows (d11/d12/d13/m03/m04/p04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r01/
 # r02/s11/s12/t09/t10/t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 —
 # pivot/percentile/media/salted-join-agg/subquery/histogram/RRF/
 # JL-projection/packing/cohort/window/caps/LM-quality/datacard/
@@ -53,6 +53,7 @@ DRIVER_WINDOW: list[str] = [
     "s26_maxsim_late_interaction",
     "t25_source_divergence",
     "st24_stream_compaction",
+    "p21_k_anonymity_audit",
     # stalest: last driver-checked in r03 (deferred from round 7)
     "m01_multimodal_decode",
     "m02_frame_sampling",
@@ -67,7 +68,6 @@ DRIVER_WINDOW: list[str] = [
     "d14_semantic_dedup",
     "p01_pipeline_sink_docs",
     "p03_embed_distinct",
-    "p04_python_datasource",
     "p05_vecdir_sink_roundtrip",
     "s06_kmeans_cells",
     "s09_product_quantization",

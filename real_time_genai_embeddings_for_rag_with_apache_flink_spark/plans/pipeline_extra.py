@@ -3168,3 +3168,64 @@ def p20_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("max_doc"),
     )
     return compact.unionByName(keep)
+
+
+# ---------------------------------------------------------------------------
+# p21: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_P21_K = 5  # anonymity threshold
+_P21_BUCKET = 100  # n_chars generalization width
+
+
+@query(
+    "p21_k_anonymity_audit",
+    oracle=f"""
+SELECT lang, source,
+  CAST(FLOOR(n_chars / {_P21_BUCKET}) AS BIGINT) AS chars_bucket,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  COUNT(*) >= {_P21_K} AS k_anonymous,
+  ROUND(1.0 / COUNT(*), 6) AS reid_risk
+FROM documents
+GROUP BY lang, source, FLOOR(n_chars / {_P21_BUCKET})
+""",
+    tags=("pipeline", "governance", "privacy"),
+    bench=True,
+)
+def p21_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT (Sweeney 2002): group the corpus by its
+    quasi-identifier tuple — the released attributes that jointly
+    re-identify (here lang x source x generalized length bucket) — and
+    flag every equivalence class smaller than k, with the worst-case
+    re-identification risk 1/|class|. The privacy-governance pass a
+    training-data platform runs before releasing corpus metadata or
+    per-document statistics: sub-k classes are the rows a release
+    must suppress or generalize further. Complements t07 (PII
+    redaction removes direct identifiers; this audits the INDIRECT
+    ones redaction can't touch) and p17's quality gate with the
+    privacy gate of the same shape.
+
+    Scale shape: ONE map-side-combinable groupBy — the shuffle carries
+    only distinct quasi-identifier tuples (bounded by the identifier
+    domain, not the corpus); the flag and risk are projections over
+    the group counts. At 100 TB this is a single aggregate pass, and
+    the audit report is identifier-domain-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _P21_BUCKET)
+            .cast("bigint")
+            .alias("chars_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "lang",
+            "source",
+            "chars_bucket",
+            "class_size",
+            (F.col("class_size") >= _P21_K).alias("k_anonymous"),
+            F.round(1.0 / F.col("class_size"), 6).alias("reid_risk"),
+        )
+    )

@@ -4,7 +4,7 @@ the first 50 of the priority order). These tests pin the round-8
 rotation (the r7 verdict's directive): the operators new this round
 lead (never driver-checked), then the nine refactor-immune entries
 deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the thirty-two pivot/percentile/subquery/histogram/
+rows — except the thirty-three pivot/percentile/subquery/histogram/
 TPC-H/media/salted/packing/cohort/window/curation plans the window cannot fit
 (latest row r04, untouched by any refactor since), which lead the
 round-9 window."""
@@ -73,6 +73,7 @@ NEVER_CHECKED = (
     "s26_maxsim_late_interaction",
     "t25_source_divergence",
     "st24_stream_compaction",
+    "p21_k_anonymity_audit",
 )
 
 # The r04-stale entries the 50-slot window cannot fit. Chosen to yield
@@ -83,6 +84,7 @@ DEFERRED_TO_R9 = {
     "d12_decontamination",
     "d13_training_shards",
     "m03_media_features",
+    "p04_python_datasource",
     "r01_salted_join",
     "q34b_pivot_native",
     "q61_important_parts",
