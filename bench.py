@@ -71,6 +71,7 @@ def main() -> int:
     _pca_stress(spark, timings)
     _binary_stress(spark, timings)
     _maxsim_stress(spark, timings)
+    _divergence_stress(spark, timings)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -563,6 +564,55 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
     topk(gemm_scored).write.format("noop").mode("overwrite").save()
     timings["s26_stress_gemm_100kx64tok"] = round(time.perf_counter() - t0, 4)
     corpus.unpersist()
+
+
+def _divergence_stress(spark, timings: dict[str, float]) -> None:
+    """t25 at production vocabulary scale: the catalog row runs on the
+    31-token synthetic corpus, so this prices the REAL cost shape —
+    20 sources x ~100k-token vocabularies with heavy overlap (every
+    token lives in 2-20 sources), generated executor-side as the
+    (source, token, cnt) count table the corpus pass would produce
+    (the corpus scan itself is priced by every other t-row). The
+    token-keyed pair join fans each token out to the source pairs
+    that BOTH contain it — ~1.9M pair terms here — and the per-pair
+    aggregate collapses them to 190 rows. Runs the SAME
+    js_divergence_matrix the catalog entry runs."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.curation import (
+        js_divergence_matrix,
+    )
+
+    n_tokens, n_sources = 100_000, 20
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(int(ids[0]) % (2**31))
+            rows = {"source": [], "token": [], "cnt": []}
+            for t in ids:
+                # each token appears in 2..20 sources with Zipf-ish counts
+                k = 2 + int(rng.randint(0, n_sources - 1))
+                for srcid in rng.choice(n_sources, size=k, replace=False):
+                    rows["source"].append(f"src{srcid}")
+                    rows["token"].append(f"tok{t}")
+                    rows["cnt"].append(int(1 + rng.zipf(2.0) % 1000))
+            yield pd.DataFrame(rows)
+
+    counts = (
+        spark.range(n_tokens)
+        .repartition(32)
+        .mapInPandas(gen, "source string, token string, cnt long")
+        .persist()
+    )
+    counts.count()
+    t0 = time.perf_counter()
+    js_divergence_matrix(counts).write.format("noop").mode("overwrite").save()
+    timings["t25_stress_100kvocab_20src"] = round(time.perf_counter() - t0, 4)
+    counts.unpersist()
 
 
 if __name__ == "__main__":
