@@ -574,7 +574,8 @@ def _divergence_stress(spark, timings: dict[str, float]) -> None:
     (source, token, cnt) count table the corpus pass would produce
     (the corpus scan itself is priced by every other t-row). The
     token-keyed pair join fans each token out to the source pairs
-    that BOTH contain it — ~1.9M pair terms here — and the per-pair
+    that BOTH contain it — ~7M pair terms here (E[C(k,2)] = 70 per
+    token at k uniform on 2..20) — and the per-pair
     aggregate collapses them to 190 rows. Runs the SAME
     js_divergence_matrix the catalog entry runs."""
     import numpy as np

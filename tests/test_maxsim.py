@@ -98,8 +98,6 @@ def test_maxsim_null_embeddings_never_poison_a_doc(spark):
     vectors scores from its real vectors only, and a doc with ONLY
     null vectors yields a null maxsim (never a zero that would rank it
     above negative-similarity docs)."""
-    import numpy as np
-
     rng = np.random.RandomState(11)
     T = rng.standard_normal((2, 4))
     corpus = spark.createDataFrame(
