@@ -113,12 +113,18 @@ def assign_cells_broadcast(
         C = C / norms[:, None]
     c_sq = (C * C).sum(axis=1)
 
+    dim = C.shape[1]
+
     @F.pandas_udf("int")
     def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            # NULL vectors get NULL cells (the literal path's guarded
-            # semantics); np.asarray(None) would otherwise crash the task
-            mask = series.notna().to_numpy()
+            # NULL or wrong-length vectors get NULL cells (one hygiene
+            # contract across every broadcast operator — pca_project /
+            # pack_sign_words share it); a ragged np.array from a
+            # wrong-length row would otherwise crash the matmul
+            mask = series.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
             out = pd.Series([None] * len(series), dtype="Int32")
             if mask.any():
                 M = np.array(

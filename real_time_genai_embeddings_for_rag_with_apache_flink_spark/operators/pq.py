@@ -215,9 +215,13 @@ def _pq_encode_broadcast(
     @F.pandas_udf("array<int>")
     def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            # NULL vectors get NULL codes (the literal path's guarded
-            # semantics); np.asarray(None) would otherwise crash the task
-            mask = series.notna().to_numpy()
+            # NULL or wrong-length vectors get NULL codes (the shared
+            # broadcast-path hygiene contract — see kmeans
+            # assign_cells_broadcast); a ragged np.array would
+            # otherwise crash the subspace slicing
+            mask = series.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
             out = [None] * len(series)
             if mask.any():
                 M = np.array(

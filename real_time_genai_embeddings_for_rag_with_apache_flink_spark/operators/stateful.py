@@ -215,8 +215,18 @@ def view_delta_changes(prev_state: DataFrame, delta: DataFrame) -> DataFrame:
     +new_value, unless the new op is a tombstone). Both inputs are
     LWW-compacted tables (last_writer_compact columns); the only
     non-delta touch is the one key equi-join against prev_state.
-    Precondition (holds for LWW compaction by construction): delta
-    carries at most one row per key."""
+    Preconditions (both hold for LWW compaction over an in-order
+    replay by construction):
+    - delta carries at most one row per key;
+    - every delta row is NEWER (by the LWW (ts, event_id) order) than
+      prev_state's row for that key. An out-of-order delta would make
+      the view retract/insert the STALE value while last_writer_compact
+      keeps the newer row in state — view and state silently diverge.
+      st23 satisfies this because its split source replays in
+      (ts, event_id) order; a consumer folding arbitrary-order deltas
+      must pre-filter delta to rows that win the LWW comparison
+      against prev_state (join-compare, drop losers) before calling
+      this."""
     from pyspark.sql import functions as F
 
     touched = delta.alias("d").join(

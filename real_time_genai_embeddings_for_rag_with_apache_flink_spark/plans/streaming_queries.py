@@ -88,6 +88,20 @@ _SPLIT_CACHE: dict[tuple[str, str], str] = {}
 N_STREAM_FILES = 3
 
 
+def _local_path_of(base: str) -> str | None:
+    """Local filesystem path for ``base`` if it IS local (bare path or
+    file:// URI), else None. hdfs:// / s3a:// / any other scheme are
+    fine for the Hadoop-FS-backed state dirs but NOT for the split
+    source copy, which needs POSIX glob/utime."""
+    if "://" not in base:
+        return base
+    scheme, _, rest = base.partition("://")
+    if scheme == "file":
+        # file:///x -> /x ; file://host/x is not supported locally
+        return "/" + rest.lstrip("/")
+    return None
+
+
 def _split_source_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -129,8 +143,11 @@ def _split_source_dir(
     make the checkpoint treat the whole input as unseen and replay it
     against end-of-stream state (wrong output for st21, wasted replay
     for st14/st20). The split dir (unlike the state dirs) requires a
-    local filesystem — the mtime trick is POSIX-only; it is a test
-    harness construct, not a production source."""
+    local filesystem — the mtime trick is POSIX-only — so when
+    streamStateDir is a NON-local URI (hdfs://, s3a://) the split copy
+    roots at a stable local tempdir keyed by the same fingerprint tag
+    instead (state stays remote; the source replica is a test harness
+    construct, not a production source)."""
     key = (os.path.abspath(sf_dir), table, n_files)
     cached = _SPLIT_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
@@ -148,7 +165,20 @@ def _split_source_dir(
         tag = hashlib.md5(
             f"{os.path.abspath(sf_dir)}|{fp}|{n_files}".encode()
         ).hexdigest()[:12]
-        out = os.path.join(base_conf, "_sources", f"{table}-{tag}")
+        base_local = _local_path_of(base_conf)
+        if base_local is None:
+            # The STATE dirs ride the Hadoop FS API and work on any
+            # scheme, but the split copy needs POSIX (glob + utime
+            # mtime staggering) — root it at a stable LOCAL path keyed
+            # by the same fingerprint tag instead of crashing inside
+            # glob on a bogus local rendering of an s3a:// path. The
+            # tag keys on (sf_dir, content fingerprint, n_files), so a
+            # resumed run on the SAME machine still sees the same
+            # absolute source paths the checkpoint recorded.
+            base_local = os.path.join(
+                tempfile.gettempdir(), "spark_graft_split_sources"
+            )
+        out = os.path.join(base_local, "_sources", f"{table}-{tag}")
         if os.path.isfile(os.path.join(out, "_SPLIT_READY")):
             _SPLIT_CACHE[key] = out
             return out

@@ -90,11 +90,25 @@ class VersionedState:
     it per batch is cheap (st20's counts: one row per source) — the
     protocol rewrites the full table each commit, which is exactly
     what makes it atomic without renames.
+
+    SINGLE-WRITER / SINGLE-READER protocol: ``_prune`` deletes old
+    version dirs immediately after a commit, so a CONCURRENT reader in
+    another job that resolved ``current_version()`` just before the
+    commit could have its parquet files deleted mid-read. Inside
+    foreachBatch the committer and reader are the same single driver
+    loop, so the race is unreachable there — but a cross-job consumer
+    must either read defensively (retry on missing version) or
+    construct the instance with ``keep_versions > 1`` so the last K
+    committed versions survive pruning and a reader lagging fewer than
+    K commits never loses its snapshot.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 1):
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         self.spark = spark
         self.root = root.rstrip("/")
+        self.keep_versions = keep_versions
 
     def current_version(self) -> int | None:
         """Highest committed batch id, or None before the first commit.
@@ -176,11 +190,19 @@ class VersionedState:
         self._prune(batch_id)
 
     def _prune(self, batch_id: int) -> None:
+        """Delete committed versions older than the ``keep_versions``
+        newest (uncommitted leftovers below the cutoff go too). With
+        the default keep_versions=1 only ``v{batch_id}`` survives."""
+        committed = []
         for name in listdir(self.spark, self.root):
-            if name.startswith("v") and name != f"v{batch_id}":
-                try:
-                    old = int(name[1:])
-                except ValueError:
-                    continue
-                if old < batch_id:
-                    delete(self.spark, f"{self.root}/{name}")
+            if not name.startswith("v"):
+                continue
+            try:
+                committed.append(int(name[1:]))
+            except ValueError:
+                continue
+        keep = set(sorted(committed, reverse=True)[: self.keep_versions])
+        keep.add(batch_id)
+        for old in committed:
+            if old < batch_id and old not in keep:
+                delete(self.spark, f"{self.root}/v{old}")

@@ -236,3 +236,48 @@ def test_null_embedding_gets_null_cell_in_both_modes(spark):
             .collect()
         }
         assert bc2 == lit
+
+
+def test_wrong_length_vector_gets_null_in_broadcast_paths(spark):
+    """ADVICE r8: a non-null WRONG-LENGTH vector used to build a ragged
+    np.array and crash the broadcast matmul while pca_project /
+    pack_sign_words mapped it to NULL — all broadcast operators now
+    share one NULL/wrong-length hygiene contract."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
+        assign_cells_broadcast,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
+        _pq_encode_broadcast,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0]),  # wrong length: dim is 4
+            (3, None),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r.vec_id: r.cell
+        for r in assign_cells_broadcast(df, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == {1: 0, 2: None, 3: None, 4: 1}
+
+    codebooks = [
+        [[0.0, 0.0], [1.0, 0.0]],
+        [[0.0, 0.0], [0.0, 1.0]],
+    ]
+    codes = {
+        r.vec_id: r.codes
+        for r in _pq_encode_broadcast(
+            df, codebooks, dim=4, vec_col="embedding", id_col="vec_id",
+            extra_cols=[],
+        ).collect()
+    }
+    assert codes[2] is None and codes[3] is None
+    assert codes[1] is not None and codes[4] is not None

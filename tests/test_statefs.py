@@ -288,3 +288,67 @@ def test_commit_tables_atomic_multi_table_protocol(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         st.commit_tables({"_COMMIT": spark.createDataFrame([("x", 1)], a)}, 2)
+
+
+def test_keep_versions_retains_reader_snapshots(spark, tmp_path):
+    """keep_versions=K: the K newest committed versions survive every
+    prune, so a cross-job reader lagging fewer than K commits never
+    loses its resolved snapshot (the documented single-writer /
+    single-reader escape hatch)."""
+    root = str(tmp_path / "counts")
+    st = VersionedState(spark, root, keep_versions=2)
+    for b in range(4):
+        st.commit(spark.createDataFrame([("a", b)], SCHEMA), b)
+    assert st.current_version() == 3
+    # v2 (the previous snapshot) survives; v0/v1 are pruned
+    assert statefs.exists(spark, f"{root}/v2/_COMMIT")
+    assert statefs.exists(spark, f"{root}/v3/_COMMIT")
+    assert not statefs.exists(spark, f"{root}/v0")
+    assert not statefs.exists(spark, f"{root}/v1")
+    # a reader pinned to the surviving older version still reads it
+    assert [
+        r.n_accepted
+        for r in spark.read.schema(SCHEMA).parquet(f"{root}/v2").collect()
+    ] == [2]
+
+
+def test_keep_versions_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        VersionedState(None, "/tmp/x", keep_versions=0)
+
+
+def test_split_source_dir_remote_state_uri_stays_local(spark):
+    """ADVICE r8 (medium): a non-local streamStateDir (s3a://, hdfs://)
+    must not send the POSIX-only split-source copy through
+    glob/utime on a bogus local rendering of the remote URI — the
+    split copy reroutes to a stable local tempdir while the state dirs
+    keep the remote root."""
+    import tempfile
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        streaming_queries as sq,
+    )
+
+    assert sq._local_path_of("/tmp/x") == "/tmp/x"
+    assert sq._local_path_of("file:///tmp/x") == "/tmp/x"
+    assert sq._local_path_of("s3a://bucket/state") is None
+    assert sq._local_path_of("hdfs://nn:9000/state") is None
+
+    sq._SPLIT_CACHE.clear()
+    spark.conf.set(sq.STREAM_STATE_DIR_CONF, "s3a://bucket/state")
+    try:
+        out = sq._split_source_dir(
+            spark, "/root/testdata/sf0.001", "embeddings", "vec_id", sq._EMB_STREAM
+        )
+        assert not out.startswith("s3a://")
+        assert out.startswith(tempfile.gettempdir())
+        assert os.path.isfile(os.path.join(out, "_SPLIT_READY"))
+        parts = sorted(
+            p for p in os.listdir(out) if p.startswith("part-")
+        )
+        assert len(parts) == sq.N_STREAM_FILES
+    finally:
+        spark.conf.unset(sq.STREAM_STATE_DIR_CONF)
+        sq._SPLIT_CACHE.clear()
