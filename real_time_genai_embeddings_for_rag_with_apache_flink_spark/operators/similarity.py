@@ -379,11 +379,6 @@ def retrieval_eval(
 
     Ranking ties are broken on ``ROUND(sim, 6)`` then corpus id — the
     s02 cross-engine-stable ordering."""
-    w_dcg = ndcg_weights(k)
-    idcg_prefix = [0]
-    for w in w_dcg:
-        idcg_prefix.append(idcg_prefix[-1] + w)
-
     q = F.broadcast(queries.select(query_id, query_vec, query_label))
     scored = corpus.crossJoin(q).select(
         F.col(query_id),
@@ -395,12 +390,52 @@ def retrieval_eval(
         ).alias("sim"),
     )
     win = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    hit = F.col(corpus_label) == F.col(query_label)
     ranked = (
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= k)
     )
-    per_q = ranked.groupBy(query_id, query_label).agg(
+    return eval_ranked(
+        ranked,
+        corpus,
+        k=k,
+        query_id=query_id,
+        query_label=query_label,
+        corpus_label=corpus_label,
+    )
+
+
+def eval_ranked(
+    ranked: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_label: str = "q_label",
+    corpus_label: str = "label",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Grade an ALREADY-RANKED candidate list: ``ranked`` carries one
+    row per retrieved item ``(query_id, query_label, corpus_label,
+    rank_col in 1..k)`` from ANY ranker — exact cosine
+    (``retrieval_eval``), the Hamming-shortlist ANN (s23/s27), PCA
+    coarse (s22), or a future hybrid — and the metrics (recall@k
+    against ``min(n_rel, k)``, MRR, binary-gain nDCG@k with
+    exact-integer DCG/IDCG) come out of the SAME arithmetic, so an
+    approximate index's quality drop is measured by construction
+    rather than re-derived per ranker. ``corpus`` supplies the ground
+    truth: a corpus item is relevant iff it carries the query's label,
+    and ``n_rel`` is its per-label group count (label-cardinality
+    sized, broadcast back). Aggregation shape: one group-by over the
+    <= |Q|*k ranked rows; every metric is exact-integer until a final
+    float division (the t24/s25 discipline)."""
+    w_dcg = ndcg_weights(k)
+    idcg_prefix = [0]
+    for w in w_dcg:
+        idcg_prefix.append(idcg_prefix[-1] + w)
+
+    hit = F.col(corpus_label) == F.col(query_label)
+    per_q = ranked.filter(F.col(rank_col) <= k).withColumnRenamed(
+        rank_col, "rnk"
+    ).groupBy(query_id, query_label).agg(
         F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("hits_at_k"),
         F.min(F.when(hit, F.col("rnk"))).alias("first_hit"),
         F.sum(

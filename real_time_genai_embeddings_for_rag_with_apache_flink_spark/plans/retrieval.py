@@ -592,3 +592,170 @@ def s26_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _S26_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# s27: in-catalog ANN quality certification (metrics over the ANN's output)
+# ---------------------------------------------------------------------------
+
+from .pipeline_extra import _SQL_SIGN_BITS as _S27_SIGN_BITS  # noqa: E402
+
+_S27_COARSE = 40  # s23's shortlist width, kept identical on purpose
+
+
+@query(
+    "s27_ann_quality_certification",
+    oracle=f"""
+WITH bits AS (
+  SELECT vec_id, label, embedding,
+    {_S27_SIGN_BITS.format(lo=1, hi=32).strip()} AS b0,
+    {_S27_SIGN_BITS.format(lo=33, hi=64).strip()} AS b1
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, b0 AS q0, b1 AS q1,
+         CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM bits WHERE vec_id % 25 = 0
+),
+c AS (SELECT * FROM bits WHERE vec_id % 25 <> 0),
+coarse AS (
+  SELECT q.q_id, q.q_label, q.q_vec, c.vec_id, c.label, c.embedding,
+    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      bit_count(xor(q.q0, c.b0)) + bit_count(xor(q.q1, c.b1)),
+      c.vec_id) AS crank
+  FROM c JOIN q ON true
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, label,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                   q_vec), 6) DESC,
+      vec_id) AS rnk
+  FROM coarse WHERE crank <= {_S27_COARSE}
+),
+nrel AS (
+  SELECT label, COUNT(*) AS n_rel FROM embeddings
+  WHERE vec_id % 25 <> 0 GROUP BY label
+),
+m AS (
+  SELECT q_id, q_label,
+    CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits_at_k,
+    MIN(CASE WHEN label = q_label THEN rnk END) AS first_hit,
+    CAST(SUM(CASE WHEN label = q_label THEN {_S25_W_SQL}[rnk] ELSE 0 END)
+         AS BIGINT) AS dcg_scaled
+  FROM ranked WHERE rnk <= {_S25_K} GROUP BY q_id, q_label
+)
+SELECT m.q_id, m.q_label,
+  CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+  m.hits_at_k,
+  CASE WHEN COALESCE(n.n_rel, 0) > 0
+       THEN ROUND(CAST(m.hits_at_k AS DOUBLE) / LEAST(n.n_rel, {_S25_K}), 6)
+       ELSE 0.0 END AS recall_at_k,
+  COALESCE(ROUND(1.0 / m.first_hit, 6), 0.0) AS mrr,
+  CASE WHEN COALESCE(n.n_rel, 0) > 0
+       THEN ROUND(CAST(m.dcg_scaled AS DOUBLE)
+                  / {_S25_IDCG_SQL}[CAST(LEAST(n.n_rel, {_S25_K}) AS INT) + 1], 6)
+       ELSE 0.0 END AS ndcg_at_k
+FROM m LEFT JOIN nrel n ON n.label = m.q_label
+""",
+    tags=("similarity", "ann", "eval", "rag"),
+    bench=True,
+)
+def s27_ann_quality_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY CERTIFICATION, in-catalog: runs the s25 metric
+    harness (operators/similarity.eval_ranked — recall@10 / MRR /
+    nDCG@10, exact-integer DCG) over the OUTPUT of the s23 binary
+    Hamming ANN instead of the exact ranker, on s25's exact query
+    split and ground truth (queries = vec_id % 25 == 0, relevant =
+    same label, n_rel over the full held-out corpus). s24 tunes the
+    shortlist width and s25 grades exact retrieval; this entry closes
+    the loop the r8 verdict named: the driver now re-certifies the
+    approximate index's QUALITY — not just its mechanics — every
+    round, hash-exact, and the per-query gap to s25 on identical
+    queries IS the measured cost of the approximation (floor pinned in
+    tests/test_binary_ann.py).
+
+    Pipeline = s23's serving shape at s25's split: sign-bit packing
+    (functions/vector.pack_sign_bits, two BIGINT words), per-query
+    Hamming shortlist of {_S27_COARSE} via two popcounts inside
+    whole-stage codegen and a two-phase WindowGroupLimit cut, exact
+    cosine re-rank of the shortlist (broadcast id joins — the corpus
+    never shuffles raw vectors), then eval_ranked over the <= |Q|*k
+    ranked rows. Every stage is relational, so the ENTIRE
+    approximate-retrieval-plus-metrics pipeline is oracle-certified.
+    The reference ships its OpenSearch HNSW index with no quality
+    telemetry at all (KDS-P/index-creation-function/
+    lambda_function.py:66-97); this is the missing gauge, in-engine."""
+    from ..operators.similarity import eval_ranked
+
+    em = load_table(spark, sf_dir, "embeddings")
+    ranked = _ann_ranked_list(spark, sf_dir)
+    # ground truth = s25's: n_rel over the FULL held-out corpus (not
+    # the bit-packable subset), so the recall denominator is identical
+    truth = em.filter(F.col("vec_id") % 25 != 0)
+    return eval_ranked(ranked, truth, k=_S25_K)
+
+
+def _ann_ranked_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s23's Hamming-shortlist + exact-re-rank serving shape at s25's
+    query split, carrying labels: the ranked list s27 certifies and
+    tests/test_binary_ann.py measures ID-overlap recall on — one
+    construction for both."""
+    from ..functions.vector import pack_sign_bits
+
+    em = load_table(spark, sf_dir, "embeddings")
+    bits = em.select(
+        "vec_id",
+        "label",
+        "embedding",
+        pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+        pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+    ).filter(F.col("b0").isNotNull())
+    queries = bits.filter(F.col("vec_id") % 25 == 0)
+    cand_corpus = bits.filter(F.col("vec_id") % 25 != 0)
+
+    qb = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("b0").alias("q0"),
+            F.col("b1").alias("q1"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        cand_corpus.select("vec_id", "b0", "b1")
+        .join(qb, F.lit(True))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _S27_COARSE)
+        .select("q_id", "vec_id")
+    )
+
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        cand_corpus.select("vec_id", "label", "embedding")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _S25_K)
+    )
