@@ -620,6 +620,7 @@ def run_incremental_dedup(
     corpus_shingles: DataFrame | None = None,
     verify_tau: float = 0.5,
     fp_state_mode: str = "auto",
+    fp_compact_every: int = 8,
     delta_table_factory=None,
     delta_create_format: str = "delta",
     run_name: str = "st14",
@@ -683,10 +684,13 @@ def run_incremental_dedup(
     near-dup queue, not just a count. The verify join cost is
     proportional to candidates per batch, never corpus x batch.
 
-    Fingerprint-state storage (``fp_state_mode``): 'parquet' appends a
-    file per batch — fine here, but the accumulated table fragments
-    into thousands of files over a long-running stream and the
-    per-trigger re-listing grows with it. 'delta' keeps the state in a
+    Fingerprint-state storage (``fp_state_mode``): 'parquet' writes a
+    batch-keyed subdir per batch, and every ``fp_compact_every``
+    batches folds the accumulated b-dirs into a marker-committed
+    ``seed_v{boundary}`` version (the statefs protocol applied to the
+    engine's own state), so the per-trigger listing stays bounded at
+    any stream length — amortized rewrite cost is O(state/N) per batch
+    (0 disables folding). 'delta' keeps the state in a
     Delta table maintained by keyed MERGE (sinks.delta_upsert_writer,
     key = fp): listing rides the transaction log instead of the
     filesystem, the table stays exactly-distinct, and a replayed
@@ -752,15 +756,61 @@ def run_incremental_dedup(
     elif fp_state_mode == "parquet":
         # batch-keyed subdirs: seed once, then one overwrite-committed
         # subdir per batch — a replayed batch rewrites b{id} instead of
-        # appending a second copy of its fingerprints
+        # appending a second copy of its fingerprints. Unbounded, the
+        # per-trigger listing would grow one b{id} dir per batch
+        # forever (r8 verdict #4); every fp_compact_every batches the
+        # b-dirs FOLD into a marker-committed seed version
+        # (seed_v{boundary}, the VersionedState protocol applied to the
+        # engine's own state), so live entries stay <= compact window +
+        # one seed at any stream length. Only b-dirs STRICTLY OLDER
+        # than the in-flight batch fold: foreachBatch replays at most
+        # the last uncommitted batch, and batch k starting proves every
+        # id < k checkpoint-committed — so the replay-exclusion
+        # invariant (read state minus own subdir == exact pre-batch
+        # state) survives compaction.
+
+        def _committed_seed(sp: SparkSession) -> int | None:
+            best: int | None = None
+            for n in statefs.listdir(sp, fps_dir):
+                if not n.startswith("seed_v"):
+                    continue
+                try:
+                    v = int(n[len("seed_v"):])
+                except ValueError:
+                    continue
+                if (best is None or v > best) and statefs.exists(
+                    sp, f"{fps_dir}/{n}/_COMMIT"
+                ):
+                    best = v
+            return best
+
+        def _live_state_dirs(
+            sp: SparkSession, batch_id: int | None
+        ) -> tuple[int | None, list[int]]:
+            """(newest committed seed version, unfolded b-ids), the
+            in-flight batch's own subdir excluded when given."""
+            best = _committed_seed(sp)
+            b_ids = []
+            for n in statefs.listdir(sp, fps_dir):
+                if not n.startswith("b"):
+                    continue
+                try:
+                    bid = int(n[1:])
+                except ValueError:
+                    continue
+                if bid != batch_id and (best is None or bid > best):
+                    b_ids.append(bid)
+            return best, sorted(b_ids)
+
         def read_fps(sp: SparkSession, batch_id: int) -> DataFrame:
             # exclude the in-flight batch's own (possibly crash-orphaned)
             # subdir so replay reconstructs the exact pre-batch state
-            dirs = [
-                f"{fps_dir}/{n}"
-                for n in statefs.listdir(sp, fps_dir)
-                if n != f"b{batch_id}"
-            ]
+            best, b_ids = _live_state_dirs(sp, batch_id)
+            dirs = [f"{fps_dir}/b{i}" for i in b_ids]
+            if best is not None:
+                dirs.append(f"{fps_dir}/seed_v{best}")
+            elif statefs.exists(sp, f"{fps_dir}/seed/_SUCCESS"):
+                dirs.append(f"{fps_dir}/seed")
             return (
                 sp.read.schema("fp string")
                 .option("recursiveFileLookup", "true")
@@ -769,8 +819,50 @@ def run_incremental_dedup(
 
         def append_fps(df: DataFrame, batch_id: int) -> None:
             df.write.mode("overwrite").parquet(f"{fps_dir}/b{batch_id}")
+            if not fp_compact_every or fp_compact_every <= 0:
+                return
+            sp = df.sparkSession
+            best, b_ids = _live_state_dirs(sp, None)
+            fold = [i for i in b_ids if i < batch_id]
+            if len(fold) < fp_compact_every:
+                return
+            boundary = max(fold)
+            src = [f"{fps_dir}/b{i}" for i in fold]
+            if best is not None:
+                src.append(f"{fps_dir}/seed_v{best}")
+            elif statefs.exists(sp, f"{fps_dir}/seed/_SUCCESS"):
+                src.append(f"{fps_dir}/seed")
+            vdir = f"{fps_dir}/seed_v{boundary}"
+            (
+                sp.read.schema("fp string")
+                .option("recursiveFileLookup", "true")
+                .parquet(*src)
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(vdir)
+            )
+            statefs.touch(sp, f"{vdir}/{statefs._COMMIT}")
+            # prune AFTER the commit marker: a crash anywhere before
+            # this point leaves the old seed + b-dirs authoritative (the
+            # uncommitted version is invisible); a crash mid-prune
+            # leaves folded dirs that the read path already ignores
+            # (bid <= committed boundary) and the next fold sweeps
+            for n in statefs.listdir(sp, fps_dir):
+                if n == f"seed_v{boundary}":
+                    continue
+                if n == "seed" or n.startswith("seed_v"):
+                    statefs.delete(sp, f"{fps_dir}/{n}")
+                elif n.startswith("b"):
+                    try:
+                        bid = int(n[1:])
+                    except ValueError:
+                        continue
+                    if bid <= boundary:
+                        statefs.delete(sp, f"{fps_dir}/{n}")
 
-        if not statefs.exists(spark, f"{fps_dir}/seed/_SUCCESS"):
+        if _committed_seed(spark) is None and not statefs.exists(
+            spark, f"{fps_dir}/seed/_SUCCESS"
+        ):
             # first run: seed the accumulated-state table with the corpus
             corpus_fps.write.mode("overwrite").parquet(f"{fps_dir}/seed")
     else:
