@@ -171,3 +171,70 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media.mapInPandas(featurize, schema=_FEATURES)
+
+
+_MEDIA_EMB = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+class DeterministicMediaEmbedder:
+    """Payload-side encoder into the SAME space as the text-side
+    ``operators.embed.DeterministicEmbedder`` — the two-tower /
+    CLIP-style contract (Radford et al. 2021): modalities are encoded
+    separately but land in one shared embedding space, so a text query
+    retrieves media by plain cosine. A real deployment swaps this class
+    for an image/audio encoder checkpoint (same ``embed_batch(payloads)
+    -> vectors`` surface, the m01-m05 pluggable-codec pattern); the
+    deterministic stand-in decodes the payload bytes — which ARE UTF-8
+    text in the engine's synthetic media fixture
+    (``attach_fake_payload``) — and runs the shared hashed
+    bag-of-tokens, so the cross-modal alignment is exact by
+    construction and the retrieval path can be pinned against a dense
+    numpy reference (tests/test_multimodal.py)."""
+
+    def __init__(self, dim: int = 64):
+        from .embed import DeterministicEmbedder
+
+        self._text = DeterministicEmbedder(dim)
+
+    def embed_batch(self, payloads):
+        texts = [
+            None if p is None else bytes(p).decode("utf-8", errors="replace")
+            for p in payloads
+        ]
+        return self._text.embed_batch(texts)
+
+
+def embed_media(
+    media: DataFrame,
+    embedder_factory=DeterministicMediaEmbedder,
+    dim: int = 64,
+    real_codec: bool = False,
+) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, embedding): the media half of the
+    cross-modal retrieval closure (m06). Arrow-batched mapInPandas —
+    one JVM->Python crossing per batch, the embedder built once per
+    batch iterator (never per row); payload columns never reach the
+    driver. ``real_codec=True`` is the import gate for a real encoder
+    backend (not in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_codec:
+            raise NotImplementedError(
+                "no media encoder in this container; install one and pass "
+                "an embedder_factory wrapping it"
+            )
+        emb = embedder_factory(dim)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": emb.embed_batch(pdf["payload"]),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=_MEDIA_EMB)

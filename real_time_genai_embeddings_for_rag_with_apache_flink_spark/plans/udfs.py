@@ -437,3 +437,67 @@ def m05_payload_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+_M06_K = 5
+_M06_QMOD = 100  # doc_id % _M06_QMOD == 0 rows are the text-side queries
+
+
+@query(
+    "m06_crossmodal_retrieval",
+    oracle=None,  # crc32 hashed-BoW has no DuckDB twin; pinned exact vs a
+    # dense numpy reference in tests/test_multimodal.py
+    tags=("multimodal", "similarity", "retrieval", "udf"),
+    bench=True,
+)
+def m06_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL retrieval closure for the m-family (r8 verdict item
+    6): text queries retrieve MEDIA PAYLOADS through the engine's own
+    serving path. Both sides embed into one shared space (the two-tower
+    / CLIP contract): query texts through the pluggable text embedder
+    (operators/embed.embed, DeterministicEmbedder backend), payloads
+    through operators/multimodal.embed_media (same space by
+    construction of the deterministic backend; a real deployment swaps
+    in an image/audio encoder checkpoint behind the same seam). Serving
+    is the s01/s25 shape: queries broadcast, ONE corpus pass scoring
+    cosine map-side, per-query top-k via the rank-filtered
+    window (two-phase WindowGroupLimit — at most k rows per query per
+    map task reach the exchange), self-matches excluded so the task is
+    non-trivial. Ties break on ROUND(sim, 6) then doc_id (the s02
+    cross-engine-stable ordering). Rows-only by design (the hashed-BoW
+    backend has no SQL twin); the ENTIRE pipeline — both embedders,
+    scoring, ranking — is pinned exactly against a dense numpy
+    reference at sf0.001 in tests/test_multimodal.py.
+
+    Scale shape: payload bytes never leave their scan partition (the
+    embed crossing is Arrow-batched mapInPandas, projecting doc_id +
+    vector); the corpus never shuffles raw payloads or vectors — the
+    exchange carries (q_id, doc_id, sim) candidates only."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.embed import embed
+    from ..operators.multimodal import attach_fake_payload, embed_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = attach_fake_payload(docs)
+    corpus = embed_media(media)
+
+    queries = embed(
+        docs.filter(F.col("doc_id") % _M06_QMOD == 0).select("doc_id", "text"),
+        on_error="fail",
+    ).select(
+        F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+    ).alias("sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "doc_id")
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "doc_id", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _M06_K)
+    )
