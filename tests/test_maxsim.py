@@ -122,3 +122,75 @@ def test_maxsim_null_embeddings_never_poison_a_doc(spark):
     )
     assert got[0] == int(sims.sum())  # nulls ignored, real vector scores
     assert got[1] is None  # all-null doc is null, not zero
+
+
+def test_st25_stream_serving_equals_batch_maxsim(spark):
+    """st25 (r8 verdict item 7): the streamed late-interaction answers
+    — queries scored in whichever trigger their token set completes,
+    incomplete sets buffered across triggers — must equal the batch
+    MaxSim over the whole token pool row-for-row, and the run must
+    actually be multi-batch with answers landing in more than one
+    trigger (i.e. the token buffer did real cross-batch work)."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        _ST25_QPOOL,
+        _ST25_TOKS,
+        _ST25_TOPK,
+        LAST_RESULT_DIRS,
+        LAST_RUN_BATCHES,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        load_table,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming import (
+        statefs,
+    )
+
+    streamed = (
+        get_spec("st25_stream_maxsim_serving").build(spark, SF_SMOKE).collect()
+    )
+    assert LAST_RUN_BATCHES["st25"] >= 2, "fixture must replay multi-batch"
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    qt = em.filter(F.col("vec_id") < _ST25_QPOOL).select(
+        F.floor(F.col("vec_id") / _ST25_TOKS).cast("long").alias("q_id"),
+        F.col("vec_id").alias("tok_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    dv = em.filter(F.col("vec_id") >= _ST25_QPOOL).select(
+        F.col("label").alias("doc_label"), "embedding"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim_scaled").desc(), "doc_label"
+    )
+    batch = (
+        maxsim_scores(dv, qt)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ST25_TOPK)
+        .collect()
+    )
+    key = lambda rows: {
+        (r.q_id, r.doc_label, r.maxsim_scaled, r.rnk) for r in rows
+    }
+    assert key(streamed) == key(batch)
+
+    # answers must span >= 2 trigger dirs: completeness really is
+    # reached at different batches, not all served in one trigger
+    answers_dir = LAST_RESULT_DIRS["st25"]
+    nonempty = 0
+    for name in statefs.listdir(spark, answers_dir):
+        rows = (
+            spark.read.schema(
+                "q_id long, doc_label int, maxsim_scaled long, rnk int"
+            )
+            .parquet(f"{answers_dir}/{name}")
+            .count()
+        )
+        nonempty += 1 if rows else 0
+    assert nonempty >= 2, "all queries served in a single trigger"
