@@ -14,70 +14,65 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-8 window (the r7 verdict's directive): the 28
-# entries new this round (never driver-checked) lead, then the 9
-# refactor-immune rows deferred from round 7 (latest driver row r03),
-# then 13 of the 46 rows whose latest driver row is r04. The 33 deferred
-# r04 rows (d11/d12/d13/m03/m04/p04/q34b/q35/q36/q41/q42/q43/q61/q62/q63/q64/r01/
-# r02/s11/s12/t09/t10/t11/t12/t13/t14/t15/t16/w05/w06/w07/w08/w09 —
-# pivot/percentile/media/salted-join-agg/subquery/histogram/RRF/
-# JL-projection/packing/cohort/window/caps/LM-quality/datacard/
-# heavy-hitter/curation/repetition/BM25/raw-trigram/shard plans
-# untouched by any refactor since r04) lead the round-9 window.
+# entries only. Round-9 window (the r8 verdict's directive, executing
+# the rotation plan written in round 8): the 33 r04-stale rows deferred
+# from round 8 LEAD (after this round nothing in the cross-round union
+# is older than r05), then the entries new this round (never
+# driver-checked: s27 ANN quality certification, m06 cross-modal
+# retrieval, st25 streaming MaxSim serving), then 14 of the 50 rows
+# whose latest driver row is r05 (the remaining 36 r05 rows lead the
+# round-10 window — see DEFERRED_TO_R10 in tests/test_driver_window.py).
 DRIVER_WINDOW: list[str] = [
-    # new this round (never driver-checked)
-    "t22b_bpe_vocab_local",
-    "w15_rolling_zscore_anomaly",
-    "st21_stream_zscore_anomaly",
-    "s20_ivfpq_refined",
-    "w16_windowed_distinct_users",
-    "p15_snapshot_diff",
-    "w17_scd2_dimension_join",
-    "p16_cdc_apply",
-    "d30_leakage_safe_split",
-    "s21_pca_projection",
-    "st22_stream_cdc_apply",
-    "d31_weighted_sample",
-    "w18_scd2_snapshot",
-    "s22_pca_ann",
-    "p17_data_quality_gate",
-    "s23_binary_hamming_ann",
-    "p18_incremental_view_maintenance",
-    "p19_zorder_clustering",
-    "d32_dup_graph_pagerank",
-    "w19_purchase_attribution",
-    "s24_hamming_width_advisor",
-    "st23_stream_ivm",
-    "s25_retrieval_eval",
-    "p20_compaction_planner",
-    "s26_maxsim_late_interaction",
-    "t25_source_divergence",
-    "st24_stream_compaction",
-    "p21_k_anonymity_audit",
-    # stalest: last driver-checked in r03 (deferred from round 7)
-    "m01_multimodal_decode",
-    "m02_frame_sampling",
-    "q27_math_functions",
-    "q29_array_functions",
-    "q34_pivot",
-    "q40_correlated_scalar",
-    "q54_priority_lateness",
-    "w03_session_window",
-    "w04_interval_join",
-    # next-stalest: last driver-checked in r04
-    "d14_semantic_dedup",
-    "p01_pipeline_sink_docs",
-    "p03_embed_distinct",
-    "p05_vecdir_sink_roundtrip",
-    "s06_kmeans_cells",
-    "s09_product_quantization",
-    "s10_ivfpq_search",
-    "st01_stream_tumbling_complete",
-    "st02_stream_watermark_append",
-    "st05_stream_embed_pipeline",
-    "st07_stream_stream_join",
-    "st08_stream_session_append",
-    "st12_python_stream_source",
+    "d11_repeated_ngrams",
+    "d12_decontamination",
+    "d13_training_shards",
+    "m03_media_features",
+    "p04_python_datasource",
+    "r01_salted_join",
+    "q34b_pivot_native",
+    "q61_important_parts",
+    "q62_returned_items",
+    "q63_customer_distribution",
+    "q35_unpivot",
+    "q36_percentiles",
+    "q41_min_price_line",
+    "q42_rich_inactive_customers",
+    "q43_large_volume_orders",
+    "q64_histogram",
+    "t12_vocab_heavy_hitters",
+    "t13_sequence_packing",
+    "w09_retention_cohorts",
+    "t14_source_caps",
+    "t15_bigram_lm_quality",
+    "t16_source_datacard",
+    "w05_windowed_topk_users",
+    "w06_time_weighted_avg",
+    "w07_event_funnel",
+    "w08_subsequence_search",
+    "t09_curation_rules",
+    "t10_repetition_stats",
+    "t11_bm25_retrieval",
+    "s11_hybrid_rrf",
+    "s12_random_projection",
+    "m04_media_resize",
+    "r02_salted_aggregation",
+    "s27_ann_quality_certification",
+    "m06_crossmodal_retrieval",
+    "st25_stream_maxsim_serving",
+    "d04_minhash_lsh_pairs",
+    "d05_simhash",
+    "d06_simhash_hamming_pairs",
+    "d08_dup_components",
+    "d10_lsh_verified_dupes",
+    "d15_containment_dupes",
+    "d16_canonical_selection",
+    "d17_substring_dedup",
+    "d18_minhash_estimate_audit",
+    "d19_component_size_histogram",
+    "p06_orc_roundtrip",
+    "p07_csv_roundtrip",
+    "p08_corpus_materialization",
+    "q01_pricing_summary",
 ]
 
 set_priority(DRIVER_WINDOW)

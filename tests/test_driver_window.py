@@ -1,13 +1,12 @@
 """The external driver records correctness rows for the FIRST 50
-catalog entries only (observed: CORRECTNESS_r02..r07 each held exactly
-the first 50 of the priority order). These tests pin the round-8
-rotation (the r7 verdict's directive): the operators new this round
-lead (never driver-checked), then the nine refactor-immune entries
-deferred from round 7 (latest driver row r03), then the stalest r04
-rows — except the thirty-three pivot/percentile/subquery/histogram/
-TPC-H/media/salted/packing/cohort/window/curation plans the window cannot fit
-(latest row r04, untouched by any refactor since), which lead the
-round-9 window."""
+catalog entries only (observed: CORRECTNESS_r02..r08 each held exactly
+the first 50 of the priority order). These tests pin the round-9
+rotation (the r8 verdict's directive, executing the plan written in
+round 8): the thirty-three r04-stale rows deferred from round 8 LEAD —
+after this round nothing in the cross-round union is older than r05 —
+then the operators new this round (never driver-checked), then
+fourteen of the fifty r05-stale rows; the remaining thirty-six r05
+rows (DEFERRED_TO_R10) lead the round-10 window."""
 
 from __future__ import annotations
 
@@ -15,71 +14,9 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Latest driver row per entry, computed from CORRECTNESS_r02..r07
-# (max round in which each name appears). Only the stale tail matters
-# for the rotation; everything else was checked r05-r07.
-LATEST_R03 = {
-    "m01_multimodal_decode", "m02_frame_sampling", "q27_math_functions",
-    "q29_array_functions", "q34_pivot", "q40_correlated_scalar",
-    "q54_priority_lateness", "w03_session_window", "w04_interval_join",
-}
-
-LATEST_R04 = {
-    "d11_repeated_ngrams", "d12_decontamination", "d13_training_shards",
-    "d14_semantic_dedup", "m03_media_features", "m04_media_resize",
-    "p01_pipeline_sink_docs", "p03_embed_distinct", "p04_python_datasource",
-    "p05_vecdir_sink_roundtrip", "q34b_pivot_native", "q35_unpivot",
-    "q36_percentiles", "q41_min_price_line", "q42_rich_inactive_customers",
-    "q43_large_volume_orders", "q61_important_parts", "q62_returned_items",
-    "q63_customer_distribution", "q64_histogram", "r01_salted_join",
-    "r02_salted_aggregation", "s06_kmeans_cells", "s09_product_quantization",
-    "s10_ivfpq_search", "s11_hybrid_rrf", "s12_random_projection",
-    "st01_stream_tumbling_complete", "st02_stream_watermark_append",
-    "st05_stream_embed_pipeline", "st07_stream_stream_join",
-    "st08_stream_session_append", "st12_python_stream_source",
-    "t09_curation_rules", "t10_repetition_stats", "t11_bm25_retrieval",
-    "t12_vocab_heavy_hitters", "t13_sequence_packing", "t14_source_caps",
-    "t15_bigram_lm_quality", "t16_source_datacard", "w05_windowed_topk_users",
-    "w06_time_weighted_avg", "w07_event_funnel", "w08_subsequence_search",
-    "w09_retention_cohorts",
-}
-
-# Never driver-checked (new in round 8); MUST lead the round-8 window.
-NEVER_CHECKED = (
-    "t22b_bpe_vocab_local",
-    "w15_rolling_zscore_anomaly",
-    "st21_stream_zscore_anomaly",
-    "s20_ivfpq_refined",
-    "w16_windowed_distinct_users",
-    "p15_snapshot_diff",
-    "w17_scd2_dimension_join",
-    "p16_cdc_apply",
-    "d30_leakage_safe_split",
-    "s21_pca_projection",
-    "st22_stream_cdc_apply",
-    "d31_weighted_sample",
-    "w18_scd2_snapshot",
-    "s22_pca_ann",
-    "p17_data_quality_gate",
-    "s23_binary_hamming_ann",
-    "p18_incremental_view_maintenance",
-    "p19_zorder_clustering",
-    "d32_dup_graph_pagerank",
-    "w19_purchase_attribution",
-    "s24_hamming_width_advisor",
-    "st23_stream_ivm",
-    "s25_retrieval_eval",
-    "p20_compaction_planner",
-    "s26_maxsim_late_interaction",
-    "t25_source_divergence",
-    "st24_stream_compaction",
-    "p21_k_anonymity_audit",
-)
-
-# The r04-stale entries the 50-slot window cannot fit. Chosen to yield
-# because no round-5+ refactor (seam, skew guard, state partitioning,
-# GEMM assignment, streaming state protocol) touches their plans.
-DEFERRED_TO_R9 = {
+# The 33 entries whose latest driver row is r04 — deferred from the
+# round-8 window, now the round-9 lead, in window order.
+LEAD_R04 = (
     "d11_repeated_ngrams",
     "d12_decontamination",
     "d13_training_shards",
@@ -113,7 +50,55 @@ DEFERRED_TO_R9 = {
     "s12_random_projection",
     "m04_media_resize",
     "r02_salted_aggregation",
+)
+
+# Never driver-checked (new in round 9); follow the r04 lead.
+NEVER_CHECKED = (
+    "s27_ann_quality_certification",
+    "m06_crossmodal_retrieval",
+    "st25_stream_maxsim_serving",
+)
+
+# Latest driver row r05 (50 entries, from the artifacts). Fourteen fit
+# this window; the other thirty-six are the round-10 lead.
+LATEST_R05 = {
+    "d04_minhash_lsh_pairs", "d05_simhash", "d06_simhash_hamming_pairs",
+    "d08_dup_components", "d10_lsh_verified_dupes", "d15_containment_dupes",
+    "d16_canonical_selection", "d17_substring_dedup",
+    "d18_minhash_estimate_audit", "d19_component_size_histogram",
+    "p06_orc_roundtrip", "p07_csv_roundtrip", "p08_corpus_materialization",
+    "q01_pricing_summary", "q02_filter_projection", "q03_shipping_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue", "q07_join_left_nulls",
+    "q08_join_right", "q09_join_full_outer", "q10_join_semi", "q11_join_anti",
+    "q12_cross_join", "q13_distinct_agg", "q13b_approx_distinct", "q14_rollup",
+    "q15_cube", "q16_grouping_sets", "q17_window_topk_per_group",
+    "q18_window_analytics", "q19_window_range_frame", "q20_sort_limit",
+    "q21_union_all", "q22_intersect", "q23_except_all", "q24_string_functions",
+    "q25_datetime_functions", "q26_conditional_null", "q30_theta_range_join",
+    "q31_asof_join", "q36b_approx_percentiles", "q65_string_agg",
+    "q66_window_distribution", "s13_range_search", "s14_mmr_rerank",
+    "s16_knn_classification", "st13_stream_outer_interval_join",
+    "t17_dsir_weights", "t18_zipf_vocabulary",
 }
+
+R05_IN_WINDOW = (
+    "d04_minhash_lsh_pairs",
+    "d05_simhash",
+    "d06_simhash_hamming_pairs",
+    "d08_dup_components",
+    "d10_lsh_verified_dupes",
+    "d15_containment_dupes",
+    "d16_canonical_selection",
+    "d17_substring_dedup",
+    "d18_minhash_estimate_audit",
+    "d19_component_size_histogram",
+    "p06_orc_roundtrip",
+    "p07_csv_roundtrip",
+    "p08_corpus_materialization",
+    "q01_pricing_summary",
+)
+
+DEFERRED_TO_R10 = LATEST_R05 - set(R05_IN_WINDOW)
 
 
 def window():
@@ -129,52 +114,40 @@ def test_priority_list_is_exhaustive_and_valid():
     assert len(plans.DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
 
 
-def test_window_leads_with_never_checked_entries():
+def test_window_order_is_the_round9_rotation():
     w = window()
-    for i, name in enumerate(NEVER_CHECKED):
-        assert w[i] == name, (
-            f"slot {i} must be {name} (never driver-checked; the r7 verdict "
-            f"requires new operators to lead the round-8 window), got {w[i]}"
-        )
+    expected = list(LEAD_R04) + list(NEVER_CHECKED) + list(R05_IN_WINDOW)
+    assert w == expected, (
+        "round-9 window must be: 33 r04-stale rows, then the new "
+        "entries, then 14 r05-stale rows"
+    )
 
 
-def test_window_is_filled_with_the_stalest_entries():
-    """Every non-new slot must re-check an entry whose latest driver
-    row is r03/r04 — the staleness rotation the r7 verdict directed."""
-    stale_pool = LATEST_R03 | LATEST_R04
+def test_nothing_older_than_r05_after_this_round():
+    """The r8 verdict's done-criterion: every r04-stale row gets a
+    round-9 driver slot, so the cross-round union's stalest row after
+    this round is r05."""
+    missing = set(LEAD_R04) - set(window())
+    assert not missing, f"r04-stale entries displaced: {sorted(missing)}"
+
+
+def test_non_lead_slots_hold_r05_rows_only():
+    """No slot may be wasted on an entry checked r06 or later."""
     w = window()
     for name in w:
-        if name in NEVER_CHECKED:
+        if name in LEAD_R04 or name in NEVER_CHECKED:
             continue
-        assert name in stale_pool, (
-            f"{name} occupies a round-8 slot but its last driver row is "
-            f"recent (r05/r06/r07) — the slot belongs to a staler entry"
+        assert name in LATEST_R05, (
+            f"{name} occupies a round-9 slot but its last driver row is "
+            f"r06+ — the slot belongs to a staler entry"
         )
-    # Every r03-stale entry must be IN the window (they are the oldest;
-    # the r7 verdict names them the round-8 window lead).
-    missing_r03 = LATEST_R03 - set(w)
-    assert not missing_r03, (
-        f"r03-stale entries displaced from the window: {sorted(missing_r03)}"
-    )
-    # The window overflows by exactly the deferred refactor-immune
-    # entries.
-    missing = stale_pool - set(w)
-    assert missing == DEFERRED_TO_R9, (
-        f"wrong entries deferred to round 9: {sorted(missing)}"
-    )
-
-
-def test_priority_prefix_wastes_no_slot_on_recently_checked_queries():
-    recent = (
-        set(plans.all_specs()) - LATEST_R03 - LATEST_R04 - set(NEVER_CHECKED)
-    )
-    wasted = set(plans.DRIVER_WINDOW) & recent
-    assert not wasted, f"recently-checked queries in the prefix: {sorted(wasted)}"
+    assert DEFERRED_TO_R10 == LATEST_R05 - set(w)
+    assert len(DEFERRED_TO_R10) == 36
 
 
 def test_stale_sets_match_the_recorded_artifacts():
     """The hand-pinned staleness sets above must agree with the actual
-    CORRECTNESS_r02..r07 artifacts (latest round each name appears in)
+    CORRECTNESS_r02..r08 artifacts (latest round each name appears in)
     — catching copy-paste slips in the bookkeeping sets."""
     import glob
     import json
@@ -184,13 +157,15 @@ def test_stale_sets_match_the_recorded_artifacts():
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        if rnd > 7:
-            continue  # this file pins the ROUND-8 rotation inputs
+        if rnd > 8:
+            continue  # this file pins the ROUND-9 rotation inputs
         for name in json.load(open(f)):
             latest[name] = max(latest.get(name, 0), rnd)
-    assert {n for n, r in latest.items() if r == 3} == LATEST_R03
-    assert {n for n, r in latest.items() if r == 4} == LATEST_R04
-    assert len(LATEST_R04) == 46
+    assert {n for n, r in latest.items() if r == 4} == set(LEAD_R04)
+    assert {n for n, r in latest.items() if r == 5} == LATEST_R05
+    assert not {n for n, r in latest.items() if r <= 3}
+    for name in NEVER_CHECKED:
+        assert name not in latest, f"{name} is not new — it has a driver row"
 
 
 def test_every_query_has_a_driver_row_or_a_window_slot():
@@ -216,25 +191,3 @@ def test_every_query_has_a_driver_row_or_a_window_slot():
     )
     for name in NEVER_CHECKED:
         assert name in w, f"new entry {name} missing from the window"
-
-
-def test_window_outputs_survive_pandas_canonicalization(spark):
-    """No window entry may output array/map/struct columns — the
-    driver canonicalizes EVERY collected result (rows-only included)
-    with a pandas lexsort, which crashes on list cells (r02 q29, r03
-    p01). Schema-only check — builds plans, executes nothing except
-    the streaming entries' bounded micro-batch runs (skipped here;
-    the oracle gate and test_streaming_semantics cover them)."""
-    from conftest import SF_SMOKE
-
-    specs = plans.all_specs()
-    for name in window():
-        if name.startswith("st"):
-            continue  # streaming builders execute micro-batches at build
-        df = specs[name].build(spark, SF_SMOKE)
-        complex_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString().startswith(("array", "map", "struct"))
-        ]
-        assert not complex_cols, f"{name} outputs complex columns {complex_cols}"
