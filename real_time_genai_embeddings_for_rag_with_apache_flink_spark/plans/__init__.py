@@ -19,9 +19,11 @@ from . import retrieval  # noqa: E402,F401
 # from round 8 LEAD (after this round nothing in the cross-round union
 # is older than r05), then the entries new this round (never
 # driver-checked: s27 ANN quality certification, m06 cross-modal
-# retrieval, st25 streaming MaxSim serving), then 14 of the 50 rows
-# whose latest driver row is r05 (the remaining 36 r05 rows lead the
-# round-10 window — see DEFERRED_TO_R10 in tests/test_driver_window.py).
+# retrieval, st25 streaming MaxSim serving, w20/st26 transition-matrix
+# batch/stream pair, w21 time-to-conversion, d33 cross-source dup
+# matrix), then 10 of the 50 rows whose latest driver row is r05 (the
+# remaining 40 r05 rows lead the round-10 window — see DEFERRED_TO_R10
+# in tests/test_driver_window.py).
 DRIVER_WINDOW: list[str] = [
     "d11_repeated_ngrams",
     "d12_decontamination",
@@ -59,6 +61,10 @@ DRIVER_WINDOW: list[str] = [
     "s27_ann_quality_certification",
     "m06_crossmodal_retrieval",
     "st25_stream_maxsim_serving",
+    "w20_event_transition_matrix",
+    "w21_time_to_conversion",
+    "d33_cross_source_dup_matrix",
+    "st26_stream_transition_matrix",
     "d04_minhash_lsh_pairs",
     "d05_simhash",
     "d06_simhash_hamming_pairs",
@@ -69,10 +75,6 @@ DRIVER_WINDOW: list[str] = [
     "d17_substring_dedup",
     "d18_minhash_estimate_audit",
     "d19_component_size_histogram",
-    "p06_orc_roundtrip",
-    "p07_csv_roundtrip",
-    "p08_corpus_materialization",
-    "q01_pricing_summary",
 ]
 
 set_priority(DRIVER_WINDOW)

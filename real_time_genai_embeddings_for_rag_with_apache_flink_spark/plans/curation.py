@@ -1492,3 +1492,96 @@ def t25_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.round("js_divergence", 6).alias("js_divergence"),
     )
+
+
+@query(
+    "d33_cross_source_dup_matrix",
+    oracle=f"""
+WITH fps AS (
+  SELECT DISTINCT source, md5({_SQL_NORM}) AS fp
+  FROM documents WHERE length(text) > 0
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared_fps,
+  ROUND(CAST(s.n_shared_fps AS DOUBLE)
+        / LEAST(pa.n_fps, pb.n_fps), 6) AS overlap_coef
+FROM shared s
+JOIN per_source pa ON pa.source = s.source_a
+JOIN per_source pb ON pb.source = s.source_b
+""",
+    tags=("dedup", "curation", "governance"),
+    bench=True,
+)
+def d33_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE exact-duplicate matrix: for every unordered source
+    pair, how many distinct content fingerprints appear in BOTH — plus
+    the overlap coefficient (shared / smaller side's distinct count).
+    The curation decision this feeds is which source to DROP when two
+    crawls mirror each other (t25 compares sources by vocabulary
+    *distribution*; this measures literal content overlap — the two
+    disagree exactly when a source paraphrases another, which is the
+    interesting case). Deduplication policy at corpus scale is a
+    source-level decision first and a pair-level decision second.
+
+    Scale shape: the corpus collapses to DISTINCT (source, fp) in one
+    map-side-combinable pass (16-byte fingerprints, never text); the
+    self-join shuffles on fp and each fingerprint fans out only to the
+    source pairs that both contain it (C(k,2) for a fp in k sources —
+    bounded by |sources|^2 per fp, and |sources| is governance-sized);
+    post-combine output is at most |sources|^2 rows. The per-source
+    distinct counts ride one more combinable groupBy and join back
+    broadcast-small. Exact integers except the final rounded ratio."""
+    from ..functions.text import doc_fingerprint
+
+    fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("source", doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    per_source = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    pa = F.broadcast(
+        per_source.select(
+            F.col("source").alias("source_a"), F.col("n_fps").alias("n_a")
+        )
+    )
+    pb = F.broadcast(
+        per_source.select(
+            F.col("source").alias("source_b"), F.col("n_fps").alias("n_b")
+        )
+    )
+    return (
+        shared.join(pa, "source_a")
+        .join(pb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fps",
+            F.round(
+                F.col("n_shared_fps").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

@@ -2670,3 +2670,139 @@ def st25_stream_maxsim_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_maxsim_serving(
             spark, arrivals, corpus, work_root, _ST25_TOKS, _ST25_TOPK
         )
+
+
+def run_stream_transitions(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st26",
+) -> DataFrame:
+    """w20's Markov transition matrix maintained CONTINUOUSLY: per
+    micro-batch, the batch's events extend each user's sequence, every
+    (prev -> next) pair whose NEXT event is new is counted once, and
+    the counts fold into restartable state. Transitions that SPAN a
+    batch boundary are reconstructed exactly by carrying each user's
+    LAST seen event in state and lagging over (buffer + batch) — the
+    st21 trailing-buffer pattern at depth 1 — which works because the
+    split source replays in (ts, event_id) order, so a user's later
+    events never arrive before earlier ones.
+
+    Both state tables — per-user last event (key-state sized) and the
+    accumulated pair counts (|event types|^2 sized) — move in ONE
+    atomic VersionedState commit_tables version: no crash point can
+    publish counts that disagree with the sequence frontier. Count
+    folding is associative integer addition, so the final matrix is
+    independent of batch boundaries and the whole-log w20 SQL is this
+    entry's oracle, hash-checked. Per batch: one user_id shuffle over
+    (batch + one row per seen user), one combinable count, one
+    group-cardinality-sized fold."""
+    from pyspark.sql import Window
+
+    from ..streaming.statefs import VersionedState
+
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    last_schema = (
+        "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    counts_schema = "prev_type string, next_type string, n_transitions long"
+    cols = ["user_id", "ts", "event_id", "event_type"]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        last = state.read_table("last", last_schema)
+        counts = state.read_table("counts", counts_schema)
+        allr = last.withColumn("is_new", F.lit(False)).unionByName(
+            batch.select(*cols).withColumn("is_new", F.lit(True))
+        )
+        wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        new_pairs = (
+            allr.select(
+                "*", F.lag("event_type").over(wseq).alias("prev_type")
+            )
+            .filter(F.col("is_new") & F.col("prev_type").isNotNull())
+            .groupBy(
+                "prev_type", F.col("event_type").alias("next_type")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        )
+        new_counts = (
+            counts.unionByName(new_pairs)
+            .groupBy("prev_type", "next_type")
+            .agg(F.sum("n_transitions").cast("long").alias("n_transitions"))
+        )
+        wdesc = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        new_last = (
+            allr.select(*cols)
+            .withColumn("rn", F.row_number().over(wdesc))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        state.commit_tables(
+            {"last": new_last, "counts": new_counts}, batch_id
+        )
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    counts = state.read_table("counts", counts_schema)
+    wnorm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wnorm),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "st26_stream_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n AS n_transitions,
+  ROUND(CAST(n AS DOUBLE)
+        / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM pairs
+""",
+    tags=("streaming", "stateful", "behavioral", "markov"),
+    bench=True,
+)
+def st26_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w20's event-transition (Markov) matrix maintained as a STREAM
+    (see run_stream_transitions): events replay as time-ordered
+    micro-batches, boundary-spanning transitions are reconstructed via
+    the per-user last-event buffer, and the count/frontier state moves
+    in one atomic commit. The whole-log w20 SQL is the oracle — batch
+    boundaries must not change a single count or probability. Honors
+    spark.graft.streamStateDir for a resumable work root."""
+    arrivals = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st26", table="events")
+    with state_partitions(spark, 8):
+        return run_stream_transitions(spark, arrivals, work_root)

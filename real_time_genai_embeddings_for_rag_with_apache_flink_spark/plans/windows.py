@@ -1219,3 +1219,147 @@ def w19_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "w20_event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n AS n_transitions,
+  ROUND(CAST(n AS DOUBLE)
+        / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM pairs
+""",
+    tags=("window", "behavioral", "markov"),
+    bench=True,
+)
+def w20_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over per-user event
+    sequences: for every consecutive (prev -> next) event-type pair in
+    a user's (ts, event_id)-ordered history, the transition count and
+    the row-normalized probability — the behavioral-analytics
+    summary under next-action prediction, funnel drop-off diagnosis,
+    and bot detection (bots have near-deterministic rows; humans
+    don't). Complements the w-family's funnel (w07, fixed expected
+    path) by measuring ALL observed paths at once.
+
+    Scale shape: ONE shuffle on user_id for the lag window (at 100 TB,
+    pre-bucketing events by user_id makes it zero-Exchange — the p13
+    contract), then a map-side-combinable count whose post-combine
+    cardinality is |event types|^2 — 36 rows here, bounded by the type
+    vocabulary at any corpus size; the probability normalization is a
+    window over that tiny aggregate, never over events. Probabilities
+    round at 1e-6 from an exact integer ratio, so the hash cannot
+    drift."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(wseq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wnorm),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "w21_time_to_conversion",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT user_id,
+    date_diff('second', signup_ts, purchase_ts) AS latency_s
+  FROM firsts
+  WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+    AND purchase_ts >= signup_ts
+)
+SELECT
+  CAST(FLOOR(latency_s / 86400) AS BIGINT) AS days_to_convert,
+  COUNT(*) AS n_users,
+  MIN(latency_s) AS min_latency_s,
+  MAX(latency_s) AS max_latency_s
+FROM lat GROUP BY 1
+""",
+    tags=("window", "behavioral", "funnel"),
+    bench=True,
+)
+def w21_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERSION distribution: per user, the latency from
+    FIRST signup to FIRST subsequent purchase, bucketed into whole
+    days — the funnel-latency histogram behind activation dashboards
+    and cohort health checks (w07 asks "did the funnel complete"; this
+    asks "how fast"). Latencies are whole-second integers (both
+    engines truncate to the second before differencing — the w19
+    boundary discipline), so buckets, counts and min/max are exact and
+    the hash cannot drift.
+
+    Scale shape: ONE map-side-combinable groupBy on user_id computes
+    both firsts as conditional MINs in the same pass (no self-join, no
+    window); the bucket rollup's post-combine cardinality is the day
+    vocabulary. At 100 TB: one shuffle on user_id, then a
+    tens-of-rows aggregate."""
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchase_ts"),
+        )
+        .filter(
+            F.col("signup_ts").isNotNull()
+            & F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+        )
+    )
+    latency = (
+        F.date_trunc("second", F.col("purchase_ts")).cast("timestamp").cast("double")
+        - F.date_trunc("second", F.col("signup_ts")).cast("timestamp").cast("double")
+    ).cast("long")
+    return (
+        firsts.select("user_id", latency.alias("latency_s"))
+        .groupBy(
+            F.floor(F.col("latency_s") / 86400)
+            .cast("bigint")
+            .alias("days_to_convert")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("latency_s").alias("min_latency_s"),
+            F.max("latency_s").alias("max_latency_s"),
+        )
+    )
