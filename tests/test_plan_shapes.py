@@ -525,3 +525,53 @@ def test_p20_compaction_single_exchange_pruned_scan(spark):
     # no global sort anywhere
     assert plan.count("Window") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_w20_transition_matrix_one_user_shuffle_combinable_count(spark):
+    plan = _plan(spark, "w20_event_transition_matrix")
+    # one lag window over user_id, one tiny normalization window over
+    # the |types|^2 aggregate — never a third
+    assert plan.count("Window") == 2
+    # the pair count combines map-side before its exchange
+    assert "partial_count" in plan
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_w21_conversion_single_groupby_no_self_join(spark):
+    plan = _plan(spark, "w21_time_to_conversion")
+    # both firsts come out of ONE conditional-MIN aggregate: no window,
+    # no signup-vs-purchase self-join
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan
+    # events scan pruned to the 3 referenced columns
+    assert "ReadSchema: struct<ts:timestamp" in plan
+
+
+def test_d33_dup_matrix_shuffles_fingerprints_not_text(spark):
+    plan = _plan(spark, "d33_cross_source_dup_matrix")
+    # the per-source totals join back broadcast-small
+    assert plan.count("BroadcastHashJoin") >= 2
+    # pair counting combines map-side; text never crosses an exchange
+    assert "partial_count" in plan
+    import re
+
+    for exch in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert "text" not in exch
+
+
+def test_s27_certification_rides_group_limits_and_broadcasts(spark):
+    plan = _plan(spark, "s27_ann_quality_certification")
+    # both the Hamming cut and the re-rank cut are two-phase group
+    # limits; query/shortlist sides broadcast; metrics stay codegen
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_m06_crossmodal_broadcasts_queries_and_prunes_payload(spark):
+    plan = _plan(spark, "m06_crossmodal_retrieval")
+    # queries broadcast; top-k is the two-phase group limit
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
