@@ -53,6 +53,11 @@ HEADLINES = [
     ("s26_maxsim_late_interaction", "BroadcastNestedLoopJoin against the driver-sized query-token set; the (query, doc, token) MAX shows partial_max below the Exchange — post-combine rows independent of per-doc vector counts; integer SUM then per-query WindowGroupLimit"),
     ("t25_source_divergence", "corpus collapses to (source, token, count) with partial_count below the Exchange; the pair join is token-keyed over the vocabulary; per-source totals and the pair frame are broadcast"),
     ("p20_compaction_planner", "one hash Exchange on source for the running-sum window; both branches of the union read the same 3-column pruned scan; all-integer output, no sort"),
+    ("s27_ann_quality_certification", "the s23 Hamming shortlist + exact re-rank at s25's query split, then the shared eval_ranked metric fold: both rank cuts two-phase WindowGroupLimit, every join broadcast, metrics integer aggregates — the whole approximate pipeline + its grading in codegen"),
+    ("m06_crossmodal_retrieval", "payload embeddings come out of one Arrow mapInPandas (bytes never cross an Exchange); broadcast text-query side; per-query top-5 via WindowGroupLimit"),
+    ("w20_event_transition_matrix", "one user_id Exchange for the lag window; pair counts show partial_count below their Exchange (post-combine cardinality = |types|^2); the probability window runs over that tiny aggregate"),
+    ("w21_time_to_conversion", "both funnel firsts are conditional partial_min in ONE aggregate over a 3-column pruned scan — no self-join, no window over events; the day rollup is group-cardinality-sized"),
+    ("d33_cross_source_dup_matrix", "corpus collapses to DISTINCT (source, fp) map-side; the pair join shuffles 16-byte fingerprints, never text; per-source totals rejoin broadcast"),
 ]
 
 
