@@ -21,9 +21,10 @@ from . import retrieval  # noqa: E402,F401
 # driver-checked: s27 ANN quality certification, m06 cross-modal
 # retrieval, st25 streaming MaxSim serving, w20/st26 transition-matrix
 # batch/stream pair, w21 time-to-conversion, d33 cross-source dup
-# matrix), then 10 of the 50 rows whose latest driver row is r05 (the
-# remaining 40 r05 rows lead the round-10 window — see DEFERRED_TO_R10
-# in tests/test_driver_window.py).
+# matrix, st27 streaming quality gate, w22 CUSUM drift), then 8 of the
+# 50 rows whose latest driver row is r05 (the remaining 42 r05 rows
+# lead the round-10 window — see DEFERRED_TO_R10 in
+# tests/test_driver_window.py).
 DRIVER_WINDOW: list[str] = [
     "d11_repeated_ngrams",
     "d12_decontamination",
@@ -65,6 +66,8 @@ DRIVER_WINDOW: list[str] = [
     "w21_time_to_conversion",
     "d33_cross_source_dup_matrix",
     "st26_stream_transition_matrix",
+    "st27_stream_quality_gate",
+    "w22_cusum_drift",
     "d04_minhash_lsh_pairs",
     "d05_simhash",
     "d06_simhash_hamming_pairs",
@@ -73,8 +76,6 @@ DRIVER_WINDOW: list[str] = [
     "d15_containment_dupes",
     "d16_canonical_selection",
     "d17_substring_dedup",
-    "d18_minhash_estimate_audit",
-    "d19_component_size_histogram",
 ]
 
 set_priority(DRIVER_WINDOW)

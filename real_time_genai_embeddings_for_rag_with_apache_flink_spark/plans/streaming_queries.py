@@ -2806,3 +2806,140 @@ def st26_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     work_root = _stream_work_root(spark, sf_dir, "st26", table="events")
     with state_partitions(spark, 8):
         return run_stream_transitions(spark, arrivals, work_root)
+
+
+def _doc_rule_counts(batch: DataFrame) -> DataFrame:
+    """Per-rule (n_violations, n_checked) for one slice of the
+    documents table — the additive kernel shared by st27's per-batch
+    fold and nothing else (the batch p17 gate audits the TPC-H tables;
+    this is the corpus-ingest rule set). Every rule is a conditional
+    count over one scan: counts are integers and addition is
+    associative, so folding per-batch results equals auditing the
+    whole log."""
+    checks = [
+        ("text_not_empty", F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)),
+        ("lang_present", F.col("lang").isNull()),
+        ("n_chars_consistent", F.col("n_chars") != F.length(F.col("text"))),
+        (
+            "text_min_5_tokens",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) < 5,
+        ),
+    ]
+    return batch.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.when(cond, 1).otherwise(0).cast("long").alias("v"),
+                    )
+                    for rule, cond in checks
+                ]
+            )
+        ).alias("c")
+    ).groupBy(F.col("c.rule").alias("rule")).agg(
+        F.sum("c.v").cast("long").alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+
+
+def run_stream_quality_gate(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st27",
+) -> DataFrame:
+    """Continuous data-quality gate: the corpus-ingest rule suite
+    evaluated per micro-batch and FOLDED into restartable totals — the
+    streaming posture of p17's batch expectation gate (a production
+    ingest pipeline wants violations counted as data lands, not in a
+    nightly audit). Per batch: one conditional-count aggregate over
+    the batch slice (map-side combinable, |rules|-sized output), one
+    |rules|-row fold with the stored totals, one VersionedState
+    commit; replayed batches skip whole via ``applied``. Integer
+    addition is associative, so totals are independent of batch
+    boundaries and the whole-log SQL is the oracle, hash-checked."""
+    from ..streaming.statefs import VersionedState
+
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    schema = "rule string, n_violations long, n_checked long"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        folded = (
+            state.read(schema)
+            .unionByName(_doc_rule_counts(batch))
+            .groupBy("rule")
+            .agg(
+                F.sum("n_violations").cast("long").alias("n_violations"),
+                F.sum("n_checked").cast("long").alias("n_checked"),
+            )
+        )
+        state.commit(folded, batch_id)
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return state.read(schema).withColumn(
+        "violation_rate",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked"), 6
+        ),
+    )
+
+
+@query(
+    "st27_stream_quality_gate",
+    oracle="""
+WITH rules AS (
+  SELECT 'text_not_empty' AS rule,
+    CAST(COUNT(*) FILTER (text IS NULL OR length(trim(text)) = 0) AS BIGINT)
+      AS n_violations,
+    CAST(COUNT(*) AS BIGINT) AS n_checked
+  FROM documents
+  UNION ALL
+  SELECT 'lang_present',
+    CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars_consistent',
+    CAST(COUNT(*) FILTER (n_chars != length(text)) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'text_min_5_tokens',
+    CAST(COUNT(*) FILTER (
+      len(regexp_split_to_array(trim(text), '\\s+')) < 5) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT)
+  FROM documents
+)
+SELECT rule, n_violations, n_checked,
+  ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+FROM rules
+""",
+    tags=("streaming", "stateful", "data-quality", "governance"),
+    bench=True,
+)
+def st27_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p17's expectation-gate posture applied to the CORPUS INGEST
+    stream (see run_stream_quality_gate): documents replay as
+    micro-batches, each batch's rule violations are counted in one
+    conditional aggregate and folded into VersionedState totals; the
+    whole-log SQL re-proves fold == audit hash-exactly every driver
+    run. Honors spark.graft.streamStateDir for a resumable work
+    root."""
+    arrivals = stream_documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    work_root = _stream_work_root(spark, sf_dir, "st27", table="documents")
+    with state_partitions(spark, 8):
+        return run_stream_quality_gate(spark, arrivals, work_root)

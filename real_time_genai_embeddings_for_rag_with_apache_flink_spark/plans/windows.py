@@ -1363,3 +1363,114 @@ def w21_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("latency_s").alias("max_latency_s"),
         )
     )
+
+
+_W22_T = 500  # alarm when cumulative excess over the mean exceeds this
+# many value-units (scaled: threshold = n * 1e6 * T in integer space)
+
+
+@query(
+    "w22_cusum_drift",
+    oracle=f"""
+WITH scaled AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS total
+  FROM scaled GROUP BY event_type
+),
+walk AS (
+  SELECT s.event_type, s.ts, s.event_id, st.n,
+    SUM(st.n * s.v - st.total) OVER w AS r
+  FROM scaled s JOIN stats st USING (event_type)
+  WINDOW w AS (PARTITION BY s.event_type ORDER BY s.ts, s.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cusum AS (
+  SELECT event_type, n,
+    r - LEAST(CAST(0 AS BIGINT), MIN(r) OVER w) AS s
+  FROM walk
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (s >= n * CAST(1000000 AS BIGINT) * {_W22_T})
+       AS BIGINT) AS n_alarms,
+  ROUND(CAST(MAX(s) AS DOUBLE) / (n * 1000000.0), 6) AS max_excess
+FROM cusum GROUP BY event_type, n
+""",
+    tags=("window", "anomaly", "drift", "data-quality"),
+    bench=True,
+)
+def w22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per event type (Page 1954): the
+    cumulative-sum statistic S_i = max(0, S_{{i-1}} + (x_i - mu))
+    alarms when a SUSTAINED upward shift accumulates — the detector
+    family for slow drifts that w15/st21's pointwise z-score
+    structurally cannot see (each point individually in-band, the
+    mean quietly up 1%). The recursion is not a SQL window function,
+    but the classical reflection identity
+    S_i = R_i - min(0, min_j<=i R_j) (R = running sum of deviations)
+    turns it into TWO stock windows — running sum, then running min —
+    so the whole detector stays in Catalyst codegen with no UDF and
+    no iteration.
+
+    Exactness: deviations are computed in count-scaled integer space
+    (n*x_i - total, with x scaled to BIGINT at 1e-6) so the random
+    walk, the reflection, and the alarm comparison are exact integer
+    arithmetic — no float-summation drift, hash-stable; the single
+    float division happens in the final per-type summary.
+
+    Scale shape: one shuffle on event_type for the ordered windows
+    (the same partitioning serves both passes — Catalyst reuses the
+    Exchange), a broadcast-joined per-type stats row, and a
+    group-cardinality-sized summary. At 100 TB the windows are the
+    cost: per-type ordered scans parallelize across types, and a
+    deployment with few huge types would range-chunk the walk (the
+    st24 carry-in pattern) — documented, not needed at catalog
+    scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "r",
+            F.sum(F.col("n") * F.col("v") - F.col("total")).over(wcum),
+        )
+    )
+    cusum = walk.withColumn(
+        "s",
+        F.col("r")
+        - F.least(F.lit(0).cast("long"), F.min("r").over(wcum)),
+    )
+    thresh = F.col("n") * F.lit(1_000_000).cast("long") * _W22_T
+    return cusum.groupBy("event_type", "n").agg(
+        F.sum(F.when(F.col("s") >= thresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms"),
+        F.round(
+            F.max("s").cast("double") / (F.col("n") * 1_000_000.0), 6
+        ).alias("max_excess"),
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        "n_alarms",
+        "max_excess",
+    )

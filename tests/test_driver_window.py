@@ -5,8 +5,8 @@ rotation (the r8 verdict's directive, executing the plan written in
 round 8): the thirty-three r04-stale rows deferred from round 8 LEAD —
 after this round nothing in the cross-round union is older than r05 —
 then the operators new this round (never driver-checked), then
-ten of the fifty r05-stale rows; the remaining forty r05 rows
-(DEFERRED_TO_R10) lead the round-10 window."""
+eight of the fifty r05-stale rows; the remaining forty-two r05
+rows (DEFERRED_TO_R10) lead the round-10 window."""
 
 from __future__ import annotations
 
@@ -61,10 +61,12 @@ NEVER_CHECKED = (
     "w21_time_to_conversion",
     "d33_cross_source_dup_matrix",
     "st26_stream_transition_matrix",
+    "st27_stream_quality_gate",
+    "w22_cusum_drift",
 )
 
-# Latest driver row r05 (50 entries, from the artifacts). Ten fit
-# this window; the other forty are the round-10 lead.
+# Latest driver row r05 (50 entries, from the artifacts). Eight fit
+# this window; the other forty-two are the round-10 lead.
 LATEST_R05 = {
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_simhash_hamming_pairs",
     "d08_dup_components", "d10_lsh_verified_dupes", "d15_containment_dupes",
@@ -94,8 +96,6 @@ R05_IN_WINDOW = (
     "d15_containment_dupes",
     "d16_canonical_selection",
     "d17_substring_dedup",
-    "d18_minhash_estimate_audit",
-    "d19_component_size_histogram",
 )
 
 DEFERRED_TO_R10 = LATEST_R05 - set(R05_IN_WINDOW)
@@ -119,7 +119,7 @@ def test_window_order_is_the_round9_rotation():
     expected = list(LEAD_R04) + list(NEVER_CHECKED) + list(R05_IN_WINDOW)
     assert w == expected, (
         "round-9 window must be: 33 r04-stale rows, then the new "
-        "entries, then 10 r05-stale rows"
+        "entries, then 8 r05-stale rows"
     )
 
 
@@ -142,7 +142,7 @@ def test_non_lead_slots_hold_r05_rows_only():
             f"r06+ — the slot belongs to a staler entry"
         )
     assert DEFERRED_TO_R10 == LATEST_R05 - set(w)
-    assert len(DEFERRED_TO_R10) == 40
+    assert len(DEFERRED_TO_R10) == 42
 
 
 def test_stale_sets_match_the_recorded_artifacts():

@@ -575,3 +575,18 @@ def test_m06_crossmodal_broadcasts_queries_and_prunes_payload(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_w22_cusum_two_windows_share_one_exchange(spark):
+    plan = _plan(spark, "w22_cusum_drift")
+    # running sum + running min (the reflection identity) stack on the
+    # SAME event_type partitioning: no Exchange between the two Window
+    # operators (the only other event_type exchange feeds the broadcast
+    # stats aggregate)
+    assert plan.count("Window [") == 2
+    first = plan.index("Window [")
+    second = plan.index("Window [", first + 1)
+    assert "Exchange" not in plan[first:second]
+    # per-type stats join back broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
