@@ -454,6 +454,57 @@ def _binary_stress(spark, timings: dict[str, float]) -> None:
     )
 
 
+
+def _gemm_maxsim_scored(corpus, Tn, q_ids):
+    """Shared Arrow-GEMM MaxSim kernel (the s26 scale path), used by
+    BOTH the s26 expr-vs-GEMM stress pair and the s28 PLAID pruning
+    trio so the integer-rounding contract lives in exactly one place:
+    per Arrow batch, L2-normalize the rows, score every token in one
+    (batch x tokens) matmul, round half-AWAY-from-zero at 1e-6 (Spark
+    F.round is HALF_UP; np.round is half-even, which would disagree on
+    boundary cosines), and reduce to the per-batch partial MAX inside
+    the task before anything crosses the Exchange. ``Tn`` must carry
+    L2-normalized token rows; ``q_ids[i]`` is token i's query."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    n_tokens = len(q_ids)
+
+    def gemm_maxsim(it):
+        for pdf in it:
+            M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            raw = M @ Tn.T  # (batch, n_tokens)
+            sims = np.copysign(
+                np.floor(np.abs(raw) * 1_000_000.0 + 0.5), raw
+            ).astype(np.int64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_tokens),
+                    "q_id": np.tile(q_ids, len(pdf)),
+                    "tok_id": np.tile(np.arange(n_tokens), len(pdf)),
+                    "tok_sim": sims.reshape(-1),
+                }
+            )
+            yield (
+                out.groupby(["q_id", "doc_id", "tok_id"], as_index=False)
+                .agg(tok_sim=("tok_sim", "max"))
+            )
+
+    return (
+        corpus.mapInPandas(
+            gemm_maxsim,
+            "doc_id long, q_id long, tok_id long, tok_sim long",
+        )
+        .groupBy("q_id", "doc_id", "tok_id")
+        .agg(F.max("tok_sim").alias("tok_sim"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("tok_sim").alias("maxsim_scaled"))
+    )
+
+
 def _maxsim_stress(spark, timings: dict[str, float]) -> None:
     """Late-interaction MaxSim at retrieval-serving scale: the catalog
     s26 scores 500 vectors against 32 query tokens with the pure-codegen
@@ -520,46 +571,12 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
     # broadcast NLJ fan-out, one cosine fold per row
     expr_scored = maxsim_scores(corpus, tokens, doc_col="doc_id")
 
-    # GEMM path: all token sims per vector in one matmul per Arrow
-    # batch, partial MAX reduced INSIDE the task before anything moves
+    # GEMM path: the shared kernel (_gemm_maxsim_scored) — all token
+    # sims per vector in one matmul per Arrow batch, partial MAX
+    # reduced INSIDE the task before anything moves
     Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
     q_ids = np.arange(n_tokens) % n_queries
-
-    def gemm_maxsim(it):
-        for pdf in it:
-            M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
-            raw = M @ Tn.T  # (batch, n_tokens)
-            # round half-AWAY-from-zero at 1e-6 + scale in one step —
-            # Spark F.round is HALF_UP (away from zero); np.round is
-            # half-even, which would categorically disagree on boundary
-            # cosines
-            sims = np.copysign(
-                np.floor(np.abs(raw) * 1_000_000.0 + 0.5), raw
-            ).astype(np.int64)
-            out = pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_tokens),
-                    "q_id": np.tile(q_ids, len(pdf)),
-                    "tok_id": np.tile(np.arange(n_tokens), len(pdf)),
-                    "tok_sim": sims.reshape(-1),
-                }
-            )
-            yield (
-                out.groupby(["q_id", "doc_id", "tok_id"], as_index=False)
-                .agg(tok_sim=("tok_sim", "max"))
-            )
-
-    gemm_scored = (
-        corpus.mapInPandas(
-            gemm_maxsim,
-            "q_id long, doc_id long, tok_id long, tok_sim long",
-        )
-        .groupBy("q_id", "doc_id", "tok_id")
-        .agg(F.max("tok_sim").alias("tok_sim"))
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum("tok_sim").alias("maxsim_scaled"))
-    )
+    gemm_scored = _gemm_maxsim_scored(corpus, Tn, q_ids)
 
     key = lambda rows: {(r.q_id, r.doc_id, r.rnk) for r in rows}
     # explicit raise (not a bare assert): python -O must not publish
@@ -626,8 +643,6 @@ def _divergence_stress(spark, timings: dict[str, float]) -> None:
     counts.unpersist()
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def _plaid_stress(spark, timings: dict[str, float]) -> None:
@@ -652,8 +667,8 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     and an sf-table entry would be a fallback-to-full-scan in
     disguise. Production late-interaction corpora are the opposite
     (ColBERT vectors cluster; PLAID exists because of it), so the
-    stress pair prices the honest case: 100k vectors in 2,000 docs of
-    50 vectors each around 64 archetype directions (~14 deg intra-doc
+    stress trio prices the honest case: 200k vectors in 40,000 docs of
+    5 vectors each around 64 archetype directions (~14 deg intra-doc
     spread), 64 query tokens targeting 8 of the archetypes.
 
     Pruned-path pricing INCLUDES the index build (centroid + radius
@@ -666,11 +681,14 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     from pyspark.sql import functions as F
 
     # width must exceed the per-archetype doc count (n_docs / n_arch
-    # ~= 63): every same-cluster doc carries a near-max bound, so the
+    # ~= 625): every same-cluster doc carries a near-max bound, so the
     # certificate can only separate once the shortlist swallows the
     # whole matching cluster — exactly PLAID's candidate-generation
-    # sizing rule
-    dim, n, n_tokens, n_queries, n_docs, k, width = 64, 200_000, 64, 8, 4_000, 10, 96
+    # sizing rule. Doc count is the pruning lever: the full path's cost
+    # is the |docs| x |tokens| post-combine aggregate (2.56M rows
+    # here), the pruned path's is |shortlist| x |tokens| (~393k for 8
+    # disjoint-archetype queries) plus a docs-sized bounds pass
+    dim, n, n_tokens, n_queries, n_docs, k, width = 64, 200_000, 64, 8, 40_000, 10, 768
     n_arch = 64
     arch = np.random.RandomState(3).standard_normal((n_arch, dim))
     arch /= np.linalg.norm(arch, axis=1, keepdims=True)
@@ -711,36 +729,9 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     T /= np.linalg.norm(T, axis=1, keepdims=True)
     q_ids = np.arange(n_tokens) % n_queries
 
-    def gemm_maxsim(it):
-        for pdf in it:
-            M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
-            raw = M @ T.T
-            sims = np.copysign(
-                np.floor(np.abs(raw) * 1_000_000.0 + 0.5), raw
-            ).astype(np.int64)
-            out = pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_tokens),
-                    "q_id": np.tile(q_ids, len(pdf)),
-                    "tok_id": np.tile(np.arange(n_tokens), len(pdf)),
-                    "tok_sim": sims.reshape(-1),
-                }
-            )
-            yield (
-                out.groupby(["q_id", "doc_id", "tok_id"], as_index=False)
-                .agg(tok_sim=("tok_sim", "max"))
-            )
-
     def scored_from(src):
-        return (
-            src.mapInPandas(
-                gemm_maxsim, "doc_id long, q_id long, tok_id long, tok_sim long"
-            )
-            .groupBy("q_id", "doc_id", "tok_id")
-            .agg(F.max("tok_sim").alias("tok_sim"))
-            .groupBy("q_id", "doc_id")
-            .agg(F.sum("tok_sim").alias("maxsim_scaled"))
-        )
+        # the shared GEMM kernel; T is already L2-normalized here
+        return _gemm_maxsim_scored(src, T, q_ids)
 
     def topk(scored):
         w = Window.partitionBy("q_id").orderBy(
@@ -761,7 +752,7 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     # -- pruned path (index build + bounds + shortlist + exact) ---------
     def centroid_radius(it):
         for pdf in it:
-            # one partition arrives as one batch here (3,125 rows <<
+            # one partition arrives as one batch here (6,250 rows <
             # the 10k Arrow batch default) and docs are hash-collected
             # per partition, so every doc's vectors are complete
             M = np.asarray([np.asarray(v) for v in pdf["embedding"]])
@@ -843,3 +834,8 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     keyf = lambda rows: {(r.q_id, r.doc_id, r.rnk) for r in rows}
     if keyf(pruned) != keyf(full):
         raise AssertionError("pruned and full MaxSim top-k must agree")
+
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

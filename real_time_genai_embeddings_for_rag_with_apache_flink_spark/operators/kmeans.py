@@ -64,9 +64,13 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     )
     # A NULL vector scores NULL against every centroid, and the fold's
     # null-comparison keeps the initial accumulator — without the guard
-    # it would silently land in cell 0. Emit NULL instead (matching the
-    # broadcast path's masked rows).
-    return F.when(vec.isNotNull(), best.cell)
+    # it would silently land in cell 0. A WRONG-LENGTH vector is just as
+    # silent (zip_with pads with NULL, every sim folds NULL, same cell-0
+    # landing). Emit NULL for both, matching the broadcast path's
+    # masked rows — one hygiene contract across modes.
+    return F.when(
+        vec.isNotNull() & (F.size(vec) == len(centroids[0])), best.cell
+    )
 
 
 def assign_cells_broadcast(

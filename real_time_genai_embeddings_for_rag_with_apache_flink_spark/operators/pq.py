@@ -177,14 +177,14 @@ def pq_encode(
             df, codebooks, dim, vec_col, id_col, extra_cols
         )
     slices = _sub_slices(F.col(vec_col), dim, m)
-    # NULL vector -> NULL codes (not [0]*m — a null subvector's null
-    # dist keeps the fold's initial accumulator), matching the
-    # broadcast path's masked rows.
+    # NULL or wrong-length vector -> NULL codes (not [0]*m — a null or
+    # padded subvector's null dist keeps the fold's initial
+    # accumulator), matching the broadcast path's masked rows.
     return df.select(
         id_col,
         *extra_cols,
         F.when(
-            F.col(vec_col).isNotNull(),
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
             F.array(*[_l2_argmin(slices[s], codebooks[s]) for s in range(m)]),
         ).alias("codes"),
     )

@@ -163,10 +163,17 @@ def ivf_assign(
             vec_col=vec_col,
             out_col="_pos",
         )
+        # explicit null guard: element_at(<literal array>, NULL) does
+        # NOT return NULL on Spark 4.1 (observed: it yields the LAST
+        # element), so an unguarded lookup would silently assign every
+        # masked NULL/wrong-length row to the last cell
         return assigned.select(
             id_col,
             vec_col,
-            F.element_at(pos_to_cell, F.col("_pos") + 1).alias("cell"),
+            F.when(
+                F.col("_pos").isNotNull(),
+                F.element_at(pos_to_cell, F.col("_pos") + 1),
+            ).alias("cell"),
         )
     scored = _cell_scores(F.col(vec_col), cells)
     best = F.aggregate(
@@ -174,7 +181,16 @@ def ivf_assign(
         F.element_at(scored, 1),
         lambda acc, s: F.when(s.sim > acc.sim, s).otherwise(acc),
     )
-    return corpus.select(id_col, vec_col, best.cell.alias("cell"))
+    # NULL / wrong-length vectors get NULL cells (the shared broadcast-
+    # path hygiene contract — kmeans._nearest_cell); unguarded, a null
+    # sim fold would keep the initial accumulator and silently assign
+    # the first cell
+    dim = len(ordered[0][1])
+    guarded = F.when(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
+        best.cell,
+    )
+    return corpus.select(id_col, vec_col, guarded.alias("cell"))
 
 
 def ivf_search(

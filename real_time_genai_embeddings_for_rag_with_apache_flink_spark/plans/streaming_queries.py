@@ -90,16 +90,22 @@ N_STREAM_FILES = 3
 
 def _local_path_of(base: str) -> str | None:
     """Local filesystem path for ``base`` if it IS local (bare path or
-    file:// URI), else None. hdfs:// / s3a:// / any other scheme are
-    fine for the Hadoop-FS-backed state dirs but NOT for the split
-    source copy, which needs POSIX glob/utime."""
-    if "://" not in base:
-        return base
-    scheme, _, rest = base.partition("://")
-    if scheme == "file":
-        # file:///x -> /x ; file://host/x is not supported locally
-        return "/" + rest.lstrip("/")
-    return None
+    file: URI in any slash form — Hadoop's own Path.toString() renders
+    the single-slash ``file:/x``), else None. hdfs:// / s3a:// / any
+    other scheme are fine for the Hadoop-FS-backed state dirs but NOT
+    for the split source copy, which needs POSIX glob/utime."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/", base)
+    if m is None:
+        return base  # bare path, no scheme
+    scheme, rest = m.group(1), base[m.end(1) + 1 :]
+    if scheme != "file":
+        return None
+    # file:/x, file:///x -> /x ; a non-local authority (file://host/x)
+    # is not supported — treat the first path segment after // as host
+    # only when it is non-empty and not immediately another slash
+    return "/" + rest.lstrip("/")
 
 
 def _split_source_dir(

@@ -1383,21 +1383,21 @@ stats AS (
 ),
 walk AS (
   SELECT s.event_type, s.ts, s.event_id, st.n,
-    SUM(st.n * s.v - st.total) OVER w AS r
+    SUM(CAST(st.n AS HUGEINT) * s.v - st.total) OVER w AS r
   FROM scaled s JOIN stats st USING (event_type)
   WINDOW w AS (PARTITION BY s.event_type ORDER BY s.ts, s.event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 cusum AS (
   SELECT event_type, n,
-    r - LEAST(CAST(0 AS BIGINT), MIN(r) OVER w) AS s
+    r - LEAST(CAST(0 AS HUGEINT), MIN(r) OVER w) AS s
   FROM walk
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type,
   CAST(n AS BIGINT) AS n_events,
-  CAST(COUNT(*) FILTER (s >= n * CAST(1000000 AS BIGINT) * {_W22_T})
+  CAST(COUNT(*) FILTER (s >= CAST(n AS HUGEINT) * 1000000 * {_W22_T})
        AS BIGINT) AS n_alarms,
   ROUND(CAST(MAX(s) AS DOUBLE) / (n * 1000000.0), 6) AS max_excess
 FROM cusum GROUP BY event_type, n
@@ -1422,7 +1422,10 @@ def w22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*x_i - total, with x scaled to BIGINT at 1e-6) so the random
     walk, the reflection, and the alarm comparison are exact integer
     arithmetic — no float-summation drift, hash-stable; the single
-    float division happens in the final per-type summary.
+    float division happens in the final per-type summary. The walk is
+    carried as DECIMAL(38,0) / HUGEINT because count-scaling inflates
+    terms by n: a BIGINT prefix sum wraps silently around 9.2e18,
+    which a billion-row event type with |value| ~ 1e3 reaches.
 
     Scale shape: one shuffle on event_type for the ordered windows
     (the same partitioning serves both passes — Catalyst reuses the
@@ -1448,19 +1451,29 @@ def w22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the count-scaled walk lives in DECIMAL(38,0) (DuckDB: HUGEINT):
+    # single terms are n * v, so a BIGINT walk would wrap silently at
+    # n * max|v| * n ~ 9.2e18 — well inside the 100 TB regime the
+    # docstring claims. DECIMAL(38,0) carries n <= ~1e12 rows/type at
+    # |value| <= 1e6 exactly; past ITS ceiling Spark yields NULL (loud)
+    # rather than a wrapped wrong answer.
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("v") - F.col("total")
+    ).cast("decimal(38,0)")
     walk = (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn(
-            "r",
-            F.sum(F.col("n") * F.col("v") - F.col("total")).over(wcum),
-        )
+        .withColumn("r", F.sum(dev).over(wcum))
     )
     cusum = walk.withColumn(
         "s",
-        F.col("r")
-        - F.least(F.lit(0).cast("long"), F.min("r").over(wcum)),
+        (
+            F.col("r")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("r").over(wcum))
+        ).cast("decimal(38,0)"),
     )
-    thresh = F.col("n") * F.lit(1_000_000).cast("long") * _W22_T
+    thresh = (
+        F.col("n").cast("decimal(38,0)") * F.lit(1_000_000) * _W22_T
+    ).cast("decimal(38,0)")
     return cusum.groupBy("event_type", "n").agg(
         F.sum(F.when(F.col("s") >= thresh, 1).otherwise(0))
         .cast("bigint")

@@ -191,3 +191,25 @@ def test_every_query_has_a_driver_row_or_a_window_slot():
     )
     for name in NEVER_CHECKED:
         assert name in w, f"new entry {name} missing from the window"
+
+
+def test_window_outputs_survive_pandas_canonicalization(spark):
+    """No window entry may output array/map/struct columns — the
+    driver canonicalizes EVERY collected result (rows-only included)
+    with a pandas lexsort, which crashes on list cells (r02 q29, r03
+    p01). Schema-only check — builds plans, executes nothing except
+    the streaming entries' bounded micro-batch runs (skipped here;
+    the oracle gate and test_streaming_semantics cover them)."""
+    from conftest import SF_SMOKE
+
+    specs = plans.all_specs()
+    for name in window():
+        if name.startswith("st"):
+            continue  # streaming builders execute micro-batches at build
+        df = specs[name].build(spark, SF_SMOKE)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        assert not complex_cols, f"{name} outputs complex columns {complex_cols}"

@@ -238,16 +238,22 @@ def test_null_embedding_gets_null_cell_in_both_modes(spark):
         assert bc2 == lit
 
 
-def test_wrong_length_vector_gets_null_in_broadcast_paths(spark):
-    """ADVICE r8: a non-null WRONG-LENGTH vector used to build a ragged
-    np.array and crash the broadcast matmul while pca_project /
-    pack_sign_words mapped it to NULL — all broadcast operators now
-    share one NULL/wrong-length hygiene contract."""
+def test_wrong_length_vector_gets_null_in_all_paths(spark):
+    """ADVICE r8 + r9 review: a non-null WRONG-LENGTH vector used to
+    crash the broadcast matmul (ragged np.array) while the LITERAL
+    folds silently assigned cell 0 / codes (null sims keep the fold's
+    initial accumulator). Every assignment path — kmeans literal &
+    broadcast, pq literal & broadcast, ivf literal & broadcast — now
+    shares one NULL/wrong-length -> NULL contract, so flipping
+    assign_mode never changes hygiene semantics."""
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.kmeans import (
         assign_cells_broadcast,
     )
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
-        _pq_encode_broadcast,
+        pq_encode,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
+        ivf_assign,
     )
 
     df = spark.createDataFrame(
@@ -260,24 +266,43 @@ def test_wrong_length_vector_gets_null_in_broadcast_paths(spark):
         "vec_id long, embedding array<double>",
     )
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
-    got = {
+    expected = {1: 0, 2: None, 3: None, 4: 1}
+
+    bc = {
         r.vec_id: r.cell
         for r in assign_cells_broadcast(df, cents)
         .select("vec_id", "cell")
         .collect()
     }
-    assert got == {1: 0, 2: None, 3: None, 4: 1}
+    lit = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _nearest_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assert bc == expected and lit == expected
+
+    for mode in ("literal", "broadcast"):
+        cells = {
+            r.vec_id: r.cell
+            for r in ivf_assign(
+                df, [(0, cents[0]), (1, cents[1])], assign_mode=mode
+            )
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert cells == expected, f"ivf mode={mode}: {cells}"
 
     codebooks = [
         [[0.0, 0.0], [1.0, 0.0]],
         [[0.0, 0.0], [0.0, 1.0]],
     ]
-    codes = {
-        r.vec_id: r.codes
-        for r in _pq_encode_broadcast(
-            df, codebooks, dim=4, vec_col="embedding", id_col="vec_id",
-            extra_cols=[],
-        ).collect()
-    }
-    assert codes[2] is None and codes[3] is None
-    assert codes[1] is not None and codes[4] is not None
+    for mode in ("literal", "broadcast"):
+        codes = {
+            r.vec_id: r.codes
+            for r in pq_encode(
+                df, codebooks, dim=4, assign_mode=mode
+            ).collect()
+        }
+        assert codes[2] is None and codes[3] is None, f"pq mode={mode}"
+        assert codes[1] is not None and codes[4] is not None

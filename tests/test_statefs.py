@@ -333,8 +333,11 @@ def test_split_source_dir_remote_state_uri_stays_local(spark):
 
     assert sq._local_path_of("/tmp/x") == "/tmp/x"
     assert sq._local_path_of("file:///tmp/x") == "/tmp/x"
+    # Hadoop Path.toString() renders the SINGLE-slash form
+    assert sq._local_path_of("file:/tmp/x") == "/tmp/x"
     assert sq._local_path_of("s3a://bucket/state") is None
     assert sq._local_path_of("hdfs://nn:9000/state") is None
+    assert sq._local_path_of("hdfs:/nn/state") is None
 
     sq._SPLIT_CACHE.clear()
     spark.conf.set(sq.STREAM_STATE_DIR_CONF, "s3a://bucket/state")
