@@ -480,6 +480,9 @@ def m06_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_fake_payload, embed_media
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # single-file fixture + CPU-bound Python embedder: spread the scan
+    # across cores before the Arrow crossing (the m05/t11 pattern)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     media = attach_fake_payload(docs)
     corpus = embed_media(media)
 
