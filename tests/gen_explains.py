@@ -58,6 +58,7 @@ HEADLINES = [
     ("w20_event_transition_matrix", "one user_id Exchange for the lag window; pair counts show partial_count below their Exchange (post-combine cardinality = |types|^2); the probability window runs over that tiny aggregate"),
     ("w21_time_to_conversion", "both funnel firsts are conditional partial_min in ONE aggregate over a 3-column pruned scan — no self-join, no window over events; the day rollup is group-cardinality-sized"),
     ("d33_cross_source_dup_matrix", "corpus collapses to DISTINCT (source, fp) map-side; the pair join shuffles 16-byte fingerprints, never text; per-source totals rejoin broadcast"),
+    ("w22_cusum_drift", "the CUSUM reflection identity as two STACKED windows (running sum, then running min) sharing one event_type exchange; the count-scaled walk is DECIMAL(38,0) exact integers; per-type stats join back broadcast"),
 ]
 
 
