@@ -790,13 +790,26 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     # build phase (offline in production — centroids/radii/bounds are
     # per-corpus, amortized across every query that ever arrives)
     t0 = time.perf_counter()
-    cents = (
+    cr = (
         corpus.repartition(32, "doc_id")
         .mapInPandas(
             centroid_radius, "doc_id long, centroid array<double>, cos_min double"
         )
-        .mapInPandas(bounds, "doc_id long, q_id long, ub_scaled long")
+        .persist()
     )
+    # the centroid pass assumes each hash partition arrives as ONE
+    # Arrow batch (6,250 rows < the 10k default) so no doc straddles
+    # batches; a violated assumption would emit duplicate per-doc rows
+    # with partial radii — invalid bounds that would surface later as a
+    # confusing certificate failure. Assert it where it breaks.
+    n_cent = cr.count()
+    if n_cent != n_docs:
+        raise AssertionError(
+            f"centroid pass emitted {n_cent} rows for {n_docs} docs — a "
+            "doc straddled Arrow batches; lower partitions or raise "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+    cents = cr.mapInPandas(bounds, "doc_id long, q_id long, ub_scaled long")
     wb = Window.partitionBy("q_id").orderBy(F.desc("ub_scaled"), "doc_id")
     ranked_ub = cents.withColumn("ubrank", F.row_number().over(wb)).persist()
     shortlist = ranked_ub.filter(F.col("ubrank") <= width).select(
@@ -819,6 +832,7 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     timings["s28_stress_plaid_serve"] = round(time.perf_counter() - t0, 4)
     ranked_ub.unpersist()
     shortlist.unpersist()
+    cr.unpersist()
     corpus.unpersist()
 
     kth = {}

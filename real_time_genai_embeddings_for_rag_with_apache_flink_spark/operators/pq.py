@@ -333,10 +333,19 @@ def ivfpq_search(
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cells]
     )
-    resid = F.zip_with(
-        F.col(vec_col),
-        F.element_at(cent_lit, F.col("cell") + 1),
-        lambda a, b: a.cast("double") - b,
+    # cell NULL (the hygiene contract's NULL/wrong-length rows) must
+    # propagate to a NULL residual: element_at(<literal array>, NULL)
+    # yields the LAST centroid on Spark 4.1 (see ivf_assign), and
+    # zip_with against a full-length centroid would pad a short vector
+    # to exactly dim — sneaking garbage past pq_encode's size guard
+    # into silent code-0 subcodes
+    resid = F.when(
+        F.col("cell").isNotNull(),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_lit, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ),
     )
     residuals = assigned.select(id_col, "cell", resid.alias("resid"))
     codebooks = pq_train(

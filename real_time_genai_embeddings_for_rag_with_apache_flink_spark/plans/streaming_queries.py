@@ -102,9 +102,14 @@ def _local_path_of(base: str) -> str | None:
     scheme, rest = m.group(1), base[m.end(1) + 1 :]
     if scheme != "file":
         return None
-    # file:/x, file:///x -> /x ; a non-local authority (file://host/x)
-    # is not supported — treat the first path segment after // as host
-    # only when it is non-empty and not immediately another slash
+    if rest.startswith("//"):
+        # file://authority/path: a non-empty, non-localhost authority
+        # names a REMOTE file service — not resolvable locally
+        authority, _, path = rest[2:].partition("/")
+        if authority not in ("", "localhost"):
+            return None
+        return "/" + path.lstrip("/")
+    # file:/x -> /x (Hadoop Path.toString()'s single-slash rendering)
     return "/" + rest.lstrip("/")
 
 

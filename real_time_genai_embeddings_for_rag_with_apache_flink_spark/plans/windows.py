@@ -1407,7 +1407,7 @@ FROM cusum GROUP BY event_type, n
 )
 def w22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detector per event type (Page 1954): the
-    cumulative-sum statistic S_i = max(0, S_{{i-1}} + (x_i - mu))
+    cumulative-sum statistic S_i = max(0, S_{i-1} + (x_i - mu))
     alarms when a SUSTAINED upward shift accumulates — the detector
     family for slow drifts that w15/st21's pointwise z-score
     structurally cannot see (each point individually in-band, the

@@ -254,3 +254,33 @@ def test_ivfpq_refined_rerank_is_exact_on_shortlist(spark, corpus):
     recall_refined = len({r.vec_id for r in refined} & exact_top) / 10
     assert recall_refined >= recall_plain
     assert recall_refined >= 0.5, recall_refined
+
+
+def test_ivfpq_short_vector_never_encoded_or_returned(spark):
+    """r9 review: a wrong-length vector gets cell NULL (hygiene
+    contract), but element_at(<literal centroids>, NULL) yields the
+    LAST centroid on Spark 4.1 and zip_with would pad the residual to
+    full length — sneaking garbage codes past pq_encode's size guard.
+    The residual must be NULL for NULL cells so the row can neither
+    train codebooks nor appear in search results."""
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.pq import (
+        ivfpq_search,
+    )
+
+    rows = [
+        (i, i % 3, [float(i % 5), float((i * 7) % 11), float(i % 3), 1.0])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows] + [(99, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    ).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    out = ivfpq_search(
+        df, [1.0, 2.0, 1.0, 1.0], k=10, m=2, n_codes=4, nprobe=3
+    ).collect()
+    assert 99 not in {r.vec_id for r in out}
+    assert len(out) > 0

@@ -335,6 +335,9 @@ def test_split_source_dir_remote_state_uri_stays_local(spark):
     assert sq._local_path_of("file:///tmp/x") == "/tmp/x"
     # Hadoop Path.toString() renders the SINGLE-slash form
     assert sq._local_path_of("file:/tmp/x") == "/tmp/x"
+    assert sq._local_path_of("file://localhost/tmp/x") == "/tmp/x"
+    # a non-local file authority names a remote service — reject
+    assert sq._local_path_of("file://sharedhost/tmp/x") is None
     assert sq._local_path_of("s3a://bucket/state") is None
     assert sq._local_path_of("hdfs://nn:9000/state") is None
     assert sq._local_path_of("hdfs:/nn/state") is None
