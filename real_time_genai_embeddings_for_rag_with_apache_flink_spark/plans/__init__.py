@@ -21,9 +21,10 @@ from . import retrieval  # noqa: E402,F401
 # driver-checked: s27 ANN quality certification, m06 cross-modal
 # retrieval, st25 streaming MaxSim serving, w20/st26 transition-matrix
 # batch/stream pair, w21 time-to-conversion, d33 cross-source dup
-# matrix, st27 streaming quality gate, w22 CUSUM drift), then 8 of the
-# 50 rows whose latest driver row is r05 (the remaining 42 r05 rows
-# lead the round-10 window — see DEFERRED_TO_R10 in
+# matrix, st27 streaming quality gate, w22 CUSUM drift, p22 column
+# statistics, w23 dwell time, st28 incremental dup components), then 5
+# of the 50 rows whose latest driver row is r05 (the remaining 45 r05
+# rows lead the round-10 window — see DEFERRED_TO_R10 in
 # tests/test_driver_window.py).
 DRIVER_WINDOW: list[str] = [
     "d11_repeated_ngrams",
@@ -68,14 +69,14 @@ DRIVER_WINDOW: list[str] = [
     "st26_stream_transition_matrix",
     "st27_stream_quality_gate",
     "w22_cusum_drift",
+    "p22_column_statistics",
+    "w23_state_dwell_time",
+    "st28_stream_dup_components",
     "d04_minhash_lsh_pairs",
     "d05_simhash",
     "d06_simhash_hamming_pairs",
     "d08_dup_components",
     "d10_lsh_verified_dupes",
-    "d15_containment_dupes",
-    "d16_canonical_selection",
-    "d17_substring_dedup",
 ]
 
 set_priority(DRIVER_WINDOW)

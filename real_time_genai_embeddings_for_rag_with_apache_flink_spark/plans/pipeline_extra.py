@@ -3229,3 +3229,60 @@ def p21_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.col("class_size"), 6).alias("reid_risk"),
         )
     )
+
+
+@query(
+    "p22_column_statistics",
+    oracle="""
+WITH stats AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(*) FILTER (l_extendedprice IS NULL) AS nulls_extendedprice,
+    COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
+    COUNT(DISTINCT l_linestatus) AS ndv_linestatus,
+    COUNT(DISTINCT l_quantity) AS ndv_quantity,
+    ROUND(MIN(l_extendedprice), 6) AS min_extendedprice,
+    ROUND(MAX(l_extendedprice), 6) AS max_extendedprice,
+    MIN(l_shipdate) AS min_shipdate,
+    MAX(l_shipdate) AS max_shipdate,
+    ROUND(AVG(l_tax), 6) AS avg_tax
+  FROM lineitem
+)
+SELECT * FROM stats
+""",
+    tags=("pipeline", "statistics", "governance"),
+    bench=True,
+)
+def p22_column_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE column statistics in one pass: row count, per-column
+    null counts, exact NDV for the low-cardinality columns, min/max
+    range stats, and mean string length — the statistics a cost-based
+    optimizer (and every data catalog) keeps per table, computed as ONE
+    declarative aggregate instead of a stats-collection subsystem.
+
+    Scale shape: multiple COUNT(DISTINCT) in one aggregate plan via
+    Catalyst's Expand (each input row fans to one row per distinct-
+    aggregate; partial aggregation collapses them map-side before the
+    exchange, so the shuffle carries distinct values per column, not
+    rows x columns). Exact NDV is the right call for the enum-ish
+    columns profiled here (flags, modes, 1-50 quantities — bounded
+    domains); wide-domain columns at 100 TB profile through
+    approx_count_distinct/HLL instead (the q13b/q69 surface — one scan,
+    no Expand, mergeable across partitions), which is exactly the
+    split ANALYZE implementations make. Everything else (nulls, ranges,
+    averages) is a plain combinable aggregate riding the same scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nulls_extendedprice"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        F.countDistinct("l_linestatus").alias("ndv_linestatus"),
+        F.countDistinct("l_quantity").alias("ndv_quantity"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_extendedprice"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_extendedprice"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )

@@ -2954,3 +2954,250 @@ def st27_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_root = _stream_work_root(spark, sf_dir, "st27", table="documents")
     with state_partitions(spark, 8):
         return run_stream_quality_gate(spark, arrivals, work_root)
+
+
+def run_stream_dup_components(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    work_root: str,
+    run_name: str = "st28",
+) -> DataFrame:
+    """Streaming INCREMENTAL connected components over the LSH dup
+    graph: the d08/d21 duplicate-cluster surface maintained as
+    documents arrive, without ever re-banding the corpus or rerunning
+    components over untouched clusters.
+
+    Two state tables move in one atomic commit:
+
+    - ``reps``: ONE row per (band_idx, band_key) bucket — the smallest
+      doc_id seen in that bucket so far. This is the d04 star-link
+      guard applied TEMPORALLY: a bucket's members never pairwise-join
+      across time; each arrival links to the bucket's representative,
+      and when a new arrival becomes the representative, one
+      (old_rep, new_rep) edge keeps the chain connected. Per-bucket
+      state is O(1) and per-batch edge fan-out is O(batch bands) —
+      never corpus-proportional, never quadratic in bucket size — yet
+      bucket CONNECTIVITY (the thing components consume) is exactly
+      the full band self-join's.
+    - ``labels``: (doc_id, component) for every doc in any dup pair so
+      far, component = smallest reachable doc_id (the d08 contract).
+
+    Per batch: band the batch (the same signature expressions as the
+    batch path — bit-identical keys), merge bucket representatives,
+    derive the member->rep and rep-change edges, then recompute
+    components ONLY for the components those edges touch (previous
+    labels double as contracted edges; untouched components pass
+    through unchanged) via the O(log n) alternating-star operator.
+    Batch-boundary independence holds because bucket connectivity is
+    order-independent and component labels are a pure function of
+    connectivity — the whole-corpus d08 recursive-CTE oracle
+    re-proves label-for-label equality every driver run."""
+    from ..operators.graph import connected_components_star
+    from ..streaming.statefs import VersionedState
+
+    _ST28_DRIVER_CAP = 200_000  # contracted merge edges above this run
+    # the distributed star instead of the driver union-find
+
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    reps_schema = "band_idx int, band_key string, rep long"
+    labels_schema = "doc_id long, component long"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from .llmops import _lsh_bands_df, signatures_from_docs
+
+        if state.applied(batch_id):
+            return
+        bands_b = _lsh_bands_df(
+            signatures_from_docs(batch.select("doc_id", "text"))
+        ).persist()
+        old_reps = state.read_table("reps", reps_schema)
+        cand = bands_b.groupBy("band_idx", "band_key").agg(
+            F.min("doc_id").alias("cand")
+        )
+        merged = old_reps.join(
+            cand, ["band_idx", "band_key"], "full"
+        ).select(
+            "band_idx",
+            "band_key",
+            F.col("rep").alias("old_rep"),
+            F.least(
+                F.coalesce(F.col("rep"), F.col("cand")),
+                F.coalesce(F.col("cand"), F.col("rep")),
+            ).alias("rep"),
+        )
+        new_reps = merged.select("band_idx", "band_key", "rep").persist()
+        mem_edges = (
+            bands_b.join(new_reps, ["band_idx", "band_key"])
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("doc_id").alias("id_a"), F.col("rep").alias("id_b"))
+        )
+        chg_edges = merged.filter(
+            F.col("old_rep").isNotNull() & (F.col("old_rep") != F.col("rep"))
+        ).select(
+            F.col("old_rep").alias("id_a"), F.col("rep").alias("id_b")
+        )
+        new_edges = mem_edges.unionByName(chg_edges).distinct().persist()
+
+        prev = state.read_table("labels", labels_schema)
+        # CONTRACT the new edges through the current labels first: an
+        # endpoint already in a cluster is replaced by its component
+        # root, so the merge graph has one node per TOUCHED COMPONENT
+        # (plus brand-new docs) — not per member. After contraction the
+        # graph is merge-event sized; per batch that is driver-small by
+        # construction, so a driver union-find resolves it in
+        # microseconds instead of paying the alternating-star loop's
+        # ~3 s of per-round scheduling (measured on a 100-edge graph —
+        # the loop's cost is rounds, not rows). The distributed star
+        # remains the fallback for a pathological batch whose
+        # contracted graph exceeds the driver threshold.
+        lab_a = prev.select(
+            F.col("doc_id").alias("id_a"), F.col("component").alias("ra")
+        )
+        lab_b = prev.select(
+            F.col("doc_id").alias("id_b"), F.col("component").alias("rb")
+        )
+        ce = (
+            new_edges.join(lab_a, "id_a", "left")
+            .join(lab_b, "id_b", "left")
+            .select(
+                F.coalesce("ra", "id_a").alias("u"),
+                F.coalesce("rb", "id_b").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        rows = ce.limit(_ST28_DRIVER_CAP + 1).collect()
+        if not rows:
+            # quiet batch: carry both tables forward unchanged
+            state.commit_tables({"reps": new_reps, "labels": prev}, batch_id)
+        elif len(rows) <= _ST28_DRIVER_CAP:
+            # driver union-find with min-id roots
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            nodes = set()
+            for r0 in rows:
+                nodes.add(r0.u)
+                nodes.add(r0.v)
+                a, b = find(r0.u), find(r0.v)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            # map EVERY contracted node (roots included — a brand-new
+            # doc that IS its cluster's root still needs a label row)
+            mapping = sorted((x, find(x)) for x in nodes)
+            mdf = F.broadcast(
+                batch.sparkSession.createDataFrame(
+                    mapping, "node long, new_root long"
+                )
+            )
+            # relabel members of touched components; label new docs;
+            # untouched components pass through byte-identical
+            relabeled = prev.join(
+                mdf.withColumnRenamed("node", "component"), "component"
+            ).select("doc_id", F.col("new_root").alias("component"))
+            untouched = prev.join(
+                mdf.withColumnRenamed("node", "component"),
+                "component",
+                "left_anti",
+            )
+            new_docs = (
+                mdf.join(prev, mdf.node == prev.doc_id, "left_anti")
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.col("new_root").alias("component"),
+                )
+            )
+            state.commit_tables(
+                {
+                    "reps": new_reps,
+                    "labels": untouched.unionByName(relabeled).unionByName(
+                        new_docs
+                    ),
+                },
+                batch_id,
+            )
+        else:
+            # contracted graph bigger than the driver cap: distributed
+            # alternating-star over (contracted edges + label edges of
+            # the touched components)
+            touched = ce.select(F.col("u").alias("component")).unionByName(
+                ce.select(F.col("v").alias("component"))
+            ).distinct()
+            affected = prev.join(touched, "component")
+            untouched = prev.join(touched, "component", "left_anti")
+            lbl_edges = affected.filter(
+                F.col("doc_id") != F.col("component")
+            ).select(
+                F.col("doc_id").alias("id_a"),
+                F.col("component").alias("id_b"),
+            )
+            relabeled = connected_components_star(
+                ce.select(
+                    F.col("u").alias("id_a"), F.col("v").alias("id_b")
+                ).unionByName(lbl_edges)
+            )
+            state.commit_tables(
+                {"reps": new_reps, "labels": untouched.unionByName(relabeled)},
+                batch_id,
+            )
+        new_edges.unpersist()
+        new_reps.unpersist()
+        bands_b.unpersist()
+
+    q = (
+        arrivals.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES[run_name] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return state.read_table("labels", labels_schema)
+
+
+from .llmops import _SQL_LSH_CTES as _ST28_LSH_CTES  # noqa: E402
+
+
+@query(
+    "st28_stream_dup_components",
+    oracle=f"""
+WITH RECURSIVE {_ST28_LSH_CTES.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+""",
+    tags=("streaming", "stateful", "dedup", "graph"),
+    bench=True,
+)
+def st28_stream_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d08's duplicate-cluster components maintained INCREMENTALLY as
+    the documents stream arrives (see run_stream_dup_components): one
+    representative row per LSH bucket in state (the star-link guard
+    applied temporally — per-batch work is batch-sized at any corpus
+    or bucket size), components recomputed only where new edges touch,
+    both tables in one atomic commit. The whole-corpus d08 recursive
+    CTE is the oracle: micro-batch arrival order must not move a
+    single document to a different cluster. Honors
+    spark.graft.streamStateDir for a resumable work root."""
+    arrivals = stream_documents(spark, sf_dir).select("doc_id", "text")
+    work_root = _stream_work_root(spark, sf_dir, "st28", table="documents")
+    with state_partitions(spark, 8):
+        return run_stream_dup_components(spark, arrivals, work_root)

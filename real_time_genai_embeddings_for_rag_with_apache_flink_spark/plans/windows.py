@@ -1487,3 +1487,67 @@ def w22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alarms",
         "max_excess",
     )
+
+
+@query(
+    "w23_state_dwell_time",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_dwells,
+  CAST(SUM(date_diff('second', ts, next_ts)) AS BIGINT) AS total_dwell_s,
+  CAST(MAX(date_diff('second', ts, next_ts)) AS BIGINT) AS max_dwell_s,
+  ROUND(CAST(SUM(date_diff('second', ts, next_ts)) AS DOUBLE)
+        / COUNT(*), 6) AS avg_dwell_s
+FROM seq WHERE next_ts IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("window", "behavioral", "dwell-time"),
+    bench=True,
+)
+def w23_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE DWELL-TIME analysis: treating each user's event stream as
+    a state machine (their current state = last event type), how long
+    do users SIT in each state before the next transition? The
+    engagement metric behind "time on step" funnels and abandonment
+    diagnosis — w20 counts the transitions, this prices them in
+    seconds. Dwell of an event = whole seconds to the user's NEXT
+    event (one LEAD window; the final open-ended state is excluded —
+    its dwell is right-censored, which a survival analysis would model
+    and a sum must not fake). Whole-second integers via the w19/w21
+    truncate-before-difference discipline, so sums and the hash are
+    exact; avg is the one final float division.
+
+    Scale shape: one user_id shuffle for the LEAD window (bucketing on
+    user_id makes it zero-Exchange — the p13 contract), then a
+    map-side-combinable per-type aggregate of type-vocabulary
+    cardinality."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = (
+        F.date_trunc("second", F.lead("ts").over(wseq))
+        .cast("timestamp")
+        .cast("double")
+        - F.date_trunc("second", F.col("ts")).cast("timestamp").cast("double")
+    ).cast("long")
+    seq = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "dwell_s", dwell
+    )
+    return (
+        seq.filter(F.col("dwell_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_dwells"),
+            F.sum("dwell_s").cast("bigint").alias("total_dwell_s"),
+            F.max("dwell_s").alias("max_dwell_s"),
+            F.round(
+                F.sum("dwell_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_dwell_s"),
+        )
+    )

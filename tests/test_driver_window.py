@@ -5,7 +5,7 @@ rotation (the r8 verdict's directive, executing the plan written in
 round 8): the thirty-three r04-stale rows deferred from round 8 LEAD —
 after this round nothing in the cross-round union is older than r05 —
 then the operators new this round (never driver-checked), then
-eight of the fifty r05-stale rows; the remaining forty-two r05
+five of the fifty r05-stale rows; the remaining forty-five r05
 rows (DEFERRED_TO_R10) lead the round-10 window."""
 
 from __future__ import annotations
@@ -63,10 +63,13 @@ NEVER_CHECKED = (
     "st26_stream_transition_matrix",
     "st27_stream_quality_gate",
     "w22_cusum_drift",
+    "p22_column_statistics",
+    "w23_state_dwell_time",
+    "st28_stream_dup_components",
 )
 
-# Latest driver row r05 (50 entries, from the artifacts). Eight fit
-# this window; the other forty-two are the round-10 lead.
+# Latest driver row r05 (50 entries, from the artifacts). Five fit
+# this window; the other forty-five are the round-10 lead.
 LATEST_R05 = {
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_simhash_hamming_pairs",
     "d08_dup_components", "d10_lsh_verified_dupes", "d15_containment_dupes",
@@ -93,9 +96,6 @@ R05_IN_WINDOW = (
     "d06_simhash_hamming_pairs",
     "d08_dup_components",
     "d10_lsh_verified_dupes",
-    "d15_containment_dupes",
-    "d16_canonical_selection",
-    "d17_substring_dedup",
 )
 
 DEFERRED_TO_R10 = LATEST_R05 - set(R05_IN_WINDOW)
@@ -119,7 +119,7 @@ def test_window_order_is_the_round9_rotation():
     expected = list(LEAD_R04) + list(NEVER_CHECKED) + list(R05_IN_WINDOW)
     assert w == expected, (
         "round-9 window must be: 33 r04-stale rows, then the new "
-        "entries, then 8 r05-stale rows"
+        "entries, then 5 r05-stale rows"
     )
 
 
@@ -142,7 +142,7 @@ def test_non_lead_slots_hold_r05_rows_only():
             f"r06+ — the slot belongs to a staler entry"
         )
     assert DEFERRED_TO_R10 == LATEST_R05 - set(w)
-    assert len(DEFERRED_TO_R10) == 42
+    assert len(DEFERRED_TO_R10) == 45
 
 
 def test_stale_sets_match_the_recorded_artifacts():

@@ -590,3 +590,20 @@ def test_w22_cusum_two_windows_share_one_exchange(spark):
     # per-type stats join back broadcast
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_p22_statistics_single_scan_with_expand(spark):
+    plan = _plan(spark, "p22_column_statistics")
+    # multiple exact NDVs via ONE Expand over one scan; partial
+    # aggregation collapses the fan-out map-side
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_w23_dwell_single_window_combinable_rollup(spark):
+    plan = _plan(spark, "w23_state_dwell_time")
+    # one LEAD window on user_id, then a combinable per-type aggregate
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan

@@ -1266,3 +1266,35 @@ def test_st24_catalog_entry_runs_multi_batch(spark):
     out = get_spec("st24_stream_compaction").build(spark, SF_SMOKE)
     assert out.count() > 0
     assert LAST_RUN_BATCHES["st24"] >= 2
+
+
+def test_stream_dup_components_rep_change_chain(spark, tmp_path):
+    """st28's temporal star-link: when a SMALLER doc_id joins a bucket
+    later, the bucket representative changes and an (old_rep, new_rep)
+    edge must keep the cluster connected — docs arriving in DESCENDING
+    id order force a rep change on every batch. The final labels must
+    equal the batch d08 contract (component = smallest doc_id in the
+    cluster) and batch boundaries must not split clusters."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_stream_dup_components,
+    )
+
+    X = "an identical near duplicate text that shares every trigram with its copies"
+    Y = "a completely different second family of documents with its own token stream"
+    files = [
+        ("f0.parquet", [(30, X), (25, Y)]),
+        ("f1.parquet", [(20, X), (15, Y)]),
+        ("f2.parquet", [(5, X)]),
+    ]
+    src = _mk_arrival_files(spark, tmp_path, "src_st28", files)
+    work = str(tmp_path / "work_st28")
+    out = {
+        r.doc_id: r.component
+        for r in run_stream_dup_components(
+            spark,
+            _arrivals_stream(spark, src),
+            work,
+            run_name="st28_fixture",
+        ).collect()
+    }
+    assert out == {30: 5, 20: 5, 5: 5, 25: 15, 15: 15}, out
