@@ -59,6 +59,8 @@ HEADLINES = [
     ("w21_time_to_conversion", "both funnel firsts are conditional partial_min in ONE aggregate over a 3-column pruned scan — no self-join, no window over events; the day rollup is group-cardinality-sized"),
     ("d33_cross_source_dup_matrix", "corpus collapses to DISTINCT (source, fp) map-side; the pair join shuffles 16-byte fingerprints, never text; per-source totals rejoin broadcast"),
     ("w22_cusum_drift", "the CUSUM reflection identity as two STACKED windows (running sum, then running min) sharing one event_type exchange; the count-scaled walk is DECIMAL(38,0) exact integers; per-type stats join back broadcast"),
+    ("p22_column_statistics", "every exact NDV rides ONE Expand over one scan, partial-aggregated map-side; nulls/ranges/averages share the same pass — ANALYZE as a single declarative aggregate"),
+    ("w23_state_dwell_time", "one LEAD window on user_id (truncate-to-second before differencing), then a combinable per-type rollup — no join, no second pass"),
 ]
 
 
