@@ -74,6 +74,26 @@ def main() -> int:
     _divergence_stress(spark, timings)
     _plaid_stress(spark, timings)
 
+    # s21 expectation band (r9 verdict #6): BASELINE.md's prose band
+    # becomes a post-run gate. Sub-second scheduling-dominated rows
+    # breathe with ambient load, so outside-the-band is a loud warning
+    # recorded in the payload; a silent 2x drift past the band top
+    # FAILS the run instead of waiting for a judge to read the table.
+    s21_band = (0.5, 0.9)
+    band_violations: list[str] = []
+    s21 = timings.get("s21_pca_projection")
+    if s21 is not None and not (s21_band[0] <= s21 <= s21_band[1]):
+        msg = (
+            f"s21_pca_projection={s21:.3f}s outside the "
+            f"[{s21_band[0]}, {s21_band[1]}] s band"
+        )
+        band_violations.append(msg)
+        print(f"# BAND WARNING: {msg}", file=sys.stderr)
+        if s21 > 2 * s21_band[1]:
+            raise RuntimeError(
+                f"{msg} by >2x the band top — structural drift, not load"
+            )
+
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
         {
@@ -82,6 +102,7 @@ def main() -> int:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "band_violations": band_violations,
         }
     )
     # The driver's BENCH_r0N.json artifact keeps only a truncated tail
@@ -745,7 +766,7 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
     # -- full path (the s26 GEMM scale path, no pruning) ----------------
     t0 = time.perf_counter()
     full = topk(scored_from(corpus)).collect()
-    timings["s28_stress_maxsim_full_200kx64tok"] = round(
+    timings["plaid_stress_maxsim_full_200kx64tok"] = round(
         time.perf_counter() - t0, 4
     )
 
@@ -820,7 +841,7 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
         r.q_id: r.ub_scaled
         for r in ranked_ub.filter(F.col("ubrank") == width + 1).collect()
     }
-    timings["s28_stress_plaid_build"] = round(time.perf_counter() - t0, 4)
+    timings["plaid_stress_build"] = round(time.perf_counter() - t0, 4)
 
     # serve phase (the per-query-batch cost a running deployment pays)
     t0 = time.perf_counter()
@@ -829,7 +850,7 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
         corpus.join(F.broadcast(cand_docs), "doc_id")
     ).join(F.broadcast(shortlist), ["q_id", "doc_id"])
     pruned = topk(pruned_scored).collect()
-    timings["s28_stress_plaid_serve"] = round(time.perf_counter() - t0, 4)
+    timings["plaid_stress_serve"] = round(time.perf_counter() - t0, 4)
     ranked_ub.unpersist()
     shortlist.unpersist()
     cr.unpersist()

@@ -428,6 +428,7 @@ def eval_ranked(
     query_label: str = "q_label",
     corpus_label: str = "label",
     rank_col: str = "rnk",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Grade an ALREADY-RANKED candidate list: ``ranked`` carries one
     row per retrieved item ``(query_id, query_label, corpus_label,
@@ -442,7 +443,15 @@ def eval_ranked(
     and ``n_rel`` is its per-label group count (label-cardinality
     sized, broadcast back). Aggregation shape: one group-by over the
     <= |Q|*k ranked rows; every metric is exact-integer until a final
-    float division (the t24/s25 discipline)."""
+    float division (the t24/s25 discipline).
+
+    A query contributing ZERO rows to ``ranked`` (an empty shortlist —
+    possible under a filtered or hybrid ranker) produces no metrics
+    row unless the ``queries`` universe ``(query_id, query_label)`` is
+    passed, in which case it is left-joined in and graded as all-zero
+    metrics. Current exact/ANN callers rank >= 1 row per query by
+    construction and may omit it; ANY ranker whose shortlist can come
+    up empty must pass ``queries`` or silently lose those rows."""
     w_dcg = ndcg_weights(k)
     idcg_prefix = [0]
     for w in w_dcg:
@@ -460,6 +469,20 @@ def eval_ranked(
         .cast("bigint")
         .alias("dcg_scaled"),
     )
+    if queries is not None:
+        universe = F.broadcast(
+            queries.select(query_id, query_label).distinct()
+        )
+        per_q = (
+            universe.join(per_q, [query_id, query_label], "left")
+            .withColumn(
+                "hits_at_k", F.coalesce("hits_at_k", F.lit(0).cast("bigint"))
+            )
+            .withColumn(
+                "dcg_scaled",
+                F.coalesce("dcg_scaled", F.lit(0).cast("bigint")),
+            )
+        )
     n_rel = F.broadcast(
         corpus.groupBy(F.col(corpus_label).alias("_rel_label")).agg(
             F.count(F.lit(1)).alias("n_rel")

@@ -186,10 +186,20 @@ def _split_source_dir(
             # glob on a bogus local rendering of an s3a:// path. The
             # tag keys on (sf_dir, content fingerprint, n_files), so a
             # resumed run on the SAME machine still sees the same
-            # absolute source paths the checkpoint recorded.
+            # absolute source paths the checkpoint recorded. Scoped
+            # per-user (mode 0700): a world-shared tempdir name would
+            # hand a second user's run permission failures — or worse,
+            # another user's _SPLIT_READY replica (ADVICE r9).
+            import getpass
+
+            try:
+                user = getpass.getuser()
+            except Exception:
+                user = f"uid{os.getuid()}"
             base_local = os.path.join(
-                tempfile.gettempdir(), "spark_graft_split_sources"
+                tempfile.gettempdir(), f"spark_graft_split_sources_{user}"
             )
+            os.makedirs(base_local, mode=0o700, exist_ok=True)
         out = os.path.join(base_local, "_sources", f"{table}-{tag}")
         if os.path.isfile(os.path.join(out, "_SPLIT_READY")):
             _SPLIT_CACHE[key] = out

@@ -190,19 +190,26 @@ class VersionedState:
         self._prune(batch_id)
 
     def _prune(self, batch_id: int) -> None:
-        """Delete committed versions older than the ``keep_versions``
-        newest (uncommitted leftovers below the cutoff go too). With
-        the default keep_versions=1 only ``v{batch_id}`` survives."""
-        committed = []
+        """Delete versions older than the ``keep_versions`` newest
+        COMMITTED ones (uncommitted crash orphans below the cutoff go
+        too — and never occupy a keep slot, so the documented
+        cross-job reader window is exactly K committed snapshots).
+        With the default keep_versions=1 only ``v{batch_id}``
+        survives."""
+        versions: list[tuple[int, bool]] = []
         for name in listdir(self.spark, self.root):
             if not name.startswith("v"):
                 continue
             try:
-                committed.append(int(name[1:]))
+                v = int(name[1:])
             except ValueError:
                 continue
+            versions.append(
+                (v, exists(self.spark, f"{self.root}/{name}/{_COMMIT}"))
+            )
+        committed = [v for v, ok in versions if ok]
         keep = set(sorted(committed, reverse=True)[: self.keep_versions])
         keep.add(batch_id)
-        for old in committed:
+        for old, _ in versions:
             if old < batch_id and old not in keep:
                 delete(self.spark, f"{self.root}/v{old}")

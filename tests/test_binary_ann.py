@@ -273,3 +273,24 @@ def test_eval_ranked_refactor_matches_retrieval_eval(spark):
     via_ranked = eval_ranked(ranked, corpus, k=10)
     key = lambda df: sorted(tuple(r) for r in df.collect())
     assert key(direct) == key(via_ranked)
+
+    # ADVICE r9 (low): a query with an EMPTY shortlist contributes no
+    # metrics row unless the query universe is passed — with it, the
+    # dropped query comes back as an all-zero-metrics row and every
+    # populated row is unchanged.
+    one_q = [r.q_id for r in queries.select("q_id").collect()][0]
+    gapped = ranked.filter(F.col("q_id") != one_q)
+    missing = eval_ranked(gapped, corpus, k=10)
+    assert one_q not in {r.q_id for r in missing.collect()}
+    full = eval_ranked(gapped, corpus, k=10, queries=queries)
+    zero_row = [r for r in full.collect() if r.q_id == one_q]
+    assert len(zero_row) == 1
+    assert (
+        zero_row[0].hits_at_k,
+        zero_row[0].recall_at_k,
+        zero_row[0].mrr,
+        zero_row[0].ndcg_at_k,
+    ) == (0, 0.0, 0.0, 0.0)
+    assert key(full.filter(F.col("q_id") != one_q)) == key(
+        via_ranked.filter(F.col("q_id") != one_q)
+    )

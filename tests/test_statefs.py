@@ -312,6 +312,28 @@ def test_keep_versions_retains_reader_snapshots(spark, tmp_path):
     ] == [2]
 
 
+def test_uncommitted_orphan_never_occupies_a_keep_slot(spark, tmp_path):
+    """ADVICE r9 (low): an uncommitted crash-orphaned version dir must
+    not count toward keep_versions — otherwise a committed snapshot is
+    evicted one commit earlier than the documented cross-job reader
+    window. The orphan itself is swept as garbage."""
+    root = str(tmp_path / "counts")
+    st = VersionedState(spark, root, keep_versions=2)
+    st.commit(spark.createDataFrame([("a", 0)], SCHEMA), 0)
+    st.commit(spark.createDataFrame([("a", 1)], SCHEMA), 1)
+    # simulate a crash between the v2 parquet write and its _COMMIT
+    spark.createDataFrame([("a", 2)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v2")
+    st.commit(spark.createDataFrame([("a", 3)], SCHEMA), 3)
+    # keep_versions=2 keeps the two newest COMMITTED (v3, v1) — the
+    # orphan v2 neither survives nor displaces v1
+    assert st.current_version() == 3
+    assert statefs.exists(spark, f"{root}/v1/_COMMIT")
+    assert not statefs.exists(spark, f"{root}/v2")
+    assert not statefs.exists(spark, f"{root}/v0")
+
+
 def test_keep_versions_validation():
     import pytest
 
@@ -350,6 +372,12 @@ def test_split_source_dir_remote_state_uri_stays_local(spark):
         )
         assert not out.startswith("s3a://")
         assert out.startswith(tempfile.gettempdir())
+        # the fallback root is PER-USER (ADVICE r9): a world-shared name
+        # would hand a second user permission failures or a foreign
+        # _SPLIT_READY replica on a multi-user host
+        import getpass
+
+        assert f"spark_graft_split_sources_{getpass.getuser()}" in out
         assert os.path.isfile(os.path.join(out, "_SPLIT_READY"))
         parts = sorted(
             p for p in os.listdir(out) if p.startswith("part-")
