@@ -20,6 +20,8 @@ which would NPE its own sink emitter; here failures become a dead-letter
 
 from __future__ import annotations
 
+import hashlib
+import re
 import zlib
 from collections.abc import Iterator, Sequence
 
@@ -61,6 +63,58 @@ class DeterministicEmbedder:
             n = float(np.linalg.norm(vec))
             if n > 0.0:
                 vec /= n
+            out.append(vec.astype(np.float32).tolist())
+        return out
+
+
+class Md5BowEmbedder:
+    """Engine-PORTABLE hashed bag-of-tokens: like DeterministicEmbedder
+    but every arithmetic step has an exact ANSI-SQL twin, so a pipeline
+    built on it can be value-certified against a second engine (the m06
+    oracle does exactly that). Differences that buy the portability:
+
+    - bucket hash is md5 (``int(md5('m06:' || token)[:8], 16)``) — the
+      d13/d31 first-8-hex-chars convention — not crc32 (no SQL twin);
+    - tokenization is an EXPLICIT ASCII-whitespace class
+      ``[ \\t\\n\\f\\r]+`` on both sides (``\\s`` means different char
+      sets in Python re, Java regex, and RE2 — pinning the class keeps
+      the three engines token-identical on any input);
+    - no lowercasing (Python str.lower vs SQL lower can disagree on
+      locale-sensitive codepoints; raw-byte md5 cannot);
+    - the vector is UNnormalized integer bucket weights (weight = 1 +
+      (h >> 8) % 7): every coordinate is a small exact integer, so
+      downstream dot/norm folds are exact in ANY summation order and
+      cosine is bit-identical across engines — the t24/s25 exact-
+      arithmetic discipline applied to an embedding space.
+    """
+
+    _WS = re.compile(r"[ \t\n\f\r]+")
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def embed_batch(self, texts: Sequence[str | None]) -> list[list[float] | None]:
+        out: list[list[float] | None] = []
+        cache: dict[str, tuple[int, int]] = {}
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            stripped = t.strip(" \t\n\f\r")
+            toks = self._WS.split(stripped) if stripped else []
+            if not toks:
+                out.append(None)
+                continue
+            vec = np.zeros(self.dim, dtype=np.int64)
+            for tok in toks:
+                hit = cache.get(tok)
+                if hit is None:
+                    h = int(
+                        hashlib.md5(f"m06:{tok}".encode()).hexdigest()[:8], 16
+                    )
+                    hit = (h % self.dim, 1 + (h >> 8) % 7)
+                    cache[tok] = hit
+                vec[hit[0]] += hit[1]
             out.append(vec.astype(np.float32).tolist())
         return out
 

@@ -209,6 +209,31 @@ class DeterministicMediaEmbedder:
         return self._text.embed_batch(texts)
 
 
+class Md5BowMediaEmbedder:
+    """The payload-side twin of ``operators.embed.Md5BowEmbedder`` —
+    same two-tower contract as DeterministicMediaEmbedder, but every
+    arithmetic step (md5 bucket hash, explicit ASCII-whitespace
+    tokenizer, exact integer bucket weights) has an ANSI-SQL twin, so
+    the WHOLE cross-modal serving path is value-certifiable against a
+    second engine (the m06 oracle). A real deployment swaps in an
+    image/audio encoder checkpoint behind the same ``embed_batch``
+    surface; the certification then degrades to the rows-only +
+    fixture-pin class, which is exactly what the pluggable seam is
+    for."""
+
+    def __init__(self, dim: int = 32):
+        from .embed import Md5BowEmbedder
+
+        self._text = Md5BowEmbedder(dim)
+
+    def embed_batch(self, payloads):
+        texts = [
+            None if p is None else bytes(p).decode("utf-8", errors="replace")
+            for p in payloads
+        ]
+        return self._text.embed_batch(texts)
+
+
 def embed_media(
     media: DataFrame,
     embedder_factory=DeterministicMediaEmbedder,

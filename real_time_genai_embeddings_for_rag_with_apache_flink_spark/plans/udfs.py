@@ -441,12 +441,53 @@ def m05_payload_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _M06_K = 5
 _M06_QMOD = 100  # doc_id % _M06_QMOD == 0 rows are the text-side queries
+_M06_DIM = 32
 
 
 @query(
     "m06_crossmodal_retrieval",
-    oracle=None,  # crc32 hashed-BoW has no DuckDB twin; pinned exact vs a
-    # dense numpy reference in tests/test_multimodal.py
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM documents WHERE length(text) > 0
+  ) WHERE tok != ''
+),
+bw AS (
+  SELECT doc_id, h % {_M06_DIM} AS bucket,
+         CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS w
+  FROM toks GROUP BY doc_id, h % {_M06_DIM}
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM bw GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS q_id, c.doc_id AS doc_id, SUM(q.w * c.w) AS dot
+  FROM bw q JOIN bw c ON c.bucket = q.bucket AND c.doc_id != q.doc_id
+  WHERE q.doc_id % {_M06_QMOD} = 0
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT q.doc_id AS q_id, c.doc_id AS doc_id
+  FROM norms q, norms c
+  WHERE q.doc_id % {_M06_QMOD} = 0 AND c.doc_id != q.doc_id
+),
+sims AS (
+  SELECT p.q_id, p.doc_id,
+         ROUND(COALESCE(d.dot, 0) / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS sim
+  FROM pairs p
+  LEFT JOIN dots d ON d.q_id = p.q_id AND d.doc_id = p.doc_id
+  JOIN norms nq ON nq.doc_id = p.q_id
+  JOIN norms nc ON nc.doc_id = p.doc_id
+)
+SELECT q_id, doc_id, sim, rnk FROM (
+  SELECT q_id, doc_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, doc_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_M06_K}
+""",
     tags=("multimodal", "similarity", "retrieval", "udf"),
     bench=True,
 )
@@ -455,19 +496,29 @@ def m06_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     6): text queries retrieve MEDIA PAYLOADS through the engine's own
     serving path. Both sides embed into one shared space (the two-tower
     / CLIP contract): query texts through the pluggable text embedder
-    (operators/embed.embed, DeterministicEmbedder backend), payloads
-    through operators/multimodal.embed_media (same space by
-    construction of the deterministic backend; a real deployment swaps
-    in an image/audio encoder checkpoint behind the same seam). Serving
-    is the s01/s25 shape: queries broadcast, ONE corpus pass scoring
-    cosine map-side, per-query top-k via the rank-filtered
-    window (two-phase WindowGroupLimit — at most k rows per query per
-    map task reach the exchange), self-matches excluded so the task is
-    non-trivial. Ties break on ROUND(sim, 6) then doc_id (the s02
-    cross-engine-stable ordering). Rows-only by design (the hashed-BoW
-    backend has no SQL twin); the ENTIRE pipeline — both embedders,
-    scoring, ranking — is pinned exactly against a dense numpy
-    reference at sf0.001 in tests/test_multimodal.py.
+    (operators/embed.embed, Md5BowEmbedder backend), payloads through
+    operators/multimodal.embed_media (Md5BowMediaEmbedder — same space
+    by construction; a real deployment swaps in an image/audio encoder
+    checkpoint behind the same seam). Serving is the s01/s25 shape:
+    queries broadcast, ONE corpus pass scoring cosine map-side,
+    per-query top-k via the rank-filtered window (two-phase
+    WindowGroupLimit — at most k rows per query per map task reach the
+    exchange), self-matches excluded so the task is non-trivial. Ties
+    break on ROUND(sim, 6) then doc_id (the s02 cross-engine-stable
+    ordering).
+
+    HASH-EXACT from round 10 (r9 verdict #5): the towers moved from the
+    crc32 backend (no SQL twin) to the md5-bucket integer-weight BoW
+    (operators/embed.Md5BowEmbedder — every coordinate an exact
+    integer, every hash the d13/d31 md5 convention), so the DuckDB
+    oracle re-derives BOTH towers from the documents table and replays
+    the serving join: dot products and norms are exact-integer sums
+    computed per shared bucket, cosine is one sqrt pair + one division
+    on identical doubles. The Spark side still crosses through
+    Arrow-batched mapInPandas over OPAQUE PAYLOAD BYTES — the oracle
+    proves the payload tower equals the text recomputation, which is
+    exactly the two-tower alignment contract. The dense numpy pin at
+    sf0.001 stays in tests/test_multimodal.py for fast regression.
 
     Scale shape: payload bytes never leave their scan partition (the
     embed crossing is Arrow-batched mapInPandas, projecting doc_id +
@@ -476,20 +527,28 @@ def m06_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.vector import cosine_similarity
-    from ..operators.embed import embed
-    from ..operators.multimodal import attach_fake_payload, embed_media
+    from ..operators.embed import Md5BowEmbedder, embed
+    from ..operators.multimodal import (
+        Md5BowMediaEmbedder,
+        attach_fake_payload,
+        embed_media,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     # single-file fixture + CPU-bound Python embedder: spread the scan
     # across cores before the Arrow crossing (the m05/t11 pattern)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     media = attach_fake_payload(docs)
-    corpus = embed_media(media)
+    corpus = embed_media(
+        media, embedder_factory=Md5BowMediaEmbedder, dim=_M06_DIM
+    ).filter(F.col("embedding").isNotNull())
 
     queries = embed(
         docs.filter(F.col("doc_id") % _M06_QMOD == 0).select("doc_id", "text"),
+        embedder_factory=Md5BowEmbedder,
+        dim=_M06_DIM,
         on_error="fail",
-    ).select(
+    ).filter(F.col("embedding").isNotNull()).select(
         F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
 

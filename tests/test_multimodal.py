@@ -1,12 +1,16 @@
 """m06 cross-modal retrieval: the two-tower shared-space contract and
 an EXACT pin of the whole pipeline (text embedder + media embedder +
-cosine + per-query top-k) against a dense numpy reference — the
-rows-only catalog entry's correctness gate."""
+cosine + per-query top-k) against a dense numpy reference. Since round
+10 the catalog entry runs on the engine-portable md5-BoW towers and is
+oracle-certified hash-exact; the numpy pin stays as the fast local
+regression, and the crc32 DeterministicEmbedder pair keeps its own
+shared-space contract test."""
 
 from __future__ import annotations
 
+import hashlib
 import math
-import zlib
+import re
 
 import numpy as np
 import pytest
@@ -16,6 +20,7 @@ from conftest import SF_SMOKE
 
 from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
     DeterministicMediaEmbedder,
+    Md5BowMediaEmbedder,
     attach_fake_payload,
     embed_media,
 )
@@ -24,17 +29,21 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch im
     load_table,
 )
 
+_WS = re.compile(r"[ \t\n\f\r]+")
 
-def _ref_embed(text: str, dim: int = 64) -> np.ndarray:
-    """Dense replica of operators/embed.DeterministicEmbedder,
-    including the float32 storage cast Spark's array<float> applies."""
-    vec = np.zeros(dim, dtype=np.float64)
-    for tok in text.lower().split():
-        h = zlib.crc32(tok.encode("utf-8"))
-        vec[h % dim] += 1.0 + (h >> 16) % 7
-    n = float(np.linalg.norm(vec))
-    if n > 0.0:
-        vec /= n
+
+def _ref_embed_md5(text: str, dim: int = 32) -> np.ndarray | None:
+    """Dense replica of operators/embed.Md5BowEmbedder (the m06 towers):
+    md5 bucket hash, explicit ASCII-whitespace tokens, exact integer
+    weights, no normalization."""
+    stripped = text.strip(" \t\n\f\r")
+    toks = _WS.split(stripped) if stripped else []
+    if not toks:
+        return None
+    vec = np.zeros(dim, dtype=np.int64)
+    for tok in toks:
+        h = int(hashlib.md5(f"m06:{tok}".encode()).hexdigest()[:8], 16)
+        vec[h % dim] += 1 + (h >> 8) % 7
     return vec.astype(np.float32)
 
 
@@ -45,9 +54,11 @@ def _round_half_up6(x: float) -> float:
 
 def test_media_embedder_shares_text_space():
     """The CLIP-style contract: encoding a payload lands exactly where
-    encoding its text does — cross-modal cosine is meaningful."""
+    encoding its text does — cross-modal cosine is meaningful. Both
+    tower pairs (crc32 Deterministic*, md5 Md5Bow*) honor it."""
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
         DeterministicEmbedder,
+        Md5BowEmbedder,
     )
 
     text = "an image caption with several tokens"
@@ -55,6 +66,18 @@ def test_media_embedder_shares_text_space():
     m = DeterministicMediaEmbedder(64).embed_batch([text.encode("utf-8"), None])
     assert m[0] == t[0]
     assert m[1] is None and t[1] is None
+
+    t2 = Md5BowEmbedder(32).embed_batch([text, None, "   "])
+    m2 = Md5BowMediaEmbedder(32).embed_batch(
+        [text.encode("utf-8"), None, b"   "]
+    )
+    assert m2[0] == t2[0]
+    # md5-BoW vectors are integer bucket weights (exact in any engine)
+    assert all(v == int(v) for v in t2[0]) and sum(t2[0]) > 0
+    # None and all-whitespace both embed to None (zero vector has no
+    # cosine; both engines drop the row)
+    assert t2[1] is None and m2[1] is None
+    assert t2[2] is None and m2[2] is None
 
 
 def test_embed_media_real_codec_is_gated(spark):
@@ -70,15 +93,19 @@ def test_embed_media_real_codec_is_gated(spark):
 def test_m06_matches_dense_numpy_reference(spark):
     """Recall 1.0 vs the reference: the catalog entry's (q_id, doc_id,
     rnk) triples — and the rounded sims — equal a dense numpy replay of
-    both embedders, cosine, HALF_UP rounding, and (sim desc, doc_id)
-    tie-broken top-5 with self-matches excluded."""
+    both md5-BoW towers, cosine, HALF_UP rounding, and (sim desc,
+    doc_id) tie-broken top-5 with self-matches excluded."""
     rows = (
         load_table(spark, SF_SMOKE, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", "text")
         .collect()
     )
-    vecs = {r.doc_id: _ref_embed(r.text) for r in rows}
+    vecs = {
+        r.doc_id: v
+        for r in rows
+        if (v := _ref_embed_md5(r.text)) is not None
+    }
 
     expected = {}
     q_ids = [d for d in vecs if d % 100 == 0]
@@ -92,7 +119,7 @@ def test_m06_matches_dense_numpy_reference(spark):
             dv = v.astype(np.float64)
             denom = qn * float(np.linalg.norm(dv))
             if denom == 0.0:
-                continue  # NULL sim ranks last; never reaches top-5 here
+                continue  # zero vectors never make it into vecs
             scored.append((_round_half_up6(float(dv @ qv) / denom), d))
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rnk, (sim, d) in enumerate(scored[:5], start=1):
