@@ -14,69 +14,66 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-9 window (the r8 verdict's directive, executing
-# the rotation plan written in round 8): the 33 r04-stale rows deferred
-# from round 8 LEAD (after this round nothing in the cross-round union
-# is older than r05), then the entries new this round (never
-# driver-checked: s27 ANN quality certification, m06 cross-modal
-# retrieval, st25 streaming MaxSim serving, w20/st26 transition-matrix
-# batch/stream pair, w21 time-to-conversion, d33 cross-source dup
-# matrix, st27 streaming quality gate, w22 CUSUM drift, p22 column
-# statistics, w23 dwell time, st28 incremental dup components), then 5
-# of the 50 rows whose latest driver row is r05 (the remaining 45 r05
-# rows lead the round-10 window — see DEFERRED_TO_R10 in
-# tests/test_driver_window.py).
+# entries only. Round-10 window (the r9 verdict's directive, executing
+# the rotation plan written in round 9): the 45 rows whose latest
+# driver row is r05 LEAD (after this round nothing in the cross-round
+# union is older than r06), then the entries new this round (never
+# driver-checked: s20b seeded IVFADC+R, d34 seeded SemDeDup, t26
+# curriculum ordering, s28 hard-negative mining — all hash-exact by
+# construction), then m06, whose r09 row was rows-only and whose
+# oracle was upgraded to hash-exact this round (r9 verdict #5), so its
+# certification needs re-recording.
 DRIVER_WINDOW: list[str] = [
-    "d11_repeated_ngrams",
-    "d12_decontamination",
-    "d13_training_shards",
-    "m03_media_features",
-    "p04_python_datasource",
-    "r01_salted_join",
-    "q34b_pivot_native",
-    "q61_important_parts",
-    "q62_returned_items",
-    "q63_customer_distribution",
-    "q35_unpivot",
-    "q36_percentiles",
-    "q41_min_price_line",
-    "q42_rich_inactive_customers",
-    "q43_large_volume_orders",
-    "q64_histogram",
-    "t12_vocab_heavy_hitters",
-    "t13_sequence_packing",
-    "w09_retention_cohorts",
-    "t14_source_caps",
-    "t15_bigram_lm_quality",
-    "t16_source_datacard",
-    "w05_windowed_topk_users",
-    "w06_time_weighted_avg",
-    "w07_event_funnel",
-    "w08_subsequence_search",
-    "t09_curation_rules",
-    "t10_repetition_stats",
-    "t11_bm25_retrieval",
-    "s11_hybrid_rrf",
-    "s12_random_projection",
-    "m04_media_resize",
-    "r02_salted_aggregation",
-    "s27_ann_quality_certification",
+    "d15_containment_dupes",
+    "d16_canonical_selection",
+    "d17_substring_dedup",
+    "d18_minhash_estimate_audit",
+    "d19_component_size_histogram",
+    "p06_orc_roundtrip",
+    "p07_csv_roundtrip",
+    "p08_corpus_materialization",
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_join_left_nulls",
+    "q08_join_right",
+    "q09_join_full_outer",
+    "q10_join_semi",
+    "q11_join_anti",
+    "q12_cross_join",
+    "q13_distinct_agg",
+    "q13b_approx_distinct",
+    "q14_rollup",
+    "q15_cube",
+    "q16_grouping_sets",
+    "q17_window_topk_per_group",
+    "q18_window_analytics",
+    "q19_window_range_frame",
+    "q20_sort_limit",
+    "q21_union_all",
+    "q22_intersect",
+    "q23_except_all",
+    "q24_string_functions",
+    "q25_datetime_functions",
+    "q26_conditional_null",
+    "q30_theta_range_join",
+    "q31_asof_join",
+    "q36b_approx_percentiles",
+    "q65_string_agg",
+    "q66_window_distribution",
+    "s13_range_search",
+    "s14_mmr_rerank",
+    "s16_knn_classification",
+    "st13_stream_outer_interval_join",
+    "t17_dsir_weights",
+    "t18_zipf_vocabulary",
+    "s20b_ivfadc_seeded",
+    "d34_semantic_dedup_seeded",
+    "t26_curriculum_order",
+    "s28_hard_negative_mining",
     "m06_crossmodal_retrieval",
-    "st25_stream_maxsim_serving",
-    "w20_event_transition_matrix",
-    "w21_time_to_conversion",
-    "d33_cross_source_dup_matrix",
-    "st26_stream_transition_matrix",
-    "st27_stream_quality_gate",
-    "w22_cusum_drift",
-    "p22_column_statistics",
-    "w23_state_dwell_time",
-    "st28_stream_dup_components",
-    "d04_minhash_lsh_pairs",
-    "d05_simhash",
-    "d06_simhash_hamming_pairs",
-    "d08_dup_components",
-    "d10_lsh_verified_dupes",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1766,6 +1766,158 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(em, k=8, iterations=3, threshold=0.4)
 
 
+# d34: d14's SemDeDup with the coarse quantizer SEEDED instead of
+# Lloyd-iterated (the s20b recipe applied to the dedup family), so the
+# embedding-cosine near-dup path gets a hash-exact driver row.
+_D34_CELLS = 8
+_D34_DIM = 64
+_D34_TAU = 0.4
+
+
+@query(
+    "d34_semantic_dedup_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_D34_DIM}
+),
+cents AS (
+  SELECT rn - 1 AS cell, emb FROM (
+    SELECT emb, ROW_NUMBER() OVER (
+      ORDER BY md5('d34c:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid
+  ) WHERE rn <= {_D34_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell, emb FROM (
+    SELECT v.vec_id, c.cell, v.emb, ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ROUND(list_reduce(list_prepend(0.0,
+        list_transform(generate_series(1, {_D34_DIM}),
+          i -> (v.emb[i] - c.emb[i]) * (v.emb[i] - c.emb[i]))),
+        (acc, x) -> acc + x), 6), c.cell) AS arn
+    FROM valid v, cents c
+  ) WHERE arn = 1
+),
+dom AS (
+  SELECT a.vec_id, COUNT(*) AS n_dups_lower
+  FROM assign a JOIN assign b
+    ON b.cell = a.cell AND b.vec_id < a.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {_D34_TAU}
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cell,
+       CAST(COALESCE(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assign a LEFT JOIN dom d ON d.vec_id = a.vec_id
+""",
+    tags=("dedup", "similarity", "clustering", "embedding"),
+    bench=True,
+)
+def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, oracle-certified HASH-EXACT: d14's recipe (cluster
+    the embedding corpus, compare cosine only WITHIN a cell, keep the
+    lowest-id representative of every near-identical group) with the
+    k-means coarse quantizer replaced by {_D34_CELLS} md5-SAMPLED
+    corpus vectors (``md5('d34c:' || vec_id)`` rank — the s20b/s12/d31
+    engine-portable seeding), which makes every stage relational:
+    assignment is an argmin fold over literal centroids tie-broken on
+    (ROUND(dist, 6), cell), and the within-cell pair scan emits, per
+    vector, the count of LOWER-ID cellmates with ROUND(cosine, 6) >=
+    {_D34_TAU} — kept = that count is zero. This is the
+    embedding-cosine near-dup operator with a full value certificate;
+    d14 keeps the Lloyd-trained quality variant (rows-only, numpy pin
+    in tests/test_semdedup.py) and the two share the serving algebra.
+
+    Scale shape: assignment is a narrow per-row fold (no exchange);
+    the only shuffle keys on the cell — the SemDeDup blocking key that
+    keeps the comparison sub-quadratic (cells are ~n/K sized; at 100 TB
+    you raise K so cells stay bounded, exactly like d04's LSH bucket
+    cap); the dominator count is one grouped aggregate over
+    within-cell pairs. Threshold {_D34_TAU} suits the synthetic
+    low-correlation embeddings (production sentence embeddings use
+    ~0.95, which shrinks pair counts further)."""
+    from ..functions.vector import cosine_similarity
+
+    dim = _D34_DIM
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    ).select("vec_id", "embedding")
+
+    h = F.md5(F.concat(F.lit("d34c:"), F.col("vec_id").cast("string")))
+    cent_rows = valid.orderBy(h, "vec_id").limit(_D34_CELLS).collect()
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    cent_flat = F.lit(
+        [x for c in centroids for x in c]
+    ).cast("array<double>")
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    sq_l2(
+                        F.col("embedding"),
+                        F.slice(cent_flat, c * dim + 1, dim),
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(c).alias("i"),
+            )
+            for c in range(_D34_CELLS)
+        ]
+    )
+    cell = F.aggregate(
+        scored,
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )["i"]
+    assign = valid.select("vec_id", "embedding", cell.alias("cell"))
+
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("cell").alias("b_cell"),
+    )
+    sim6 = F.round(
+        cosine_similarity(F.col("embedding"), F.col("b_emb")), 6
+    )
+    dom = (
+        assign.join(
+            b,
+            (F.col("b_cell") == F.col("cell"))
+            & (F.col("b_id") < F.col("vec_id")),
+        )
+        .filter(sim6 >= _D34_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dups_lower"))
+    )
+    return assign.join(dom, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("n_dups_lower", F.lit(0))
+        .cast("bigint")
+        .alias("n_dups_lower"),
+        F.when(F.col("n_dups_lower").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 _N_PROJ = 8
 
 

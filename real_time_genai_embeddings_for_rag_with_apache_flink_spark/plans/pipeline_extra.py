@@ -412,6 +412,342 @@ def s20_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s20b: IVFADC+R with every model artifact SAMPLED instead of
+# Lloyd-iterated, so the whole index + search pipeline is relational
+# and the DuckDB oracle certifies it hash-exact (r9 verdict #4 — the
+# s23 recipe applied to the quantization family).
+_S20B_DIM = 64
+_S20B_CELLS = 8  # coarse centroids (md5-sampled corpus vectors)
+_S20B_NPROBE = 2
+_S20B_M = 4  # subspaces
+_S20B_SUB = 16  # dims per subspace
+_S20B_CODES = 16  # codewords per subspace (md5-sampled residuals)
+_S20B_SHORT = 40  # ADC shortlist width (k * 4)
+_S20B_K = 10
+_S20B_QMOD = 50  # vec_id % QMOD == 0 rows are queries (the s23 universe)
+
+_S20B_SQL_L2 = """
+ROUND(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {n}),
+  {i} -> ({a} - {b}) * ({a} - {b}))), (acc, x) -> acc + x), 6)
+"""
+
+
+def _s20b_sql_l2(n: int, i: str, a: str, b: str) -> str:
+    return _S20B_SQL_L2.format(n=n, i=i, a=a, b=b).strip()
+
+
+@query(
+    "s20b_ivfadc_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_S20B_DIM}
+),
+cents AS (
+  SELECT rn - 1 AS cell, vec_id, emb FROM (
+    SELECT vec_id, emb, ROW_NUMBER() OVER (
+      ORDER BY md5('s20bc:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid
+  ) WHERE rn <= {_S20B_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell, ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "v.emb[i]", "c.emb[i]")}, c.cell
+    ) AS arn
+    FROM valid v, cents c
+  ) WHERE arn = 1
+),
+resids AS (
+  SELECT v.vec_id, a.cell,
+    list_transform(generate_series(1, {_S20B_DIM}),
+                   i -> v.emb[i] - c.emb[i]) AS resid
+  FROM valid v JOIN assign a USING (vec_id) JOIN cents c ON c.cell = a.cell
+),
+cwords AS (
+  SELECT rn - 1 AS code, resid FROM (
+    SELECT resid, ROW_NUMBER() OVER (
+      ORDER BY md5('s20bp:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM resids
+  ) WHERE rn <= {_S20B_CODES}
+),
+subspaces AS (SELECT unnest(generate_series(0, {_S20B_M - 1})) AS s),
+enc AS (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT r.vec_id, r.cell, sp.s, cw.code, ROW_NUMBER() OVER (
+      PARTITION BY r.vec_id, sp.s
+      ORDER BY {_s20b_sql_l2(_S20B_SUB, "j",
+                             f"r.resid[sp.s * {_S20B_SUB} + j]",
+                             f"cw.resid[sp.s * {_S20B_SUB} + j]")}, cw.code
+    ) AS ern
+    FROM resids r, subspaces sp, cwords cw
+    WHERE r.vec_id % {_S20B_QMOD} != 0
+  ) WHERE ern = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM valid
+  WHERE vec_id % {_S20B_QMOD} = 0
+),
+probes AS (
+  SELECT q_id, cell, q_emb, c_emb FROM (
+    SELECT q.q_id, c.cell, q.q_emb, c.emb AS c_emb, ROW_NUMBER() OVER (
+      PARTITION BY q.q_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "c.emb[i]")}, c.cell
+    ) AS prn
+    FROM queries q, cents c
+  ) WHERE prn <= {_S20B_NPROBE}
+),
+qresid AS (
+  SELECT q_id, cell,
+    list_transform(generate_series(1, {_S20B_DIM}),
+                   i -> q_emb[i] - c_emb[i]) AS q_resid
+  FROM probes
+),
+adc AS (
+  SELECT q_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_scaled
+  FROM (
+    SELECT qr.q_id, e.vec_id,
+      CAST(ROUND({_s20b_sql_l2(_S20B_SUB, "j",
+                               f"qr.q_resid[e.s * {_S20B_SUB} + j]",
+                               f"cw.resid[e.s * {_S20B_SUB} + j]")}
+           * 1000000.0, 0) AS BIGINT) AS part
+    FROM qresid qr
+    JOIN enc e ON e.cell = qr.cell
+    JOIN cwords cw ON cw.code = e.code
+  ) GROUP BY q_id, vec_id
+),
+short AS (
+  SELECT q_id, vec_id, adc_scaled FROM (
+    SELECT q_id, vec_id, adc_scaled, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY adc_scaled, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {_S20B_SHORT}
+)
+SELECT q_id, vec_id, approx_dist, exact_dist, rank FROM (
+  SELECT s.q_id, s.vec_id,
+    ROUND(s.adc_scaled / 1000000.0, 6) AS approx_dist,
+    {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "v.emb[i]")} AS exact_dist,
+    ROW_NUMBER() OVER (
+      PARTITION BY s.q_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "v.emb[i]")},
+               s.vec_id) AS rank
+  FROM short s
+  JOIN valid v USING (vec_id)
+  JOIN queries q ON q.q_id = s.q_id
+) WHERE rank <= {_S20B_K}
+""",
+    tags=("similarity", "quantization", "ann", "rerank"),
+    bench=True,
+)
+def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R, oracle-certified HASH-EXACT end to end — s20's exact
+    pipeline shape (coarse cell pruning -> residual PQ codes -> ADC
+    shortlist -> true-L2 broadcast re-rank) with the two Lloyd-trained
+    model artifacts replaced by md5-SEEDED samples (the s12/d31
+    engine-portable convention), which makes every stage relational:
+
+    - coarse centroids = the {_S20B_CELLS} corpus vectors ranked first
+      by ``md5('s20bc:' || vec_id)`` (deterministic sample-init — the
+      k-means++ seeding step without the iterations);
+    - PQ codewords = the {_S20B_CODES} RESIDUAL vectors ranked first by
+      ``md5('s20bp:' || vec_id)``, shared across the {_S20B_M}
+      subspaces by slicing;
+    - every argmin/rank breaks ties on ROUND(dist, 6) then id, and the
+      per-subspace ADC partials are scaled to exact BIGINTs before the
+      sum (the t24/s25 integer discipline) so shortlist order is
+      aggregation-order independent on any engine.
+
+    Quality note (honestly): sampled codebooks trade recall for
+    certifiability vs s10/s20's Lloyd iterations — the production
+    pipeline keeps s20, and this entry certifies that the SERVING
+    dataflow (assignment, encode, probe selection, ADC lookup algebra,
+    shortlist, refinement join) computes exactly what it claims; swap
+    the seeded artifacts for trained ones and the dataflow is
+    unchanged. tests/test_pq.py pins exact_dist == brute force on every
+    returned id, rank ordering, per-query row counts, and a recall
+    canary (the near-isotropic testdata caps nprobe=2/8 recall ~0.25
+    by geometry — see the test comment).
+
+    Scale shape (identical to s20): centroids/codewords are
+    driver-sized literals at any corpus scale; assignment and encode
+    are narrow per-row folds (no exchange); the ADC scan touches
+    nprobe/{_S20B_CELLS} of the code table via the probes broadcast
+    join; both rank cuts are two-phase WindowGroupLimit; the re-rank
+    re-joins raw vectors by BROADCAST id join, so the corpus never
+    shuffles. The reference delegates ANN to OpenSearch HNSW
+    (KDS-P/index-creation-function/lambda_function.py:72-80); this is
+    the engine-native quantized path."""
+    from pyspark.sql import Window
+
+    dim, m, sub = _S20B_DIM, _S20B_M, _S20B_SUB
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    ).select("vec_id", "embedding")
+
+    # -- model artifacts: two md5-ranked samples (driver-sized) --------
+    h_cent = F.md5(F.concat(F.lit("s20bc:"), F.col("vec_id").cast("string")))
+    cent_rows = (
+        valid.orderBy(h_cent, "vec_id").limit(_S20B_CELLS).collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    cent_flat = F.lit(
+        [x for c in centroids for x in c]
+    ).cast("array<double>")
+
+    # assignment: argmin over cells by (ROUND(d, 6), cell) — the
+    # array-of-structs fold (each operand bound once, no 2^k blowup)
+    def argmin_struct(scored_structs):
+        arr = F.array(*scored_structs)
+        return F.aggregate(
+            arr,
+            F.element_at(arr, 1),
+            lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+        )["i"]
+
+    cell = argmin_struct(
+        [
+            F.struct(
+                F.round(
+                    sq_l2(
+                        F.col("embedding"),
+                        F.slice(cent_flat, c * dim + 1, dim),
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(c).alias("i"),
+            )
+            for c in range(_S20B_CELLS)
+        ]
+    )
+    assigned = valid.withColumn("cell", cell)
+    resid = F.zip_with(
+        F.col("embedding"),
+        F.slice(cent_flat, F.col("cell") * dim + 1, dim),
+        lambda a, b: a.cast("double") - b,
+    )
+    with_resid = assigned.withColumn("resid", resid)
+
+    h_pq = F.md5(F.concat(F.lit("s20bp:"), F.col("vec_id").cast("string")))
+    cw_rows = (
+        with_resid.orderBy(h_pq, "vec_id")
+        .limit(_S20B_CODES)
+        .select("resid")
+        .collect()
+    )
+    cw_flat = F.lit(
+        [float(x) for r in cw_rows for x in r.resid]
+    ).cast("array<double>")
+
+    # -- encode the corpus: per-subspace argmin over codewords ---------
+    def code_for(s: int):
+        r_sub = F.slice(F.col("resid"), s * sub + 1, sub)
+        return argmin_struct(
+            [
+                F.struct(
+                    F.round(
+                        sq_l2(
+                            r_sub,
+                            F.slice(cw_flat, c * dim + s * sub + 1, sub),
+                        ),
+                        6,
+                    ).alias("d"),
+                    F.lit(c).alias("i"),
+                )
+                for c in range(_S20B_CODES)
+            ]
+        )
+
+    encoded = (
+        with_resid.filter(F.col("vec_id") % _S20B_QMOD != 0)
+        .select(
+            "vec_id",
+            "cell",
+            F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+        )
+    )
+
+    # -- probe selection + query residuals (relational, any |Q|) -------
+    queries = valid.filter(F.col("vec_id") % _S20B_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents_df = spark.createDataFrame(
+        [(c, centroids[c]) for c in range(_S20B_CELLS)],
+        "cell int, centroid array<double>",
+    )
+    wp = Window.partitionBy("q_id").orderBy("pd", "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(cents_df))
+        .select(
+            "q_id",
+            "cell",
+            F.round(sq_l2(F.col("q_emb"), F.col("centroid")), 6).alias("pd"),
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("q_resid"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _S20B_NPROBE)
+        .select("q_id", "cell", "q_resid")
+    )
+
+    # -- ADC scan over the probed cells (exact-integer partial sums) ---
+    def part_for(s: int):
+        p = sq_l2(
+            F.slice(F.col("q_resid"), s * sub + 1, sub),
+            F.slice(
+                cw_flat,
+                F.element_at(F.col("codes"), s + 1) * dim + s * sub + 1,
+                sub,
+            ),
+        )
+        return F.round(F.round(p, 6) * F.lit(1000000.0), 0).cast("long")
+
+    adc_scaled = part_for(0)
+    for s in range(1, m):
+        adc_scaled = adc_scaled + part_for(s)
+    ws = Window.partitionBy("q_id").orderBy("adc_scaled", "vec_id")
+    short = (
+        encoded.join(F.broadcast(probes), "cell")
+        .select("q_id", "vec_id", adc_scaled.alias("adc_scaled"))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _S20B_SHORT)
+        .select("q_id", "vec_id", "adc_scaled")
+    )
+
+    # -- refinement: true L2 on the broadcast shortlist -----------------
+    exact = F.round(sq_l2(F.col("embedding"), F.col("q_emb")), 6)
+    wr = Window.partitionBy("q_id").orderBy("exact_dist", "vec_id")
+    return (
+        valid.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.col("adc_scaled") / 1000000.0, 6).alias("approx_dist"),
+            exact.alias("exact_dist"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S20B_K)
+    )
+
+
 @query(
     "p04_python_datasource",
     oracle="""
@@ -2569,6 +2905,109 @@ def s23_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
             "sim",
             F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+_S28_K = 10
+_S28_QMOD = 50  # the s23/s25 query universe
+
+
+@query(
+    "s28_hard_negative_mining",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+  FROM valid WHERE vec_id % {_S28_QMOD} = 0
+),
+c AS (SELECT * FROM valid WHERE vec_id % {_S28_QMOD} != 0),
+scored AS (
+  SELECT q.q_id, q.q_label, c.vec_id, c.label,
+         ROUND(list_cosine_similarity(c.emb, q.q_emb), 6) AS sim
+  FROM q, c
+),
+pos AS (
+  SELECT q_id, MAX(sim) AS pos_sim FROM scored
+  WHERE label = q_label GROUP BY q_id
+),
+neg AS (
+  SELECT q_id, q_label, vec_id, label AS neg_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored WHERE label != q_label
+)
+SELECT n.q_id, n.q_label, n.vec_id, n.neg_label, n.sim,
+       ROUND(p.pos_sim - n.sim, 6) AS margin, n.rank
+FROM neg n LEFT JOIN pos p USING (q_id)
+WHERE n.rank <= {_S28_K}
+""",
+    tags=("similarity", "training-data", "contrastive", "mining"),
+    bench=True,
+)
+def s28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR/ANCE recipe, Karpukhin et al. 2020 / Xiong et al. 2021): for
+    every query vector, the top-{_S28_K} MOST-similar corpus items with
+    a DIFFERENT label — the negatives that actually move a contrastive
+    loss — plus ``margin`` = (query's best same-label similarity −
+    negative's similarity), the quantity triplet-loss miners threshold
+    on (margin ~ 0 is the gold in-batch negative; margin < 0 flags
+    label noise). Labels play the relevance role, as in s25/s27.
+
+    Scale shape: queries broadcast; TWO corpus passes, each one scan —
+    the negative pass scores cosine map-side and rank-cuts through the
+    two-phase WindowGroupLimit (<= |Q|*k rows per map task reach the
+    exchange), the positive pass is a map-side-combinable MAX grouped
+    by query (|Q|-sized result, broadcast back). A q_id-partitioned
+    window over the full scored set would shuffle |Q|*|corpus| rows to
+    merge the two — the re-scan is the cheaper plan at any scale. Ties
+    break on (ROUND(sim, 6), vec_id), the s02 cross-engine ordering.
+    The reference has no mining surface at all (similarity delegated
+    to OpenSearch); this is engine-native training-data tooling."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = F.broadcast(
+        em.filter(F.col("vec_id") % _S28_QMOD == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    corpus = em.filter(F.col("vec_id") % _S28_QMOD != 0)
+    sim6 = F.round(
+        cosine_similarity(F.col("embedding"), F.col("q_emb")), 6
+    ).alias("sim")
+    scored = corpus.crossJoin(queries).select(
+        "q_id", "q_label", "vec_id", "label", sim6
+    )
+    pos = F.broadcast(
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    wn = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(wn))
+        .filter(F.col("rank") <= _S28_K)
+        .join(pos, "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "sim",
+            F.round(F.col("pos_sim") - F.col("sim"), 6).alias("margin"),
+            "rank",
         )
     )
 

@@ -799,79 +799,173 @@ def run_incremental_dedup(
         # id < k checkpoint-committed — so the replay-exclusion
         # invariant (read state minus own subdir == exact pre-batch
         # state) survives compaction.
+        #
+        # r9 verdict #2 (the st14b watch row): the first cut re-LISTED
+        # the state dirs twice per read and twice per append, and
+        # re-planned + re-scanned the multi-dir parquet read every
+        # trigger — a fixed per-trigger cost that dominated the 3-batch
+        # test profile. Now ONE listing pass feeds a driver-side run
+        # cache, and the accumulated state rides a PERSISTED DataFrame
+        # that each batch extends with its own (tiny) b-dir read: the
+        # warm path does zero filesystem listings and never re-reads
+        # committed state from parquet. The cache is a pure
+        # optimization: any miss (fresh process, replay, id gap) falls
+        # back to the full listing scan, and the parquet dirs remain
+        # the single durable source of truth. After a fold the cache is
+        # REBUILT from the folded layout so cached lineage never points
+        # at pruned directories (an executor re-materializing a lost
+        # block must only ever touch live dirs).
+        from pyspark import StorageLevel
 
-        def _committed_seed(sp: SparkSession) -> int | None:
+        # df = persisted pre-batch state for batch `next`; prev = its
+        # still-persisted parent (unpersisted one generation later, so
+        # the lazy union never recomputes from disk and no extra
+        # materialization job runs per batch); seed = (committed
+        # version | None, legacy-seed flag); b_ids = live unfolded
+        # batch dirs the cache already contains
+        run_state: dict = {
+            "df": None, "prev": None, "next": None, "seed": None, "b_ids": []
+        }
+
+        def _scan_state(sp: SparkSession) -> tuple[int | None, bool, list[int]]:
+            """ONE listing pass over the state root: (newest committed
+            seed version, legacy-uncompacted-seed flag, b-ids newer
+            than the seed)."""
+            versions: list[int] = []
+            b_ids: list[int] = []
+            legacy = False
+            for n in statefs.listdir(sp, fps_dir):
+                if n.startswith("seed_v"):
+                    try:
+                        versions.append(int(n[len("seed_v"):]))
+                    except ValueError:
+                        continue
+                elif n == "seed":
+                    legacy = statefs.exists(sp, f"{fps_dir}/seed/_SUCCESS")
+                elif n.startswith("b"):
+                    try:
+                        b_ids.append(int(n[1:]))
+                    except ValueError:
+                        continue
             best: int | None = None
-            for n in statefs.listdir(sp, fps_dir):
-                if not n.startswith("seed_v"):
-                    continue
-                try:
-                    v = int(n[len("seed_v"):])
-                except ValueError:
-                    continue
-                if (best is None or v > best) and statefs.exists(
-                    sp, f"{fps_dir}/{n}/_COMMIT"
-                ):
+            for v in sorted(versions, reverse=True):
+                if statefs.exists(sp, f"{fps_dir}/seed_v{v}/_COMMIT"):
                     best = v
-            return best
+                    break
+            return best, legacy, sorted(
+                i for i in b_ids if best is None or i > best
+            )
 
-        def _live_state_dirs(
-            sp: SparkSession, batch_id: int | None
-        ) -> tuple[int | None, list[int]]:
-            """(newest committed seed version, unfolded b-ids), the
-            in-flight batch's own subdir excluded when given."""
-            best = _committed_seed(sp)
-            b_ids = []
-            for n in statefs.listdir(sp, fps_dir):
-                if not n.startswith("b"):
-                    continue
-                try:
-                    bid = int(n[1:])
-                except ValueError:
-                    continue
-                if bid != batch_id and (best is None or bid > best):
-                    b_ids.append(bid)
-            return best, sorted(b_ids)
-
-        def read_fps(sp: SparkSession, batch_id: int) -> DataFrame:
-            # exclude the in-flight batch's own (possibly crash-orphaned)
-            # subdir so replay reconstructs the exact pre-batch state
-            best, b_ids = _live_state_dirs(sp, batch_id)
+        def _dirs_of(
+            best: int | None, legacy: bool, b_ids: list[int]
+        ) -> list[str]:
             dirs = [f"{fps_dir}/b{i}" for i in b_ids]
             if best is not None:
                 dirs.append(f"{fps_dir}/seed_v{best}")
-            elif statefs.exists(sp, f"{fps_dir}/seed/_SUCCESS"):
+            elif legacy:
                 dirs.append(f"{fps_dir}/seed")
+            return dirs
+
+        def _read_dirs(sp: SparkSession, dirs: list[str]) -> DataFrame:
             return (
                 sp.read.schema("fp string")
                 .option("recursiveFileLookup", "true")
                 .parquet(*dirs)
             )
 
-        def append_fps(df: DataFrame, batch_id: int) -> None:
-            df.write.mode("overwrite").parquet(f"{fps_dir}/b{batch_id}")
-            if not fp_compact_every or fp_compact_every <= 0:
-                return
-            sp = df.sparkSession
-            best, b_ids = _live_state_dirs(sp, None)
-            fold = [i for i in b_ids if i < batch_id]
-            if len(fold) < fp_compact_every:
-                return
-            boundary = max(fold)
-            src = [f"{fps_dir}/b{i}" for i in fold]
-            if best is not None:
-                src.append(f"{fps_dir}/seed_v{best}")
-            elif statefs.exists(sp, f"{fps_dir}/seed/_SUCCESS"):
-                src.append(f"{fps_dir}/seed")
-            vdir = f"{fps_dir}/seed_v{boundary}"
-            (
-                sp.read.schema("fp string")
-                .option("recursiveFileLookup", "true")
-                .parquet(*src)
-                .distinct()
-                .write.mode("overwrite")
-                .parquet(vdir)
+        def _drop_cache() -> None:
+            for k in ("df", "prev"):
+                if run_state[k] is not None:
+                    run_state[k].unpersist(blocking=False)
+            run_state.update(
+                df=None, prev=None, next=None, seed=None, b_ids=[]
             )
+
+        def read_fps(sp: SparkSession, batch_id: int) -> DataFrame:
+            if run_state["df"] is not None and run_state["next"] == batch_id:
+                return run_state["df"]
+            # cold path (first batch of this process, or a replay):
+            # exclude the in-flight batch's own (possibly crash-
+            # orphaned) subdir so the read reconstructs the exact
+            # pre-batch state
+            _drop_cache()
+            best, legacy, b_ids = _scan_state(sp)
+            live = [i for i in b_ids if i != batch_id]
+            df = _read_dirs(sp, _dirs_of(best, legacy, live)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            run_state.update(
+                df=df, next=batch_id, seed=(best, legacy), b_ids=live
+            )
+            return df
+
+        def append_fps(df: DataFrame, batch_id: int) -> None:
+            sp = df.sparkSession
+            df.write.mode("overwrite").parquet(f"{fps_dir}/b{batch_id}")
+            warm = (
+                run_state["df"] is not None
+                and run_state["next"] == batch_id
+            )
+            if not warm:
+                # read_fps always runs first in process(), so this only
+                # happens if a caller appends without reading — fall
+                # back to durable truth and let the next read re-scan
+                _drop_cache()
+                if fp_compact_every and fp_compact_every > 0:
+                    best, legacy, b_ids = _scan_state(sp)
+                    fold = [i for i in b_ids if i < batch_id]
+                    if len(fold) >= fp_compact_every:
+                        _fold(
+                            sp,
+                            _read_dirs(sp, _dirs_of(best, legacy, fold)),
+                            max(fold),
+                        )
+                return
+            pre_df, (best, legacy) = run_state["df"], run_state["seed"]
+            fold = [i for i in run_state["b_ids"] if i < batch_id]
+            if fp_compact_every and 0 < fp_compact_every <= len(fold):
+                # pre_df IS seed + every b-dir < batch_id (the exact
+                # fold source) — fold from the cache, no re-read
+                boundary = max(fold)
+                _fold(sp, pre_df, boundary)
+                # rebuild the cache on the folded layout so no cached
+                # lineage references the just-pruned directories; the
+                # eager count is fine here — folds are 1-in-N batches
+                new_df = _read_dirs(
+                    sp, _dirs_of(boundary, False, [batch_id])
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                new_df.count()
+                for k in ("df", "prev"):
+                    if run_state[k] is not None:
+                        run_state[k].unpersist(blocking=False)
+                run_state.update(
+                    df=new_df,
+                    prev=None,
+                    next=batch_id + 1,
+                    seed=(boundary, False),
+                    b_ids=[batch_id],
+                )
+            else:
+                new_df = pre_df.union(
+                    sp.read.schema("fp string").parquet(
+                        f"{fps_dir}/b{batch_id}"
+                    )
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # no eager materialization: new_df first materializes
+                # inside the NEXT batch's anti-join (no extra job), and
+                # pre_df stays persisted until the generation after —
+                # the lazy union always reads a cached parent, and at
+                # most three state snapshots coexist
+                if run_state["prev"] is not None:
+                    run_state["prev"].unpersist(blocking=False)
+                run_state.update(
+                    df=new_df, prev=pre_df, next=batch_id + 1
+                )
+                run_state["b_ids"] = run_state["b_ids"] + [batch_id]
+
+        def _fold(sp: SparkSession, src: DataFrame, boundary: int) -> None:
+            vdir = f"{fps_dir}/seed_v{boundary}"
+            src.distinct().write.mode("overwrite").parquet(vdir)
             statefs.touch(sp, f"{vdir}/{statefs._COMMIT}")
             # prune AFTER the commit marker: a crash anywhere before
             # this point leaves the old seed + b-dirs authoritative (the
@@ -891,9 +985,8 @@ def run_incremental_dedup(
                     if bid <= boundary:
                         statefs.delete(sp, f"{fps_dir}/{n}")
 
-        if _committed_seed(spark) is None and not statefs.exists(
-            spark, f"{fps_dir}/seed/_SUCCESS"
-        ):
+        _boot_best, _boot_legacy, _ = _scan_state(spark)
+        if _boot_best is None and not _boot_legacy:
             # first run: seed the accumulated-state table with the corpus
             corpus_fps.write.mode("overwrite").parquet(f"{fps_dir}/seed")
     else:
@@ -974,13 +1067,34 @@ def run_incremental_dedup(
         append_fps(surv.select("fp"), batch_id)
         surv.unpersist()
 
-    q = (
-        arrivals.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # AQE re-plans every stage of every micro-batch — pure fixed
+    # latency here, where the per-batch shuffles are already sized by
+    # the state_partitions contract and each batch is delta-sized (the
+    # r10 quiet profile: AQE off cut st14 ~25% with identical results).
+    # Deployments feeding corpus-sized batches can keep AQE with
+    # spark.graft.batchAqe=true; the prior session value is restored
+    # either way.
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    keep_aqe = (
+        (spark.conf.get("spark.graft.batchAqe", "false") or "false").lower()
+        == "true"
     )
-    q.awaitTermination()
+    if not keep_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = (
+            arrivals.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+    if fp_state_mode == "parquet":
+        # release the run's warm state cache — repeated catalog/bench
+        # runs in one session must not accumulate persisted blocks
+        _drop_cache()
     LAST_RUN_BATCHES[run_name] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )

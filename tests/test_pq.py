@@ -284,3 +284,51 @@ def test_ivfpq_short_vector_never_encoded_or_returned(spark):
     ).collect()
     assert 99 not in {r.vec_id for r in out}
     assert len(out) > 0
+
+
+def test_s20b_seeded_ivfadc_exact_on_shortlist_and_recall(spark, corpus):
+    """s20b (the oracle-certified seeded IVFADC+R): exact_dist must
+    equal brute-force squared-L2 for every returned id (rounded 6 dp,
+    the catalog contract), ranks must follow it, every query returns
+    exactly k rows, and recall@10 vs exact search clears a floor — the
+    refinement contract on the sampled codebooks."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    _, ids, vecs = corpus
+    X = vecs.astype(np.float64)
+    ids = list(ids)
+    out = get_spec("s20b_ivfadc_seeded").build(spark, SF).collect()
+
+    by_id = {ids[i]: X[i] for i in range(len(ids))}
+    got_q = {}
+    for r in out:
+        q = by_id[r.q_id]
+        true = float(((by_id[r.vec_id] - q) ** 2).sum())
+        assert abs(r.exact_dist - true) < 1e-6, (r, true)
+        got_q.setdefault(r.q_id, []).append(r)
+
+    recalls = []
+    for q_id, rows in got_q.items():
+        rows.sort(key=lambda r: r.rank)
+        dists = [r.exact_dist for r in rows]
+        assert dists == sorted(dists)
+        assert len(rows) == 10
+        q = by_id[q_id]
+        exact_order = sorted(
+            (i for i in range(len(ids)) if ids[i] % 50 != 0),
+            key=lambda i: (float(((X[i] - q) ** 2).sum()), ids[i]),
+        )
+        exact_top = {ids[i] for i in exact_order[:10]}
+        recalls.append(len({r.vec_id for r in rows} & exact_top) / 10)
+    assert got_q, "no query returned rows"
+    # Recall context: the testdata is near-isotropic (the st15/s05
+    # finding — cluster radii ~85deg), so the true top-10 spreads
+    # almost uniformly over the 8 cells and nprobe=2/8 alone caps
+    # expected recall near 0.25 REGARDLESS of codebook quality;
+    # measured mean is ~0.2. The floor is a regression canary, not a
+    # quality claim — s20b's claim is the exactness certificate above
+    # (and the oracle hash); quality-tuned recall lives in s20/s10's
+    # Lloyd-trained pins.
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
