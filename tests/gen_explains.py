@@ -61,6 +61,10 @@ HEADLINES = [
     ("w22_cusum_drift", "the CUSUM reflection identity as two STACKED windows (running sum, then running min) sharing one event_type exchange; the count-scaled walk is DECIMAL(38,0) exact integers; per-type stats join back broadcast"),
     ("p22_column_statistics", "every exact NDV rides ONE Expand over one scan, partial-aggregated map-side; nulls/ranges/averages share the same pass — ANALYZE as a single declarative aggregate"),
     ("w23_state_dwell_time", "one LEAD window on user_id (truncate-to-second before differencing), then a combinable per-type rollup — no join, no second pass"),
+    ("s20b_ivfadc_seeded", "assign + residual PQ encode are narrow literal-fold projections (no exchange); the ADC scan joins broadcast probes and cuts via two-phase WindowGroupLimit on exact-integer partial sums; the refinement re-joins raw vectors by broadcast id join — the corpus never shuffles"),
+    ("t26_curriculum_order", "NO Exchange SinglePartition anywhere: both exact global ranks are quantile-bucketed per-bucket windows + broadcast offset joins; decile cut and curriculum key are pure projections"),
+    ("s28_hard_negative_mining", "two corpus passes, each one scan: negatives rank-cut through WindowGroupLimit, positives a map-side-combinable MAX broadcast back — cheaper than one q_id-partitioned window over |Q| x corpus rows"),
+    ("d34_semantic_dedup_seeded", "cell assignment is a narrow literal argmin fold; the only exchange keys on the SemDeDup blocking cell; dominator counts are one grouped aggregate over within-cell pairs"),
 ]
 
 

@@ -607,3 +607,39 @@ def test_w23_dwell_single_window_combinable_rollup(spark):
     assert plan.count("Window") == 1
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_s20b_seeded_ivfadc_scale_shape(spark):
+    plan = _plan(spark, "s20b_ivfadc_seeded")
+    # probes + shortlist + queries all broadcast; both rank cuts ride
+    # two-phase WindowGroupLimit; assignment/encode are literal folds
+    # (no Python crossing); the corpus never cartesian-joins
+    assert plan.count("WindowGroupLimit") >= 4
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t26_curriculum_has_no_single_partition_exchange(spark):
+    """t26's headline claim: exact global deciles WITHOUT the
+    single-partition window a bare ROW_NUMBER would plan."""
+    plan = _plan(spark, "t26_curriculum_order")
+    assert "SinglePartition" not in plan, plan
+    assert "row_number" in plan
+
+
+def test_s28_mining_shape_broadcasts_and_group_limits(spark):
+    plan = _plan(spark, "s28_hard_negative_mining")
+    # negatives rank-cut two-phase; positive maxes broadcast back;
+    # queries broadcast (BNLJ against the corpus scan)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+
+
+def test_d34_seeded_semdedup_shuffles_on_cell_only(spark):
+    plan = _plan(spark, "d34_semantic_dedup_seeded")
+    # the pair join keys on the SemDeDup blocking cell; assignment is
+    # a pure projection (no exchange below it, no Python)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
