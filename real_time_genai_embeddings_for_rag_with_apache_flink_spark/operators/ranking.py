@@ -52,12 +52,16 @@ def distributed_rank(
     keys: list[str],
     out_col: str = "rnk",
     num_buckets: int = 32,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = exact 1-based global ROW_NUMBER over
     ``ORDER BY keys``. ``keys[0]`` must be numeric (it feeds the
     quantile bucketing); the full key list must form a total order —
     include a unique tiebreaker. Two driver-sized actions (quantile
-    probe, bucket counts); no single-partition exchange anywhere."""
+    probe, bucket counts); no single-partition exchange anywhere.
+    Pass ``stats`` (a dict) to receive ``stats['total']`` — the exact
+    row count, already summed from the bucket counts, so callers that
+    need n (quantile assignment) never pay a third corpus scan."""
     spark = df.sparkSession
     bucketed = df.withColumn(
         "_rk_bkt", bucket_by_quantiles(df, keys[0], num_buckets)
@@ -72,6 +76,8 @@ def distributed_rank(
     for bkt, cnt in counts:
         offsets.append((bkt, acc))
         acc += cnt
+    if stats is not None:
+        stats["total"] = acc
     offs = spark.createDataFrame(
         offsets or [(0, 0)], "_rk_bkt int, _rk_off long"
     )

@@ -470,9 +470,10 @@ def eval_ranked(
         .alias("dcg_scaled"),
     )
     if queries is not None:
-        universe = F.broadcast(
-            queries.select(query_id, query_label).distinct()
-        )
+        # no broadcast hint: the row-preserved side of a left-outer
+        # join can't be the hash build side, so a hint on `universe`
+        # would be silently ignored; both sides are |Q|-sized anyway
+        universe = queries.select(query_id, query_label).distinct()
         per_q = (
             universe.join(per_q, [query_id, query_label], "left")
             .withColumn(

@@ -1599,8 +1599,8 @@ _T26_BUCKETS = 10  # difficulty deciles
     oracle=f"""
 WITH scored AS (
   SELECT doc_id,
-    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    COALESCE(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')), 0)
+      AS n_tokens
   FROM documents
 ),
 ranked AS (
@@ -1652,17 +1652,32 @@ def t26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decile * 2^33 + md5-prefix) key and subtracts the decile's start
     offset, which is pure driver arithmetic from the total count: the
     decile sizes of a formula-cut ranking are deterministic
-    (ceil(d*n/10) boundaries), so no per-decile count pass is needed.
-    NULL/whitespace-only docs count 0 tokens and sort first
-    (difficulty floor), matching the oracle's CASE."""
+    (ceil(d*n/10) boundaries), so no per-decile count pass is needed —
+    and n itself comes out of distributed_rank's bucket-count collect,
+    so no extra corpus scan either. Token counting is the count of
+    NON-whitespace runs over an EXPLICIT ASCII class (``\\s`` means
+    different char sets in Java regex vs RE2 — the Md5BowEmbedder
+    finding applied here; NULL/whitespace-only docs count 0 and sort
+    first)."""
     from ..operators.ranking import distributed_rank
 
     b = _T26_BUCKETS
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    n_tokens = F.coalesce(
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0)
+            )
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
     )
-    ranked = distributed_rank(docs, ["n_tokens", "doc_id"], "rnk")
-    n = docs.count()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens.alias("n_tokens")
+    )
+    rk_stats: dict = {}
+    ranked = distributed_rank(
+        docs, ["n_tokens", "doc_id"], "rnk", stats=rk_stats
+    )
+    n = rk_stats["total"]
     dec = ranked.select(
         "doc_id",
         "n_tokens",

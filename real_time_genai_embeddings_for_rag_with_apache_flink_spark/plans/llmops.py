@@ -1838,7 +1838,7 @@ def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pairs. Threshold {_D34_TAU} suits the synthetic
     low-correlation embeddings (production sentence embeddings use
     ~0.95, which shrinks pair counts further)."""
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot, l2_norm
 
     dim = _D34_DIM
 
@@ -1885,15 +1885,30 @@ def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(scored, 1),
         lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
     )["i"]
-    assign = valid.select("vec_id", "embedding", cell.alias("cell"))
+    # norms factored OUT of the pair expression: higher-order-function
+    # folds evaluate interpreted (outside whole-stage codegen), so the
+    # within-cell pair scan must pay ONE dot fold per pair, not
+    # dot + two norm folds — same doubles, same oracle parity
+    # (cosine = dot / (sqrt(a2) * sqrt(b2)), exactly
+    # cosine_similarity's association), ~3x less interpreted work on
+    # the quadratic-in-cell-size path
+    assign = valid.select(
+        "vec_id",
+        "embedding",
+        cell.alias("cell"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
 
     b = assign.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         F.col("cell").alias("b_cell"),
+        F.col("nrm").alias("b_nrm"),
     )
+    denom = F.col("nrm") * F.col("b_nrm")
     sim6 = F.round(
-        cosine_similarity(F.col("embedding"), F.col("b_emb")), 6
+        F.when(denom != 0.0, dot(F.col("embedding"), F.col("b_emb")) / denom),
+        6,
     )
     dom = (
         assign.join(

@@ -609,30 +609,30 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         [x for c in centroids for x in c]
     ).cast("array<double>")
 
-    # assignment: argmin over cells by (ROUND(d, 6), cell) — the
-    # array-of-structs fold (each operand bound once, no 2^k blowup)
-    def argmin_struct(scored_structs):
-        arr = F.array(*scored_structs)
+    # assignment: argmin over cells by (ROUND(d, 6), cell). The scored
+    # array is built with F.transform over a literal INDEX array — the
+    # lambda is constructed ONCE however many candidates there are (a
+    # per-candidate Python loop costs one py4j round trip per F.* call:
+    # the unrolled first cut spent ~10 s per build constructing the
+    # 64-codeword encode expression alone). The fold still iterates in
+    # ascending index order, so ties keep the lowest index.
+    def argmin_over(n: int, dist_of):
+        scored = F.transform(
+            F.lit(list(range(n))),
+            lambda c: F.struct(dist_of(c).alias("d"), c.alias("i")),
+        )
         return F.aggregate(
-            arr,
-            F.element_at(arr, 1),
+            scored,
+            F.element_at(scored, 1),
             lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
         )["i"]
 
-    cell = argmin_struct(
-        [
-            F.struct(
-                F.round(
-                    sq_l2(
-                        F.col("embedding"),
-                        F.slice(cent_flat, c * dim + 1, dim),
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(c).alias("i"),
-            )
-            for c in range(_S20B_CELLS)
-        ]
+    cell = argmin_over(
+        _S20B_CELLS,
+        lambda c: F.round(
+            sq_l2(F.col("embedding"), F.slice(cent_flat, c * dim + 1, dim)),
+            6,
+        ),
     )
     assigned = valid.withColumn("cell", cell)
     resid = F.zip_with(
@@ -640,7 +640,18 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(cent_flat, F.col("cell") * dim + 1, dim),
         lambda a, b: a.cast("double") - b,
     )
-    with_resid = assigned.withColumn("resid", resid)
+    # localCheckpoint cuts the lineage (the d21 pattern) so CollapseProject
+    # cannot inline the 64-element resid zip into each of the 64
+    # per-code distance folds below — without the cut, every corpus row
+    # pays 64 re-evaluations of its residual in interpreted
+    # higher-order-function code. Values become concrete, so oracle
+    # parity is untouched; storage is freed by the context cleaner when
+    # the build goes out of scope. At 100 TB this materialization IS
+    # the index build's working set — a real deployment lands it in the
+    # intermediate seam / a table, exactly as s05/s10 do.
+    with_resid = assigned.withColumn("resid", resid).localCheckpoint(
+        eager=False
+    )
 
     h_pq = F.md5(F.concat(F.lit("s20bp:"), F.col("vec_id").cast("string")))
     cw_rows = (
@@ -656,20 +667,12 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- encode the corpus: per-subspace argmin over codewords ---------
     def code_for(s: int):
         r_sub = F.slice(F.col("resid"), s * sub + 1, sub)
-        return argmin_struct(
-            [
-                F.struct(
-                    F.round(
-                        sq_l2(
-                            r_sub,
-                            F.slice(cw_flat, c * dim + s * sub + 1, sub),
-                        ),
-                        6,
-                    ).alias("d"),
-                    F.lit(c).alias("i"),
-                )
-                for c in range(_S20B_CODES)
-            ]
+        return argmin_over(
+            _S20B_CODES,
+            lambda c: F.round(
+                sq_l2(r_sub, F.slice(cw_flat, c * dim + s * sub + 1, sub)),
+                6,
+            ),
         )
 
     encoded = (
@@ -2918,7 +2921,11 @@ _S28_QMOD = 50  # the s23/s25 query universe
     oracle=f"""
 WITH valid AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND list_reduce(list_prepend(0.0,
+          list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        (a, b) -> a + b) > 0
 ),
 q AS (
   SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
@@ -2966,14 +2973,20 @@ def s28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the full scored set would shuffle |Q|*|corpus| rows to
     merge the two — the re-scan is the cheaper plan at any scale. Ties
     break on (ROUND(sim, 6), vec_id), the s02 cross-engine ordering.
-    The reference has no mining surface at all (similarity delegated
-    to OpenSearch); this is engine-native training-data tooling."""
+    Validity contract (the d34/s20b hygiene, r10 review): NULL,
+    wrong-length, and zero-norm vectors are filtered identically on
+    both sides — a zero vector's cosine is NULL in Spark but -1.0 in
+    DuckDB, a divergence the shared filter removes. The reference has
+    no mining surface at all (similarity delegated to OpenSearch);
+    this is engine-native training-data tooling."""
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_similarity, dot
 
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (dot(F.col("embedding"), F.col("embedding")) > 0)
     )
     queries = F.broadcast(
         em.filter(F.col("vec_id") % _S28_QMOD == 0).select(

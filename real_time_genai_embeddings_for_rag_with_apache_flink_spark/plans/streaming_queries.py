@@ -191,6 +191,7 @@ def _split_source_dir(
             # hand a second user's run permission failures — or worse,
             # another user's _SPLIT_READY replica (ADVICE r9).
             import getpass
+            import stat as _stat
 
             try:
                 user = getpass.getuser()
@@ -200,6 +201,21 @@ def _split_source_dir(
                 tempfile.gettempdir(), f"spark_graft_split_sources_{user}"
             )
             os.makedirs(base_local, mode=0o700, exist_ok=True)
+            # the name is predictable, so a pre-existing dir could be a
+            # squatter's (makedirs(exist_ok=True) adopts it silently and
+            # applies the 0700 mode only on creation) — trust it ONLY if
+            # we own it and nobody else can write it; otherwise fail
+            # loudly rather than stream a foreign _SPLIT_READY replica
+            st = os.stat(base_local)
+            if st.st_uid != os.getuid() or (
+                st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH)
+            ):
+                raise RuntimeError(
+                    f"refusing split-source fallback dir {base_local}: "
+                    "not owned by this uid or writable by others "
+                    "(tempdir squatting) — set spark.graft.streamStateDir "
+                    "to a local path instead"
+                )
         out = os.path.join(base_local, "_sources", f"{table}-{tag}")
         if os.path.isfile(os.path.join(out, "_SPLIT_READY")):
             _SPLIT_CACHE[key] = out
@@ -1091,10 +1107,11 @@ def run_incremental_dedup(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
-    if fp_state_mode == "parquet":
-        # release the run's warm state cache — repeated catalog/bench
-        # runs in one session must not accumulate persisted blocks
-        _drop_cache()
+        if fp_state_mode == "parquet":
+            # release the run's warm state cache on EVERY exit path —
+            # a failed stream in a long-lived catalog/bench session
+            # must not leave corpus-sized persisted blocks pinned
+            _drop_cache()
     LAST_RUN_BATCHES[run_name] = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
