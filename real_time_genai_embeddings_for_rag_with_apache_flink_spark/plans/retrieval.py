@@ -325,35 +325,222 @@ def mmr_select(
     return cands.groupBy(query_col).applyInPandas(_mmr, out_schema)
 
 
+def mmr_select_exact(
+    cand_pairs: DataFrame,
+    query_col: str = "q_id",
+    k: int = _MMR_K,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """MMR greedy selection in EXACT INTEGER arithmetic — the
+    engine-certifiable sibling of mmr_select. Input is one row per
+    (candidate, other-candidate) pair: ``(query_col, vec_id, qs, b_id,
+    ps)`` where ``qs``/``ps`` are the query/pair cosines rounded to 6 dp
+    and scaled to BIGINT (the t24/s25 discipline) — computed by the
+    ENGINE's fold, never re-derived here. A candidate with no pairs
+    (singleton group) arrives with b_id/ps NULL via the caller's left
+    join. Selection maximizes ``lam_num*qs - (lam_den-lam_num)*max_red``
+    (default 7/10 = the 0.7 lambda) with lowest-id tie-break; every
+    comparison is integer, so ANY engine replaying the same scaled sims
+    picks the identical sequence — which is what lets s14 carry a
+    DuckDB oracle where mmr_select (float numpy kernel, BLAS
+    accumulation order) cannot. Floats appear only in the output
+    divisions (identical ints -> identical doubles). Same distributed
+    shape as mmr_select: applyInPandas per query group, pairs are
+    |cands|^2 per query (the candidate generator already cut the
+    corpus)."""
+    import pandas as pd
+
+    mu = lam_den - lam_num
+    out_schema = (
+        f"{query_col} bigint, rank int, vec_id bigint, sim double, mmr double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = {}
+        red: dict[int, dict[int, int]] = {}
+        for r in pdf.itertuples(index=False):
+            a = int(r.vec_id)
+            qs[a] = int(r.qs)
+            if r.b_id is not None and not pd.isna(r.b_id):
+                red.setdefault(a, {})[int(r.b_id)] = int(r.ps)
+        avail = set(qs)
+        max_red: dict[int, int] = {}
+        rows = []
+        qid = int(pdf[query_col].iloc[0])
+        for rank in range(1, min(k, len(qs)) + 1):
+            best_key = None
+            best_id = None
+            for a in avail:
+                mr = max_red.get(a)
+                score = (
+                    lam_num * qs[a]
+                    if mr is None
+                    else lam_num * qs[a] - mu * mr
+                )
+                if (
+                    best_key is None
+                    or score > best_key
+                    or (score == best_key and a < best_id)
+                ):
+                    best_key, best_id = score, a
+            avail.discard(best_id)
+            rows.append(
+                (
+                    qid,
+                    rank,
+                    best_id,
+                    qs[best_id] / 1_000_000.0,
+                    best_key / (1_000_000.0 * lam_den),
+                )
+            )
+            sims_of_pick = red.get(best_id, {})
+            for a in avail:
+                p = sims_of_pick.get(a)
+                # pairs are emitted symmetrically by the caller, so a
+                # missing entry means the pair genuinely wasn't scored
+                # (singleton) — treat as no-redundancy evidence
+                if p is not None and (a not in max_red or p > max_red[a]):
+                    max_red[a] = p
+        return pd.DataFrame(
+            rows, columns=[query_col, "rank", "vec_id", "sim", "mmr"]
+        )
+
+    return cand_pairs.groupBy(query_col).applyInPandas(_mmr, out_schema)
+
+
+def _s14_oracle() -> str:
+    """The s14 oracle: the integer-MMR greedy UNROLLED as k chained
+    CTEs (sel1..sel10) — each step ranks the remaining candidates by
+    7*qs - 3*max(ps over the selected prefix) with lowest-id tie-break.
+    Generated programmatically so the SQL provably mirrors the
+    mmr_select_exact recursion step for step."""
+    cos6 = (
+        "ROUND(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 6)"
+    )
+    qcos = cos6.format(a="e.embedding", b="q.q_emb")
+    pcos = cos6.format(a="a.emb", b="b.emb")
+    parts = [
+        f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+cands AS MATERIALIZED (
+  SELECT vec_id, emb, qs FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+      CAST(ROUND({qcos} * 1000000.0, 0) AS BIGINT) AS qs,
+      ROW_NUMBER() OVER (ORDER BY {qcos} DESC, e.vec_id) AS rn
+    FROM embeddings e, q
+    WHERE e.vec_id != 0 AND e.embedding IS NOT NULL
+  ) WHERE rn <= {_CANDIDATES}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    CAST(ROUND({pcos} * 1000000.0, 0) AS BIGINT) AS ps
+  FROM cands a, cands b WHERE a.vec_id != b.vec_id
+),
+sel1 AS (
+  SELECT 1 AS rank, vec_id, qs, 7 * qs AS mmr10 FROM (
+    SELECT vec_id, qs,
+      ROW_NUMBER() OVER (ORDER BY 7 * qs DESC, vec_id) AS rn
+    FROM cands
+  ) WHERE rn = 1
+),
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+sel{i} AS (
+  SELECT {i} AS rank, vec_id, qs, mmr10 FROM (
+    SELECT vec_id, qs, mmr10,
+      ROW_NUMBER() OVER (ORDER BY mmr10 DESC, vec_id) AS rn
+    FROM (
+      SELECT c.vec_id, c.qs, 7 * c.qs - 3 * MAX(p.ps) AS mmr10
+      FROM cands c
+      JOIN pairs p ON p.a_id = c.vec_id
+        AND p.b_id IN (SELECT vec_id FROM acc{i - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
+      GROUP BY c.vec_id, c.qs
+    )
+  ) WHERE rn = 1
+),
+acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(0 AS BIGINT) AS q_id, rank, vec_id,
+       qs / 1000000.0 AS sim, mmr10 / 10000000.0 AS mmr
+FROM acc{_MMR_K}"""
+    )
+    return "".join(parts)
+
+
 @query(
     "s14_mmr_rerank",
-    oracle=None,  # greedy sequential selection is not SQL-expressible
+    oracle=_s14_oracle(),
     tags=("similarity", "rerank", "diversity"),
 )
 def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-10: brute-force top-50 cosine candidates
-    (TakeOrderedAndProject, corpus never sorted globally), then the
-    greedy MMR selection per query group via mmr_select. Invariants
-    (first pick = highest sim; no repeats; determinism) are pinned in
-    tests/test_mmr.py; rows-only here since the greedy recursion has
-    no SQL equivalent."""
-    em = load_table(spark, sf_dir, "embeddings")
+    """MMR-diversified top-10, oracle-certified HASH-EXACT since round
+    10: brute-force top-{_CANDIDATES} candidates by (ROUND(cosine, 6),
+    id) — the s02 engine-stable cut (TakeOrderedAndProject, corpus
+    never sorted globally) — then the greedy selection runs in EXACT
+    INTEGER arithmetic (mmr_select_exact) over engine-computed
+    6-dp-scaled query and pairwise cosines: score = 7*qs - 3*max_red
+    over the selected prefix, ties to the lowest id. Because every
+    comparison is integer, the DuckDB oracle replays the identical
+    selection as {_MMR_K} unrolled CTE steps (generated by
+    _s14_oracle, provably the same recursion). The float numpy kernel
+    (mmr_select) remains the general-purpose operator for callers with
+    raw vectors (p09's RAG re-rank); invariants for both are pinned in
+    tests/test_mmr.py.
+
+    Scale shape: the pair matrix is |cands|^2 per query (2,450 rows at
+    the 50-wide shortlist) built by a broadcast self-join of the
+    driver-small candidate set; thousands of queries re-rank in
+    parallel, one applyInPandas group each; the corpus appears only in
+    the shortlist scan."""
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = F.broadcast(
         em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    sim6 = F.round(
+        cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
     )
     cands = (
         em.filter(F.col("vec_id") != 0)
         .crossJoin(q)
         .select(
-            F.lit(0).cast("bigint").alias("q_id"),
             "vec_id",
             "embedding",
-            cosine_similarity(F.col("embedding"), F.col("q_vec")).alias("sim"),
+            F.round(sim6 * F.lit(1_000_000.0), 0).cast("long").alias("qs"),
+            sim6.alias("sim6"),
         )
-        .orderBy(F.desc("sim"), "vec_id")
+        .orderBy(F.desc("sim6"), "vec_id")
         .limit(_CANDIDATES)
+        .drop("sim6")
     )
-    return mmr_select(cands)
+    b = cands.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    ps = F.round(
+        F.round(cosine_similarity(F.col("embedding"), F.col("b_emb")), 6)
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    pairs = (
+        cands.join(F.broadcast(b), F.col("b_id") != F.col("vec_id"))
+        .select(
+            F.lit(0).cast("bigint").alias("q_id"),
+            "vec_id",
+            "qs",
+            "b_id",
+            ps.alias("ps"),
+        )
+    )
+    return mmr_select_exact(pairs)
 
 
 @query(

@@ -1,8 +1,13 @@
-"""MMR re-rank invariants (plans/retrieval.mmr_select).
+"""MMR re-rank invariants (plans/retrieval.mmr_select and
+mmr_select_exact).
 
-The greedy selection has no SQL oracle, so its contract is pinned here:
-a hand-computed small case, determinism, and the structural invariants
-every MMR implementation must satisfy.
+The float numpy kernel (mmr_select — BLAS accumulation, general
+raw-vector callers like p09) keeps its contract pinned here: a
+hand-computed small case, determinism, and the structural invariants
+every MMR implementation must satisfy. The integer kernel
+(mmr_select_exact, round 10) additionally carries the s14 DuckDB
+oracle; these tests pin its hand case, exactness, and the singleton
+edge the oracle cannot reach.
 """
 
 from __future__ import annotations
@@ -70,6 +75,76 @@ def test_mmr_k_larger_than_group(spark):
 
     out = mmr_select(_toy_cands(spark), k=99).collect()
     assert len(out) == 3  # bounded by the candidate count, no crash
+
+
+def _toy_pairs(spark, scale=1_000_000):
+    """The _toy_cands case pre-scored for mmr_select_exact: qs/ps are
+    6-dp-scaled integer cosines (here the toy sims are exact)."""
+    import numpy as np
+
+    vecs = {1: [1.0, 0.0], 2: [0.999, 0.0447], 3: [0.6, 0.8]}
+    qs = {1: 1.0, 2: 0.999, 3: 0.6}
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rows = []
+    for a in vecs:
+        for b_ in vecs:
+            if a == b_:
+                continue
+            rows.append(
+                (
+                    0,
+                    a,
+                    int(round(qs[a] * scale)),
+                    b_,
+                    int(round(round(cos(vecs[a], vecs[b_]), 6) * scale)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "q_id bigint, vec_id bigint, qs bigint, b_id bigint, ps bigint"
+    )
+
+
+def test_mmr_exact_matches_hand_case_and_is_integer_pure(spark):
+    """mmr_select_exact (the s14 oracle-certified kernel) picks the
+    same diversity-preferring sequence as the float kernel on the hand
+    case at lambda 3/10, and its scores are exact integer arithmetic
+    divided once at the end."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.retrieval import (
+        mmr_select_exact,
+    )
+
+    out = (
+        mmr_select_exact(_toy_pairs(spark), k=3, lam_num=3, lam_den=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    # first pick: mmr = 3*qs/1e7 = 0.3 exactly
+    assert out[0].mmr == 0.3
+    assert out[0].sim == 1.0
+    # second pick (vec 3): 3*600000 - 7*ps(3,1); ps(3,1) = cos = 0.6
+    assert out[1].mmr == (3 * 600000 - 7 * 600000) / 1e7
+
+
+def test_mmr_exact_singleton_group(spark):
+    """A candidate with no pairs (NULL b_id via the caller's left
+    join) still gets selected with mmr = lam*sim."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.retrieval import (
+        mmr_select_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 9, 800000, None, None)],
+        "q_id bigint, vec_id bigint, qs bigint, b_id bigint, ps bigint",
+    )
+    out = mmr_select_exact(df, k=10).collect()
+    assert len(out) == 1
+    assert (out[0].q_id, out[0].vec_id, out[0].rank) == (5, 9, 1)
+    assert out[0].mmr == 7 * 800000 / 1e7
 
 
 def test_stream_events_time_parity(spark):
