@@ -1819,13 +1819,13 @@ def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup, oracle-certified HASH-EXACT: d14's recipe (cluster
     the embedding corpus, compare cosine only WITHIN a cell, keep the
     lowest-id representative of every near-identical group) with the
-    k-means coarse quantizer replaced by {_D34_CELLS} md5-SAMPLED
+    k-means coarse quantizer replaced by 8 md5-SAMPLED
     corpus vectors (``md5('d34c:' || vec_id)`` rank — the s20b/s12/d31
     engine-portable seeding), which makes every stage relational:
     assignment is an argmin fold over literal centroids tie-broken on
     (ROUND(dist, 6), cell), and the within-cell pair scan emits, per
     vector, the count of LOWER-ID cellmates with ROUND(cosine, 6) >=
-    {_D34_TAU} — kept = that count is zero. This is the
+    0.4 — kept = that count is zero. This is the
     embedding-cosine near-dup operator with a full value certificate;
     d14 keeps the Lloyd-trained quality variant (rows-only, numpy pin
     in tests/test_semdedup.py) and the two share the serving algebra.
@@ -1835,7 +1835,7 @@ def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the comparison sub-quadratic (cells are ~n/K sized; at 100 TB
     you raise K so cells stay bounded, exactly like d04's LSH bucket
     cap); the dominator count is one grouped aggregate over
-    within-cell pairs. Threshold {_D34_TAU} suits the synthetic
+    within-cell pairs. Threshold 0.4 suits the synthetic
     low-correlation embeddings (production sentence embeddings use
     ~0.95, which shrinks pair counts further)."""
     from ..functions.vector import dot, l2_norm

@@ -548,11 +548,11 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     model artifacts replaced by md5-SEEDED samples (the s12/d31
     engine-portable convention), which makes every stage relational:
 
-    - coarse centroids = the {_S20B_CELLS} corpus vectors ranked first
+    - coarse centroids = the 8 corpus vectors ranked first
       by ``md5('s20bc:' || vec_id)`` (deterministic sample-init — the
       k-means++ seeding step without the iterations);
-    - PQ codewords = the {_S20B_CODES} RESIDUAL vectors ranked first by
-      ``md5('s20bp:' || vec_id)``, shared across the {_S20B_M}
+    - PQ codewords = the 16 RESIDUAL vectors ranked first by
+      ``md5('s20bp:' || vec_id)``, shared across the 4
       subspaces by slicing;
     - every argmin/rank breaks ties on ROUND(dist, 6) then id, and the
       per-subspace ADC partials are scaled to exact BIGINTs before the
@@ -573,7 +573,7 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (identical to s20): centroids/codewords are
     driver-sized literals at any corpus scale; assignment and encode
     are narrow per-row folds (no exchange); the ADC scan touches
-    nprobe/{_S20B_CELLS} of the code table via the probes broadcast
+    nprobe/8 of the code table via the probes broadcast
     join; both rank cuts are two-phase WindowGroupLimit; the re-rank
     re-joins raw vectors by BROADCAST id join, so the corpus never
     shuffles. The reference delegates ANN to OpenSearch HNSW
@@ -2958,7 +2958,7 @@ WHERE n.rank <= {_S28_K}
 def s28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive embedding training (the
     DPR/ANCE recipe, Karpukhin et al. 2020 / Xiong et al. 2021): for
-    every query vector, the top-{_S28_K} MOST-similar corpus items with
+    every query vector, the top-10 MOST-similar corpus items with
     a DIFFERENT label — the negatives that actually move a contrastive
     loss — plus ``margin`` = (query's best same-label similarity −
     negative's similarity), the quantity triplet-loss miners threshold

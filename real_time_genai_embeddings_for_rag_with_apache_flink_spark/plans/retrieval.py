@@ -482,14 +482,14 @@ FROM acc{_MMR_K}"""
 )
 def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10, oracle-certified HASH-EXACT since round
-    10: brute-force top-{_CANDIDATES} candidates by (ROUND(cosine, 6),
+    10: brute-force top-50 candidates by (ROUND(cosine, 6),
     id) — the s02 engine-stable cut (TakeOrderedAndProject, corpus
     never sorted globally) — then the greedy selection runs in EXACT
     INTEGER arithmetic (mmr_select_exact) over engine-computed
     6-dp-scaled query and pairwise cosines: score = 7*qs - 3*max_red
     over the selected prefix, ties to the lowest id. Because every
     comparison is integer, the DuckDB oracle replays the identical
-    selection as {_MMR_K} unrolled CTE steps (generated by
+    selection as 10 unrolled CTE steps (generated by
     _s14_oracle, provably the same recursion). The float numpy kernel
     (mmr_select) remains the general-purpose operator for callers with
     raw vectors (p09's RAG re-rank); invariants for both are pinned in
