@@ -73,6 +73,7 @@ def main() -> int:
     _maxsim_stress(spark, timings)
     _divergence_stress(spark, timings)
     _plaid_stress(spark, timings)
+    _rank_stress(spark, timings)
 
     # s21 expectation band (r9 verdict #6): BASELINE.md's prose band
     # becomes a post-run gate. Sub-second scheduling-dominated rows
@@ -664,6 +665,66 @@ def _divergence_stress(spark, timings: dict[str, float]) -> None:
     counts.unpersist()
 
 
+
+
+def _rank_stress(spark, timings: dict[str, float]) -> None:
+    """Exact global ROW_NUMBER at stress size, both ways: the naive
+    single-partition window (every row through ONE task — the plan a
+    bare ``ROW_NUMBER() OVER (ORDER BY ...)`` gives you) vs
+    operators/ranking.distributed_rank (quantile-cut value buckets +
+    parallel per-bucket windows + broadcast offsets — the t26
+    primitive). 5M synthetic rows generated executor-side; before
+    timing, both arms must produce the same exact integer checksum
+    (sum over rows of rank * (id % 1009)) — raised on violation, so
+    the priced pair is provably computing the same answer."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.ranking import (
+        distributed_rank,
+    )
+
+    n = 5_000_000
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 1_000_000).alias("k"),
+        )
+        .persist()
+    )
+    base.count()
+
+    def checksum(df) -> int:
+        return df.select(
+            F.sum(F.col("rnk") * (F.col("id") % 1009)).alias("c")
+        ).collect()[0]["c"]
+
+    naive = base.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("k", "id"))
+    )
+    bucketed = distributed_rank(base, ["k", "id"], "rnk")
+    c1, c2 = checksum(naive), checksum(bucketed)
+    if c1 != c2:
+        raise RuntimeError(f"rank stress checksum mismatch: {c1} != {c2}")
+
+    t0 = time.perf_counter()
+    naive.write.format("noop").mode("overwrite").save()
+    timings["rank_stress_naive_global_5m"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    distributed_rank(base, ["k", "id"], "rnk").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["rank_stress_bucketed_5m"] = round(time.perf_counter() - t0, 4)
+    base.unpersist()
+    print(
+        f"# rank_stress: naive {timings['rank_stress_naive_global_5m']:.2f}s "
+        f"vs bucketed {timings['rank_stress_bucketed_5m']:.2f}s",
+        file=sys.stderr,
+    )
 
 
 def _plaid_stress(spark, timings: dict[str, float]) -> None:

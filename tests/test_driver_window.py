@@ -6,7 +6,17 @@ round 9): the forty-five r05-stale rows deferred from round 9 LEAD —
 after this round nothing in the cross-round union is older than r06 —
 then the operators new this round (never driver-checked), then m06,
 whose oracle was upgraded rows-only -> hash-exact this round and whose
-certification therefore needs re-recording."""
+certification therefore needs re-recording.
+
+ROUND-11 PLAN (written in round 10, the established handoff): once
+CORRECTNESS_r10 lands, the cross-round union's stalest cohort is the 50
+rows last checked in r06 — exactly one window: d20 d21 d22 d23 d24 d25
+d26 d27 d28 m05 p09 p10 p11 p12 p13 p14 q28 q32 q33 q44 q45 q46 q47
+q48 q67 q68 q69 q70 q71 q72 q73 s15 s17 s18 s19 st14 st15 st16 st17
+st18 st19 t19 t20 t21 u04 w10 w11 w12 w13 w14. Any entry NEW in round
+11 must displace one of these (pick the cheapest-to-defer r06 row and
+carry it to round 12), or round 11 adds no entries and runs the clean
+50."""
 
 from __future__ import annotations
 
