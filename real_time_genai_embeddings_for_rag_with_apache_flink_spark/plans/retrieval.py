@@ -423,7 +423,8 @@ def _s14_oracle() -> str:
     pcos = cos6.format(a="a.emb", b="b.emb")
     parts = [
         f"""
-WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding AS q_emb FROM embeddings
+           WHERE vec_id = 0 AND embedding IS NOT NULL),
 cands AS MATERIALIZED (
   SELECT vec_id, emb, qs FROM (
     SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
@@ -521,6 +522,11 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim6"), "vec_id")
         .limit(_CANDIDATES)
         .drop("sim6")
+        # localCheckpoint (the d34/s20b lineage-cut pattern): cands
+        # feeds BOTH sides of the pair self-join, and Catalyst does not
+        # reuse TakeOrderedAndProject subtrees — without the cut every
+        # run pays the corpus scan + top-50 twice
+        .localCheckpoint(eager=False)
     )
     b = cands.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
@@ -531,7 +537,13 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     pairs = (
-        cands.join(F.broadcast(b), F.col("b_id") != F.col("vec_id"))
+        # LEFT join: a singleton shortlist (one candidate, zero pairs)
+        # must still reach the kernel — it arrives with NULL b_id/ps,
+        # exactly the contract mmr_select_exact documents and the
+        # oracle's pairless sel1 mirrors
+        cands.join(
+            F.broadcast(b), F.col("b_id") != F.col("vec_id"), "left"
+        )
         .select(
             F.lit(0).cast("bigint").alias("q_id"),
             "vec_id",

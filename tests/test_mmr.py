@@ -7,7 +7,7 @@ hand-computed small case, determinism, and the structural invariants
 every MMR implementation must satisfy. The integer kernel
 (mmr_select_exact, round 10) additionally carries the s14 DuckDB
 oracle; these tests pin its hand case, exactness, and the singleton
-edge the oracle cannot reach.
+edge both at the kernel and end-to-end against the real oracle.
 """
 
 from __future__ import annotations
@@ -183,3 +183,40 @@ def test_stream_events_time_parity(spark):
     assert landed.n == batch.n
     assert landed.lo == batch.lo
     assert landed.hi == batch.hi
+
+
+def test_s14_singleton_shortlist_matches_oracle(spark, tmp_path):
+    """r10 second-review finding: the pair self-join must be a LEFT
+    join — a 1-candidate shortlist used to produce zero kernel input
+    (s14 empty) while the oracle's pairless sel1 returned the
+    candidate. Pinned end-to-end on a 1-candidate fixture against the
+    REAL oracle."""
+    import os
+
+    import duckdb
+
+    from oracle_harness import compare
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+
+    root = str(tmp_path)
+    rows = [(0, [1.0] * 64, 1), (7, [0.5] * 64, 2)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(root, 'embeddings.parquet')}/*.parquet')"
+    )
+    spec = get_spec("s14_mmr_rerank")
+    res = compare("s14_singleton", spec.build(spark, root), con, spec.oracle)
+    assert res.strict_ok, res.detail
+    out = spec.build(spark, root).collect()
+    assert [(r.q_id, r.rank, r.vec_id, r.sim, r.mmr) for r in out] == [
+        (0, 1, 7, 1.0, 0.7)
+    ]

@@ -25,7 +25,10 @@ ADVERSARIAL_DOCS = [
     (300, "thin space here"),
     (400, "  leading and trailing  "),
     (500, "tab\tand\nnewline\fand\rreturn mix"),
-    (600, "\x0b"),  # vertical tab ONLY: 1 token under the explicit class
+    # vertical tab ONLY: 0 tokens under t26's class (vtab IS a
+    # separator there); m06's narrower [ \\t\\n\\f\\r] class would
+    # keep it as 1 token — doc 600 exercises the difference
+    (600, "\x0b"),
     (700, "   "),  # whitespace-only: 0 tokens
     (800, "unicode  \x0bsoup\tmix"),
     (900, "a"),
