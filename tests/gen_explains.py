@@ -65,6 +65,7 @@ HEADLINES = [
     ("t26_curriculum_order", "NO Exchange SinglePartition anywhere: both exact global ranks are quantile-bucketed per-bucket windows + broadcast offset joins; decile cut and curriculum key are pure projections"),
     ("s28_hard_negative_mining", "two corpus passes, each one scan: negatives rank-cut through WindowGroupLimit, positives a map-side-combinable MAX broadcast back — cheaper than one q_id-partitioned window over |Q| x corpus rows"),
     ("d34_semantic_dedup_seeded", "cell assignment is a narrow literal argmin fold; the only exchange keys on the SemDeDup blocking cell; dominator counts are one grouped aggregate over within-cell pairs"),
+    ("s14_mmr_rerank", "the top-50 shortlist materializes ONCE (localCheckpoint shows as ExistingRDD) and feeds both sides of the broadcast pair self-join (LEFT, so singletons survive); the greedy runs per query group in one applyInPandas over integer-scaled sims"),
 ]
 
 
