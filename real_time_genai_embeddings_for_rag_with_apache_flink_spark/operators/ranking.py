@@ -27,6 +27,8 @@ deciles) and other order-statistics operators.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,13 +40,42 @@ def bucket_by_quantiles(
     driver-collected approximate quantile cuts strictly below the value
     (a FLAT sum of indicator terms — linear expression size, pure
     codegen). Equal values always share a bucket; bucket index is
-    monotone in the value."""
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = df.stat.approxQuantile(num_col, probs, 0.001)
+    monotone in the value.
+
+    NULL values of ``num_col`` land in bucket 0 (``NULL > cut`` is NULL,
+    so every indicator contributes its ``otherwise(0)`` arm); callers
+    whose key order must place NULLs elsewhere should coalesce first.
+
+    Degenerate inputs (an all-NULL or constant ``num_col``) yield no
+    usable cuts: every row lands in ONE bucket and the downstream
+    per-bucket window runs single-task — correct, but the exact scale
+    funnel this operator exists to avoid. That condition is warned, not
+    raised, because for heavy-tie keys one bucket IS the total order's
+    true shape and results remain exact.
+    """
     bucket = F.lit(0)
-    for c in sorted(set(cuts)):
+    for c in _quantile_cuts(df, num_col, num_buckets):
         bucket = bucket + F.when(F.col(num_col) > F.lit(c), 1).otherwise(0)
     return bucket
+
+
+def _quantile_cuts(df: DataFrame, num_col: str, num_buckets: int) -> list:
+    """Sorted distinct approximate quantile cuts for ``num_col``; warns
+    when the list is empty (all-NULL or constant column → single-bucket
+    degradation)."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(num_col, probs, 0.001)))
+    if num_buckets > 1 and not cuts:
+        warnings.warn(
+            f"bucket_by_quantiles({num_col!r}): no usable quantile cuts "
+            "(all-NULL or constant column); every row lands in one "
+            "bucket and the per-bucket window degrades to a single "
+            "task. Results stay exact, but at scale pick a less "
+            "degenerate first key.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return cuts
 
 
 def distributed_rank(
@@ -76,6 +107,17 @@ def distributed_rank(
     for bkt, cnt in counts:
         offsets.append((bkt, acc))
         acc += cnt
+    if num_buckets > 1 and len(counts) <= 1 and acc > 1:
+        # _quantile_cuts warns on an EMPTY cut list (all-NULL key); a
+        # constant key instead yields one cut that no row exceeds, which
+        # only the realized bucket histogram can see.
+        warnings.warn(
+            f"distributed_rank({keys[0]!r}): all {acc} rows landed in a "
+            "single bucket (constant or near-constant first key); the "
+            "rank window runs single-task. Results stay exact.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["total"] = acc
     offs = spark.createDataFrame(

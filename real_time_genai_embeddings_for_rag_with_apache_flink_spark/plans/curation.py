@@ -1683,27 +1683,22 @@ def t26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.expr(f"((rnk - 1) * {b}) DIV {n}") + 1).cast("int").alias("decile"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("t26:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    # composite sort key: decile-major, md5-shuffle minor; both engines
-    # compare (decile, md5 string, doc_id) — the 8-hex-char integer
-    # prefix orders exactly like the full lowercase-hex string for the
-    # purposes of the within-decile rank because doc_id breaks the rare
-    # prefix collisions identically on both sides... except two DISTINCT
-    # md5 strings sharing their first 8 chars would compare by their
-    # 9th char in the oracle but by doc_id here. The probability is
-    # 2^-32 per pair; the driver hash would catch one instantly, and
-    # the exact fix (conv of all 32 chars) costs a 128-bit decimal —
-    # not worth it until a collision is ever observed.
-    with_key = dec.withColumn("_ck", F.col("decile").cast("long") * (2**33) + h)
-    ranked2 = distributed_rank(with_key, ["_ck", "doc_id"], "grnk")
+    md5s = F.md5(F.concat(F.lit("t26:"), F.col("doc_id").cast("string")))
+    # The oracle compares the FULL 32-hex md5 string; carry all 128
+    # bits here as big-endian numeric chunks (8+12+12 hex → 32+48+48
+    # bits, each a comfortable long) so chunked comparison is exactly
+    # the string's lexicographic order. An earlier version kept only
+    # the first 8 chars and relied on doc_id past that — correct until
+    # two digests share a 32-bit prefix inside one decile, a birthday
+    # bound that reaches ~50% near 77k rows per decile (r10 advice).
+    chunk = lambda s, w: F.conv(F.substring(md5s, s, w), 16, 10).cast("long")
+    # composite first key: decile-major, md5-high-word minor — the
+    # numeric bucketing key for distributed_rank; the remaining chunks
+    # ride as ordinary window order keys.
+    with_key = dec.withColumn(
+        "_ck", F.col("decile").cast("long") * (2**33) + chunk(1, 8)
+    ).withColumn("_h2", chunk(9, 12)).withColumn("_h3", chunk(21, 12))
+    ranked2 = distributed_rank(with_key, ["_ck", "_h2", "_h3", "doc_id"], "grnk")
     # decile start offsets: rank r belongs to decile d iff
     # (d-1)*n/10 <= r-1 < d*n/10, so decile d starts after
     # ceil((d-1)*n/10) rows — pure arithmetic, no extra pass

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, dot
 from ..sources.batch import load_table
 from .llmops import _SQL_NORM
 from .registry import query
@@ -35,6 +35,7 @@ _K1 = 1.2
 _B = 0.75
 _RRF_K = 60
 _CANDIDATES = 50
+_EMB_DIM = 64  # the embeddings table's vector width (TESTDATA.md)
 
 
 def _bm25_score(n_docs: Column, avgdl: Column, dl: Column,
@@ -421,17 +422,25 @@ def _s14_oracle() -> str:
     )
     qcos = cos6.format(a="e.embedding", b="q.q_emb")
     pcos = cos6.format(a="a.emb", b="b.emb")
+    # The s28/d34/s20b validity contract: NULL, wrong-length, and
+    # zero-norm vectors are filtered identically on both sides — a
+    # wrong-length vector's cosine is NULL in Spark but an ERROR in
+    # DuckDB, and a zero vector's is NULL in Spark but -1.0 in DuckDB.
+    valid = f"""embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+    AND list_reduce(list_prepend(0.0,
+          list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        (a, b) -> a + b) > 0"""
     parts = [
         f"""
 WITH q AS (SELECT embedding AS q_emb FROM embeddings
-           WHERE vec_id = 0 AND embedding IS NOT NULL),
+           WHERE vec_id = 0 AND {valid}),
 cands AS MATERIALIZED (
   SELECT vec_id, emb, qs FROM (
     SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
       CAST(ROUND({qcos} * 1000000.0, 0) AS BIGINT) AS qs,
       ROW_NUMBER() OVER (ORDER BY {qcos} DESC, e.vec_id) AS rn
-    FROM embeddings e, q
-    WHERE e.vec_id != 0 AND e.embedding IS NOT NULL
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE {valid}) e, q
+    WHERE e.vec_id != 0
   ) WHERE rn <= {_CANDIDATES}
 ),
 pairs AS MATERIALIZED (
@@ -502,7 +511,13 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, one applyInPandas group each; the corpus appears only in
     the shortlist scan."""
     em = load_table(spark, sf_dir, "embeddings").filter(
+        # the s28/d34 validity contract, mirrored in _s14_oracle: drop
+        # NULL, wrong-length, and zero-norm vectors on BOTH sides (a
+        # wrong-length vector gives NULL cosine here but an error in
+        # DuckDB's list_cosine_similarity; a zero vector NULL vs -1.0)
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMB_DIM)
+        & (dot(F.col("embedding"), F.col("embedding")) > 0)
     )
     q = F.broadcast(
         em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))

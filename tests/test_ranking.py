@@ -80,3 +80,45 @@ def test_bucket_expression_is_monotone_and_value_pure(spark):
     vals = sorted(by_val)
     bkts = [next(iter(by_val[v])) for v in vals]
     assert bkts == sorted(bkts)
+
+
+def test_degenerate_cut_list_warns_and_stays_exact(spark):
+    """ADVICE r10: an all-NULL first key yields NO quantile cuts; the
+    operator must say so (single-bucket funnel) instead of silently
+    degrading — and NULL keys must land in bucket 0 as documented."""
+    import warnings as _w
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.lit(None).cast("int").alias("k")
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        expr = bucket_by_quantiles(docs, "k", 8)
+        assert any(
+            "no usable quantile cuts" in str(c.message) for c in caught
+        ), [str(c.message) for c in caught]
+    assert docs.withColumn("bkt", expr).where("bkt <> 0").count() == 0
+    # ranks still exact via the tiebreak even with every key NULL
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        out = distributed_rank(docs, ["k", "doc_id"], "rnk").collect()
+    by_id = sorted(r.doc_id for r in out)
+    assert {r.doc_id: r.rnk for r in out} == {
+        d: i + 1 for i, d in enumerate(by_id)
+    }
+
+
+def test_constant_key_single_bucket_warns(spark):
+    """A constant first key produces ONE cut no row exceeds — invisible
+    to the cut-list guard; the realized bucket histogram must warn."""
+    import warnings as _w
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.lit(7).alias("k")
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        distributed_rank(docs, ["k", "doc_id"], "rnk", num_buckets=4).collect()
+    assert any(
+        "single bucket" in str(c.message) for c in caught
+    ), [str(c.message) for c in caught]
