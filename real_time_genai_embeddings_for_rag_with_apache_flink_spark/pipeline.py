@@ -54,3 +54,38 @@ def flagship_topk(
     corpus = embed_documents(spark, sf_dir, dim).select("doc_id", "embedding")
     qvec = DeterministicEmbedder(dim).embed_batch([query_text])[0]
     return topk_to_vector(corpus, qvec, k=k, id_col="doc_id")
+
+
+def flagship_topk_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "spark table scan fast query",
+    k: int = 10,
+    dim: int = 32,
+) -> DataFrame:
+    """The SAME flagship dataflow (source -> filter -> embed -> top-k;
+    ``KDS-P/.../msf/DataStreamJob.java:140-177``) on the engine-portable
+    Md5BowEmbedder tower (the m06 convention: md5 buckets, exact integer
+    weights, explicit ASCII-whitespace tokens), so every value the
+    pipeline produces has an exact ANSI-SQL twin and the whole dataflow
+    can be hash-certified against a second engine — the p02b driver row.
+    Swapping the embedder is the ONLY difference from ``flagship_topk``;
+    plan shape, stages, and the top-k cut are identical."""
+    from .operators.embed import Md5BowEmbedder
+
+    docs = filter_nonempty_text(load_table(spark, sf_dir, "documents"))
+    corpus = (
+        embed(
+            docs,
+            text_col="text",
+            embedder_factory=Md5BowEmbedder,
+            dim=dim,
+            on_error="fail",
+        )
+        # whitespace-only texts embed to NULL (no tokens) — excluded on
+        # both sides of the p02b oracle
+        .filter(F.col("embedding").isNotNull())
+        .select("doc_id", "embedding")
+    )
+    qvec = Md5BowEmbedder(dim).embed_batch([query_text])[0]
+    return topk_to_vector(corpus, qvec, k=k, id_col="doc_id")

@@ -751,6 +751,166 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S05B_CELLS = 8
+_S05B_NPROBE = 2
+_S05B_K = 5  # matches s05's k
+_S05B_QMOD = 50  # the s20b/s23 query universe
+
+
+@query(
+    "s05b_ivf_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_S20B_DIM}
+),
+cents AS (
+  SELECT rn - 1 AS cell, emb FROM (
+    SELECT vec_id, emb, ROW_NUMBER() OVER (
+      ORDER BY md5('s05bc:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid
+  ) WHERE rn <= {_S05B_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell, ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "v.emb[i]", "c.emb[i]")}, c.cell
+    ) AS arn
+    FROM valid v, cents c
+    WHERE v.vec_id % {_S05B_QMOD} != 0
+  ) WHERE arn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM valid
+  WHERE vec_id % {_S05B_QMOD} = 0
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell, ROW_NUMBER() OVER (
+      PARTITION BY q.q_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "c.emb[i]")}, c.cell
+    ) AS prn
+    FROM queries q, cents c
+  ) WHERE prn <= {_S05B_NPROBE}
+)
+SELECT q_id, vec_id, dist, rank FROM (
+  SELECT q.q_id, a.vec_id,
+    {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "v.emb[i]")} AS dist,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.q_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "q.q_emb[i]", "v.emb[i]")},
+               a.vec_id) AS rank
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN queries q ON q.q_id = p.q_id
+  JOIN valid v ON v.vec_id = a.vec_id
+) WHERE rank <= {_S05B_K}
+""",
+    tags=("similarity", "ann"),
+)
+def s05b_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s05's IVF search dataflow, oracle-certified HASH-EXACT — the
+    r10-verdict recipe that produced s20b/d34 applied to the plain
+    (un-quantized) IVF path: the Lloyd/label-trained coarse quantizer
+    is replaced by md5-SEEDED sample centroids (the 8 corpus vectors
+    ranked first by ``md5('s05bc:' || vec_id)``), which makes the whole
+    search relational: every corpus vector assigns to its nearest cell
+    by (ROUND(L2, 6), cell), each query probes its nprobe=2 nearest
+    cells the same way, and the exact within-cell distances rank by
+    (ROUND(L2, 6), vec_id) — every comparison cross-engine stable, so
+    the DuckDB oracle replays the identical pruned search. The
+    production entry keeps s05's trained centroids (recall lives
+    there); this row value-certifies the SEARCH dataflow — assignment,
+    probe selection, pruned scan, rank cut — end to end.
+
+    Scale shape (identical to s05/s20b): centroids are a driver-sized
+    literal at any corpus scale; assignment is a narrow per-row fold
+    (no exchange); the pruned scan touches nprobe/cells of the corpus
+    via a broadcast probes join; the rank cut is the two-phase
+    WindowGroupLimit, so at most k rows per query per map task reach
+    the exchange and the corpus never shuffles."""
+    from pyspark.sql import Window
+
+    dim = _S20B_DIM
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    ).select("vec_id", "embedding")
+
+    h_cent = F.md5(F.concat(F.lit("s05bc:"), F.col("vec_id").cast("string")))
+    cent_rows = valid.orderBy(h_cent, "vec_id").limit(_S05B_CELLS).collect()
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    cent_flat = F.lit(
+        [x for c in centroids for x in c]
+    ).cast("array<double>")
+
+    # assignment: argmin over cells by (ROUND(d, 6), cell) — the s20b
+    # transform-over-literal-index-array fold (built once, ties keep
+    # the lowest index)
+    scored = F.transform(
+        F.lit(list(range(_S05B_CELLS))),
+        lambda c: F.struct(
+            F.round(
+                sq_l2(F.col("embedding"), F.slice(cent_flat, c * dim + 1, dim)),
+                6,
+            ).alias("d"),
+            c.alias("i"),
+        ),
+    )
+    cell = F.aggregate(
+        scored,
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )["i"]
+    assigned = valid.filter(F.col("vec_id") % _S05B_QMOD != 0).select(
+        "vec_id", "embedding", cell.alias("cell")
+    )
+
+    queries = valid.filter(F.col("vec_id") % _S05B_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents_df = spark.createDataFrame(
+        [(c, centroids[c]) for c in range(_S05B_CELLS)],
+        "cell int, centroid array<double>",
+    )
+    wp = Window.partitionBy("q_id").orderBy("pd", "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(cents_df))
+        .select(
+            "q_id",
+            "cell",
+            F.round(sq_l2(F.col("q_emb"), F.col("centroid")), 6).alias("pd"),
+            "q_emb",
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _S05B_NPROBE)
+        .select("q_id", "cell", "q_emb")
+    )
+
+    dist = F.round(sq_l2(F.col("embedding"), F.col("q_emb")), 6)
+    wr = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .select("q_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S05B_K)
+    )
+
+
 @query(
     "p04_python_datasource",
     oracle="""
