@@ -85,21 +85,236 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python codecs for two trivial containers (r10 verdict #4): BMP
+# (24-bit uncompressed, BITMAPINFOHEADER) and WAV (PCM RIFF). Both
+# formats are public and header-described, so a dependency-free decoder
+# is ~30 lines each — enough to run a REAL decode path in this
+# container and value-certify the media plumbing end to end (m03).
+# PNG/JPEG/MP3/... still require external codecs and keep the
+# NotImplementedError gate.
+# ---------------------------------------------------------------------------
+
+_BMP_WIDTH = 16  # fixture width: stride 16*3 = 48 bytes, already 4-aligned
+
+
+def encode_bmp(pixel_rows_bottom_up: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer. ``pixel_rows_bottom_up``
+    must already be row-padded to the 4-byte stride and ordered as BMP
+    stores rows (bottom row first)."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(pixel_rows_bottom_up) != stride * height:
+        raise ValueError(
+            f"pixel buffer {len(pixel_rows_bottom_up)} != stride*height "
+            f"{stride * height}"
+        )
+    offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + stride * height, 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    return header + pixel_rows_bottom_up
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height,
+    top-down row-major BGR pixel bytes, stride padding removed). Raises
+    ValueError on anything that isn't one (magic, bpp, compression)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    if offset + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = [
+        payload[offset + r * stride : offset + r * stride + width * 3]
+        for r in range(height)
+    ]
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> returned top-down
+    return width, height, b"".join(rows)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a PCM RIFF/WAVE header: returns (n_channels, sample_rate,
+    bits_per_sample, n_frames). Raises ValueError if not PCM WAV."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        chunk_len = struct.unpack_from("<I", payload, pos + 4)[0]
+        if chunk_id == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"not PCM (format tag {audio_fmt})")
+            fmt = (n_ch, rate, bits)
+        elif chunk_id == b"data":
+            data_len = min(chunk_len, len(payload) - pos - 8)
+        pos += 8 + chunk_len + (chunk_len & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    n_ch, rate, bits = fmt
+    n_frames = data_len // (n_ch * (bits // 8))
+    return n_ch, rate, bits, n_frames
+
+
+def encode_wav(samples: bytes, n_channels: int = 1, sample_rate: int = 8000,
+               bits: int = 16) -> bytes:
+    """Minimal PCM WAV writer (``samples`` are raw little-endian PCM)."""
+    import struct
+
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+    )
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        + fmt
+        + data
+    )
+
+
+def attach_bmp_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal rows whose payloads are REAL 24-bit BMP
+    files (not stand-in text bytes): the UTF-8 text bytes become the
+    pixel area of a 16-wide image (stride 48, so no alignment padding),
+    zero-padded to fill the last row, stored bottom-up per the format.
+    Deterministic, dependency-free, and byte-level SQL-derivable — the
+    m03 oracle re-computes every decoded feature from the text."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride = _BMP_WIDTH * 3
+        for pdf in batches:
+            payloads, nbytes = [], []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                height = max(1, -(-len(b) // stride))
+                padded = b + b"\x00" * (stride * height - len(b))
+                bmp = encode_bmp(padded, _BMP_WIDTH, height)
+                payloads.append(bmp)
+                nbytes.append(len(bmp))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image"] * len(pdf),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+_BMP_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("byte_sum", LongType()),
+        StructField("topleft_b", IntegerType()),
+        StructField("bottomleft_b", IntegerType()),
+    ]
+)
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction (m03): parse each BMP payload with
+    the pure-Python decoder — header validation, stride removal, the
+    bottom-up row flip — and emit integer features of the DECODED pixel
+    matrix: dimensions, total pixel-byte sum, and the blue channel of
+    the top-left and bottom-left pixels (row-order sensitive, so a
+    decoder that skipped the flip fails the oracle). Same Arrow-batched
+    mapInPandas shape as every other media transform; payloads never
+    leave their scan partition."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(arr.sum(dtype=np.int64)),
+                        int(arr[0, 0, 0]),
+                        int(arr[h - 1, 0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "byte_sum",
+                    "topleft_b", "bottomleft_b",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        featurize, schema=_BMP_FEATURES
+    )
+
+
 def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """Decode payloads to (width, height, n_frames) via mapInPandas.
 
     The fake codec derives dimensions from byte length only (SQL-mirrored
-    by the oracle); a real codec would do PIL.Image.open / ffprobe on
-    ``payload`` inside the same batch loop — identical plumbing, one
-    library call swapped in.
+    by the oracle). ``real_codec=True`` now runs the REAL pure-Python
+    parsers for the two header-described containers (BMP images: width,
+    height, 1 frame; PCM WAV audio: channels as width, bits as height,
+    sample count as n_frames) and still raises NotImplementedError for
+    formats that need an external codec (PNG/JPEG/MP4/...), preserving
+    the import gate where it is genuinely required.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_codec:
-            raise NotImplementedError(
-                "no media codec in this container; install PIL/ffmpeg and "
-                "replace the fake dimension derivation below"
-            )
+            for pdf in batches:
+                rows = []
+                for doc_id, payload, mtype in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]
+                ):
+                    raw = bytes(payload)
+                    if raw[:2] == b"BM":
+                        w, h, _ = decode_bmp(raw)
+                        rows.append((int(doc_id), mtype, w, h, 1))
+                    elif raw[:4] == b"RIFF":
+                        n_ch, _rate, bits, n_frames = decode_wav(raw)
+                        rows.append((int(doc_id), mtype, n_ch, bits, n_frames))
+                    else:
+                        raise NotImplementedError(
+                            f"no pure-Python codec for this {mtype} payload; "
+                            "install PIL/ffmpeg for compressed formats"
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_type", "width", "height", "n_frames",
+                    ],
+                )
+            return
         for pdf in batches:
             n = pdf["n_bytes"]
             yield pd.DataFrame(

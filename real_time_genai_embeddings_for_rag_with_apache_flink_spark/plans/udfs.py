@@ -299,17 +299,61 @@ def m02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m03_media_features",
-    oracle=None,  # crc32-folded byte histogram is not SQL-expressible
-    tags=("multimodal", "udf"),
+    oracle="""
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 100 AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         16 AS width, CAST((n + 47) // 48 AS INT) AS height
+  FROM src
+)
+SELECT doc_id, width, height,
+  CAST(list_sum(list_transform(generate_series(0, n - 1),
+    j -> CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS INT)))
+    AS BIGINT) AS byte_sum,
+  -- top-left pixel's blue byte: the DECODED image's row 0 is the BMP
+  -- file's LAST stored row, i.e. text byte 48*(height-1) (0-based) —
+  -- always inside the text because the last row starts before its end
+  CAST(concat('0x', substr(hx, 48 * (height - 1) * 2 + 1, 2)) AS INT)
+    AS topleft_b,
+  -- bottom-left pixel = the file's FIRST stored byte = text byte 0
+  CAST(concat('0x', substr(hx, 1, 2)) AS INT) AS bottomleft_b
+FROM dims
+""",
+    tags=("multimodal", "udf", "codec"),
 )
 def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-payload feature extraction via mapInPandas (deterministic byte
-    histogram standing in for an image/audio encoder); rows-only check."""
-    from ..operators.multimodal import attach_fake_payload, media_features
+    """Media features through a REAL decode path, oracle-certified
+    HASH-EXACT (r10 verdict #4 — previously the one codec-gated
+    rows-only row in the m-family): the fixture builds genuine 24-bit
+    BMP files (operators/multimodal.attach_bmp_payload — the UTF-8 text
+    bytes as the pixel area of a 16-wide image, zero-padded, stored
+    bottom-up per the format), and the feature pass
+    (operators/multimodal.bmp_features) PARSES them with the
+    dependency-free decoder — magic/bpp/compression validation, pixel
+    offset and stride handling, the bottom-up row flip — then emits
+    integer features of the decoded pixel matrix. The top-left /
+    bottom-left blue-channel features are ROW-ORDER SENSITIVE: a
+    decoder that skipped the bottom-up flip (or misread the pixel
+    offset) produces swapped values and fails the hash, so the oracle
+    certifies actual decoding, not header arithmetic. DuckDB re-derives
+    everything from the text bytes via the m05 hex-extraction
+    convention. Compressed formats (PNG/JPEG/MP4) still need external
+    codecs and keep the NotImplementedError gate; the generic crc32
+    byte-histogram encoder seam (media_features) remains for arbitrary
+    payloads, pinned in tests/test_multimodal.py.
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    out = media_features(attach_fake_payload(docs))
-    return out.withColumn("feature", F.to_json(F.col("feature")))
+    Scale shape: payloads are built, decoded, and reduced inside one
+    mapInPandas chain — Arrow-batched, map-side, nothing but (doc_id,
+    6 ints) ever leaves the scan partition."""
+    from ..operators.multimodal import attach_bmp_payload, bmp_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    return bmp_features(attach_bmp_payload(docs))
 
 
 @query(

@@ -135,3 +135,136 @@ def test_m06_matches_dense_numpy_reference(spark):
     for k in expected:
         assert got[k][0] == expected[k][0], (k, got[k], expected[k])
         assert abs(got[k][1] - expected[k][1]) < 1e-9, (k, got[k], expected[k])
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python BMP/WAV codecs (r10 verdict #4 — the m03 un-gating)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_flips_bottom_up_rows():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # 2 rows x 4 px (stride 12, 4-aligned): stored bottom-up, so the
+    # FIRST stored row must come back as the LAST decoded row
+    bottom = bytes(range(12))
+    top = bytes(range(100, 112))
+    bmp = encode_bmp(bottom + top, 4, 2)
+    w, h, px = decode_bmp(bmp)
+    assert (w, h) == (4, 2)
+    assert px == top + bottom
+
+
+def test_bmp_stride_padding_is_removed():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # width 3 -> 9 pixel bytes, stride 12: three pad bytes per row must
+    # not appear in the decoded pixels
+    row = bytes(range(9)) + b"\xff\xff\xff"
+    bmp = encode_bmp(row, 3, 1)
+    w, h, px = decode_bmp(bmp)
+    assert (w, h, px) == (3, 1, bytes(range(9)))
+
+
+def test_bmp_decoder_rejects_non_bmp_and_wrong_variant():
+    import pytest as _pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG!" + b"\x00" * 60)
+    bmp = bytearray(encode_bmp(bytes(12), 4, 1))
+    bmp[28] = 8  # bpp 24 -> 8
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bmp))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(bytes(12), 4, 1)[:-4])
+
+
+def test_wav_roundtrip():
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = bytes(range(64))  # 32 frames of 16-bit mono
+    wav = encode_wav(samples, n_channels=1, sample_rate=8000, bits=16)
+    assert decode_wav(wav) == (1, 8000, 16, 32)
+    stereo = encode_wav(samples, n_channels=2, sample_rate=44100, bits=16)
+    assert decode_wav(stereo) == (2, 44100, 16, 16)
+
+
+def test_wav_decoder_rejects_non_pcm():
+    import struct
+
+    import pytest as _pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"OggS" + b"\x00" * 60)
+    wav = bytearray(encode_wav(bytes(8)))
+    struct.pack_into("<H", wav, 20, 3)  # format tag 1 (PCM) -> 3 (float)
+    with _pytest.raises(ValueError, match="not PCM"):
+        decode_wav(bytes(wav))
+
+
+def test_decode_media_real_codec_runs_on_bmp_and_wav(spark):
+    """The real_codec path now DECODES the two header-described
+    containers instead of raising; unknown formats still gate."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rows = [
+        (1, encode_bmp(bytes(48 * 2), 16, 2), "image", 54 + 96),
+        (2, encode_wav(bytes(100), 1, 8000, 16), "audio", 144),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, n_bytes long"
+    )
+    got = {r.doc_id: r for r in decode_media(media, real_codec=True).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (16, 2, 1)
+    assert (got[2].width, got[2].height, got[2].n_frames) == (1, 16, 50)
+
+
+def test_bmp_features_match_hand_computation(spark):
+    """End-to-end m03 kernel on a controlled two-doc corpus: features of
+    the decoded pixels equal hand-computed values, including the
+    row-order-sensitive corner bytes."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        attach_bmp_payload,
+        bmp_features,
+    )
+
+    short = "ab"  # 2 bytes -> one 16x1 row, padded with 46 zeros
+    long = "x" * 48 + "Qtail"  # 53 bytes -> height 2; byte 48 = 'Q'
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r for r in bmp_features(attach_bmp_payload(docs)).collect()
+    }
+    assert (got[1].width, got[1].height) == (16, 1)
+    assert got[1].byte_sum == ord("a") + ord("b")
+    # single row: top-left == bottom-left == first text byte
+    assert got[1].topleft_b == got[1].bottomleft_b == ord("a")
+    assert (got[2].width, got[2].height) == (16, 2)
+    assert got[2].byte_sum == 48 * ord("x") + sum(ord(c) for c in "Qtail")
+    # decoded row 0 (top) is the file's LAST stored row -> text byte 48
+    assert got[2].topleft_b == ord("Q")
+    assert got[2].bottomleft_b == ord("x")
