@@ -76,6 +76,74 @@ _EXTREMES_OUT = StructType(
     ]
 )
 
+# transformWithStateInPandas' state-API client speaks protobuf to the
+# JVM; when google.protobuf is absent (this container), the miniproto
+# wire-format shim stands in. Installed at module import so EVERY
+# process that unpickles the module-level processor class below — the
+# driver, the transform_with_state driver worker, executor workers —
+# gets it before the client's first lazy pb2 import.
+try:
+    from .miniproto import install_state_message_shim
+
+    install_state_message_shim()
+    _STATE_PROTO_AVAILABLE = True
+except Exception:  # pragma: no cover - layout drift in future pyspark
+    _STATE_PROTO_AVAILABLE = False
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class ExtremesProcessor(StatefulProcessor):
+    """Per-user running (count, min, max) StatefulProcessor — defined at
+    module level so it pickles BY REFERENCE: unpickling it in any
+    worker process (executor workers AND the separate
+    transform_with_state driver worker) imports this module, which
+    installs the protobuf shim before the state client's first request.
+    A class defined inside ``user_value_extremes`` would pickle by
+    value and skip the module import. NULL values don't count toward
+    min/max (matching SQL MIN/MAX); an all-null user carries NaN
+    sentinels internally and emits NULL."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "extremes", "n BIGINT, mn DOUBLE, mx DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        if self._state.exists():
+            n, mn, mx = self._state.get()
+        else:
+            n, mn, mx = 0, math.nan, math.nan
+        for pdf in rows:
+            n += len(pdf)
+            vals = pdf["value"].dropna()
+            if len(vals):
+                lo, hi = float(vals.min()), float(vals.max())
+                mn = lo if math.isnan(mn) else min(mn, lo)
+                mx = hi if math.isnan(mx) else max(mx, hi)
+        self._state.update((n, mn, mx))
+        # RAW extremes, no rounding: min/max of parquet doubles pass
+        # through exactly, and callers that need display rounding apply
+        # F.round engine-side (Python round() is half-even, Spark/DuckDB
+        # ROUND are half-up — rounding here would be the one step with
+        # no cross-engine twin)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "min_value": [None if math.isnan(mn) else mn],
+                "max_value": [None if math.isnan(mx) else mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
 
 def user_value_extremes(events: DataFrame) -> DataFrame:
     """Per-user running (count, min, max) over ``value`` with the Spark 4
@@ -87,57 +155,21 @@ def user_value_extremes(events: DataFrame) -> DataFrame:
     min/max (matching SQL MIN/MAX), so an all-null user carries NaN
     sentinels internally and emits NULL.
 
-    ENVIRONMENT GATE: executing (not building) this operator requires
-    the ``protobuf`` package — Spark's transformWithState state-API
-    client speaks protobuf to the JVM — plus the RocksDB state store
-    provider. protobuf is absent in this container, so there is no
-    catalog entry; tests/test_transform_with_state.py pins plan
-    construction unconditionally and skips execution without protobuf
-    (same gating pattern as the boto3/opensearch adapters).
+    UN-GATED in round 11: Spark's transformWithState state-API client
+    speaks protobuf to the JVM, and ``google.protobuf`` is absent in
+    this container — rounds 6-10 could only pin plan construction. The
+    operators/miniproto.py wire-format shim (installed at this module's
+    import, see above) now stands in for the runtime, so the operator
+    EXECUTES here: state requests/responses cross the real socket
+    protocol against the JVM's RocksDB-backed state server
+    (rocksdbjni ships with Spark), and st29 carries the driver row.
+    With a real protobuf install the shim steps aside automatically.
 
     Same scale shape as every keyed-state operator: one shuffle on the
     grouping key per micro-batch, state store partitioned across
     executors, state size bounded by live keys."""
-    import math
-
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class Extremes(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "extremes", "n BIGINT, mn DOUBLE, mx DOUBLE"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                n, mn, mx = self._state.get()
-            else:
-                n, mn, mx = 0, math.nan, math.nan
-            for pdf in rows:
-                n += len(pdf)
-                vals = pdf["value"].dropna()
-                if len(vals):
-                    lo, hi = float(vals.min()), float(vals.max())
-                    mn = lo if math.isnan(mn) else min(mn, lo)
-                    mx = hi if math.isnan(mx) else max(mx, hi)
-            self._state.update((n, mn, mx))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "min_value": [None if math.isnan(mn) else round(mn, 6)],
-                    "max_value": [None if math.isnan(mx) else round(mx, 6)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=Extremes(),
+        statefulProcessor=ExtremesProcessor(),
         outputStructType=_EXTREMES_OUT,
         outputMode="Append",
         timeMode="None",
