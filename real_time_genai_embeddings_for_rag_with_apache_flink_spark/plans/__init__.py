@@ -14,66 +14,68 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-10 window (the r9 verdict's directive, executing
-# the rotation plan written in round 9): the 45 rows whose latest
-# driver row is r05 LEAD (after this round nothing in the cross-round
-# union is older than r06), then the entries new this round (never
-# driver-checked: s20b seeded IVFADC+R, d34 seeded SemDeDup, t26
-# curriculum ordering, s28 hard-negative mining — all hash-exact by
-# construction), then m06, whose r09 row was rows-only and whose
-# oracle was upgraded to hash-exact this round (r9 verdict #5), so its
-# certification needs re-recording.
+# entries only. Round-11 window (the r10 verdict's directive, executing
+# the rotation plan written in round 10): the cross-round union's
+# stalest cohort is the 50 rows last checked in r06 — exactly one
+# window — so the entries NEW this round (never driver-checked: s05b
+# seeded IVF, p02b exact flagship retrieval, st29
+# transformWithStateInPandas) plus m03, whose r09 row was rows-only and
+# whose oracle was upgraded to hash-exact this round (r10 verdict #4),
+# displace the four cheapest-to-defer r06 rows (q45/q46/q47/q48 —
+# pure scalar-function entries with six-round green histories), which
+# carry to round 12. After this round the union's stalest rows are
+# those four (r06); everything else is r07+.
 DRIVER_WINDOW: list[str] = [
-    "d15_containment_dupes",
-    "d16_canonical_selection",
-    "d17_substring_dedup",
-    "d18_minhash_estimate_audit",
-    "d19_component_size_histogram",
-    "p06_orc_roundtrip",
-    "p07_csv_roundtrip",
-    "p08_corpus_materialization",
-    "q01_pricing_summary",
-    "q02_filter_projection",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_join_left_nulls",
-    "q08_join_right",
-    "q09_join_full_outer",
-    "q10_join_semi",
-    "q11_join_anti",
-    "q12_cross_join",
-    "q13_distinct_agg",
-    "q13b_approx_distinct",
-    "q14_rollup",
-    "q15_cube",
-    "q16_grouping_sets",
-    "q17_window_topk_per_group",
-    "q18_window_analytics",
-    "q19_window_range_frame",
-    "q20_sort_limit",
-    "q21_union_all",
-    "q22_intersect",
-    "q23_except_all",
-    "q24_string_functions",
-    "q25_datetime_functions",
-    "q26_conditional_null",
-    "q30_theta_range_join",
-    "q31_asof_join",
-    "q36b_approx_percentiles",
-    "q65_string_agg",
-    "q66_window_distribution",
-    "s13_range_search",
-    "s14_mmr_rerank",
-    "s16_knn_classification",
-    "st13_stream_outer_interval_join",
-    "t17_dsir_weights",
-    "t18_zipf_vocabulary",
-    "s20b_ivfadc_seeded",
-    "d34_semantic_dedup_seeded",
-    "t26_curriculum_order",
-    "s28_hard_negative_mining",
-    "m06_crossmodal_retrieval",
+    "d20_lsh_bucket_audit",
+    "d21_scalable_components",
+    "d22_seed_reachability",
+    "d23_editdist_verify",
+    "d24_lsh_recall_audit",
+    "d25_cross_source_matrix",
+    "d26_passage_provenance",
+    "d27_prefix_filter_join",
+    "d28_lsh_config_advisor",
+    "m05_payload_phash_dedup",
+    "p09_rag_query",
+    "p10_training_manifest",
+    "p11_partitioned_layout",
+    "p12_schema_evolution",
+    "p13_bucketed_join",
+    "p14_partition_backfill",
+    "q28_json_functions",
+    "q32_in_subquery",
+    "q33_scalar_subquery",
+    "q44_window_navigation",
+    "q67_variant_json",
+    "q68_lateral_join",
+    "q69_datasketches",
+    "q70_collation",
+    "q71_filtered_aggregates",
+    "q72_theta_setops",
+    "q73_mode_median",
+    "s15_knn_graph",
+    "s17_gemm_knn",
+    "s18_filtered_ann",
+    "s19_embedding_health",
+    "st14_stream_incremental_dedup",
+    "st15_stream_index_maintenance",
+    "st16_stream_semi_join",
+    "st17_dedup_within_watermark",
+    "st18_stream_knn_serving",
+    "st19_stream_ohlc",
+    "t19_segment_dedup_clean",
+    "t20_heavy_hitter_sketch",
+    "t21_mixture_allocation",
+    "u04_python_udtf",
+    "w10_gap_fill_forward",
+    "w11_ewma_smoothing",
+    "w12_rolling_active_users",
+    "w13_peak_concurrency",
+    "w14_ohlc_downsample",
+    "s05b_ivf_seeded",
+    "p02b_flagship_retrieval_exact",
+    "st29_stream_transform_with_state",
+    "m03_media_features",
 ]
 
 set_priority(DRIVER_WINDOW)

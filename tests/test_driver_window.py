@@ -1,22 +1,18 @@
 """The external driver records correctness rows for the FIRST 50
-catalog entries only (observed: CORRECTNESS_r02..r09 each held exactly
-the first 50 of the priority order). These tests pin the round-10
-rotation (the r9 verdict's directive, executing the plan written in
-round 9): the forty-five r05-stale rows deferred from round 9 LEAD —
-after this round nothing in the cross-round union is older than r06 —
-then the operators new this round (never driver-checked), then m06,
-whose oracle was upgraded rows-only -> hash-exact this round and whose
-certification therefore needs re-recording.
+catalog entries only (observed: CORRECTNESS_r02..r10 each held exactly
+the first 50 of the priority order). These tests pin the round-11
+rotation (the r10 verdict's directive, executing the plan written in
+round 10): the cross-round union's stalest cohort was the 50 rows last
+checked in r06 — exactly one window — so the three entries NEW this
+round (never driver-checked) plus the re-oracled m03 displace the four
+cheapest-to-defer r06 rows (q45/q46/q47/q48 — pure scalar-function
+entries with six-round green histories), which carry to round 12.
 
-ROUND-11 PLAN (written in round 10, the established handoff): once
-CORRECTNESS_r10 lands, the cross-round union's stalest cohort is the 50
-rows last checked in r06 — exactly one window: d20 d21 d22 d23 d24 d25
-d26 d27 d28 m05 p09 p10 p11 p12 p13 p14 q28 q32 q33 q44 q45 q46 q47
-q48 q67 q68 q69 q70 q71 q72 q73 s15 s17 s18 s19 st14 st15 st16 st17
-st18 st19 t19 t20 t21 u04 w10 w11 w12 w13 w14. Any entry NEW in round
-11 must displace one of these (pick the cheapest-to-defer r06 row and
-carry it to round 12), or round 11 adds no entries and runs the clean
-50."""
+ROUND-12 PLAN (written in round 11, the established handoff): once
+CORRECTNESS_r11 lands, the union's stalest rows are the four deferred
+q45 q46 q47 q48 (r06), then the 45 r07 rows. The round-12 window is
+those four + the r07 cohort, with any round-12 additions displacing
+the cheapest-to-defer r07 rows."""
 
 from __future__ import annotations
 
@@ -24,67 +20,76 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# The 45 entries whose latest driver row is r05 — deferred from the
-# round-9 window (its DEFERRED_TO_R10 set), now the round-10 lead.
-LEAD_R05 = (
-    "d15_containment_dupes",
-    "d16_canonical_selection",
-    "d17_substring_dedup",
-    "d18_minhash_estimate_audit",
-    "d19_component_size_histogram",
-    "p06_orc_roundtrip",
-    "p07_csv_roundtrip",
-    "p08_corpus_materialization",
-    "q01_pricing_summary",
-    "q02_filter_projection",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_join_left_nulls",
-    "q08_join_right",
-    "q09_join_full_outer",
-    "q10_join_semi",
-    "q11_join_anti",
-    "q12_cross_join",
-    "q13_distinct_agg",
-    "q13b_approx_distinct",
-    "q14_rollup",
-    "q15_cube",
-    "q16_grouping_sets",
-    "q17_window_topk_per_group",
-    "q18_window_analytics",
-    "q19_window_range_frame",
-    "q20_sort_limit",
-    "q21_union_all",
-    "q22_intersect",
-    "q23_except_all",
-    "q24_string_functions",
-    "q25_datetime_functions",
-    "q26_conditional_null",
-    "q30_theta_range_join",
-    "q31_asof_join",
-    "q36b_approx_percentiles",
-    "q65_string_agg",
-    "q66_window_distribution",
-    "s13_range_search",
-    "s14_mmr_rerank",
-    "s16_knn_classification",
-    "st13_stream_outer_interval_join",
-    "t17_dsir_weights",
-    "t18_zipf_vocabulary",
+# Deferred to round 12 (the four cheapest-to-defer r06 rows).
+DEFERRED_TO_R12 = (
+    "q45_map_functions",
+    "q46_try_functions",
+    "q47_hash_bit_functions",
+    "q48_null_semantics",
 )
 
-# Never driver-checked (new in round 10); follow the r05 lead.
+# The 46 remaining entries whose latest driver row is r06 — the
+# round-11 lead.
+LEAD_R06 = (
+    "d20_lsh_bucket_audit",
+    "d21_scalable_components",
+    "d22_seed_reachability",
+    "d23_editdist_verify",
+    "d24_lsh_recall_audit",
+    "d25_cross_source_matrix",
+    "d26_passage_provenance",
+    "d27_prefix_filter_join",
+    "d28_lsh_config_advisor",
+    "m05_payload_phash_dedup",
+    "p09_rag_query",
+    "p10_training_manifest",
+    "p11_partitioned_layout",
+    "p12_schema_evolution",
+    "p13_bucketed_join",
+    "p14_partition_backfill",
+    "q28_json_functions",
+    "q32_in_subquery",
+    "q33_scalar_subquery",
+    "q44_window_navigation",
+    "q67_variant_json",
+    "q68_lateral_join",
+    "q69_datasketches",
+    "q70_collation",
+    "q71_filtered_aggregates",
+    "q72_theta_setops",
+    "q73_mode_median",
+    "s15_knn_graph",
+    "s17_gemm_knn",
+    "s18_filtered_ann",
+    "s19_embedding_health",
+    "st14_stream_incremental_dedup",
+    "st15_stream_index_maintenance",
+    "st16_stream_semi_join",
+    "st17_dedup_within_watermark",
+    "st18_stream_knn_serving",
+    "st19_stream_ohlc",
+    "t19_segment_dedup_clean",
+    "t20_heavy_hitter_sketch",
+    "t21_mixture_allocation",
+    "u04_python_udtf",
+    "w10_gap_fill_forward",
+    "w11_ewma_smoothing",
+    "w12_rolling_active_users",
+    "w13_peak_concurrency",
+    "w14_ohlc_downsample",
+)
+
+# Never driver-checked (new in round 11); follow the r06 lead.
 NEVER_CHECKED = (
-    "s20b_ivfadc_seeded",
-    "d34_semantic_dedup_seeded",
-    "t26_curriculum_order",
-    "s28_hard_negative_mining",
+    "s05b_ivf_seeded",
+    "p02b_flagship_retrieval_exact",
+    "st29_stream_transform_with_state",
 )
 
 # Checked r09 but only rows-only; the oracle was upgraded to hash-exact
-# in round 10 (r9 verdict #5), so the row must be re-recorded.
-REVALIDATED = ("m06_crossmodal_retrieval",)
+# in round 11 (r10 verdict #4 — the BMP real-decode un-gating), so the
+# row must be re-recorded.
+REVALIDATED = ("m03_media_features",)
 
 
 def window():
@@ -100,26 +105,25 @@ def test_priority_list_is_exhaustive_and_valid():
     assert len(plans.DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
 
 
-def test_window_order_is_the_round10_rotation():
+def test_window_order_is_the_round11_rotation():
     w = window()
-    expected = list(LEAD_R05) + list(NEVER_CHECKED) + list(REVALIDATED)
+    expected = list(LEAD_R06) + list(NEVER_CHECKED) + list(REVALIDATED)
     assert w == expected, (
-        "round-10 window must be: 45 r05-stale rows, then the new "
-        "entries, then the re-oracled m06"
+        "round-11 window must be: 46 r06-stale rows, then the new "
+        "entries, then the re-oracled m03"
     )
 
 
-def test_nothing_older_than_r06_after_this_round():
-    """The r9 verdict's done-criterion: every r05-stale row gets a
-    round-10 driver slot, so the cross-round union's stalest row after
-    this round is r06."""
-    missing = set(LEAD_R05) - set(window())
-    assert not missing, f"r05-stale entries displaced: {sorted(missing)}"
+def test_only_the_declared_deferrals_miss_their_slot():
+    """Every r06-stale row is either in this window or in the declared
+    round-12 carry list — no silent displacement."""
+    missing = (set(LEAD_R06) | set(DEFERRED_TO_R12)) - set(window())
+    assert missing == set(DEFERRED_TO_R12), sorted(missing)
 
 
 def test_stale_sets_match_the_recorded_artifacts():
     """The hand-pinned staleness sets above must agree with the actual
-    CORRECTNESS_r02..r09 artifacts (latest round each name appears in)
+    CORRECTNESS_r02..r10 artifacts (latest round each name appears in)
     — catching copy-paste slips in the bookkeeping sets."""
     import glob
     import json
@@ -129,12 +133,14 @@ def test_stale_sets_match_the_recorded_artifacts():
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        if rnd > 9:
-            continue  # this file pins the ROUND-10 rotation inputs
+        if rnd > 10:
+            continue  # this file pins the ROUND-11 rotation inputs
         for name in json.load(open(f)):
             latest[name] = max(latest.get(name, 0), rnd)
-    assert {n for n, r in latest.items() if r == 5} == set(LEAD_R05)
-    assert not {n for n, r in latest.items() if r <= 4}
+    assert {n for n, r in latest.items() if r == 6} == (
+        set(LEAD_R06) | set(DEFERRED_TO_R12)
+    )
+    assert not {n for n, r in latest.items() if r <= 5}
     for name in NEVER_CHECKED:
         assert name not in latest, f"{name} is not new — it has a driver row"
     for name in REVALIDATED:
