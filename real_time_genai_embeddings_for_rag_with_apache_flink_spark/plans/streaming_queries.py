@@ -3144,15 +3144,48 @@ def run_stream_dup_components(
     reps_schema = "band_idx int, band_key string, rep long"
     labels_schema = "doc_id long, component long"
 
+    # opt-in per-phase wall-clock attribution (r10 verdict #7): with
+    # spark.graft.profileSt28=true each trigger prints banding / state
+    # read / merge-graph / commit timings to stderr. The extra count()
+    # actions CHANGE the measured total (each phase materializes
+    # eagerly instead of fusing into the downstream job), so profile
+    # numbers attribute cost shares — never compare them to the frozen
+    # baseline directly.
+    profile = (
+        spark.conf.get("spark.graft.profileSt28", "false").lower() == "true"
+    )
+
+    def _phase(label: str, batch_id: int, t0: float) -> float:
+        import sys as _sys
+        import time as _time
+
+        t1 = _time.perf_counter()
+        if profile:
+            print(
+                f"# st28-profile b{batch_id} {label}: {t1 - t0:.3f}s",
+                file=_sys.stderr,
+            )
+        return t1
+
     def process(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         from .llmops import _lsh_bands_df, signatures_from_docs
 
         if state.applied(batch_id):
             return
+        t = _time.perf_counter()
         bands_b = _lsh_bands_df(
             signatures_from_docs(batch.select("doc_id", "text"))
         ).persist()
+        if profile:
+            bands_b.count()
+            t = _phase("band-batch", batch_id, t)
         old_reps = state.read_table("reps", reps_schema)
+        if profile:
+            old_reps.count()
+            state.read_table("labels", labels_schema).count()
+            t = _phase("state-read", batch_id, t)
         cand = bands_b.groupBy("band_idx", "band_key").agg(
             F.min("doc_id").alias("cand")
         )
@@ -3209,6 +3242,8 @@ def run_stream_dup_components(
             .distinct()
         )
         rows = ce.limit(_ST28_DRIVER_CAP + 1).collect()
+        if profile:
+            t = _phase("merge-graph-collect", batch_id, t)
         if not rows:
             # quiet batch: carry both tables forward unchanged
             state.commit_tables({"reps": new_reps, "labels": prev}, batch_id)
@@ -3289,6 +3324,8 @@ def run_stream_dup_components(
                 {"reps": new_reps, "labels": untouched.unionByName(relabeled)},
                 batch_id,
             )
+        if profile:
+            _phase("resolve-and-commit", batch_id, t)
         new_edges.unpersist()
         new_reps.unpersist()
         bands_b.unpersist()
