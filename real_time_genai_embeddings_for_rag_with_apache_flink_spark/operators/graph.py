@@ -253,3 +253,107 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(node_col, F.col("rank").alias("pagerank"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "doc_id",
+    damp_num: int = 85,
+    damp_den: int = 100,
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """``pagerank`` in EXACT INTEGER (fixed-point) arithmetic — the
+    engine-certifiable sibling: every rank is a BIGINT in units of
+    1/scale, every step is integer multiply / integral division /
+    integer sum, so the result is independent of partitioning AND
+    summation order and any engine replaying the same recurrence
+    produces bit-identical values (the mmr_select_exact discipline
+    applied to power iteration — what lets d32b carry a DuckDB oracle
+    where the float ``pagerank`` cannot). The recurrence, mirrored
+    step for step by the d32b unrolled-CTE oracle:
+
+      unit       = scale div N                     (uniform init rank)
+      share(u)   = rank(u) div deg(u)              (per round)
+      contrib(v) = sum of share(u) over in-neighbors of v
+      dangling   = sum of rank(u) over deg-less nodes
+      rank'(v)   = ((damp_den-damp_num)*unit
+                    + damp_num*((dangling div N) + contrib(v)))
+                   div damp_den
+
+    All quantities are non-negative, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree; magnitudes stay under
+    damp_num*scale (~8.5e13 at the default scale), far inside int64.
+    The truncation bias is bounded by iterations*(N+damp_den)/scale of
+    total mass — at scale=1e12 the values match the float ranks to
+    ~1e-9 while being exactly reproducible.
+
+    Execution shape is identical to ``pagerank``: one edge join + one
+    sum-by-destination per round (shuffle ∝ E), dangling mass via a
+    1-row collected scalar folded into a literal, lineage cut per
+    round with localCheckpoint, fixed iteration count. Returns
+    (node_col, rank_fp BIGINT).
+    """
+    node_ids = nodes.select(node_col).distinct()
+    e = _canonical_edges(edges, src, dst)
+    e = (
+        e.join(node_ids.select(F.col(node_col).alias("u")), "u", "left_semi")
+        .join(node_ids.select(F.col(node_col).alias("v")), "v", "left_semi")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_total = node_ids.count()
+    if n_total == 0:
+        return nodes.select(
+            F.col(node_col), F.lit(0).cast("long").alias("rank_fp")
+        )
+    unit = scale // n_total
+    deg = sym.groupBy(F.col("u").alias(node_col)).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = (
+        node_ids
+        .join(deg, node_col, "left")
+        .select(
+            node_col,
+            F.col("deg"),
+            F.lit(unit).cast("long").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        dangling = int(
+            ranks.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            sym.join(
+                ranks.filter(F.col("deg").isNotNull()).select(
+                    F.col(node_col).alias("u"),
+                    F.expr("rank div deg").alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias(node_col))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        base = (damp_den - damp_num) * unit + damp_num * (dangling // n_total)
+        ranks = (
+            ranks.select(node_col, "deg")
+            .join(contrib, node_col, "left")
+            .select(
+                node_col,
+                "deg",
+                F.expr(
+                    f"(CAST({base} AS BIGINT) + {damp_num} * "
+                    f"coalesce(contrib, CAST(0 AS BIGINT))) div {damp_den}"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(node_col, F.col("rank").alias("rank_fp"))

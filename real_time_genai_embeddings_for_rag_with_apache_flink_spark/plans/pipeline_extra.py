@@ -3573,6 +3573,101 @@ def d32_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
 
 
+_D32B_ITERS = 5
+_D32B_SCALE = 10**12
+
+
+def _d32b_oracle() -> str:
+    """The d32b oracle: pagerank_fixed_point's integer recurrence
+    UNROLLED as chained CTEs (r0..r5), one (dangling scalar, contrib
+    aggregate, rank update) triple per iteration — generated
+    programmatically so the SQL provably mirrors the operator's loop
+    step for step (the _s14_oracle pattern applied to power
+    iteration). Every value is BIGINT: `//` here and `div` in Spark
+    agree on the non-negative ranks, and integer sums are
+    order-independent, so the replay is bit-identical."""
+    n_sql = "(SELECT n FROM nn)"
+    parts = [
+        f"""
+WITH {_SQL_LSH_CTES.strip()},
+cedges AS (
+  SELECT DISTINCT GREATEST(id_a, id_b) AS u, LEAST(id_a, id_b) AS v
+  FROM lsh_pairs WHERE id_a != id_b
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM cedges UNION ALL SELECT v AS u, u AS v FROM cedges),
+deg AS MATERIALIZED (SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+r0 AS MATERIALIZED (
+  SELECT d.doc_id, g.deg,
+         CAST({_D32B_SCALE} // {n_sql} AS BIGINT) AS rank
+  FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
+)"""
+    ]
+    for i in range(1, _D32B_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f""",
+dang{p} AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+            FROM r{p} WHERE deg IS NULL),
+c{p} AS (
+  SELECT s.v AS doc_id, CAST(SUM(r.rank // r.deg) AS BIGINT) AS contrib
+  FROM sym s JOIN r{p} r ON r.doc_id = s.u
+  GROUP BY s.v
+),
+r{i} AS MATERIALIZED (
+  SELECT r.doc_id, r.deg,
+    CAST((15 * ({_D32B_SCALE} // {n_sql})
+          + 85 * (((SELECT dang FROM dang{p}) // {n_sql})
+                  + COALESCE(c.contrib, 0))) // 100 AS BIGINT) AS rank
+  FROM r{p} r LEFT JOIN c{p} c ON c.doc_id = r.doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, rank AS rank_fp FROM r{_D32B_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "d32b_pagerank_fixed_point",
+    oracle=_d32b_oracle(),
+    tags=("dedup", "graph", "iterative", "centrality"),
+)
+def d32b_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d32's hub-detection PageRank, oracle-certified HASH-EXACT — the
+    r10-verdict seeded-twin recipe (s20b/d34/s05b) extended to the
+    engine's one ITERATIVE graph algorithm: pagerank_fixed_point
+    (operators/graph.py) runs the identical power iteration over the
+    identical d04 LSH candidate graph, but in exact BIGINT fixed-point
+    (units of 1e-12) — rank updates are integer multiply / integral
+    division / integer sums, so the result is independent of
+    partitioning and summation order, and the DuckDB oracle replays
+    the recurrence as 5 unrolled CTE rounds to bit-identical values.
+    d32 (float, numpy-pinned to 1e-12) remains the production entry;
+    this row value-certifies the DATAFLOW — edge canonicalization,
+    degree computation, dangling-mass fold, per-round join + sum-by-
+    destination, fixed iteration count — end to end against a second
+    engine, closing the 'iterative algorithms are inherently
+    rows-only' gap.
+
+    Scale shape identical to d32: per round one equi-join of the
+    symmetrized edge list against (node, share) plus one hash
+    aggregate (shuffle ∝ E, never docs^2); the dangling scalar is a
+    1-row collect folded into a literal; lineage cut per round with
+    localCheckpoint. The fixed-point trick costs nothing at scale —
+    same plan, integer columns instead of doubles."""
+    from ..operators.graph import pagerank_fixed_point
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pagerank_fixed_point(
+        pairs, docs, iterations=_D32B_ITERS, scale=_D32B_SCALE
+    )
+
+
 _S24_WIDTHS = (10, 20, 40, 80)
 _S24_K = 5
 

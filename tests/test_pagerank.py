@@ -91,3 +91,69 @@ def test_pagerank_foreign_edge_endpoints_conserve_mass(spark):
     want = _numpy_pagerank([1, 2, 3], [(1, 2)])
     for d in want:
         assert abs(got[d] - want[d]) < 1e-12
+
+
+def _numpy_pagerank_fp(n_ids, edge_pairs, iterations=5, scale=10**12):
+    """Dense replay of pagerank_fixed_point's integer recurrence."""
+    idx = {d: i for i, d in enumerate(n_ids)}
+    n = len(n_ids)
+    und = {(min(a, b), max(a, b)) for a, b in edge_pairs if a != b}
+    deg = [0] * n
+    for a, b in und:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    unit = scale // n
+    r = [unit] * n
+    for _ in range(iterations):
+        dangling = sum(r[i] for i in range(n) if deg[i] == 0)
+        contrib = [0] * n
+        for a, b in und:
+            ia, ib = idx[a], idx[b]
+            contrib[ib] += r[ia] // deg[ia]
+            contrib[ia] += r[ib] // deg[ib]
+        base = 15 * unit + 85 * (dangling // n)
+        r = [(base + 85 * contrib[i]) // 100 for i in range(n)]
+    return {d: r[idx[d]] for d in n_ids}
+
+
+def test_pagerank_fixed_point_matches_pure_python_replay(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    pairs = d04_minhash_lsh_pairs(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    got = {
+        r.doc_id: r.rank_fp
+        for r in pagerank_fixed_point(pairs, docs, iterations=5).collect()
+    }
+    n_ids = sorted(r.doc_id for r in docs.collect())
+    edge_pairs = [(r.id_a, r.id_b) for r in pairs.collect()]
+    want = _numpy_pagerank_fp(n_ids, edge_pairs)
+    assert got == want, "fixed-point ranks must be BIT-identical to the replay"
+
+    # the fixed-point values track the float ranks to ~1e-9 of mass
+    flt = _numpy_pagerank(n_ids, edge_pairs)
+    for d in want:
+        assert abs(want[d] / 10**12 - flt[d]) < 1e-7
+
+
+def test_pagerank_fixed_point_empty_graph_and_foreign_edges(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # no edges: every node ends at the same deterministic fixpoint value
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.doc_id: r.rank_fp for r in pagerank_fixed_point(empty, nodes).collect()}
+    want = _numpy_pagerank_fp([1, 2, 3], [])
+    assert got == want
+    assert len(set(got.values())) == 1
+
+    # foreign endpoints drop (induced subgraph), exactly like numpy on kept edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 98)], "id_a long, id_b long"
+    )
+    got2 = {r.doc_id: r.rank_fp for r in pagerank_fixed_point(edges, nodes).collect()}
+    assert got2 == _numpy_pagerank_fp([1, 2, 3], [(1, 2)])
