@@ -2175,6 +2175,68 @@ def p03_embed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p03b_embed_distinct_exact",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM documents WHERE text IS NOT NULL AND text != ''
+  ) WHERE tok != ''
+),
+bw AS (
+  SELECT doc_id, h % {_P02B_DIM} AS bucket,
+         CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS w
+  FROM toks GROUP BY doc_id, h % {_P02B_DIM}
+),
+embedded AS (SELECT DISTINCT doc_id FROM toks)
+SELECT e.doc_id, g.bucket, COALESCE(b.w, 0) AS w
+FROM embedded e
+CROSS JOIN (SELECT CAST(unnest(generate_series(0, {_P02B_DIM - 1})) AS BIGINT)
+            AS bucket) g
+LEFT JOIN bw b ON b.doc_id = e.doc_id AND b.bucket = g.bucket
+""",
+    tags=("pipeline", "embedding", "dedup"),
+)
+def p03b_embed_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p03's dedup-before-embed seam VALUE-CERTIFIED hash-exact (the
+    p02b recipe applied to embed_distinct): the same operator — each
+    distinct content fingerprint embedded once through the iterator
+    pandas UDF, vectors joined back on the 16-byte fingerprint — but on
+    the Md5BowEmbedder tower, whose every coordinate has an exact
+    ANSI-SQL twin. The output explodes each returned vector to
+    (doc_id, bucket, weight) integer rows, so the DuckDB oracle — which
+    re-derives every document's dense 32-bucket tower directly from raw
+    text — certifies that the distinct->embed->join-back detour is
+    VALUE-TRANSPARENT: every replica of a duplicated text receives
+    bit-identically the vector direct embedding would have produced,
+    zeros included (a join-back that dropped, crossed, or reordered
+    fingerprints breaks the hash). Whitespace-only texts embed to NULL
+    and are excluded on both sides.
+
+    Scale shape identical to p03: the expensive path (the UDF) runs
+    once per DISTINCT fingerprint; the join back carries hashes +
+    vectors, never documents twice; the explode is a narrow map."""
+    from ..operators.embed import Md5BowEmbedder, embed_distinct
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    out = embed_distinct(
+        docs, embedder_factory=Md5BowEmbedder, dim=_P02B_DIM, on_error="fail"
+    ).filter(F.col("embedding").isNotNull())
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "w")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+@query(
     "s16_knn_classification",
     oracle="""
 WITH nn AS (

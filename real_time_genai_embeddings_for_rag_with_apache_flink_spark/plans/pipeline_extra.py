@@ -1562,6 +1562,315 @@ def p09_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P09B_DIM = 32
+_P09B_CELLS = 8
+_P09B_NPROBE = 2
+_P09B_C = 50
+_P09B_K = 10
+_P09B_SCALE = 1_000_000
+
+
+def _p09b_oracle() -> str:
+    """The p09b oracle: the WHOLE RAG query path replayed relationally —
+    t06 chunking, the m06 md5-BoW tower per chunk (sparse
+    (vec_id, bucket, weight) integer rows), seeded-IVF assignment and
+    probe selection by exact integer L2 (n2a + n2b - 2*dot, dots via
+    bucket joins), the candidate cut, the exact-cosine rescore, and
+    mmr_unrolled_steps_sql's 10-step greedy — so DuckDB re-derives the
+    answer from RAW DOCUMENT TEXT with no step taken on faith."""
+    from .llmops import _SQL_NORM
+    from .oracle_sqlgen import mmr_unrolled_steps_sql
+
+    bow_h = "CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT)"
+    qn2 = "(SELECT n2 FROM qn)"
+    prefix = f"""
+WITH chunks AS MATERIALIZED (
+  SELECT doc_id, CAST(s / 24 AS INT) AS chunk_idx,
+         doc_id * 100000 + CAST(s / 24 AS INT) AS vec_id,
+         toks[s+1 : s+32] AS ctoks,
+         array_to_string(toks[s+1 : s+32], ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks)-1, 24)) AS s
+    FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+          FROM documents WHERE {_SQL_NORM} != '')
+  )
+),
+cbw AS MATERIALIZED (
+  SELECT vec_id, h % {_P09B_DIM} AS bucket,
+         CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS w
+  FROM (
+    SELECT vec_id, {bow_h} AS h
+    FROM (SELECT vec_id, unnest(ctoks) AS tok FROM chunks) WHERE tok != ''
+  ) GROUP BY vec_id, h % {_P09B_DIM}
+),
+cn AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM cbw GROUP BY vec_id
+),
+cents AS MATERIALIZED (
+  SELECT rn - 1 AS cell, vec_id AS c_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY md5('p09bc:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM chunks
+  ) WHERE rn <= {_P09B_CELLS}
+),
+centw AS MATERIALIZED (
+  SELECT c.cell, b.bucket, b.w FROM cents c JOIN cbw b ON b.vec_id = c.c_id
+),
+centn AS MATERIALIZED (
+  SELECT c.cell, n.n2 FROM cents c JOIN cn n ON n.vec_id = c.c_id
+),
+adot AS MATERIALIZED (
+  SELECT a.vec_id, c.cell, CAST(SUM(a.w * c.w) AS BIGINT) AS dot
+  FROM cbw a JOIN centw c ON c.bucket = a.bucket
+  GROUP BY a.vec_id, c.cell
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY v.n2 + c.n2 - 2 * COALESCE(d.dot, 0), c.cell) AS arn
+    FROM cn v CROSS JOIN centn c
+    LEFT JOIN adot d ON d.vec_id = v.vec_id AND d.cell = c.cell
+  ) WHERE arn = 1
+),
+qb AS MATERIALIZED (
+  SELECT h % {_P09B_DIM} AS bucket,
+         CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS w
+  FROM (
+    SELECT {bow_h} AS h
+    FROM (SELECT unnest(regexp_split_to_array('{_RAG_QUERY_TEXT}',
+                                              '[ \\t\\n\\f\\r]+')) AS tok)
+    WHERE tok != ''
+  ) GROUP BY h % {_P09B_DIM}
+),
+qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qb),
+qcdot AS (
+  SELECT c.cell, CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+  FROM qb q JOIN centw c ON c.bucket = q.bucket GROUP BY c.cell
+),
+probes AS MATERIALIZED (
+  SELECT cell FROM (
+    SELECT c.cell, ROW_NUMBER() OVER (
+      ORDER BY {qn2} + c.n2 - 2 * COALESCE(d.dot, 0), c.cell) AS prn
+    FROM centn c LEFT JOIN qcdot d ON d.cell = c.cell
+  ) WHERE prn <= {_P09B_NPROBE}
+),
+qdot AS MATERIALIZED (
+  SELECT b.vec_id, CAST(SUM(b.w * q.w) AS BIGINT) AS dot
+  FROM cbw b JOIN qb q ON q.bucket = b.bucket GROUP BY b.vec_id
+),
+cands AS MATERIALIZED (
+  SELECT vec_id, qs FROM (
+    SELECT a.vec_id,
+      CAST(ROUND(ROUND(COALESCE(d.dot, 0) / sqrt({qn2} * n.n2), 6)
+                 * {_P09B_SCALE}.0, 0) AS BIGINT) AS qs,
+      ROW_NUMBER() OVER (
+        ORDER BY {qn2} + n.n2 - 2 * COALESCE(d.dot, 0), a.vec_id) AS rn
+    FROM assign a
+    JOIN probes p ON p.cell = a.cell
+    JOIN cn n ON n.vec_id = a.vec_id
+    LEFT JOIN qdot d ON d.vec_id = a.vec_id
+  ) WHERE rn <= {_P09B_C}
+),
+pdot AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM cbw a JOIN cbw b ON b.bucket = a.bucket
+  WHERE a.vec_id IN (SELECT vec_id FROM cands)
+    AND b.vec_id IN (SELECT vec_id FROM cands)
+    AND a.vec_id != b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    CAST(ROUND(ROUND(COALESCE(d.dot, 0) / sqrt(na.n2 * nb.n2), 6)
+               * {_P09B_SCALE}.0, 0) AS BIGINT) AS ps
+  FROM cands a JOIN cands b ON b.vec_id != a.vec_id
+  JOIN cn na ON na.vec_id = a.vec_id
+  JOIN cn nb ON nb.vec_id = b.vec_id
+  LEFT JOIN pdot d ON d.a_id = a.vec_id AND d.b_id = b.vec_id
+)"""
+    final = f"""
+SELECT a.rank, c.doc_id, c.chunk_idx, a.vec_id,
+       a.qs / {_P09B_SCALE}.0 AS sim, a.mmr10 / {_P09B_SCALE * 10}.0 AS mmr,
+       c.chunk_text
+FROM acc{_P09B_K} a JOIN chunks c ON c.vec_id = a.vec_id"""
+    return prefix + mmr_unrolled_steps_sql(_P09B_K) + final
+
+
+@query(
+    "p09b_rag_query_exact",
+    oracle=_p09b_oracle(),
+    tags=("rag", "retrieval", "ann", "pipeline", "rerank"),
+)
+def p09b_rag_query_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p09's END-TO-END RAG query — chunk -> embed -> ANN candidate
+    fetch -> exact rescore -> MMR diversity rerank -> chunk-text
+    fetch — oracle-certified HASH-EXACT, the round-11 capstone of the
+    seeded-twin recipe (s20b/d34/s05b/p02b composed into one row): the
+    t06 chunker is already relational; the embedder is the m06
+    Md5BowEmbedder tower through the REAL iterator-pandas-UDF seam
+    (integer bucket weights -> exact dots and L2 in any summation
+    order); the IVF coarse quantizer is md5-SEEDED sample chunks
+    (assignment and probe selection by exact integer L2, ties to the
+    lowest cell); the candidate cut is top-50 by (integer L2, vec_id);
+    the rescore is exact cosine on identical doubles; and the rerank is
+    mmr_select_exact's integer greedy, replayed by the oracle as 10
+    unrolled CTE steps. p09 (trained IVF-PQ + float MMR) remains the
+    production entry for recall; this row value-certifies every seam of
+    the reference's query-side dataflow
+    (KDS-P/index-creation-function/lambda_function.py:72-80 — the
+    retrieval the reference delegates to OpenSearch) against a second
+    engine, from raw document text to the final ranked chunks.
+
+    Scale shape (the p09/s05b composition, unchanged): chunk + embed
+    are narrow corpus passes (one Python crossing, Arrow-batched);
+    centroids are a driver literal; assignment is a per-row fold with
+    no exchange; the pruned scan touches nprobe/cells of the chunk
+    table; the candidate cut is TakeOrderedAndProject (at most 50 rows
+    per map task reach the driver); everything after — pair matrix,
+    greedy, text fetch — is shortlist-sized."""
+    from pyspark import StorageLevel
+
+    from ..operators.embed import Md5BowEmbedder, embed
+    from .llmops import t06_doc_chunking
+    from .retrieval import mmr_select_exact
+
+    dim = _P09B_DIM
+
+    def dot_l(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    def sq_l2_l(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    chunks = t06_doc_chunking(spark, sf_dir)
+    vecs = (
+        embed(
+            chunks,
+            text_col="chunk_text",
+            embedder_factory=Md5BowEmbedder,
+            dim=dim,
+            on_error="fail",
+        )
+        # chunk_text always holds >= 1 token, so no NULLs in practice;
+        # kept for parity with the oracle's tok != '' guard
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            (F.col("doc_id") * 100_000 + F.col("chunk_idx")).alias("vec_id"),
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            F.transform("embedding", lambda x: x.cast("long")).alias("emb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # seeded coarse quantizer: the 8 chunks ranked first by md5 — a
+    # driver-sized literal at any corpus scale (the kmeans-centroid
+    # pattern); ALL downstream integer math is exact, so the oracle
+    # replays it bit for bit
+    h_cent = F.md5(F.concat(F.lit("p09bc:"), F.col("vec_id").cast("string")))
+    cent_rows = vecs.orderBy(h_cent, "vec_id").limit(_P09B_CELLS).collect()
+    centroids = [[int(x) for x in r.emb] for r in cent_rows]
+    cent_flat = F.lit([x for c in centroids for x in c]).cast("array<long>")
+
+    scored = F.transform(
+        F.lit(list(range(_P09B_CELLS))),
+        lambda c: F.struct(
+            sq_l2_l(F.col("emb"), F.slice(cent_flat, c * dim + 1, dim)).alias(
+                "d"
+            ),
+            c.alias("i"),
+        ),
+    )
+    cell = F.aggregate(
+        scored,
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )["i"]
+
+    qvec = [int(x) for x in Md5BowEmbedder(dim).embed_batch([_RAG_QUERY_TEXT])[0]]
+    qn2 = sum(x * x for x in qvec)
+    # probe selection on the collected centroid literals — pure integer
+    # driver math, mirrored by the oracle's (L2, cell) ROW_NUMBER
+    probe_cells = sorted(
+        range(_P09B_CELLS),
+        key=lambda c: (
+            sum((q - x) * (q - x) for q, x in zip(qvec, centroids[c])),
+            c,
+        ),
+    )[:_P09B_NPROBE]
+    qlit = F.lit(qvec).cast("array<long>")
+
+    cn2 = dot_l(F.col("emb"), F.col("emb"))
+    qs = (
+        F.round(
+            F.round(
+                dot_l(F.col("emb"), qlit)
+                / F.sqrt((cn2 * F.lit(qn2)).cast("double")),
+                6,
+            )
+            * F.lit(float(_P09B_SCALE)),
+            0,
+        )
+        .cast("long")
+        .alias("qs")
+    )
+    cands = (
+        vecs.withColumn("cell", cell)
+        .filter(F.col("cell").isin(*[int(c) for c in probe_cells]))
+        .select("vec_id", "emb", sq_l2_l(F.col("emb"), qlit).alias("l2q"), qs)
+        .orderBy("l2q", "vec_id")
+        .limit(_P09B_C)
+        .select("vec_id", "emb", "qs")
+        # feeds both sides of the pair self-join (the s14 lineage cut)
+        .localCheckpoint(eager=False)
+    )
+
+    b = cands.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    nb2 = dot_l(F.col("b_emb"), F.col("b_emb"))
+    ps = (
+        F.round(
+            F.round(
+                dot_l(F.col("emb"), F.col("b_emb"))
+                / F.sqrt((cn2 * nb2).cast("double")),
+                6,
+            )
+            * F.lit(float(_P09B_SCALE)),
+            0,
+        )
+        .cast("long")
+        .alias("ps")
+    )
+    pair_rows = cands.join(
+        F.broadcast(b), F.col("b_id") != F.col("vec_id"), "left"
+    ).select(
+        F.lit(0).cast("bigint").alias("q_id"), "vec_id", "qs", "b_id", ps
+    )
+
+    top = mmr_select_exact(pair_rows, k=_P09B_K)
+    return (
+        top.join(
+            vecs.select("vec_id", "doc_id", "chunk_idx", "chunk_text"),
+            "vec_id",
+        )
+        .select(
+            "rank", "doc_id", "chunk_idx", "vec_id", "sim", "mmr", "chunk_text"
+        )
+        .orderBy("rank")
+    )
+
+
 _MANIFEST_SHARDS = 8
 
 

@@ -410,12 +410,14 @@ def mmr_select_exact(
     return cand_pairs.groupBy(query_col).applyInPandas(_mmr, out_schema)
 
 
+from .oracle_sqlgen import mmr_unrolled_steps_sql  # noqa: F401
+
+
 def _s14_oracle() -> str:
-    """The s14 oracle: the integer-MMR greedy UNROLLED as k chained
-    CTEs (sel1..sel10) — each step ranks the remaining candidates by
-    7*qs - 3*max(ps over the selected prefix) with lowest-id tie-break.
-    Generated programmatically so the SQL provably mirrors the
-    mmr_select_exact recursion step for step."""
+    """The s14 oracle: mmr_unrolled_steps_sql's sel1..sel10 chain over
+    cands/pairs CTEs derived from the raw embeddings table — each step
+    ranks the remaining candidates by 7*qs - 3*max(ps over the
+    selected prefix) with lowest-id tie-break."""
     cos6 = (
         "ROUND(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
         "CAST({b} AS DOUBLE[])), 6)"
@@ -447,35 +449,9 @@ pairs AS MATERIALIZED (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
     CAST(ROUND({pcos} * 1000000.0, 0) AS BIGINT) AS ps
   FROM cands a, cands b WHERE a.vec_id != b.vec_id
-),
-sel1 AS (
-  SELECT 1 AS rank, vec_id, qs, 7 * qs AS mmr10 FROM (
-    SELECT vec_id, qs,
-      ROW_NUMBER() OVER (ORDER BY 7 * qs DESC, vec_id) AS rn
-    FROM cands
-  ) WHERE rn = 1
-),
-acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+)"""
     ]
-    for i in range(2, _MMR_K + 1):
-        parts.append(
-            f""",
-sel{i} AS (
-  SELECT {i} AS rank, vec_id, qs, mmr10 FROM (
-    SELECT vec_id, qs, mmr10,
-      ROW_NUMBER() OVER (ORDER BY mmr10 DESC, vec_id) AS rn
-    FROM (
-      SELECT c.vec_id, c.qs, 7 * c.qs - 3 * MAX(p.ps) AS mmr10
-      FROM cands c
-      JOIN pairs p ON p.a_id = c.vec_id
-        AND p.b_id IN (SELECT vec_id FROM acc{i - 1})
-      WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
-      GROUP BY c.vec_id, c.qs
-    )
-  ) WHERE rn = 1
-),
-acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})"""
-        )
+    parts.append(mmr_unrolled_steps_sql(_MMR_K))
     parts.append(
         f"""
 SELECT CAST(0 AS BIGINT) AS q_id, rank, vec_id,

@@ -95,3 +95,90 @@ def test_p09_rescore_matches_exact_cosine(spark, chunk_vecs):
     }
     for r in p09_rag_query(spark, SF).collect():
         assert r.sim == pytest.approx(exact[r.vec_id], abs=1e-6)
+
+
+def test_p09b_exact_twin_invariants(spark):
+    """p09b (the hash-exact seeded twin) must satisfy the same
+    structural contract as p09 — and because its arithmetic is integer
+    end to end, a repeat run must be BIT-identical, not just
+    rank-stable. The value itself is driver-certified against the
+    DuckDB oracle; here we pin the in-engine invariants."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _P09B_K,
+        p09b_rag_query_exact,
+    )
+
+    rows1 = p09b_rag_query_exact(spark, SF).collect()
+    assert len(rows1) == _P09B_K
+    assert [r.rank for r in rows1] == list(range(1, _P09B_K + 1))
+    ids = [r.vec_id for r in rows1]
+    assert len(set(ids)) == len(ids)
+    for r in rows1:
+        assert r.vec_id == r.doc_id * 100_000 + r.chunk_idx
+        assert r.chunk_text
+    assert rows1[0].sim == max(r.sim for r in rows1)
+    rows2 = p09b_rag_query_exact(spark, SF).collect()
+    assert [(r.rank, r.vec_id, r.sim, r.mmr) for r in rows1] == [
+        (r.rank, r.vec_id, r.sim, r.mmr) for r in rows2
+    ]
+
+
+def test_p09b_candidates_respect_seeded_ivf_pruning(spark):
+    """Every chunk p09b returns must live in one of the 2 probed cells
+    of the seeded coarse quantizer — i.e. the ANN stage genuinely
+    prunes (a bug that silently fell back to scanning all cells would
+    still hash-match the oracle, since the oracle prunes identically;
+    this pins the INTENT: returned ids ⊂ probed cells)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.embed import (
+        Md5BowEmbedder,
+        embed,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        t06_doc_chunking,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _P09B_CELLS,
+        _P09B_DIM,
+        _P09B_NPROBE,
+        _RAG_QUERY_TEXT,
+        p09b_rag_query_exact,
+    )
+
+    chunks = t06_doc_chunking(spark, SF)
+    vecs = (
+        embed(
+            chunks,
+            text_col="chunk_text",
+            embedder_factory=Md5BowEmbedder,
+            dim=_P09B_DIM,
+            on_error="fail",
+        )
+        .select(
+            (F.col("doc_id") * 100_000 + F.col("chunk_idx")).alias("vec_id"),
+            "embedding",
+        )
+        .collect()
+    )
+    import hashlib
+
+    by_id = {r.vec_id: [int(x) for x in r.embedding] for r in vecs}
+    seeds = sorted(
+        by_id,
+        key=lambda v: (hashlib.md5(f"p09bc:{v}".encode()).hexdigest(), v),
+    )[:_P09B_CELLS]
+    cents = [by_id[s] for s in seeds]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(v):
+        return min(range(_P09B_CELLS), key=lambda c: (l2(v, cents[c]), c))
+
+    qvec = [int(x) for x in Md5BowEmbedder(_P09B_DIM).embed_batch([_RAG_QUERY_TEXT])[0]]
+    probed = set(
+        sorted(range(_P09B_CELLS), key=lambda c: (l2(qvec, cents[c]), c))[
+            :_P09B_NPROBE
+        ]
+    )
+    for r in p09b_rag_query_exact(spark, SF).collect():
+        assert assign(by_id[r.vec_id]) in probed
