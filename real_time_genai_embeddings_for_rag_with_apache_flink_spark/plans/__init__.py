@@ -19,12 +19,15 @@ from . import retrieval  # noqa: E402,F401
 # stalest cohort is the 50 rows last checked in r06 — exactly one
 # window — so the entries NEW this round (never driver-checked: s05b
 # seeded IVF, p02b exact flagship retrieval, st29
-# transformWithStateInPandas) plus m03, whose r09 row was rows-only and
-# whose oracle was upgraded to hash-exact this round (r10 verdict #4),
-# displace the four cheapest-to-defer r06 rows (q45/q46/q47/q48 —
-# pure scalar-function entries with six-round green histories), which
-# carry to round 12. After this round the union's stalest rows are
-# those four (r06); everything else is r07+.
+# transformWithStateInPandas, d32b fixed-point PageRank, p03b exact
+# embed_distinct, p09b exact end-to-end RAG) plus m03, whose r09 row
+# was rows-only and whose oracle was upgraded to hash-exact this round
+# (r10 verdict #4), displace the seven cheapest-to-defer r06 rows
+# (q45/q46/q47/q48/q32/q33/q71 — pure scalar-function/relational
+# entries with six-round green histories, their operator families
+# still covered by sibling window rows), which carry to round 12.
+# After this round the union's stalest rows are those seven (r06);
+# everything else is r07+.
 DRIVER_WINDOW: list[str] = [
     "d20_lsh_bucket_audit",
     "d21_scalable_components",
@@ -43,14 +46,11 @@ DRIVER_WINDOW: list[str] = [
     "p13_bucketed_join",
     "p14_partition_backfill",
     "q28_json_functions",
-    "q32_in_subquery",
-    "q33_scalar_subquery",
     "q44_window_navigation",
     "q67_variant_json",
     "q68_lateral_join",
     "q69_datasketches",
     "q70_collation",
-    "q71_filtered_aggregates",
     "q72_theta_setops",
     "q73_mode_median",
     "s15_knn_graph",
@@ -75,6 +75,9 @@ DRIVER_WINDOW: list[str] = [
     "s05b_ivf_seeded",
     "p02b_flagship_retrieval_exact",
     "st29_stream_transform_with_state",
+    "d32b_pagerank_fixed_point",
+    "p03b_embed_distinct_exact",
+    "p09b_rag_query_exact",
     "m03_media_features",
 ]
 

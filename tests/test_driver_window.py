@@ -3,16 +3,18 @@ catalog entries only (observed: CORRECTNESS_r02..r10 each held exactly
 the first 50 of the priority order). These tests pin the round-11
 rotation (the r10 verdict's directive, executing the plan written in
 round 10): the cross-round union's stalest cohort was the 50 rows last
-checked in r06 — exactly one window — so the three entries NEW this
-round (never driver-checked) plus the re-oracled m03 displace the four
-cheapest-to-defer r06 rows (q45/q46/q47/q48 — pure scalar-function
-entries with six-round green histories), which carry to round 12.
+checked in r06 — exactly one window — so the six entries NEW this
+round (never driver-checked) plus the re-oracled m03 displace the
+seven cheapest-to-defer r06 rows (q45/q46/q47/q48 and q32/q33/q71 —
+pure scalar-function/relational entries with six-round green
+histories whose operator families stay covered by sibling window
+rows), which carry to round 12.
 
 ROUND-12 PLAN (written in round 11, the established handoff): once
-CORRECTNESS_r11 lands, the union's stalest rows are the four deferred
-q45 q46 q47 q48 (r06), then the 45 r07 rows. The round-12 window is
-those four + the r07 cohort, with any round-12 additions displacing
-the cheapest-to-defer r07 rows."""
+CORRECTNESS_r11 lands, the union's stalest rows are the seven deferred
+q45 q46 q47 q48 q32 q33 q71 (r06), then the 43 r07 rows. The round-12
+window is those seven + the r07 cohort, with any round-12 additions
+displacing the cheapest-to-defer r07 rows."""
 
 from __future__ import annotations
 
@@ -26,9 +28,12 @@ DEFERRED_TO_R12 = (
     "q46_try_functions",
     "q47_hash_bit_functions",
     "q48_null_semantics",
+    "q32_in_subquery",
+    "q33_scalar_subquery",
+    "q71_filtered_aggregates",
 )
 
-# The 46 remaining entries whose latest driver row is r06 — the
+# The 43 remaining entries whose latest driver row is r06 — the
 # round-11 lead.
 LEAD_R06 = (
     "d20_lsh_bucket_audit",
@@ -48,14 +53,11 @@ LEAD_R06 = (
     "p13_bucketed_join",
     "p14_partition_backfill",
     "q28_json_functions",
-    "q32_in_subquery",
-    "q33_scalar_subquery",
     "q44_window_navigation",
     "q67_variant_json",
     "q68_lateral_join",
     "q69_datasketches",
     "q70_collation",
-    "q71_filtered_aggregates",
     "q72_theta_setops",
     "q73_mode_median",
     "s15_knn_graph",
@@ -84,6 +86,9 @@ NEVER_CHECKED = (
     "s05b_ivf_seeded",
     "p02b_flagship_retrieval_exact",
     "st29_stream_transform_with_state",
+    "d32b_pagerank_fixed_point",
+    "p03b_embed_distinct_exact",
+    "p09b_rag_query_exact",
 )
 
 # Checked r09 but only rows-only; the oracle was upgraded to hash-exact
@@ -109,7 +114,7 @@ def test_window_order_is_the_round11_rotation():
     w = window()
     expected = list(LEAD_R06) + list(NEVER_CHECKED) + list(REVALIDATED)
     assert w == expected, (
-        "round-11 window must be: 46 r06-stale rows, then the new "
+        "round-11 window must be: 43 r06-stale rows, then the new "
         "entries, then the re-oracled m03"
     )
 
