@@ -643,3 +643,28 @@ def test_d34_seeded_semdedup_shuffles_on_cell_only(spark):
     # a pure projection (no exchange below it, no Python)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p09b_rag_exact_scale_shape(spark):
+    """p09b's scale claims as visible in the composed plan (the
+    candidate cut's TakeOrderedAndProject sits behind the shortlist's
+    localCheckpoint boundary — s05b/s14 pin that shape for the shared
+    pattern): the pair matrix broadcasts the 50-row shortlist, the
+    text fetch is a broadcast hash join against the PERSISTED
+    chunk-vector seam (no re-embed), the MMR kernel is one
+    applyInPandas group, and the corpus never cartesian-joins."""
+    plan = _plan(spark, "p09b_rag_query_exact")
+    assert "BroadcastNestedLoopJoin" in plan  # pairs: broadcast, b_id != id
+    assert "BroadcastHashJoin" in plan  # chunk-text fetch
+    assert "FlatMapGroupsInPandas" in plan  # the integer MMR kernel
+    assert "InMemoryTableScan" in plan  # the persisted embed seam
+    assert "CartesianProduct" not in plan
+
+
+def test_d32b_fixed_point_no_python_no_cartesian(spark):
+    """d32b's per-round plan: edge join + hash aggregate, all JVM-side
+    integer arithmetic — no Python crossing, no cartesian blowup, and
+    the rank update is a pure projection over the contrib join."""
+    plan = _plan(spark, "d32b_pagerank_fixed_point")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
