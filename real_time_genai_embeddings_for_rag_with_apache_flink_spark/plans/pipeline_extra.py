@@ -1703,6 +1703,7 @@ FROM acc{_P09B_K} a JOIN chunks c ON c.vec_id = a.vec_id"""
     "p09b_rag_query_exact",
     oracle=_p09b_oracle(),
     tags=("rag", "retrieval", "ann", "pipeline", "rerank"),
+    bench=True,
 )
 def p09b_rag_query_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p09's END-TO-END RAG query — chunk -> embed -> ANN candidate
@@ -3944,6 +3945,7 @@ SELECT doc_id, rank AS rank_fp FROM r{_D32B_ITERS}"""
     "d32b_pagerank_fixed_point",
     oracle=_d32b_oracle(),
     tags=("dedup", "graph", "iterative", "centrality"),
+    bench=True,
 )
 def d32b_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d32's hub-detection PageRank, oracle-certified HASH-EXACT — the
