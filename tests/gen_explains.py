@@ -66,6 +66,11 @@ HEADLINES = [
     ("s28_hard_negative_mining", "two corpus passes, each one scan: negatives rank-cut through WindowGroupLimit, positives a map-side-combinable MAX broadcast back — cheaper than one q_id-partitioned window over |Q| x corpus rows"),
     ("d34_semantic_dedup_seeded", "cell assignment is a narrow literal argmin fold; the only exchange keys on the SemDeDup blocking cell; dominator counts are one grouped aggregate over within-cell pairs"),
     ("s14_mmr_rerank", "the top-50 shortlist materializes ONCE (localCheckpoint shows as ExistingRDD) and feeds both sides of the broadcast pair self-join (LEFT, so singletons survive); the greedy runs per query group in one applyInPandas over integer-scaled sims"),
+    ("s05b_ivf_seeded", "assignment is a narrow literal-fold projection over the scan (no exchange); probes join broadcast; the pruned within-cell scan rank-cuts via two-phase WindowGroupLimit — the corpus never shuffles"),
+    ("p02b_flagship_retrieval_exact", "the whole reference dataflow: one Arrow embed crossing, query vector a driver literal, cosine fold in the projection, top-10 via TakeOrderedAndProject — no shuffle of losers"),
+    ("d32b_pagerank_fixed_point", "per-round: one edge equi-join + one sum-by-destination hash aggregate (shuffle ∝ E), rank update a pure integer projection; rounds separated by localCheckpoint (ExistingRDD), dangling mass a collected literal"),
+    ("p03b_embed_distinct_exact", "the UDF runs once per DISTINCT fingerprint (aggregate below the embed crossing); the join back carries hashes + vectors; posexplode is a narrow map"),
+    ("p09b_rag_query_exact", "chunk+embed feed one persisted seam (InMemoryTableScan); the 50-row shortlist broadcasts into the pair BNLJ; the MMR kernel is one FlatMapGroupsInPandas; chunk-text fetch is a broadcast hash join"),
 ]
 
 
