@@ -20,13 +20,14 @@ from . import retrieval  # noqa: E402,F401
 # window — so the entries NEW this round (never driver-checked: s05b
 # seeded IVF, p02b exact flagship retrieval, st29
 # transformWithStateInPandas, d32b fixed-point PageRank, p03b exact
-# embed_distinct, p09b exact end-to-end RAG) plus m03, whose r09 row
-# was rows-only and whose oracle was upgraded to hash-exact this round
-# (r10 verdict #4), displace the seven cheapest-to-defer r06 rows
-# (q45/q46/q47/q48/q32/q33/q71 — pure scalar-function/relational
-# entries with six-round green histories, their operator families
-# still covered by sibling window rows), which carry to round 12.
-# After this round the union's stalest rows are those seven (r06);
+# embed_distinct, p09b exact end-to-end RAG, st30 Kinesis protocol
+# ingest) plus m03, whose r09 row was rows-only and whose oracle was
+# upgraded to hash-exact this round (r10 verdict #4), displace the
+# eight cheapest-to-defer r06 rows (q45/q46/q47/q48/q32/q33/q71/q28 —
+# pure scalar-function/relational entries with six-round green
+# histories, their operator families still covered by sibling window
+# rows, e.g. q67 variant JSON stays for q28), which carry to round 12.
+# After this round the union's stalest rows are those eight (r06);
 # everything else is r07+.
 DRIVER_WINDOW: list[str] = [
     "d20_lsh_bucket_audit",
@@ -45,7 +46,6 @@ DRIVER_WINDOW: list[str] = [
     "p12_schema_evolution",
     "p13_bucketed_join",
     "p14_partition_backfill",
-    "q28_json_functions",
     "q44_window_navigation",
     "q67_variant_json",
     "q68_lateral_join",
@@ -78,6 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "d32b_pagerank_fixed_point",
     "p03b_embed_distinct_exact",
     "p09b_rag_query_exact",
+    "st30_kinesis_protocol_ingest",
     "m03_media_features",
 ]
 

@@ -3466,3 +3466,92 @@ def st29_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.col("last.max_value"), 6).alias("max_value"),
         )
     )
+
+
+_ST30_DOCS = 600
+_ST30_SHARDS = 4
+_ST30_PER_BATCH = 60
+
+
+@query(
+    "st30_kinesis_protocol_ingest",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id,
+    'synthetic text ' || md5('42:' || i) AS text,
+    strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND,
+             '%Y-%m-%dT%H:%M:%S.000Z') AS created_at
+  FROM (SELECT UNNEST(generate_series(0, {_ST30_DOCS - 1})) AS i)
+)
+SELECT doc_id % 7 AS bucket, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id % {_ST30_SHARDS}) AS BIGINT) AS n_shards,
+       MIN(text) AS first_text, MAX(created_at) AS last_created
+FROM gen GROUP BY doc_id % 7
+""",
+    tags=("streaming", "source", "kinesis", "pipeline"),
+)
+def st30_kinesis_protocol_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S1 Kinesis ingress EXECUTED — the r6-r10
+    standing gap (``FlinkKinesisConsumer``,
+    ``KDS-P/.../msf/DataStreamJob.java:128-140``, previously only an
+    option map because the connector jar is absent) closed the
+    miniproto way: sources/kinesis_lite.py speaks the PUBLIC Kinesis
+    JSON protocol itself (ListShards / GetShardIterator / GetRecords,
+    SigV4-signed when credentialed), so no jar is needed. The producer
+    corpus (600 docgen wire records sharded by doc_id % 4 — the
+    producer Lambda's PartitionKey routing) is served by the
+    in-process Kinesis-compatible endpoint (sources/kinesis_fake.py,
+    the kinesalite role), consumed as a REAL multi-batch stream —
+    shard-parallel executor reads, per-shard sequence-number offsets
+    checkpointed per trigger (600/(4x60) = 3 triggers) — parsed with
+    the M1 ``from_json`` stage, and reduced per bucket. The oracle
+    regenerates the identical corpus, and n_shards certifies the
+    PartitionKey->shard routing survived the protocol round-trip.
+
+    Scale shape: shards are the unit of read parallelism exactly as in
+    the real service (one InputPartition each, executor-side HTTP);
+    the driver moves only per-shard cursors; planned ranges replay
+    exactly on retry via AFTER_SEQUENCE_NUMBER iterators (the Kinesis
+    retention contract). Against real AWS the same reader signs with
+    SigV4; the double GetRecords fetch (plan + read) and the EFO
+    alternative are documented in the module docstring."""
+    from ..sources.docgen import wire_record
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..sources.kinesis_lite import register as register_kinesis
+
+    register_kinesis(spark)
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(_ST30_SHARDS)
+    }
+    for doc_id in range(_ST30_DOCS):
+        _, wire = wire_record(42, doc_id)
+        shards[f"shardId-{doc_id % _ST30_SHARDS:012d}"].append(
+            (str(doc_id), wire.encode())
+        )
+    srv = FakeKinesisServer("docs", shards)
+    endpoint = srv.start()
+    try:
+        raw = (
+            spark.readStream.format("kinesis-lite")
+            .option("stream_name", "docs")
+            .option("endpoint_url", endpoint)
+            .option("max_records_per_batch", str(_ST30_PER_BATCH))
+            .load()
+        )
+        parsed = raw.select(
+            F.col("partition_key").cast("long").alias("doc_id"),
+            F.col("shard_id"),
+            F.from_json("data", "text string, created_at string").alias("r"),
+        ).select("doc_id", "shard_id", "r.text", "r.created_at")
+        # run_until_rows, not run_to_memory: like the docgen stream
+        # (st12), per-trigger cursor sources never report exhaustion to
+        # Trigger.AvailableNow — it captures ONE latestOffset advance
+        landed = run_until_rows(parsed, "st30", "append", target_rows=_ST30_DOCS)
+    finally:
+        srv.stop()
+    return landed.groupBy((F.col("doc_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.min("text").alias("first_text"),
+        F.max("created_at").alias("last_created"),
+    )

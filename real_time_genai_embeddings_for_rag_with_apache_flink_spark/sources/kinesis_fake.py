@@ -1,0 +1,161 @@
+"""In-process Kinesis-compatible endpoint for local development and
+tests: an HTTP server implementing the subset of the PUBLIC Kinesis
+Data Streams JSON protocol the kinesis-lite source consumes
+(ListShards, GetShardIterator, GetRecords) over deterministic
+in-memory shards — the kinesalite/LocalStack role without leaving the
+process. This is what lets the S1 Kinesis read path EXECUTE in a
+container with no network and no connector jar: the reader speaks the
+same wire protocol to this endpoint that it would speak to
+``https://kinesis.<region>.amazonaws.com``.
+
+Determinism contract (what makes an oracle possible): sequence numbers
+are per-shard arrival indices rendered as strings, and
+ApproximateArrivalTimestamp is ``2024-01-01T00:00:00Z + seq`` seconds —
+pure functions of the seeded record list, so a DuckDB oracle can
+regenerate everything the reader will emit.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+class FakeKinesisServer:
+    """``shards`` maps shard_id -> list of (partition_key, data_bytes).
+    ``add_shard`` may be called while serving (the resharding case:
+    a split/merge surfacing new shards mid-stream)."""
+
+    def __init__(self, stream_name: str, shards: dict[str, list[tuple[str, bytes]]]):
+        self.stream_name = stream_name
+        self._lock = threading.Lock()
+        self._shards: dict[str, list[tuple[str, bytes]]] = {
+            s: list(recs) for s, recs in shards.items()
+        }
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- state ------------------------------------------------------------
+
+    def add_shard(self, shard_id: str, records: list[tuple[str, bytes]]) -> None:
+        with self._lock:
+            if shard_id in self._shards:
+                raise ValueError(f"shard {shard_id} exists")
+            self._shards[shard_id] = list(records)
+
+    def append(self, shard_id: str, records: list[tuple[str, bytes]]) -> None:
+        with self._lock:
+            self._shards[shard_id].extend(records)
+
+    # -- protocol ---------------------------------------------------------
+
+    def _handle(self, action: str, payload: dict) -> dict:
+        with self._lock:
+            if action == "ListShards":
+                if payload.get("StreamName", self.stream_name) != self.stream_name:
+                    raise KeyError("stream")
+                return {
+                    "Shards": [
+                        {"ShardId": s} for s in sorted(self._shards)
+                    ]
+                }
+            if action == "GetShardIterator":
+                shard = payload["ShardId"]
+                if shard not in self._shards:
+                    raise KeyError("shard")
+                kind = payload["ShardIteratorType"]
+                if kind == "TRIM_HORIZON":
+                    idx = 0
+                elif kind == "AFTER_SEQUENCE_NUMBER":
+                    idx = int(payload["StartingSequenceNumber"]) + 1
+                elif kind == "AT_SEQUENCE_NUMBER":
+                    idx = int(payload["StartingSequenceNumber"])
+                elif kind == "LATEST":
+                    idx = len(self._shards[shard])
+                else:
+                    raise KeyError(kind)
+                return {"ShardIterator": self._token(shard, idx)}
+            if action == "GetRecords":
+                shard, idx = self._untoken(payload["ShardIterator"])
+                limit = int(payload.get("Limit", 10_000))
+                recs = self._shards.get(shard, [])
+                page = recs[idx : idx + limit]
+                nxt = idx + len(page)
+                return {
+                    "Records": [
+                        {
+                            "SequenceNumber": str(idx + i),
+                            "PartitionKey": pk,
+                            "Data": base64.b64encode(data).decode(),
+                            "ApproximateArrivalTimestamp": _EPOCH_2024
+                            + idx
+                            + i,
+                        }
+                        for i, (pk, data) in enumerate(page)
+                    ],
+                    "NextShardIterator": self._token(shard, nxt),
+                    "MillisBehindLatest": (len(recs) - nxt) * 1000,
+                }
+            raise KeyError(action)
+
+    @staticmethod
+    def _token(shard: str, idx: int) -> str:
+        return base64.b64encode(
+            json.dumps({"s": shard, "i": idx}).encode()
+        ).decode()
+
+    @staticmethod
+    def _untoken(token: str) -> tuple[str, int]:
+        d = json.loads(base64.b64decode(token).decode())
+        return d["s"], d["i"]
+
+    # -- HTTP -------------------------------------------------------------
+
+    def start(self) -> str:
+        """Bind to an ephemeral localhost port; returns the endpoint
+        URL. The handler thread pool lives until stop()."""
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib API name)
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                target = self.headers.get("X-Amz-Target", "")
+                action = target.split(".")[-1]
+                try:
+                    out = fake._handle(action, payload)
+                except KeyError as e:
+                    body = json.dumps(
+                        {"__type": "ResourceNotFoundException", "message": str(e)}
+                    ).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-amz-json-1.1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return f"http://127.0.0.1:{self._httpd.server_address[1]}"
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

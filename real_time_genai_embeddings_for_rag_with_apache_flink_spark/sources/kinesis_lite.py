@@ -1,0 +1,424 @@
+"""Kinesis source executed for real: a Spark 4 Python data source
+speaking the PUBLIC Kinesis Data Streams JSON protocol over HTTP.
+
+The reference consumes its stream with FlinkKinesisConsumer
+(``KDS-P/.../msf/DataStreamJob.java:128-140``: stream name + region +
+LATEST start position). The engine's S1 stage maps that config onto the
+public spark-sql-kinesis connector (streaming/pipeline.py
+kinesis_reader_options), but that connector's jar is not in this
+container, so rounds 6-10 could only unit-test the option mapping — the
+read path itself never executed. This module closes the gap the same
+way operators/miniproto.py closed the protobuf one: implement the wire
+protocol directly from its public specification, then execute it.
+
+What is implemented (all public AWS API surface):
+
+- ``ListShards`` / ``GetShardIterator`` / ``GetRecords`` over
+  ``application/x-amz-json-1.1`` POSTs with the
+  ``X-Amz-Target: Kinesis_20131202.<Action>`` header — the complete
+  consumer protocol for a polling (non-EFO) reader;
+- AWS Signature Version 4 request signing in pure stdlib (hmac +
+  hashlib; the algorithm is published in full by AWS), applied whenever
+  credentials are supplied — so the same source points at real AWS,
+  kinesalite, or LocalStack; unsigned requests serve anonymous local
+  endpoints (the in-process fake in tests/fake_kinesis.py);
+- shard-parallel reads: ``partitions()`` is one slice per shard, so the
+  scan spreads across executors exactly like the real connector;
+- per-shard SEQUENCE-NUMBER offsets: the stream reader checkpoints
+  ``{shard_id: last_sequence_number}`` and replays any committed range
+  via ``AFTER_SEQUENCE_NUMBER`` iterators — Kinesis retention makes a
+  planned range exactly re-readable on task retry or checkpoint
+  recovery, the same replayability contract Kafka offsets give;
+- resharding: ``latestOffset`` re-lists shards every trigger; shards
+  that appear mid-stream (splits/merges) join at TRIM_HORIZON.
+
+Execution model (micro-batch planning): ``latestOffset`` advances each
+shard's cursor by reading up to ``max_records_per_batch`` records from
+the last committed position ON THE DRIVER to learn the batch's end
+sequence numbers, and executors re-read exactly that (start, end] range
+via their own iterators. The double fetch is the price of exact,
+retry-deterministic batch boundaries without driver->executor record
+shipping; at scale the per-trigger driver read is bounded by
+shards x max_records_per_batch, and a deployment that cannot afford 2x
+GetRecords switches this reader to enhanced fan-out or the
+driver-prefetching SimpleDataSourceStreamReader — both noted in
+README deployment notes.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import hashlib
+import hmac
+import json
+import urllib.error
+import urllib.request
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_API_VERSION = "Kinesis_20131202"
+_MAX_EMPTY_POLLS = 8  # GetRecords may return empty pages mid-stream
+
+
+# ---------------------------------------------------------------------------
+# SigV4 (public algorithm; pure stdlib)
+# ---------------------------------------------------------------------------
+
+
+def _sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sigv4_signing_key(
+    secret_key: str, date_stamp: str, region: str, service: str
+) -> bytes:
+    """kSigning = HMAC(HMAC(HMAC(HMAC("AWS4"+secret, date), region),
+    service), "aws4_request") — pinned against AWS's published test
+    vector in tests/test_kinesis_lite.py."""
+    k_date = _hmac(("AWS4" + secret_key).encode(), date_stamp)
+    k_region = _hmac(k_date, region)
+    k_service = _hmac(k_region, service)
+    return _hmac(k_service, "aws4_request")
+
+
+def sigv4_headers(
+    host: str,
+    target: str,
+    body: bytes,
+    region: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None = None,
+    now: datetime.datetime | None = None,
+    service: str = "kinesis",
+) -> dict[str, str]:
+    """Signed header set for one Kinesis POST (canonical request ->
+    string-to-sign -> signature, per the published SigV4 procedure)."""
+    t = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = t.strftime("%Y%m%d")
+    payload_hash = _sha256_hex(body)
+
+    headers = {
+        "content-type": "application/x-amz-json-1.1",
+        "host": host,
+        "x-amz-date": amz_date,
+        "x-amz-target": target,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    signed_names = ";".join(sorted(headers))
+    canonical = "\n".join(
+        [
+            "POST",
+            "/",
+            "",
+            "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
+            signed_names,
+            payload_hash,
+        ]
+    )
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            _sha256_hex(canonical.encode()),
+        ]
+    )
+    signature = hmac.new(
+        sigv4_signing_key(secret_key, date_stamp, region, service),
+        string_to_sign.encode(),
+        hashlib.sha256,
+    ).hexdigest()
+    headers["authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={signature}"
+    )
+    return headers
+
+
+# ---------------------------------------------------------------------------
+# Protocol client
+# ---------------------------------------------------------------------------
+
+
+class KinesisClient:
+    """Minimal Kinesis Data Streams JSON/HTTP client (ListShards,
+    GetShardIterator, GetRecords). One instance per driver poll or per
+    executor task — stateless besides config, safe to rebuild on
+    retry."""
+
+    def __init__(self, options: dict):
+        self.stream = options.get("stream_name") or options.get("streamname")
+        if not self.stream:
+            raise ValueError("kinesis-lite needs option stream_name")
+        self.region = options.get("region", "us-east-1")
+        self.endpoint = options.get(
+            "endpoint_url",
+            f"https://kinesis.{self.region}.amazonaws.com",
+        ).rstrip("/")
+        self.access_key = options.get("access_key")
+        self.secret_key = options.get("secret_key")
+        self.session_token = options.get("session_token")
+        self.timeout = float(options.get("http_timeout_sec", 10))
+
+    def _call(self, action: str, payload: dict) -> dict:
+        body = json.dumps(payload, separators=(",", ":")).encode()
+        target = f"{_API_VERSION}.{action}"
+        host = self.endpoint.split("://", 1)[1].split("/", 1)[0]
+        if self.access_key and self.secret_key:
+            headers = sigv4_headers(
+                host,
+                target,
+                body,
+                self.region,
+                self.access_key,
+                self.secret_key,
+                self.session_token,
+            )
+        else:
+            headers = {
+                "content-type": "application/x-amz-json-1.1",
+                "x-amz-target": target,
+            }
+        req = urllib.request.Request(
+            self.endpoint + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:  # surface the AWS error body
+            raise RuntimeError(
+                f"Kinesis {action} failed: HTTP {e.code} {e.read().decode()!r}"
+            ) from e
+
+    def list_shards(self) -> list[str]:
+        shards: list[str] = []
+        token: str | None = None
+        while True:
+            payload = (
+                {"NextToken": token}
+                if token
+                else {"StreamName": self.stream}
+            )
+            out = self._call("ListShards", payload)
+            shards.extend(s["ShardId"] for s in out.get("Shards", []))
+            token = out.get("NextToken")
+            if not token:
+                return sorted(shards)
+
+    def shard_iterator(self, shard_id: str, position: str | None) -> str:
+        """position None -> TRIM_HORIZON; else AFTER_SEQUENCE_NUMBER."""
+        payload = {
+            "StreamName": self.stream,
+            "ShardId": shard_id,
+            "ShardIteratorType": (
+                "TRIM_HORIZON" if position is None else "AFTER_SEQUENCE_NUMBER"
+            ),
+        }
+        if position is not None:
+            payload["StartingSequenceNumber"] = position
+        return self._call("GetShardIterator", payload)["ShardIterator"]
+
+    def get_records(self, iterator: str, limit: int) -> dict:
+        return self._call(
+            "GetRecords", {"ShardIterator": iterator, "Limit": limit}
+        )
+
+    def read_after(
+        self, shard_id: str, position: str | None, limit: int
+    ) -> list[dict]:
+        """Up to `limit` records strictly after `position` (None =
+        shard start). Stops at a caught-up shard (empty page with
+        MillisBehindLatest 0) or a closed one (no NextShardIterator)."""
+        it = self.shard_iterator(shard_id, position)
+        out: list[dict] = []
+        empty = 0
+        while it and len(out) < limit:
+            page = self.get_records(it, limit - len(out))
+            recs = page.get("Records", [])
+            out.extend(recs)
+            it = page.get("NextShardIterator")
+            if not recs:
+                empty += 1
+                if page.get("MillisBehindLatest", 0) == 0 or empty >= _MAX_EMPTY_POLLS:
+                    break
+            else:
+                empty = 0
+        return out
+
+
+def _decode(rec: dict, mode: str) -> str:
+    raw = rec.get("Data", "")
+    if mode == "base64":
+        return raw
+    return base64.b64decode(raw).decode("utf-8", errors="replace")
+
+
+def _row(rec: dict, shard_id: str, mode: str):
+    ts = rec.get("ApproximateArrivalTimestamp")
+    arrival = (
+        datetime.datetime.fromtimestamp(float(ts), datetime.timezone.utc)
+        if ts is not None
+        else None
+    )
+    return (
+        shard_id,
+        rec["SequenceNumber"],
+        rec.get("PartitionKey"),
+        _decode(rec, mode),
+        arrival,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch reader: TRIM_HORIZON -> caught-up, one partition per shard
+# ---------------------------------------------------------------------------
+
+
+class KinesisLiteReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.mode = options.get("decode", "utf8")
+        self.limit = int(options.get("max_records_per_shard", 10_000))
+
+    def partitions(self):
+        shards = KinesisClient(self.options).list_shards()
+        return [InputPartition(s) for s in shards]
+
+    def read(self, partition: InputPartition):
+        shard_id = partition.value
+        client = KinesisClient(self.options)
+        for rec in client.read_after(shard_id, None, self.limit):
+            yield _row(rec, shard_id, self.mode)
+
+
+# ---------------------------------------------------------------------------
+# Stream reader: per-shard sequence-number offsets
+# ---------------------------------------------------------------------------
+
+
+class KinesisLiteStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.mode = options.get("decode", "utf8")
+        self.per_batch = int(options.get("max_records_per_batch", 100))
+        self.start = options.get("starting_position", "TRIM_HORIZON").upper()
+        if self.start not in ("TRIM_HORIZON", "LATEST"):
+            raise ValueError(f"unknown starting_position {self.start!r}")
+        self._client = KinesisClient(self.options)
+        self._positions: dict[str, str | None] = {}
+
+    def _snapshot(self) -> dict:
+        # offsets must be JSON round-trippable; None (shard start)
+        # serializes as "" and deserializes back to None
+        return {
+            "shards": {
+                s: ("" if p is None else p)
+                for s, p in sorted(self._positions.items())
+            }
+        }
+
+    @staticmethod
+    def _load(offset: dict) -> dict[str, str | None]:
+        return {
+            s: (None if p == "" else p)
+            for s, p in offset.get("shards", {}).items()
+        }
+
+    def initialOffset(self) -> dict:
+        for shard in self._client.list_shards():
+            self._positions[shard] = None
+        if self.start == "LATEST":
+            # resolve "now" to concrete sequence numbers by draining
+            # what already exists (bounded by retention) — LATEST means
+            # "only records produced after the query started", and a
+            # concrete per-shard cursor is what makes that exact
+            for shard in self._positions:
+                last = None
+                while True:
+                    recs = self._client.read_after(shard, last, 10_000)
+                    if not recs:
+                        break
+                    last = recs[-1]["SequenceNumber"]
+                self._positions[shard] = last
+        return self._snapshot()
+
+    def latestOffset(self) -> dict:
+        # resharding: shards that appeared since the last trigger join
+        # at TRIM_HORIZON
+        for shard in self._client.list_shards():
+            self._positions.setdefault(shard, None)
+        for shard, pos in list(self._positions.items()):
+            recs = self._client.read_after(shard, pos, self.per_batch)
+            if recs:
+                self._positions[shard] = recs[-1]["SequenceNumber"]
+        return self._snapshot()
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = self._load(start), self._load(end)
+        parts = []
+        for shard, end_seq in hi.items():
+            start_seq = lo.get(shard)
+            if end_seq is not None and end_seq != start_seq:
+                parts.append(InputPartition((shard, start_seq, end_seq)))
+        # Spark requires >= 1 partition per batch
+        return parts or [InputPartition((None, None, None))]
+
+    def read(self, partition: InputPartition):
+        shard_id, start_seq, end_seq = partition.value
+        if shard_id is None:
+            return
+        client = KinesisClient(self.options)
+        end_i = int(end_seq)
+        # the planned range is bounded, but GetRecords pages freely —
+        # over-fetch and cut at the committed end sequence
+        fetched = client.read_after(shard_id, start_seq, 1_000_000_000)
+        for rec in fetched:
+            if int(rec["SequenceNumber"]) > end_i:
+                break
+            yield _row(rec, shard_id, self.mode)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class KinesisLiteDataSource(DataSource):
+    """``format("kinesis-lite")``. Options: stream_name (required),
+    endpoint_url, region, access_key/secret_key/session_token (enables
+    SigV4), starting_position (TRIM_HORIZON | LATEST, streaming),
+    max_records_per_batch (per shard per trigger, streaming),
+    max_records_per_shard (batch), decode (utf8 | base64)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis-lite"
+
+    def schema(self) -> str:
+        return (
+            "shard_id string, sequence_number string, partition_key string, "
+            "data string, arrival_ts timestamp"
+        )
+
+    def reader(self, schema) -> KinesisLiteReader:
+        return KinesisLiteReader(self.options)
+
+    def streamReader(self, schema) -> KinesisLiteStreamReader:
+        return KinesisLiteStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the kinesis-lite format."""
+    spark.dataSource.register(KinesisLiteDataSource)

@@ -93,6 +93,34 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         return reader.load().select(
             F.col("data").cast("string").alias("value")
         )
+    if cfg.source_format == "kinesis-lite":
+        # The same consumer config driven through the engine's OWN
+        # Kinesis protocol reader (sources/kinesis_lite.py) — no
+        # connector jar required; the wire protocol is public. This is
+        # the path that actually executes in this container (st30), and
+        # it points at real AWS/kinesalite/LocalStack via
+        # extra.kinesis_endpoint + credentials.
+        from ..sources.kinesis_lite import register as _register_kinesis
+
+        _register_kinesis(spark)
+        opts = kinesis_reader_options(cfg)
+        reader = (
+            spark.readStream.format("kinesis-lite")
+            .option("stream_name", opts["streamName"])
+            .option("region", opts["region"])
+            .option("endpoint_url", opts["endpointUrl"])
+            .option(
+                "starting_position",
+                {"LATEST": "LATEST", "TRIM_HORIZON": "TRIM_HORIZON"}[
+                    opts["startingPosition"]
+                ],
+            )
+        )
+        for key in ("access_key", "secret_key", "session_token",
+                    "max_records_per_batch"):
+            if cfg.extra.get(f"kinesis_{key}"):
+                reader = reader.option(key, str(cfg.extra[f"kinesis_{key}"]))
+        return reader.load().select(F.col("data").alias("value"))
     if cfg.source_format == "rate":
         # Load generator: fabricate wire-format JSON records at a fixed
         # rows/sec (stands in for the producer Lambda,

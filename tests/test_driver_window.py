@@ -3,18 +3,18 @@ catalog entries only (observed: CORRECTNESS_r02..r10 each held exactly
 the first 50 of the priority order). These tests pin the round-11
 rotation (the r10 verdict's directive, executing the plan written in
 round 10): the cross-round union's stalest cohort was the 50 rows last
-checked in r06 — exactly one window — so the six entries NEW this
+checked in r06 — exactly one window — so the seven entries NEW this
 round (never driver-checked) plus the re-oracled m03 displace the
-seven cheapest-to-defer r06 rows (q45/q46/q47/q48 and q32/q33/q71 —
-pure scalar-function/relational entries with six-round green
+eight cheapest-to-defer r06 rows (q45/q46/q47/q48 and q32/q33/q71/q28
+— pure scalar-function/relational entries with six-round green
 histories whose operator families stay covered by sibling window
-rows), which carry to round 12.
+rows, e.g. q67 variant JSON stays for q28), which carry to round 12.
 
 ROUND-12 PLAN (written in round 11, the established handoff): once
-CORRECTNESS_r11 lands, the union's stalest rows are the seven deferred
-q45 q46 q47 q48 q32 q33 q71 (r06), then the 43 r07 rows. The round-12
-window is those seven + the r07 cohort, with any round-12 additions
-displacing the cheapest-to-defer r07 rows."""
+CORRECTNESS_r11 lands, the union's stalest rows are the eight deferred
+q45 q46 q47 q48 q32 q33 q71 q28 (r06), then the 42 r07 rows. The
+round-12 window is those eight + the r07 cohort, with any round-12
+additions displacing the cheapest-to-defer r07 rows."""
 
 from __future__ import annotations
 
@@ -31,9 +31,10 @@ DEFERRED_TO_R12 = (
     "q32_in_subquery",
     "q33_scalar_subquery",
     "q71_filtered_aggregates",
+    "q28_json_functions",
 )
 
-# The 43 remaining entries whose latest driver row is r06 — the
+# The 42 remaining entries whose latest driver row is r06 — the
 # round-11 lead.
 LEAD_R06 = (
     "d20_lsh_bucket_audit",
@@ -52,7 +53,6 @@ LEAD_R06 = (
     "p12_schema_evolution",
     "p13_bucketed_join",
     "p14_partition_backfill",
-    "q28_json_functions",
     "q44_window_navigation",
     "q67_variant_json",
     "q68_lateral_join",
@@ -89,6 +89,7 @@ NEVER_CHECKED = (
     "d32b_pagerank_fixed_point",
     "p03b_embed_distinct_exact",
     "p09b_rag_query_exact",
+    "st30_kinesis_protocol_ingest",
 )
 
 # Checked r09 but only rows-only; the oracle was upgraded to hash-exact
@@ -114,7 +115,7 @@ def test_window_order_is_the_round11_rotation():
     w = window()
     expected = list(LEAD_R06) + list(NEVER_CHECKED) + list(REVALIDATED)
     assert w == expected, (
-        "round-11 window must be: 43 r06-stale rows, then the new "
+        "round-11 window must be: 42 r06-stale rows, then the new "
         "entries, then the re-oracled m03"
     )
 

@@ -1,0 +1,265 @@
+"""The Kinesis read path, executed: sources/kinesis_lite.py speaking
+the public Kinesis JSON protocol (SigV4-signed when credentialed)
+against the in-process fake endpoint (sources/kinesis_fake.py).
+Closes the r6-r10 standing gap where the S1 stage was only an
+option-map (streaming/pipeline.py) because the connector jar is absent
+— the protocol itself is public, so the engine now ships a reader that
+exercises ListShards/GetShardIterator/GetRecords, shard-parallel
+partitions, and per-shard sequence-number offsets for real."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.docgen import (
+    wire_record,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.kinesis_fake import (
+    FakeKinesisServer,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.kinesis_lite import (
+    KinesisClient,
+    KinesisLiteStreamReader,
+    register,
+    sigv4_headers,
+    sigv4_signing_key,
+)
+
+
+def _seeded_shards(n_docs: int = 40, n_shards: int = 4):
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(n_shards)
+    }
+    for doc_id in range(n_docs):
+        _, wire = wire_record(42, doc_id)
+        shards[f"shardId-{doc_id % n_shards:012d}"].append(
+            (str(doc_id), wire.encode())
+        )
+    return shards
+
+
+@pytest.fixture()
+def fake():
+    srv = FakeKinesisServer("docs", _seeded_shards())
+    url = srv.start()
+    yield srv, url
+    srv.stop()
+
+
+def test_sigv4_signing_key_matches_aws_published_vector():
+    """AWS's published key-derivation test vector (docs: 'Examples of
+    how to derive a signing key'): secret wJalr.../20120215/us-east-1/
+    iam -> the documented kSigning bytes."""
+    key = sigv4_signing_key(
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "20120215",
+        "us-east-1",
+        "iam",
+    )
+    assert key.hex() == (
+        "f4780e2d9f65fa895f9c67b32ce1baf0b0d8a43505a000a1a9e090d414db404d"
+    )
+
+
+def test_sigv4_headers_are_deterministic_and_complete():
+    now = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    h1 = sigv4_headers(
+        "kinesis.us-east-1.amazonaws.com",
+        "Kinesis_20131202.GetRecords",
+        b'{"x":1}',
+        "us-east-1",
+        "AKIDEXAMPLE",
+        "secret",
+        now=now,
+    )
+    h2 = sigv4_headers(
+        "kinesis.us-east-1.amazonaws.com",
+        "Kinesis_20131202.GetRecords",
+        b'{"x":1}',
+        "us-east-1",
+        "AKIDEXAMPLE",
+        "secret",
+        now=now,
+    )
+    assert h1 == h2
+    auth = h1["authorization"]
+    assert auth.startswith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20240101/")
+    assert "SignedHeaders=content-type;host;x-amz-date;x-amz-target" in auth
+    assert "Signature=" in auth
+    # a body change must change the signature
+    h3 = sigv4_headers(
+        "kinesis.us-east-1.amazonaws.com",
+        "Kinesis_20131202.GetRecords",
+        b'{"x":2}',
+        "us-east-1",
+        "AKIDEXAMPLE",
+        "secret",
+        now=now,
+    )
+    assert h3["authorization"] != auth
+
+
+def test_client_protocol_roundtrip(fake):
+    srv, url = fake
+    c = KinesisClient(
+        {"stream_name": "docs", "endpoint_url": url, "region": "us-east-1"}
+    )
+    shards = c.list_shards()
+    assert shards == [f"shardId-{i:012d}" for i in range(4)]
+    # TRIM_HORIZON reads everything, paginated
+    recs = c.read_after(shards[0], None, 3)
+    assert [r["SequenceNumber"] for r in recs] == ["0", "1", "2"]
+    # AFTER_SEQUENCE_NUMBER resumes exactly
+    rest = c.read_after(shards[0], "2", 1000)
+    assert [r["SequenceNumber"] for r in rest] == [
+        str(i) for i in range(3, 10)
+    ]
+    # signed requests traverse the same path (fake ignores auth)
+    signed = KinesisClient(
+        {
+            "stream_name": "docs",
+            "endpoint_url": url,
+            "region": "us-east-1",
+            "access_key": "AKIDEXAMPLE",
+            "secret_key": "secret",
+        }
+    )
+    assert signed.list_shards() == shards
+
+
+def test_stream_reader_offsets_ranges_and_resharding(fake):
+    srv, url = fake
+    opts = {
+        "stream_name": "docs",
+        "endpoint_url": url,
+        "max_records_per_batch": "4",
+    }
+    r = KinesisLiteStreamReader(opts)
+    o0 = r.initialOffset()
+    assert set(o0["shards"]) == {f"shardId-{i:012d}" for i in range(4)}
+    assert all(p == "" for p in o0["shards"].values())
+    o1 = r.latestOffset()
+    assert all(p == "3" for p in o1["shards"].values())  # 4 per shard
+    # the planned range replays exactly (start, end] per shard
+    parts = r.partitions(o0, o1)
+    got = sorted(
+        (row[0], row[1]) for p in parts for row in r.read(p)
+    )
+    assert len(got) == 16 and len(set(got)) == 16
+    assert all(int(seq) <= 3 for _, seq in got)
+    # resharding: a shard appearing mid-stream joins at TRIM_HORIZON
+    srv.add_shard("shardId-000000000009", [("x", b"{}"), ("y", b"{}")])
+    o2 = r.latestOffset()
+    assert o2["shards"]["shardId-000000000009"] == "1"
+    parts2 = r.partitions(o1, o2)
+    new_rows = [
+        row
+        for p in parts2
+        for row in r.read(p)
+        if row[0] == "shardId-000000000009"
+    ]
+    assert [r_[1] for r_ in new_rows] == ["0", "1"]
+
+
+def test_latest_starting_position_skips_preexisting(fake):
+    srv, url = fake
+    r = KinesisLiteStreamReader(
+        {
+            "stream_name": "docs",
+            "endpoint_url": url,
+            "starting_position": "LATEST",
+        }
+    )
+    o0 = r.initialOffset()
+    assert all(p == "9" for p in o0["shards"].values())
+    # nothing new -> latestOffset does not move, no partitions planned
+    o1 = r.latestOffset()
+    assert o1 == o0
+    parts = r.partitions(o0, o1)
+    assert [row for p in parts for row in r.read(p)] == []
+    # appended records after start ARE picked up
+    srv.append("shardId-000000000000", [("z", b"{}")])
+    o2 = r.latestOffset()
+    assert o2["shards"]["shardId-000000000000"] == "10"
+
+
+def test_spark_batch_read_shard_parallel(spark, fake):
+    srv, url = fake
+    register(spark)
+    rows = (
+        spark.read.format("kinesis-lite")
+        .option("stream_name", "docs")
+        .option("endpoint_url", url)
+        .load()
+        .collect()
+    )
+    assert len(rows) == 40
+    assert {r.shard_id for r in rows} == {f"shardId-{i:012d}" for i in range(4)}
+    by_key = {int(r.partition_key): r for r in rows}
+    _, wire7 = wire_record(42, 7)
+    assert by_key[7].data == wire7
+    assert by_key[7].arrival_ts is not None
+
+
+def test_spark_streaming_exactly_once_multi_batch(spark, fake):
+    srv, url = fake
+    register(spark)
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_until_rows,
+    )
+
+    raw = (
+        spark.readStream.format("kinesis-lite")
+        .option("stream_name", "docs")
+        .option("endpoint_url", url)
+        .option("max_records_per_batch", "4")
+        .load()
+    )
+    out = run_until_rows(
+        raw.select("shard_id", "sequence_number", "partition_key"),
+        "kinesis_lite_t",
+        "append",
+        target_rows=40,
+    )
+    rows = out.collect()
+    # every seeded record exactly once, across >= 3 micro-batches
+    assert len(rows) == 40
+    assert len({(r.shard_id, r.sequence_number) for r in rows}) == 40
+    assert sorted(int(r.partition_key) for r in rows) == list(range(40))
+
+
+def test_pipeline_source_format_kinesis_lite_end_to_end(spark, fake):
+    """The S1 config path: PipelineConfig(source_format='kinesis-lite')
+    through build_source yields the RAW(value) contract the downstream
+    M1/F1/A1 stages consume — the reference's consumer config driving
+    the engine's own protocol reader."""
+    srv, url = fake
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.config import (
+        PipelineConfig,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        run_until_rows,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        build_source,
+    )
+
+    cfg = PipelineConfig(
+        source_format="kinesis-lite",
+        start_position="earliest",
+        extra={
+            "kinesis_stream": "docs",
+            "kinesis_region": "us-east-1",
+            "kinesis_endpoint": url,
+        },
+    )
+    raw = build_source(spark, cfg)
+    assert raw.columns == ["value"]
+    rows = run_until_rows(
+        raw, "kinesis_lite_cfg", "append", target_rows=40
+    ).collect()
+    assert len(rows) == 40
+    _, wire0 = wire_record(42, 0)
+    assert wire0 in {r.value for r in rows}
