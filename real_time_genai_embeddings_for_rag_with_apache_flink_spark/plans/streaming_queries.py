@@ -3470,7 +3470,7 @@ def st29_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
 
 _ST30_DOCS = 600
 _ST30_SHARDS = 4
-_ST30_PER_BATCH = 60
+_ST30_REVEAL = 30  # records/shard made visible per ListShards (per trigger)
 
 
 @query(
@@ -3501,10 +3501,13 @@ def st30_kinesis_protocol_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (600 docgen wire records sharded by doc_id % 4 — the
     producer Lambda's PartitionKey routing) is served by the
     in-process Kinesis-compatible endpoint (sources/kinesis_fake.py,
-    the kinesalite role), consumed as a REAL multi-batch stream —
-    shard-parallel executor reads, per-shard sequence-number offsets
-    checkpointed per trigger (600/(4x60) = 3 triggers) — parsed with
-    the M1 ``from_json`` stage, and reduced per bucket. The oracle
+    the kinesalite role) with deterministic ARRIVAL SIMULATION
+    (reveal_per_list=30: each trigger's shard listing exposes 30 more
+    records per shard, so the tip-based reader observes a growing
+    stream), consumed as a REAL multi-batch stream — shard-parallel
+    executor reads, per-shard sequence-number TIP offsets
+    checkpointed per trigger (3 data batches at these rates) — parsed
+    with the M1 ``from_json`` stage, and reduced per bucket. The oracle
     regenerates the identical corpus, and n_shards certifies the
     PartitionKey->shard routing survived the protocol round-trip.
 
@@ -3528,14 +3531,13 @@ def st30_kinesis_protocol_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards[f"shardId-{doc_id % _ST30_SHARDS:012d}"].append(
             (str(doc_id), wire.encode())
         )
-    srv = FakeKinesisServer("docs", shards)
+    srv = FakeKinesisServer("docs", shards, reveal_per_list=_ST30_REVEAL)
     endpoint = srv.start()
     try:
         raw = (
             spark.readStream.format("kinesis-lite")
             .option("stream_name", "docs")
             .option("endpoint_url", endpoint)
-            .option("max_records_per_batch", str(_ST30_PER_BATCH))
             .load()
         )
         parsed = raw.select(

@@ -30,11 +30,28 @@ class FakeKinesisServer:
     ``add_shard`` may be called while serving (the resharding case:
     a split/merge surfacing new shards mid-stream)."""
 
-    def __init__(self, stream_name: str, shards: dict[str, list[tuple[str, bytes]]]):
+    def __init__(
+        self,
+        stream_name: str,
+        shards: dict[str, list[tuple[str, bytes]]],
+        reveal_per_list: int | None = None,
+    ):
         self.stream_name = stream_name
         self._lock = threading.Lock()
         self._shards: dict[str, list[tuple[str, bytes]]] = {
             s: list(recs) for s, recs in shards.items()
+        }
+        # Arrival simulation: with reveal_per_list=k, every ListShards
+        # call makes k more records per shard visible — a deterministic
+        # stand-in for "the producer keeps writing", which is what lets
+        # a tip-based consumer (kinesis_lite latestOffset calls
+        # ListShards once per trigger) observe a GROWING stream and
+        # exercise real multi-batch progression. None = everything
+        # visible immediately.
+        self._reveal = reveal_per_list
+        self._visible: dict[str, int] = {
+            s: (reveal_per_list if reveal_per_list is not None else -1)
+            for s in self._shards
         }
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -46,6 +63,9 @@ class FakeKinesisServer:
             if shard_id in self._shards:
                 raise ValueError(f"shard {shard_id} exists")
             self._shards[shard_id] = list(records)
+            self._visible[shard_id] = (
+                self._reveal if self._reveal is not None else -1
+            )
 
     def append(self, shard_id: str, records: list[tuple[str, bytes]]) -> None:
         with self._lock:
@@ -58,6 +78,9 @@ class FakeKinesisServer:
             if action == "ListShards":
                 if payload.get("StreamName", self.stream_name) != self.stream_name:
                     raise KeyError("stream")
+                if self._reveal is not None:
+                    for s in self._shards:
+                        self._visible[s] += self._reveal
                 return {
                     "Shards": [
                         {"ShardId": s} for s in sorted(self._shards)
@@ -83,6 +106,9 @@ class FakeKinesisServer:
                 shard, idx = self._untoken(payload["ShardIterator"])
                 limit = int(payload.get("Limit", 10_000))
                 recs = self._shards.get(shard, [])
+                vis = self._visible.get(shard, -1)
+                if vis >= 0:
+                    recs = recs[:vis]
                 page = recs[idx : idx + limit]
                 nxt = idx + len(page)
                 return {

@@ -32,17 +32,23 @@ What is implemented (all public AWS API surface):
 - resharding: ``latestOffset`` re-lists shards every trigger; shards
   that appear mid-stream (splits/merges) join at TRIM_HORIZON.
 
-Execution model (micro-batch planning): ``latestOffset`` advances each
-shard's cursor by reading up to ``max_records_per_batch`` records from
-the last committed position ON THE DRIVER to learn the batch's end
-sequence numbers, and executors re-read exactly that (start, end] range
-via their own iterators. The double fetch is the price of exact,
-retry-deterministic batch boundaries without driver->executor record
-shipping; at scale the per-trigger driver read is bounded by
-shards x max_records_per_batch, and a deployment that cannot afford 2x
-GetRecords switches this reader to enhanced fan-out or the
-driver-prefetching SimpleDataSourceStreamReader — both noted in
-README deployment notes.
+Execution model (micro-batch planning): ``latestOffset`` returns the
+TRUE CURRENT TIP of every shard — the API's contract ("the most recent
+offset available") and the only restart-safe value: a reader recreated
+over an existing checkpoint has no memory of committed positions, and
+any cursor-derived answer below them would be adopted by the engine as
+progress and re-emit committed records (the duplicate bug pinned in
+tests/test_kinesis_lite.py). The tip is discovered by a driver-side
+GetRecords walk (resumed from the last position this instance saw —
+an instance-local cache that only shortens the walk, never changes the
+answer); executors then re-read exactly the planned (start, end] range
+via their own AFTER_SEQUENCE_NUMBER iterators. Each batch therefore
+takes ALL data available at trigger time (the Python stream API
+exposes no admission control); the double fetch and the unpaced
+catch-up batch after a restart are the price of exactness — a
+deployment that cannot afford 2x GetRecords switches to enhanced
+fan-out or the driver-prefetching SimpleDataSourceStreamReader (README
+deployment notes).
 """
 
 from __future__ import annotations
@@ -314,11 +320,15 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
         self.mode = options.get("decode", "utf8")
-        self.per_batch = int(options.get("max_records_per_batch", 100))
         self.start = options.get("starting_position", "TRIM_HORIZON").upper()
         if self.start not in ("TRIM_HORIZON", "LATEST"):
             raise ValueError(f"unknown starting_position {self.start!r}")
         self._client = KinesisClient(self.options)
+        # walk-start cache ONLY: latestOffset always walks to the true
+        # tip, so this instance-local state never changes an answer —
+        # it just shortens the walk (the engine may serve initialOffset
+        # and latestOffset from different reader instances, so nothing
+        # correctness-bearing may live here)
         self._positions: dict[str, str | None] = {}
 
     def _snapshot(self) -> dict:
@@ -338,6 +348,16 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             for s, p in offset.get("shards", {}).items()
         }
 
+    def _walk_to_tip(self, shard: str, start: str | None) -> str | None:
+        """Current last sequence number of a shard (driver-side walk
+        from `start`; bounded by retention)."""
+        last = start
+        while True:
+            recs = self._client.read_after(shard, last, 10_000)
+            if not recs:
+                return last
+            last = recs[-1]["SequenceNumber"]
+
     def initialOffset(self) -> dict:
         for shard in self._client.list_shards():
             self._positions[shard] = None
@@ -347,13 +367,7 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             # "only records produced after the query started", and a
             # concrete per-shard cursor is what makes that exact
             for shard in self._positions:
-                last = None
-                while True:
-                    recs = self._client.read_after(shard, last, 10_000)
-                    if not recs:
-                        break
-                    last = recs[-1]["SequenceNumber"]
-                self._positions[shard] = last
+                self._positions[shard] = self._walk_to_tip(shard, None)
         return self._snapshot()
 
     def latestOffset(self) -> dict:
@@ -362,9 +376,7 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         for shard in self._client.list_shards():
             self._positions.setdefault(shard, None)
         for shard, pos in list(self._positions.items()):
-            recs = self._client.read_after(shard, pos, self.per_batch)
-            if recs:
-                self._positions[shard] = recs[-1]["SequenceNumber"]
+            self._positions[shard] = self._walk_to_tip(shard, pos)
         return self._snapshot()
 
     def partitions(self, start: dict, end: dict):
@@ -372,7 +384,27 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         parts = []
         for shard, end_seq in hi.items():
             start_seq = lo.get(shard)
-            if end_seq is not None and end_seq != start_seq:
+            # RESTART RECONCILIATION: after a checkpoint recovery the
+            # fresh reader's latestOffset re-walked the shard from the
+            # horizon, so `end` can lag the COMMITTED `start` (the one
+            # source of truth, handed to us by the engine from its
+            # offset log). A naive (start, stale-end] range would
+            # re-emit long-committed records — the exact duplicate bug
+            # pinned in tests/test_kinesis_lite.py. Clamp the batch to
+            # empty and fast-forward the driver cursor to the committed
+            # position; the next trigger resumes exactly after it.
+            stale = (
+                end_seq is None
+                or (start_seq is not None and int(end_seq) < int(start_seq))
+            )
+            if stale:
+                cur = self._positions.get(shard)
+                if start_seq is not None and (
+                    cur is None or int(cur) < int(start_seq)
+                ):
+                    self._positions[shard] = start_seq
+                continue
+            if end_seq != start_seq:
                 parts.append(InputPartition((shard, start_seq, end_seq)))
         # Spark requires >= 1 partition per batch
         return parts or [InputPartition((None, None, None))]
@@ -399,7 +431,6 @@ class KinesisLiteDataSource(DataSource):
     """``format("kinesis-lite")``. Options: stream_name (required),
     endpoint_url, region, access_key/secret_key/session_token (enables
     SigV4), starting_position (TRIM_HORIZON | LATEST, streaming),
-    max_records_per_batch (per shard per trigger, streaming),
     max_records_per_shard (batch), decode (utf8 | base64)."""
 
     @classmethod

@@ -116,8 +116,7 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
                 ],
             )
         )
-        for key in ("access_key", "secret_key", "session_token",
-                    "max_records_per_batch"):
+        for key in ("access_key", "secret_key", "session_token"):
             if cfg.extra.get(f"kinesis_{key}"):
                 reader = reader.option(key, str(cfg.extra[f"kinesis_{key}"]))
         return reader.load().select(F.col("data").alias("value"))
