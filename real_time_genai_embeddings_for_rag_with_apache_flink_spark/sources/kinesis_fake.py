@@ -53,6 +53,7 @@ class FakeKinesisServer:
             s: (reveal_per_list if reveal_per_list is not None else -1)
             for s in self._shards
         }
+        self._closed: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -69,7 +70,33 @@ class FakeKinesisServer:
 
     def append(self, shard_id: str, records: list[tuple[str, bytes]]) -> None:
         with self._lock:
+            if shard_id in self._closed:
+                raise ValueError(f"shard {shard_id} is closed")
             self._shards[shard_id].extend(records)
+
+    def split_shard(
+        self,
+        parent: str,
+        children: dict[str, list[tuple[str, bytes]]],
+    ) -> None:
+        """Close `parent` (its record list freezes; GetRecords at its
+        end stops returning a NextShardIterator — the real closed-shard
+        signal) and surface the child shards. Models the
+        SplitShard/MergeShards lifecycle a long-lived stream goes
+        through; consumers must drain the parent remainder and pick the
+        children up at TRIM_HORIZON."""
+        with self._lock:
+            if parent not in self._shards:
+                raise ValueError(f"shard {parent} does not exist")
+            self._closed.add(parent)
+            self._visible[parent] = -1  # remainder fully readable
+            for child, recs in children.items():
+                if child in self._shards:
+                    raise ValueError(f"shard {child} exists")
+                self._shards[child] = list(recs)
+                self._visible[child] = (
+                    self._reveal if self._reveal is not None else -1
+                )
 
     # -- protocol ---------------------------------------------------------
 
@@ -111,7 +138,7 @@ class FakeKinesisServer:
                     recs = recs[:vis]
                 page = recs[idx : idx + limit]
                 nxt = idx + len(page)
-                return {
+                out = {
                     "Records": [
                         {
                             "SequenceNumber": str(idx + i),
@@ -123,9 +150,14 @@ class FakeKinesisServer:
                         }
                         for i, (pk, data) in enumerate(page)
                     ],
-                    "NextShardIterator": self._token(shard, nxt),
                     "MillisBehindLatest": (len(recs) - nxt) * 1000,
                 }
+                # a CLOSED shard's iterator ends (no NextShardIterator)
+                # once the frozen record list is exhausted — the real
+                # end-of-shard signal after SplitShard/MergeShards
+                if not (shard in self._closed and nxt >= len(recs)):
+                    out["NextShardIterator"] = self._token(shard, nxt)
+                return out
             raise KeyError(action)
 
     @staticmethod

@@ -30,7 +30,10 @@ What is implemented (all public AWS API surface):
   planned range exactly re-readable on task retry or checkpoint
   recovery, the same replayability contract Kafka offsets give;
 - resharding: ``latestOffset`` re-lists shards every trigger; shards
-  that appear mid-stream (splits/merges) join at TRIM_HORIZON.
+  that appear mid-stream (splits/merges) join at TRIM_HORIZON, and a
+  CLOSED parent (iterator ends after the frozen remainder) drains to
+  its final tip and simply stops advancing — the full shard lifecycle
+  is pinned in tests/test_kinesis_lite.py.
 
 Execution model (micro-batch planning): ``latestOffset`` returns the
 TRUE CURRENT TIP of every shard — the API's contract ("the most recent

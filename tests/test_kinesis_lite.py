@@ -347,3 +347,49 @@ def test_spark_streaming_checkpoint_recovery_resumes_after_committed(spark, fake
     assert new_keys == list(range(100, 112)), (
         "restart must emit exactly the post-stop records, once each"
     )
+
+
+def test_shard_split_lifecycle_closed_parent_and_children(fake):
+    """SplitShard lifecycle: the parent closes (its iterator ENDS — no
+    NextShardIterator after the frozen remainder), children surface on
+    the next shard listing and are read from TRIM_HORIZON; the closed
+    parent's tip stops moving and nothing is lost or duplicated."""
+    srv, url = fake
+    r = KinesisLiteStreamReader({"stream_name": "docs", "endpoint_url": url})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    drained = [row for p in r.partitions(o0, o1) for row in r.read(p)]
+    assert len(drained) == 40
+
+    srv.split_shard(
+        "shardId-000000000000",
+        {
+            "shardId-000000000010": [("c1", b"{}"), ("c2", b"{}")],
+            "shardId-000000000011": [("c3", b"{}")],
+        },
+    )
+    # closed parent: iterator exhausts without a continuation token
+    c = KinesisClient({"stream_name": "docs", "endpoint_url": url})
+    page = c.get_records(c.shard_iterator("shardId-000000000000", "9"), 100)
+    assert page["Records"] == [] and "NextShardIterator" not in page
+    # appends to a closed shard are refused (the real service contract)
+    with pytest.raises(ValueError):
+        srv.append("shardId-000000000000", [("x", b"{}")])
+
+    o2 = r.latestOffset()
+    assert o2["shards"]["shardId-000000000000"] == "9"  # frozen tip
+    assert o2["shards"]["shardId-000000000010"] == "1"
+    assert o2["shards"]["shardId-000000000011"] == "0"
+    new_rows = sorted(
+        (row[0], row[1])
+        for p in r.partitions(o1, o2)
+        for row in r.read(p)
+    )
+    assert new_rows == [
+        ("shardId-000000000010", "0"),
+        ("shardId-000000000010", "1"),
+        ("shardId-000000000011", "0"),
+    ]
+    # a further trigger with no new data plans nothing
+    o3 = r.latestOffset()
+    assert o3 == o2
