@@ -242,16 +242,29 @@ class KinesisClient:
         return self._call("GetShardIterator", payload)["ShardIterator"]
 
     def get_records(self, iterator: str, limit: int) -> dict:
+        # the real service rejects Limit > 10,000 (ValidationException)
         return self._call(
-            "GetRecords", {"ShardIterator": iterator, "Limit": limit}
+            "GetRecords",
+            {"ShardIterator": iterator, "Limit": min(limit, 10_000)},
         )
 
     def read_after(
-        self, shard_id: str, position: str | None, limit: int
+        self,
+        shard_id: str,
+        position: str | None,
+        limit: int,
+        strict: bool = False,
+        stop_after: int | None = None,
     ) -> list[dict]:
         """Up to `limit` records strictly after `position` (None =
         shard start). Stops at a caught-up shard (empty page with
-        MillisBehindLatest 0) or a closed one (no NextShardIterator)."""
+        MillisBehindLatest 0) or a closed one (no NextShardIterator).
+        A behind-tip shard may serve empty pages while the service
+        catches up; after _MAX_EMPTY_POLLS of those, ``strict=False``
+        returns what it has (fine for tip discovery — the next trigger
+        continues) while ``strict=True`` RAISES (required for a planned
+        executor range, where returning early would silently drop
+        committed records; the failed task retries instead)."""
         it = self.shard_iterator(shard_id, position)
         out: list[dict] = []
         empty = 0
@@ -260,9 +273,24 @@ class KinesisClient:
             recs = page.get("Records", [])
             out.extend(recs)
             it = page.get("NextShardIterator")
+            if (
+                stop_after is not None
+                and recs
+                and int(recs[-1]["SequenceNumber"]) >= stop_after
+            ):
+                break  # planned range fully covered — don't walk to tip
             if not recs:
                 empty += 1
-                if page.get("MillisBehindLatest", 0) == 0 or empty >= _MAX_EMPTY_POLLS:
+                if page.get("MillisBehindLatest", 0) == 0:
+                    break
+                if empty >= _MAX_EMPTY_POLLS:
+                    if strict:
+                        raise RuntimeError(
+                            f"shard {shard_id}: {empty} consecutive empty "
+                            "GetRecords pages while still behind tip — "
+                            "failing the task so it retries rather than "
+                            "dropping planned records"
+                        )
                     break
             else:
                 empty = 0
@@ -419,8 +447,11 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         client = KinesisClient(self.options)
         end_i = int(end_seq)
         # the planned range is bounded, but GetRecords pages freely —
-        # over-fetch and cut at the committed end sequence
-        fetched = client.read_after(shard_id, start_seq, 1_000_000_000)
+        # over-fetch and cut at the committed end sequence; strict=True:
+        # a planned range must never be silently truncated
+        fetched = client.read_after(
+            shard_id, start_seq, 1_000_000_000, strict=True, stop_after=end_i
+        )
         for rec in fetched:
             if int(rec["SequenceNumber"]) > end_i:
                 break
