@@ -283,6 +283,14 @@ class MiniMessage:
             values[name] = container  # empty list never serializes
             return container
         if desc.type == T_MESSAGE:
+            # every read of an absent submessage must return the SAME
+            # placeholder (real protobuf semantics): two live references
+            # from separate reads would otherwise each carry an armed
+            # mutate-hook, and the later mutation would overwrite the
+            # earlier child in _values, silently dropping its fields
+            cached = getattr(self, "_lazy_" + name, None)
+            if cached is not None:
+                return cached
             child = desc.message_cls()
             parent = self
 
@@ -319,6 +327,10 @@ class MiniMessage:
             for other in type(self)._DESC.fields:
                 if other.oneof == desc.oneof and other.name != name:
                     self._values.pop(other.name, None)
+                    # a cleared sibling's cached placeholder must not
+                    # resurface with its old mutations on the next read
+                    if getattr(self, "_lazy_" + other.name, None) is not None:
+                        object.__setattr__(self, "_lazy_" + other.name, None)
         self._values[name] = value
         self._mutated()
 

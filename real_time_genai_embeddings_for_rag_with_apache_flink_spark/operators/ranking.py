@@ -46,12 +46,16 @@ def bucket_by_quantiles(
     so every indicator contributes its ``otherwise(0)`` arm); callers
     whose key order must place NULLs elsewhere should coalesce first.
 
-    Degenerate inputs (an all-NULL or constant ``num_col``) yield no
-    usable cuts: every row lands in ONE bucket and the downstream
-    per-bucket window runs single-task — correct, but the exact scale
-    funnel this operator exists to avoid. That condition is warned, not
-    raised, because for heavy-tie keys one bucket IS the total order's
-    true shape and results remain exact.
+    Degenerate inputs collapse the bucketing: an all-NULL ``num_col``
+    yields NO cuts (warned in _quantile_cuts), and a constant or
+    heavy-tie column collapses every requested quantile to one cut
+    (warned when num_buckets > 2 asked for several); in both cases all
+    rows land in ONE bucket and the downstream per-bucket window runs
+    single-task — correct, but the exact scale funnel this operator
+    exists to avoid. Warned, not raised, because for heavy-tie keys one
+    bucket IS the total order's true shape and results remain exact;
+    distributed_rank additionally checks the REALIZED histogram, which
+    catches every residual single-bucket case.
     """
     bucket = F.lit(0)
     for c in _quantile_cuts(df, num_col, num_buckets):
@@ -61,14 +65,25 @@ def bucket_by_quantiles(
 
 def _quantile_cuts(df: DataFrame, num_col: str, num_buckets: int) -> list:
     """Sorted distinct approximate quantile cuts for ``num_col``; warns
-    when the list is empty (all-NULL or constant column → single-bucket
-    degradation)."""
+    when the list is empty (all-NULL column) or when several requested
+    quantiles collapse to one cut (constant / heavy-tie column) — both
+    single-bucket degradations."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
     cuts = sorted(set(df.stat.approxQuantile(num_col, probs, 0.001)))
+    if num_buckets > 2 and len(cuts) == 1:
+        warnings.warn(
+            f"bucket_by_quantiles({num_col!r}): all {len(probs)} requested "
+            "quantiles collapsed to one cut (constant or heavy-tie "
+            "column); most rows will share one bucket and its window "
+            "degrades toward a single task. Results stay exact, but at "
+            "scale pick a less degenerate first key.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     if num_buckets > 1 and not cuts:
         warnings.warn(
             f"bucket_by_quantiles({num_col!r}): no usable quantile cuts "
-            "(all-NULL or constant column); every row lands in one "
+            "(all-NULL column); every row lands in one "
             "bucket and the per-bucket window degrades to a single "
             "task. Results stay exact, but at scale pick a less "
             "degenerate first key.",

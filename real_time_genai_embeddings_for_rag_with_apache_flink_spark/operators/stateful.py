@@ -86,9 +86,9 @@ try:
     from .miniproto import install_state_message_shim
 
     install_state_message_shim()
-    _STATE_PROTO_AVAILABLE = True
-except Exception:  # pragma: no cover - layout drift in future pyspark
-    _STATE_PROTO_AVAILABLE = False
+    _STATE_PROTO_ERROR: Exception | None = None
+except Exception as _e:  # pragma: no cover - layout drift in future pyspark
+    _STATE_PROTO_ERROR = _e
 
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
@@ -168,6 +168,13 @@ def user_value_extremes(events: DataFrame) -> DataFrame:
     Same scale shape as every keyed-state operator: one shuffle on the
     grouping key per micro-batch, state store partitioned across
     executors, state size bounded by live keys."""
+    if _STATE_PROTO_ERROR is not None:
+        # fail HERE with the real cause instead of an opaque lazy pb2
+        # import error from deep inside the state client mid-query
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf or the "
+            "miniproto shim, and the shim failed to install"
+        ) from _STATE_PROTO_ERROR
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ExtremesProcessor(),
         outputStructType=_EXTREMES_OUT,

@@ -107,7 +107,9 @@ class FakeKinesisServer:
                     raise KeyError("stream")
                 if self._reveal is not None:
                     for s in self._shards:
-                        self._visible[s] += self._reveal
+                        # -1 = fully visible (closed parents): sticky
+                        if self._visible[s] >= 0:
+                            self._visible[s] += self._reveal
                 return {
                     "Shards": [
                         {"ShardId": s} for s in sorted(self._shards)

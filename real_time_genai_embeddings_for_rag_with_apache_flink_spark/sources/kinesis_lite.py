@@ -265,14 +265,33 @@ class KinesisClient:
         continues) while ``strict=True`` RAISES (required for a planned
         executor range, where returning early would silently drop
         committed records; the failed task retries instead)."""
+        return list(
+            self.iter_after(
+                shard_id, position, limit, strict=strict, stop_after=stop_after
+            )
+        )
+
+    def iter_after(
+        self,
+        shard_id: str,
+        position: str | None,
+        limit: int,
+        strict: bool = False,
+        stop_after: int | None = None,
+    ):
+        """Generator form of read_after — yields one GetRecords PAGE's
+        records at a time, so an executor streaming a huge planned
+        range (first TRIM_HORIZON batch, post-restart catch-up) holds
+        at most one page in memory instead of the whole range."""
         it = self.shard_iterator(shard_id, position)
-        out: list[dict] = []
+        n = 0
         empty = 0
-        while it and len(out) < limit:
-            page = self.get_records(it, limit - len(out))
+        while it and n < limit:
+            page = self.get_records(it, limit - n)
             recs = page.get("Records", [])
-            out.extend(recs)
+            n += len(recs)
             it = page.get("NextShardIterator")
+            yield from recs
             if (
                 stop_after is not None
                 and recs
@@ -294,7 +313,6 @@ class KinesisClient:
                     break
             else:
                 empty = 0
-        return out
 
 
 def _decode(rec: dict, mode: str) -> str:
@@ -338,7 +356,7 @@ class KinesisLiteReader(DataSourceReader):
     def read(self, partition: InputPartition):
         shard_id = partition.value
         client = KinesisClient(self.options)
-        for rec in client.read_after(shard_id, None, self.limit):
+        for rec in client.iter_after(shard_id, None, self.limit):
             yield _row(rec, shard_id, self.mode)
 
 
@@ -403,9 +421,14 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # resharding: shards that appeared since the last trigger join
-        # at TRIM_HORIZON
-        for shard in self._client.list_shards():
-            self._positions.setdefault(shard, None)
+        # at TRIM_HORIZON; shards the service no longer lists (closed
+        # parents aged out of retention) are PRUNED — keeping them
+        # would poll a deleted shard every trigger and eventually crash
+        # on its ResourceNotFoundException
+        listed = self._client.list_shards()
+        self._positions = {
+            shard: self._positions.get(shard) for shard in listed
+        }
         for shard, pos in list(self._positions.items()):
             self._positions[shard] = self._walk_to_tip(shard, pos)
         return self._snapshot()
@@ -447,12 +470,12 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         client = KinesisClient(self.options)
         end_i = int(end_seq)
         # the planned range is bounded, but GetRecords pages freely —
-        # over-fetch and cut at the committed end sequence; strict=True:
-        # a planned range must never be silently truncated
-        fetched = client.read_after(
+        # stream page by page (one page in memory, not the whole range)
+        # and cut at the committed end sequence; strict=True: a planned
+        # range must never be silently truncated
+        for rec in client.iter_after(
             shard_id, start_seq, 1_000_000_000, strict=True, stop_after=end_i
-        )
-        for rec in fetched:
+        ):
             if int(rec["SequenceNumber"]) > end_i:
                 break
             yield _row(rec, shard_id, self.mode)

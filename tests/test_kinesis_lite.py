@@ -306,7 +306,6 @@ def test_spark_streaming_checkpoint_recovery_resumes_after_committed(spark, fake
             spark.readStream.format("kinesis-lite")
             .option("stream_name", "docs")
             .option("endpoint_url", url)
-            .option("max_records_per_batch", "3")
             .load()
         )
         # parquet FileStreamSink, not memory: the memory sink refuses
@@ -393,3 +392,38 @@ def test_shard_split_lifecycle_closed_parent_and_children(fake):
     # a further trigger with no new data plans nothing
     o3 = r.latestOffset()
     assert o3 == o2
+
+
+def test_deleted_shards_are_pruned_from_offsets(fake):
+    """A closed shard aged out of retention disappears from ListShards;
+    the reader must stop polling it (a deleted shard's GetShardIterator
+    is a ResourceNotFoundException that would fail every trigger)."""
+    srv, url = fake
+    r = KinesisLiteStreamReader({"stream_name": "docs", "endpoint_url": url})
+    r.initialOffset()
+    o1 = r.latestOffset()
+    assert "shardId-000000000003" in o1["shards"]
+    # simulate the service deleting the shard entirely
+    with srv._lock:
+        del srv._shards["shardId-000000000003"]
+        del srv._visible["shardId-000000000003"]
+    o2 = r.latestOffset()
+    assert "shardId-000000000003" not in o2["shards"]
+
+
+def test_reveal_does_not_rehide_closed_shard_remainder():
+    """split_shard marks the parent fully visible (-1); the per-list
+    reveal increment must not clobber that sentinel and re-hide
+    already-readable records (simulated data loss)."""
+    srv = FakeKinesisServer(
+        "docs", {"s0": [("k", b"{}")] * 6}, reveal_per_list=1
+    )
+    url = srv.start()
+    try:
+        c = KinesisClient({"stream_name": "docs", "endpoint_url": url})
+        srv.split_shard("s0", {"s1": [("c", b"{}")]})
+        c.list_shards()  # reveal tick — must not touch the closed parent
+        recs = c.read_after("s0", None, 100)
+        assert len(recs) == 6, "closed parent remainder must stay readable"
+    finally:
+        srv.stop()

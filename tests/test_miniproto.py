@@ -146,3 +146,32 @@ def test_namespace_builder_exposes_enum_values():
     ns = build_namespace(_extract_serialized_descriptor())
     assert ns["PRE_INIT"] == 0 and ns["CLOSED"] == 5
     assert ns["HandleState"].CREATED == 1
+
+
+def test_lazy_submessage_reads_alias_one_placeholder(sm):
+    """Real protobuf returns the SAME placeholder on every read of an
+    absent submessage; two reads each carrying an armed mutate-hook
+    would let the later mutation overwrite the earlier child in the
+    parent, silently dropping fields from the wire bytes."""
+    call = sm.StateCallCommand(stateName="s")
+    a = call.ttl
+    b = call.ttl
+    assert a is b
+    a.durationMs = 7
+    assert call.ttl.durationMs == 7
+    data = call.SerializeToString()
+    fresh = sm.StateCallCommand()
+    fresh.ParseFromString(data)
+    assert fresh.ttl.durationMs == 7
+
+
+def test_oneof_clear_drops_stale_placeholder_cache(sm):
+    """Switching a oneof away from a message member must reset that
+    member: re-reading it gives a default placeholder, not the old
+    mutated child resurrected from the lazy cache."""
+    call = sm.StatefulProcessorCall()
+    call.getValueState.stateName = "old"
+    call.deleteIfExists = sm.StateCallCommand(stateName="new")
+    assert call.getValueState.stateName == ""  # default, not "old"
+    data = call.SerializeToString()
+    assert b"old" not in data and b"new" in data
