@@ -69,6 +69,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _API_VERSION = "Kinesis_20131202"
@@ -484,6 +485,92 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         pass
 
 
+class KinesisLiteSimpleStreamReader(SimpleDataSourceStreamReader):
+    """The driver-prefetching variant (``format("kinesis-lite-simple")``)
+    — the paced-batches option the shard-parallel reader cannot offer:
+    ``read(start)`` RECEIVES the committed offset from the engine, so a
+    per-trigger cap (``max_records_per_batch``, per shard) is
+    restart-safe here by construction — pacing restarts from the
+    committed position, never from lost reader state. The trade: every
+    record crosses the DRIVER (Spark's documented guidance — use this
+    for lightweight input rates; the shard-parallel reader for
+    throughput). Offsets share the shard-parallel reader's
+    ``{"shards": {shard_id: seq}}`` shape."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.mode = options.get("decode", "utf8")
+        self.per_batch = int(options.get("max_records_per_batch", 1000))
+        self.start = options.get("starting_position", "TRIM_HORIZON").upper()
+        if self.start not in ("TRIM_HORIZON", "LATEST"):
+            raise ValueError(f"unknown starting_position {self.start!r}")
+        self._client = KinesisClient(self.options)
+
+    @staticmethod
+    def _load(offset: dict) -> dict[str, str | None]:
+        return {
+            s: (None if p == "" else p)
+            for s, p in offset.get("shards", {}).items()
+        }
+
+    @staticmethod
+    def _snap(positions: dict[str, str | None]) -> dict:
+        return {
+            "shards": {
+                s: ("" if p is None else p)
+                for s, p in sorted(positions.items())
+            }
+        }
+
+    def _walk_to_tip(self, shard: str, start: str | None) -> str | None:
+        last = start
+        while True:
+            recs = self._client.read_after(shard, last, 10_000)
+            if not recs:
+                return last
+            last = recs[-1]["SequenceNumber"]
+
+    def initialOffset(self) -> dict:
+        positions: dict[str, str | None] = {}
+        for shard in self._client.list_shards():
+            positions[shard] = (
+                self._walk_to_tip(shard, None)
+                if self.start == "LATEST"
+                else None
+            )
+        return self._snap(positions)
+
+    def read(self, start: dict):
+        pos = self._load(start)
+        # prune deleted shards; adopt new ones at TRIM_HORIZON
+        listed = self._client.list_shards()
+        pos = {shard: pos.get(shard) for shard in listed}
+        rows: list = []
+        for shard, p in pos.items():
+            recs = self._client.read_after(shard, p, self.per_batch)
+            rows.extend(_row(r, shard, self.mode) for r in recs)
+            if recs:
+                pos[shard] = recs[-1]["SequenceNumber"]
+        return iter(rows), self._snap(pos)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = self._load(start), self._load(end)
+        for shard, end_seq in hi.items():
+            start_seq = lo.get(shard)
+            if end_seq is None or end_seq == start_seq:
+                continue
+            end_i = int(end_seq)
+            for rec in self._client.iter_after(
+                shard, start_seq, 1_000_000_000, strict=True, stop_after=end_i
+            ):
+                if int(rec["SequenceNumber"]) > end_i:
+                    break
+                yield _row(rec, shard, self.mode)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class KinesisLiteDataSource(DataSource):
     """``format("kinesis-lite")``. Options: stream_name (required),
     endpoint_url, region, access_key/secret_key/session_token (enables
@@ -507,6 +594,31 @@ class KinesisLiteDataSource(DataSource):
         return KinesisLiteStreamReader(self.options)
 
 
+class KinesisLiteSimpleDataSource(DataSource):
+    """``format("kinesis-lite-simple")`` — same options and schema, but
+    the stream reader is the driver-prefetching simple variant (which
+    Spark only consults when ``streamReader`` is absent, hence the
+    separate format name). Adds ``max_records_per_batch`` (per shard
+    per trigger, restart-safe paced batching)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis-lite-simple"
+
+    def schema(self) -> str:
+        return (
+            "shard_id string, sequence_number string, partition_key string, "
+            "data string, arrival_ts timestamp"
+        )
+
+    def reader(self, schema) -> KinesisLiteReader:
+        return KinesisLiteReader(self.options)
+
+    def simpleStreamReader(self, schema) -> KinesisLiteSimpleStreamReader:
+        return KinesisLiteSimpleStreamReader(self.options)
+
+
 def register(spark) -> None:
-    """Idempotent registration of the kinesis-lite format."""
+    """Idempotent registration of both kinesis-lite formats."""
     spark.dataSource.register(KinesisLiteDataSource)
+    spark.dataSource.register(KinesisLiteSimpleDataSource)
