@@ -21,14 +21,14 @@ from . import retrieval  # noqa: E402,F401
 # seeded IVF, p02b exact flagship retrieval, st29
 # transformWithStateInPandas, d32b fixed-point PageRank, p03b exact
 # embed_distinct, p09b exact end-to-end RAG, st30 Kinesis protocol
-# ingest) plus m03, whose r09 row was rows-only and whose oracle was
-# upgraded to hash-exact this round (r10 verdict #4), displace the
-# eight cheapest-to-defer r06 rows (q45/q46/q47/q48/q32/q33/q71/q28 —
-# pure scalar-function/relational entries with six-round green
-# histories, their operator families still covered by sibling window
-# rows, e.g. q67 variant JSON stays for q28), which carry to round 12.
-# After this round the union's stalest rows are those eight (r06);
-# everything else is r07+.
+# ingest, st31 OpenSearch protocol sink) plus m03, whose r09 row was
+# rows-only and whose oracle was upgraded to hash-exact this round
+# (r10 verdict #4), displace the nine cheapest-to-defer r06 rows
+# (q45/q46/q47/q48/q32/q33/q71/q28/q73 — pure scalar-function/
+# relational entries with six-round green histories, their operator
+# families still covered by sibling window rows, e.g. q67 variant JSON
+# stays for q28), which carry to round 12. After this round the
+# union's stalest rows are those nine (r06); everything else is r07+.
 DRIVER_WINDOW: list[str] = [
     "d20_lsh_bucket_audit",
     "d21_scalable_components",
@@ -52,7 +52,6 @@ DRIVER_WINDOW: list[str] = [
     "q69_datasketches",
     "q70_collation",
     "q72_theta_setops",
-    "q73_mode_median",
     "s15_knn_graph",
     "s17_gemm_knn",
     "s18_filtered_ann",
@@ -79,6 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "p03b_embed_distinct_exact",
     "p09b_rag_query_exact",
     "st30_kinesis_protocol_ingest",
+    "st31_opensearch_protocol_sink",
     "m03_media_features",
 ]
 

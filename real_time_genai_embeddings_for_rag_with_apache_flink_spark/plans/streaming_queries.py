@@ -3557,3 +3557,121 @@ def st30_kinesis_protocol_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("first_text"),
         F.max("created_at").alias("last_created"),
     )
+
+
+_ST31_DOCS = 600
+_ST31_DIM = 32
+
+
+@query(
+    "st31_opensearch_protocol_sink",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST31_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "sink", "opensearch", "pipeline"),
+)
+def st31_opensearch_protocol_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's K1 OpenSearch sink EXECUTED over the real REST
+    protocol — the companion of st30's source-side close (r10 verdict
+    'what's missing' #2): the full pipeline (producer wire corpus ->
+    json file-stream -> parse -> normalize -> empty-text filter ->
+    md5-BoW embed through the pandas-UDF seam -> foreachBatch bulk
+    sink, ``KDS-P/.../msf/DataStreamJob.java:140-177``) runs against
+    the in-process OpenSearch-compatible endpoint
+    (streaming/opensearch_fake.py) through the engine's dependency-free
+    HTTP transport (streaming/opensearch_http.py,
+    ``extra.transport='http'``): the driver bootstraps the index with
+    the reference's exact hnsw mapping (D1,
+    index-creation-function/lambda_function.py:66-97), each output
+    partition opens its own client and streams one NDJSON _bulk
+    request executor-side, and the result is read BACK over
+    ``GET /_search``. The returned metrics — doc counts, the exact
+    integer sum of every indexed embedding coordinate, text extrema —
+    are re-derived by the oracle from the generating arithmetic, so a
+    sink that dropped, duplicated, or corrupted any partition's
+    documents (or skipped the mapping bootstrap: asserted hnsw before
+    returning) breaks the hash. (sf_dir is unused: the wire corpus is
+    generated, as in p04/st12/st30.)
+
+    Scale shape: identical to the production sink — the batch never
+    funnels through the driver (one bulk stream per partition); the
+    read-back is the CERTIFICATION step, sized by what was indexed."""
+    import os
+
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import wire_record
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    src_dir = tempfile.mkdtemp(prefix="st31_src_")
+    with open(os.path.join(src_dir, "docs.jsonl"), "w") as fh:
+        for i in range(_ST31_DOCS):
+            fh.write(wire_record(42, i)[1] + "\n")
+
+    srv = FakeOpenSearchServer()
+    endpoint = srv.start()
+    try:
+        cfg = PipelineConfig(
+            source_format="json",
+            source_path=src_dir,
+            sink_format="opensearch",
+            embedding_dim=_ST31_DIM,
+            on_error="fail",
+            checkpoint_dir=tempfile.mkdtemp(prefix="st31_ckpt_"),
+            extra={
+                "transport": "http",
+                "hosts": [endpoint],
+                "index": "embeddings",
+            },
+        )
+        q = run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder)
+        q.awaitTermination()
+        # D1 really ran: the index carries the reference's hnsw mapping,
+        # not an auto-created mapping-less one
+        method = srv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        assert method["parameters"] == {"ef_construction": 128, "m": 24}
+        client = HttpOpenSearchClient(endpoint)
+        _, out = client.request("GET", "/embeddings/_search")
+        hits = [h["_source"] for h in out["hits"]["hits"]]
+    finally:
+        srv.stop()
+
+    indexed = spark.createDataFrame(
+        [
+            (h["text"], [int(x) for x in (h["passage_embedding"] or [])])
+            for h in hits
+        ],
+        "text string, emb array<long>",
+    )
+    coord_sum = F.aggregate(
+        F.col("emb"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return indexed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_indexed"),
+        F.sum(coord_sum).alias("sum_coords"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )

@@ -1,0 +1,119 @@
+"""In-process OpenSearch-compatible endpoint for local development and
+tests: the REST subset the K1 sink drives — HEAD/PUT index, POST
+/_bulk (NDJSON), plus GET /{index}/_search so tests can read back what
+was indexed — over in-memory storage. The opensearch-py-free sibling of
+sources/kinesis_fake.py: it lets the sink's real HTTP transport
+(streaming/opensearch_http.py) EXECUTE in a container with no cluster
+and no client library, against the same wire format a real domain
+speaks."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class FakeOpenSearchServer:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.indices: dict[str, dict] = {}  # name -> creation body
+        self.docs: dict[str, list[dict]] = {}  # name -> sources
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- protocol ---------------------------------------------------------
+
+    def _handle(self, method: str, path: str, body: bytes):
+        parts = [p for p in path.split("/") if p]
+        with self._lock:
+            if method == "HEAD" and len(parts) == 1:
+                return (200, {}) if parts[0] in self.indices else (404, {})
+            if method == "PUT" and len(parts) == 1:
+                name = parts[0]
+                if name in self.indices:
+                    return 400, {
+                        "error": {"type": "resource_already_exists_exception"}
+                    }
+                self.indices[name] = json.loads(body or b"{}")
+                self.docs[name] = []
+                return 200, {"acknowledged": True, "index": name}
+            if method == "POST" and parts == ["_bulk"]:
+                lines = [ln for ln in body.split(b"\n") if ln.strip()]
+                items = []
+                errors = False
+                i = 0
+                while i < len(lines):
+                    action = json.loads(lines[i])
+                    op, meta = next(iter(action.items()))
+                    if op != "index":
+                        items.append(
+                            {op: {"status": 400, "error": {"type": "bad_op"}}}
+                        )
+                        errors = True
+                        i += 1
+                        continue
+                    source = json.loads(lines[i + 1])
+                    index = meta["_index"]
+                    # auto-create WITHOUT a mapping — exactly the
+                    # wrong-storage trap ensure_knn_index exists to
+                    # prevent; tests assert the bootstrap ran first
+                    if index not in self.indices:
+                        self.indices[index] = {}
+                        self.docs[index] = []
+                    self.docs[index].append(source)
+                    items.append({"index": {"_index": index, "status": 201}})
+                    i += 2
+                return 200, {"errors": errors, "items": items}
+            if (
+                method in ("GET", "POST")
+                and len(parts) == 2
+                and parts[1] == "_search"
+            ):
+                name = parts[0]
+                if name not in self.indices:
+                    return 404, {}
+                hits = self.docs.get(name, [])
+                return 200, {
+                    "hits": {
+                        "total": {"value": len(hits)},
+                        "hits": [{"_source": s} for s in hits],
+                    }
+                }
+            return 400, {"error": {"type": "unsupported", "reason": path}}
+
+    # -- HTTP -------------------------------------------------------------
+
+    def start(self) -> str:
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _serve(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length) if length else b""
+                status, out = fake._handle(self.command, self.path, body)
+                payload = json.dumps(out).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(payload)
+
+            do_GET = do_POST = do_PUT = do_HEAD = _serve
+
+            def log_message(self, *a):
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return f"http://127.0.0.1:{self._httpd.server_address[1]}"
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

@@ -1,0 +1,247 @@
+"""OpenSearch sink transport executed for real: a stdlib HTTP client
+speaking the PUBLIC OpenSearch/Elasticsearch REST protocol.
+
+The reference's K1 stage bulk-indexes into OpenSearch through the Java
+client (``KDS-P/.../msf/DataStreamJob.java:158-177``) after a bootstrap
+Lambda creates the k-NN index
+(``index-creation-function/lambda_function.py:66-97``). The engine's
+sink (streaming/sinks.py) mirrors both, but ``opensearch-py`` is not in
+this container, so rounds 1-10 could only exercise the path against a
+fake CLIENT OBJECT — the wire protocol itself never executed. This
+module closes that gap the kinesis-lite way: the REST surface the sink
+needs is three endpoints —
+
+- ``HEAD /{index}``            index existence,
+- ``PUT  /{index}``            index creation with the hnsw mapping,
+- ``POST /_bulk``              NDJSON bulk indexing —
+
+all public API, implemented over ``urllib`` with optional SigV4 signing
+(service ``es`` for managed domains, ``aoss`` for serverless — the same
+split the opensearch-py factory configures), so the identical sink
+partition code runs against the in-process fake endpoint
+(streaming/opensearch_fake.py), a local OpenSearch, or a signed AWS
+domain. The client object quacks like the opensearch-py subset the sink
+consumes (``indices.exists`` / ``indices.create``), and ``http_bulk``
+replaces ``helpers.bulk`` — so ``_opensearch_writer`` needs no new code
+path beyond factory selection (``cfg.extra["transport"] = "http"``).
+
+At scale nothing changes: one client + one bulk stream per output
+partition, executor-side; the driver only runs the one-shot index
+bootstrap. Bulk errors raise (foreachBatch retries the batch — the same
+at-least-once contract as the reference's bulk processor).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from ..sources.kinesis_lite import sigv4_signing_key
+
+
+def sigv4_rest_headers(
+    method: str,
+    host: str,
+    path: str,
+    body: bytes,
+    region: str,
+    service: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None = None,
+    now: datetime.datetime | None = None,
+    content_type: str = "application/json",
+) -> dict[str, str]:
+    """SigV4 for an arbitrary REST call (method/path vary, no query
+    string) — the generalization of kinesis_lite.sigv4_headers, sharing
+    its vector-pinned signing-key derivation."""
+    t = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = t.strftime("%Y%m%d")
+    payload_hash = hashlib.sha256(body).hexdigest()
+    headers = {
+        "content-type": content_type,
+        "host": host,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amz_date,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    signed_names = ";".join(sorted(headers))
+    canonical = "\n".join(
+        [
+            method,
+            urllib.parse.quote(path),
+            "",
+            "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
+            signed_names,
+            payload_hash,
+        ]
+    )
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical.encode()).hexdigest(),
+        ]
+    )
+    signature = hmac.new(
+        sigv4_signing_key(secret_key, date_stamp, region, service),
+        string_to_sign.encode(),
+        hashlib.sha256,
+    ).hexdigest()
+    headers["authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={signature}"
+    )
+    return headers
+
+
+class HttpOpenSearchClient:
+    """The opensearch-py subset the sink consumes, over stdlib HTTP:
+    ``indices.exists`` / ``indices.create`` plus a raw ``request`` used
+    by http_bulk (and by tests to search the fake)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        region: str | None = None,
+        service: str = "es",
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        session_token: str | None = None,
+        timeout: float = 10.0,
+    ):
+        self.base = base_url.rstrip("/")
+        self.region = region
+        self.service = service
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.session_token = session_token
+        self.timeout = timeout
+        self.indices = _Indices(self)
+
+    def request(
+        self,
+        method: str,
+        path: str,
+        body: bytes | None = None,
+        content_type: str = "application/json",
+    ) -> tuple[int, dict]:
+        data = body or b""
+        host = self.base.split("://", 1)[1].split("/", 1)[0]
+        if self.region and self.access_key and self.secret_key:
+            headers = sigv4_rest_headers(
+                method,
+                host,
+                path,
+                data,
+                self.region,
+                self.service,
+                self.access_key,
+                self.secret_key,
+                self.session_token,
+                content_type=content_type,
+            )
+        else:
+            headers = {"content-type": content_type}
+        req = urllib.request.Request(
+            self.base + path, data=data if body is not None else None,
+            headers=headers, method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+                return resp.status, (json.loads(raw) if raw else {})
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return 404, {}
+            raise RuntimeError(
+                f"OpenSearch {method} {path} failed: HTTP {e.code} "
+                f"{e.read().decode()!r}"
+            ) from e
+
+
+class _Indices:
+    def __init__(self, client: HttpOpenSearchClient):
+        self._c = client
+
+    def exists(self, index: str) -> bool:
+        status, _ = self._c.request("HEAD", f"/{index}")
+        return status == 200
+
+    def create(self, index: str, body: dict) -> dict:
+        _, out = self._c.request(
+            "PUT", f"/{index}", json.dumps(body).encode()
+        )
+        return out
+
+
+def http_bulk(client: HttpOpenSearchClient, actions) -> int:
+    """``helpers.bulk`` over REST: NDJSON ``{"index": {"_index": ...}}``
+    action lines + source lines, one POST /_bulk per call. Raises on
+    any per-item error (foreachBatch's retry handles the batch), so a
+    partial failure can never pass silently. Returns the indexed
+    count."""
+    lines: list[bytes] = []
+    n = 0
+    for action in actions:
+        lines.append(
+            json.dumps(
+                {"index": {"_index": action["_index"]}},
+                separators=(",", ":"),
+            ).encode()
+        )
+        lines.append(
+            json.dumps(action["_source"], separators=(",", ":")).encode()
+        )
+        n += 1
+    if n == 0:
+        return 0
+    body = b"\n".join(lines) + b"\n"
+    _, out = client.request(
+        "POST", "/_bulk", body, content_type="application/x-ndjson"
+    )
+    if out.get("errors"):
+        bad = [
+            item for item in out.get("items", [])
+            if next(iter(item.values())).get("error")
+        ]
+        raise RuntimeError(f"bulk indexing reported errors: {bad[:3]}")
+    return n
+
+
+def http_opensearch_factory(
+    hosts,
+    region: str | None = None,
+    service: str = "es",
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+):
+    """Drop-in replacement for sinks._default_opensearch_factory with
+    zero third-party dependencies — selected by
+    ``cfg.extra["transport"] = "http"``."""
+    base = hosts[0] if isinstance(hosts, (list, tuple)) else hosts
+
+    def make():
+        return (
+            HttpOpenSearchClient(
+                base,
+                region=region,
+                service=service,
+                access_key=access_key,
+                secret_key=secret_key,
+                session_token=session_token,
+            ),
+            http_bulk,
+        )
+
+    return make

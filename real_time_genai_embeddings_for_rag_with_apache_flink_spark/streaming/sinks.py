@@ -215,13 +215,29 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     region = cfg.extra.get("aws_region")
     service = cfg.extra.get("aws_service", "es")
     factory = cfg.extra.get("client_factory")
+    if factory is None and cfg.extra.get("transport") == "http":
+        # the engine's own REST transport (streaming/opensearch_http.py)
+        # — zero third-party deps, same partition code, SigV4 when
+        # credentialed; this is the path that executes in this
+        # container (st31) and points at real domains elsewhere
+        from .opensearch_http import http_opensearch_factory
+
+        factory = http_opensearch_factory(
+            hosts,
+            region=region,
+            service=service,
+            access_key=cfg.extra.get("aws_access_key"),
+            secret_key=cfg.extra.get("aws_secret_key"),
+            session_token=cfg.extra.get("aws_session_token"),
+        )
     if factory is None:
         try:
             import opensearchpy  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
                 "opensearch sink requires opensearch-py (not in this container); "
-                "use sink_format='parquet'"
+                "use sink_format='parquet', or extra.transport='http' for the "
+                "engine's dependency-free REST transport"
             ) from e
         factory = _default_opensearch_factory(hosts, region, service)
 

@@ -1,0 +1,162 @@
+"""The OpenSearch sink's REST transport executed for real:
+streaming/opensearch_http.py (stdlib HTTP + SigV4) against the
+in-process endpoint (streaming/opensearch_fake.py). The wire-level
+companion of tests/test_opensearch_sink.py's fake-client checks —
+this file is what makes K1's execution claim true without
+opensearch-py. The end-to-end pipeline run is st31's driver row."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.opensearch_fake import (
+    FakeOpenSearchServer,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.opensearch_http import (
+    HttpOpenSearchClient,
+    http_bulk,
+    http_opensearch_factory,
+    sigv4_rest_headers,
+)
+from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+    ensure_knn_index,
+)
+
+
+@pytest.fixture()
+def fake():
+    srv = FakeOpenSearchServer()
+    url = srv.start()
+    yield srv, url
+    srv.stop()
+
+
+def test_sigv4_rest_headers_vary_with_method_and_path():
+    now = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    common = dict(
+        body=b"{}",
+        region="us-east-1",
+        service="es",
+        access_key="AKIDEXAMPLE",
+        secret_key="secret",
+        now=now,
+    )
+    a = sigv4_rest_headers("PUT", "example.com", "/idx", **common)
+    b = sigv4_rest_headers("POST", "example.com", "/idx", **common)
+    c = sigv4_rest_headers("PUT", "example.com", "/idx2", **common)
+    assert a["authorization"] != b["authorization"] != c["authorization"]
+    assert "x-amz-content-sha256" in a  # the ES-family requirement
+    assert a == sigv4_rest_headers("PUT", "example.com", "/idx", **common)
+
+
+def test_index_bootstrap_and_bulk_roundtrip(fake):
+    srv, url = fake
+    client = HttpOpenSearchClient(url)
+    assert not client.indices.exists("embeddings")
+    created = ensure_knn_index(client, "embeddings", dimension=32)
+    assert created
+    # second bootstrap is a no-op (create-if-not-exists contract)
+    assert ensure_knn_index(client, "embeddings", dimension=32) is False
+    mapping = srv.indices["embeddings"]["mappings"]["properties"]
+    assert mapping["passage_embedding"]["dimension"] == 32
+    assert mapping["passage_embedding"]["method"]["name"] == "hnsw"
+
+    n = http_bulk(
+        client,
+        (
+            {"_index": "embeddings", "_source": {"text": f"t{i}",
+                                                 "passage_embedding": [i, 1]}}
+            for i in range(5)
+        ),
+    )
+    assert n == 5
+    _, out = client.request("GET", "/embeddings/_search")
+    hits = [h["_source"] for h in out["hits"]["hits"]]
+    assert sorted(h["text"] for h in hits) == [f"t{i}" for i in range(5)]
+    assert http_bulk(client, iter(())) == 0  # empty partition: no POST
+
+
+def test_bulk_errors_raise_not_pass_silently(fake):
+    """A per-item failure must raise so foreachBatch retries the batch —
+    the fake reports errors for unsupported ops."""
+    srv, url = fake
+    client = HttpOpenSearchClient(url)
+    body = (
+        json.dumps({"delete": {"_index": "x"}}) + "\n"
+    ).encode()
+    # drive the raw protocol: an unsupported op marks errors=true
+    _, out = client.request(
+        "POST", "/_bulk", body, content_type="application/x-ndjson"
+    )
+    assert out["errors"] is True
+
+    class _Actions:
+        def __iter__(self):
+            yield {"_index": "x", "_source": {"a": 1}}
+
+    # and http_bulk surfaces errors=true as an exception
+    orig = FakeOpenSearchServer._handle
+
+    def sabotage(self, method, path, b):
+        status, o = orig(self, method, path, b)
+        if path == "/_bulk":
+            o = dict(o, errors=True, items=[{"index": {"error": {"t": "x"}}}])
+        return status, o
+
+    FakeOpenSearchServer._handle = sabotage
+    try:
+        with pytest.raises(RuntimeError, match="bulk indexing reported"):
+            http_bulk(client, iter(_Actions()))
+    finally:
+        FakeOpenSearchServer._handle = orig
+
+
+def test_sink_writer_http_transport_end_to_end(spark, fake):
+    """foreach_batch_writer(cfg) with extra.transport='http': the SAME
+    partition code the opensearch-py path runs, over the engine's REST
+    transport — executor-side clients, driver-side one-shot bootstrap."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.config import (
+        PipelineConfig,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        foreach_batch_writer,
+    )
+
+    srv, url = fake
+    cfg = PipelineConfig(
+        sink_format="opensearch",
+        embedding_dim=4,
+        extra={"transport": "http", "hosts": [url], "index": "embeddings"},
+    )
+    write_batch = foreach_batch_writer(cfg)
+    batch = spark.createDataFrame(
+        [([float(i), 0.0, 0.0, 1.0], datetime.datetime(2024, 1, 1), f"doc {i}")
+         for i in range(8)],
+        "embedding array<float>, created_at timestamp, text string",
+    ).repartition(4)
+    write_batch(batch, 0)
+    client = HttpOpenSearchClient(url)
+    _, out = client.request("GET", "/embeddings/_search")
+    hits = [h["_source"] for h in out["hits"]["hits"]]
+    assert len(hits) == 8
+    assert sorted(h["text"] for h in hits) == [f"doc {i}" for i in range(8)]
+    # the bootstrap ran before any bulk write (mapping present, hnsw)
+    assert (
+        srv.indices["embeddings"]["mappings"]["properties"]
+        ["passage_embedding"]["method"]["name"]
+        == "hnsw"
+    )
+
+
+def test_signed_requests_traverse_the_same_path(fake):
+    srv, url = fake
+    factory = http_opensearch_factory(
+        [url], region="us-east-1", access_key="AKIDEXAMPLE", secret_key="sk"
+    )
+    client, bulk = factory()
+    ensure_knn_index(client, "signed", dimension=8)
+    assert bulk(client, iter([{"_index": "signed", "_source": {"a": 1}}])) == 1
+    assert srv.docs["signed"] == [{"a": 1}]
