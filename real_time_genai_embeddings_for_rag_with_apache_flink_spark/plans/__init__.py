@@ -21,14 +21,15 @@ from . import retrieval  # noqa: E402,F401
 # seeded IVF, p02b exact flagship retrieval, st29
 # transformWithStateInPandas, d32b fixed-point PageRank, p03b exact
 # embed_distinct, p09b exact end-to-end RAG, st30 Kinesis protocol
-# ingest, st31 OpenSearch protocol sink) plus m03, whose r09 row was
-# rows-only and whose oracle was upgraded to hash-exact this round
-# (r10 verdict #4), displace the nine cheapest-to-defer r06 rows
-# (q45/q46/q47/q48/q32/q33/q71/q28/q73 — pure scalar-function/
-# relational entries with six-round green histories, their operator
-# families still covered by sibling window rows, e.g. q67 variant JSON
-# stays for q28), which carry to round 12. After this round the
-# union's stalest rows are those nine (r06); everything else is r07+.
+# ingest, st31 OpenSearch protocol sink, t27 exact BPE training) plus
+# m03, whose r09 row was rows-only and whose oracle was upgraded to
+# hash-exact this round (r10 verdict #4), displace the ten
+# cheapest-to-defer r06 rows (q45/q46/q47/q48/q32/q33/q71/q28/q73/q70
+# — pure scalar-function/relational entries with six-round green
+# histories, their operator families still covered by sibling window
+# rows, e.g. q67 variant JSON stays for q28, q24/q65 strings for q70),
+# which carry to round 12. After this round the union's stalest rows
+# are those ten (r06); everything else is r07+.
 DRIVER_WINDOW: list[str] = [
     "d20_lsh_bucket_audit",
     "d21_scalable_components",
@@ -50,7 +51,6 @@ DRIVER_WINDOW: list[str] = [
     "q67_variant_json",
     "q68_lateral_join",
     "q69_datasketches",
-    "q70_collation",
     "q72_theta_setops",
     "s15_knn_graph",
     "s17_gemm_knn",
@@ -79,6 +79,7 @@ DRIVER_WINDOW: list[str] = [
     "p09b_rag_query_exact",
     "st30_kinesis_protocol_ingest",
     "st31_opensearch_protocol_sink",
+    "t27_bpe_training_exact",
     "m03_media_features",
 ]
 

@@ -1718,3 +1718,106 @@ def t26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("curriculum_key"),
         )
     )
+
+
+_T27_MERGES = 8
+
+
+def _t27_oracle() -> str:
+    """The t27 oracle: the Sennrich BPE training loop UNROLLED as 8
+    chained MATERIALIZED rounds (p{k} pair counts, m{k} argmax, w{k}
+    vocabulary rewrite), generated programmatically so the SQL provably
+    mirrors operators/bpe.bpe_merges round for round. The rewrite trick
+    that makes the greedy merge relational: every symbol is rendered as
+    ``GS + symbol + RS`` (chr(29)/chr(30) — absent from any text), so a
+    single literal ``replace(rep, GS+l+RS+GS+r+RS, GS+l+r+RS)`` is
+    EXACTLY the greedy left-to-right non-overlapping merge of
+    bpe._merge_pair's fold: each symbol carries its own start anchor
+    and terminator, so consecutive matches share no characters (runs
+    like 'aaaa' merge to 'aa','aa', never 'aa','a','a') and a pattern
+    can never match mid-symbol or across a longer symbol's prefix."""
+    from .llmops import _SQL_NORM
+
+    gs, rs = "chr(29)", "chr(30)"
+    parts = [
+        f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         regexp_replace(word, '(.)', {gs} || '\\1' || {rs}, 'g') AS rep
+  FROM (
+    SELECT unnest(regexp_split_to_array({_SQL_NORM}, '\\s+')) AS word
+    FROM documents
+  ) WHERE word != ''
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, _T27_MERGES + 1):
+        p = k - 1
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(n) AS BIGINT) AS c FROM (
+    SELECT n, syms[i] AS a, syms[i + 1] AS b FROM (
+      SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+      FROM (
+        SELECT n, list_transform(
+                 list_filter(string_split(rep, {gs}), x -> x != ''),
+                 t -> substr(t, 1, length(t) - 1)) AS syms
+        FROM w{p}
+      )
+    )
+  ) GROUP BY a, b
+),
+m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT word, n, replace(rep,
+      {gs} || (SELECT a FROM m{k}) || {rs}
+            || {gs} || (SELECT b FROM m{k}) || {rs},
+      {gs} || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || {rs}) AS rep
+  FROM w{p}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM m{k}"
+        for k in range(1, _T27_MERGES + 1)
+    )
+    parts.append("\n" + selects)
+    return "".join(parts)
+
+
+@query(
+    "t27_bpe_training_exact",
+    oracle=_t27_oracle(),
+    tags=("curation", "tokenizer", "bpe", "iterative"),
+)
+def t27_bpe_training_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING value-certified hash-exact — the last
+    member of the 'iterative algorithms are inherently rows-only'
+    class (after d32b's PageRank): this entry runs the PRODUCTION
+    trainer itself (operators/bpe.bpe_merges — t22's exact dataflow,
+    no seeding needed because Sennrich BPE is already deterministic:
+    per-occurrence pair counts, argmax by count DESC / pair ASC,
+    greedy left-to-right rewrite) for the first 8 merges, and the
+    DuckDB oracle replays the whole loop as 8 unrolled MATERIALIZED
+    rounds. The relational form of the greedy rewrite — the step t22's
+    rows-only comment said had 'no engine-portable SQL' — is a single
+    literal replace over a delimiter-wrapped symbol string (see
+    _t27_oracle); pair counting is a per-round unnest + aggregate.
+    t22 (10 merges) and t22b (1000, vocabulary-local) remain the
+    production entries; their shared kernel is pinned against a
+    pure-Python reference in tests/test_bpe.py, and THIS row makes the
+    driver re-derive the actual learned merge table from raw text.
+
+    Scale shape (t22's, unchanged): one corpus pass collapses to
+    (word, count); each round is a vocabulary-sized pair aggregate +
+    a 1-row collect + a vocabulary-sized rewrite — never a corpus
+    re-scan."""
+    from ..operators.bpe import bpe_merges, corpus_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    wc = corpus_word_counts(docs, normalized_text(F.col("text")))
+    merges = bpe_merges(wc, n_merges=_T27_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

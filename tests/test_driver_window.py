@@ -3,18 +3,18 @@ catalog entries only (observed: CORRECTNESS_r02..r10 each held exactly
 the first 50 of the priority order). These tests pin the round-11
 rotation (the r10 verdict's directive, executing the plan written in
 round 10): the cross-round union's stalest cohort was the 50 rows last
-checked in r06 — exactly one window — so the eight entries NEW this
+checked in r06 — exactly one window — so the nine entries NEW this
 round (never driver-checked) plus the re-oracled m03 displace the
-nine cheapest-to-defer r06 rows (q45/q46/q47/q48 and
-q32/q33/q71/q28/q73 — pure scalar-function/relational entries with
-six-round green histories whose operator families stay covered by
-sibling window rows, e.g. q67 variant JSON stays for q28), which
-carry to round 12.
+ten cheapest-to-defer r06 rows (q45/q46/q47/q48 and
+q32/q33/q71/q28/q73/q70 — pure scalar-function/relational entries
+with six-round green histories whose operator families stay covered
+by sibling window rows, e.g. q67 variant JSON stays for q28, q24/q65
+strings for q70), which carry to round 12.
 
 ROUND-12 PLAN (written in round 11, the established handoff): once
-CORRECTNESS_r11 lands, the union's stalest rows are the nine deferred
-q45 q46 q47 q48 q32 q33 q71 q28 q73 (r06), then the 41 r07 rows. The
-round-12 window is those nine + the r07 cohort, with any round-12
+CORRECTNESS_r11 lands, the union's stalest rows are the ten deferred
+q45 q46 q47 q48 q32 q33 q71 q28 q73 q70 (r06), then the 40 r07 rows.
+The round-12 window is those ten + the r07 cohort, with any round-12
 additions displacing the cheapest-to-defer r07 rows."""
 
 from __future__ import annotations
@@ -34,9 +34,10 @@ DEFERRED_TO_R12 = (
     "q71_filtered_aggregates",
     "q28_json_functions",
     "q73_mode_median",
+    "q70_collation",
 )
 
-# The 41 remaining entries whose latest driver row is r06 — the
+# The 40 remaining entries whose latest driver row is r06 — the
 # round-11 lead.
 LEAD_R06 = (
     "d20_lsh_bucket_audit",
@@ -59,7 +60,6 @@ LEAD_R06 = (
     "q67_variant_json",
     "q68_lateral_join",
     "q69_datasketches",
-    "q70_collation",
     "q72_theta_setops",
     "s15_knn_graph",
     "s17_gemm_knn",
@@ -92,6 +92,7 @@ NEVER_CHECKED = (
     "p09b_rag_query_exact",
     "st30_kinesis_protocol_ingest",
     "st31_opensearch_protocol_sink",
+    "t27_bpe_training_exact",
 )
 
 # Checked r09 but only rows-only; the oracle was upgraded to hash-exact
@@ -117,7 +118,7 @@ def test_window_order_is_the_round11_rotation():
     w = window()
     expected = list(LEAD_R06) + list(NEVER_CHECKED) + list(REVALIDATED)
     assert w == expected, (
-        "round-11 window must be: 41 r06-stale rows, then the new "
+        "round-11 window must be: 40 r06-stale rows, then the new "
         "entries, then the re-oracled m03"
     )
 
