@@ -44,19 +44,29 @@ progress and re-emit committed records (the duplicate bug pinned in
 tests/test_kinesis_lite.py). The tip is discovered by a driver-side
 GetRecords walk (resumed from the last position this instance saw —
 an instance-local cache that only shortens the walk, never changes the
-answer); executors then re-read exactly the planned (start, end] range
-via their own AFTER_SEQUENCE_NUMBER iterators. Each batch therefore
-takes ALL data available at trigger time (the Python stream API
-exposes no admission control); the double fetch and the unpaced
-catch-up batch after a restart are the price of exactness — a
-deployment that cannot afford 2x GetRecords switches to enhanced
-fan-out or the driver-prefetching SimpleDataSourceStreamReader (README
-deployment notes).
+answer), run SHARD-CONCURRENTLY over a bounded thread pool
+(``tip_walk_threads``, default 8) so driver poll latency is the max
+over shards rather than their sum; executors then re-read exactly the
+planned (start, end] range via their own AFTER_SEQUENCE_NUMBER
+iterators. The Python stream API exposes no engine-side admission
+control, so pacing is the reader's job: ``max_records_per_trigger``
+caps each shard's advance per trigger whenever the cap is provably
+restart-safe — i.e. the walk start is an instance-derived floor at or
+above the committed position (every trigger after initialOffset, and
+every trigger after the first post-restart walk). The one remaining
+unpaced batch is the first trigger of a RESTARTED query, where the
+committed position is unknowable until the engine hands it to
+``partitions`` — that batch takes all available data (executor reads
+stream page-by-page, so memory stays one-page-bounded). The double
+fetch is the price of exactness — a deployment that cannot afford 2x
+GetRecords switches to enhanced fan-out or the driver-prefetching
+SimpleDataSourceStreamReader (README deployment notes).
 """
 
 from __future__ import annotations
 
 import base64
+import concurrent.futures
 import datetime
 import hashlib
 import hmac
@@ -101,38 +111,33 @@ def sigv4_signing_key(
     return _hmac(k_service, "aws4_request")
 
 
-def sigv4_headers(
-    host: str,
-    target: str,
+def sigv4_authorization(
+    method: str,
+    canonical_path: str,
+    headers: dict[str, str],
     body: bytes,
     region: str,
+    service: str,
     access_key: str,
     secret_key: str,
-    session_token: str | None = None,
-    now: datetime.datetime | None = None,
-    service: str = "kinesis",
-) -> dict[str, str]:
-    """Signed header set for one Kinesis POST (canonical request ->
-    string-to-sign -> signature, per the published SigV4 procedure)."""
-    t = now or datetime.datetime.now(datetime.timezone.utc)
-    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
-    date_stamp = t.strftime("%Y%m%d")
+    amz_date: str,
+    canonical_query: str = "",
+) -> str:
+    """Authorization header value for a request whose header set is
+    already final (every entry is signed): canonical request ->
+    string-to-sign -> signature, per the published SigV4 procedure.
+    The signing core shared by sigv4_headers (Kinesis JSON POSTs) and
+    opensearch_http.sigv4_rest_headers (REST), pinned against the
+    AWS-published signature test-suite vectors in
+    tests/test_kinesis_lite.py (get-vanilla / post-vanilla / query)."""
+    date_stamp = amz_date[:8]
     payload_hash = _sha256_hex(body)
-
-    headers = {
-        "content-type": "application/x-amz-json-1.1",
-        "host": host,
-        "x-amz-date": amz_date,
-        "x-amz-target": target,
-    }
-    if session_token:
-        headers["x-amz-security-token"] = session_token
     signed_names = ";".join(sorted(headers))
     canonical = "\n".join(
         [
-            "POST",
-            "/",
-            "",
+            method,
+            canonical_path,
+            canonical_query,
             "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
             signed_names,
             payload_hash,
@@ -152,9 +157,38 @@ def sigv4_headers(
         string_to_sign.encode(),
         hashlib.sha256,
     ).hexdigest()
-    headers["authorization"] = (
+    return (
         f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
         f"SignedHeaders={signed_names}, Signature={signature}"
+    )
+
+
+def sigv4_headers(
+    host: str,
+    target: str,
+    body: bytes,
+    region: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None = None,
+    now: datetime.datetime | None = None,
+    service: str = "kinesis",
+) -> dict[str, str]:
+    """Signed header set for one Kinesis POST (the JSON-1.1 header
+    shape over the vector-pinned sigv4_authorization core)."""
+    t = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+    headers = {
+        "content-type": "application/x-amz-json-1.1",
+        "host": host,
+        "x-amz-date": amz_date,
+        "x-amz-target": target,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    headers["authorization"] = sigv4_authorization(
+        "POST", "/", headers, body, region, service, access_key,
+        secret_key, amz_date,
     )
     return headers
 
@@ -349,6 +383,9 @@ class KinesisLiteReader(DataSourceReader):
         self.options = dict(options)
         self.mode = options.get("decode", "utf8")
         self.limit = int(options.get("max_records_per_shard", 10_000))
+        self.truncate_ok = str(
+            options.get("truncate_at_limit", "false")
+        ).lower() in ("true", "1", "yes")
 
     def partitions(self):
         shards = KinesisClient(self.options).list_shards()
@@ -357,7 +394,24 @@ class KinesisLiteReader(DataSourceReader):
     def read(self, partition: InputPartition):
         shard_id = partition.value
         client = KinesisClient(self.options)
-        for rec in client.iter_after(shard_id, None, self.limit):
+        # Read ONE record past the cap: a one-shot batch read that hits
+        # max_records_per_shard with the shard still holding more data
+        # would otherwise return PARTIAL data with no signal. Overflow
+        # raises unless the caller opted into truncation explicitly
+        # (truncate_at_limit=true).
+        n = 0
+        for rec in client.iter_after(shard_id, None, self.limit + 1):
+            n += 1
+            if n > self.limit:
+                if self.truncate_ok:
+                    return
+                raise RuntimeError(
+                    f"shard {shard_id} holds more than "
+                    f"max_records_per_shard={self.limit} records; raise "
+                    "the limit or set truncate_at_limit=true to accept "
+                    "a truncated one-shot read (the streaming reader is "
+                    "the unbounded path)"
+                )
             yield _row(rec, shard_id, self.mode)
 
 
@@ -374,12 +428,31 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         if self.start not in ("TRIM_HORIZON", "LATEST"):
             raise ValueError(f"unknown starting_position {self.start!r}")
         self._client = KinesisClient(self.options)
+        # tip walks run shard-concurrent (each with its own client; the
+        # driver poll is then bounded by the slowest shard, not the sum
+        # over shards)
+        self.walk_threads = max(1, int(options.get("tip_walk_threads", 8)))
+        # per-shard per-trigger catch-up cap (mirrors kinesis-lite-
+        # simple's max_records_per_batch). 0/absent = unpaced (full tip).
+        self.per_trigger = int(options.get("max_records_per_trigger", 0))
         # walk-start cache ONLY: latestOffset always walks to the true
-        # tip, so this instance-local state never changes an answer —
-        # it just shortens the walk (the engine may serve initialOffset
-        # and latestOffset from different reader instances, so nothing
+        # tip (or a PACED prefix of it — see _paced below), so this
+        # instance-local state never changes an answer — it just
+        # shortens the walk (the engine may serve initialOffset and
+        # latestOffset from different reader instances, so nothing
         # correctness-bearing may live here)
         self._positions: dict[str, str | None] = {}
+        # Shards whose cached position is INSTANCE-DERIVED (established
+        # by this instance's initialOffset or a prior full walk). Only
+        # these may be paced: within one instance the engine's committed
+        # start is always a previous latestOffset()/initialOffset()
+        # return of this same instance, so a capped walk from the cached
+        # position can never stop below it. A restarted instance has no
+        # such floor — its FIRST walk per shard must reach the true tip
+        # (one unpaced catch-up batch, the price of restart-exactness;
+        # the duplicate bug a cursor-derived shortcut causes is pinned
+        # in tests/test_kinesis_lite.py), after which pacing resumes.
+        self._paced: set[str] = set()
 
     def _snapshot(self) -> dict:
         # offsets must be JSON round-trippable; None (shard start)
@@ -398,26 +471,56 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             for s, p in offset.get("shards", {}).items()
         }
 
-    def _walk_to_tip(self, shard: str, start: str | None) -> str | None:
-        """Current last sequence number of a shard (driver-side walk
-        from `start`; bounded by retention)."""
+    def _walk_to_tip(
+        self, shard: str, start: str | None, cap: int | None = None
+    ) -> str | None:
+        """Last sequence number of a shard at most `cap` records past
+        `start` (None cap = the true current tip; walk bounded by
+        retention). Fresh client per call — walks run concurrently."""
+        client = KinesisClient(self.options)
         last = start
-        while True:
-            recs = self._client.read_after(shard, last, 10_000)
+        remaining = cap
+        while remaining is None or remaining > 0:
+            page = min(10_000, remaining) if remaining is not None else 10_000
+            recs = client.read_after(shard, last, page)
             if not recs:
                 return last
             last = recs[-1]["SequenceNumber"]
+            if remaining is not None:
+                remaining -= len(recs)
+        return last
+
+    def _walk_all(self, targets: dict[str, tuple[str | None, int | None]]):
+        """Concurrent tip walks: {shard: (start, cap)} -> {shard: tip}.
+        Bounded pool — driver poll latency is max over shards, not the
+        serial sum (the r11 scale caveat)."""
+        if not targets:
+            return {}
+        workers = min(self.walk_threads, len(targets))
+        if workers == 1:
+            return {
+                s: self._walk_to_tip(s, p, c)
+                for s, (p, c) in targets.items()
+            }
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            futs = {
+                s: pool.submit(self._walk_to_tip, s, p, c)
+                for s, (p, c) in targets.items()
+            }
+            return {s: f.result() for s, f in futs.items()}
 
     def initialOffset(self) -> dict:
         for shard in self._client.list_shards():
             self._positions[shard] = None
+            self._paced.add(shard)
         if self.start == "LATEST":
             # resolve "now" to concrete sequence numbers by draining
             # what already exists (bounded by retention) — LATEST means
             # "only records produced after the query started", and a
             # concrete per-shard cursor is what makes that exact
-            for shard in self._positions:
-                self._positions[shard] = self._walk_to_tip(shard, None)
+            self._positions.update(
+                self._walk_all({s: (None, None) for s in self._positions})
+            )
         return self._snapshot()
 
     def latestOffset(self) -> dict:
@@ -430,8 +533,24 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         self._positions = {
             shard: self._positions.get(shard) for shard in listed
         }
-        for shard, pos in list(self._positions.items()):
-            self._positions[shard] = self._walk_to_tip(shard, pos)
+        self._paced &= set(listed)
+        cap = self.per_trigger if self.per_trigger > 0 else None
+        self._positions.update(
+            self._walk_all(
+                {
+                    # pacing applies only to instance-derived cursors
+                    # (see _paced); a shard first seen by this instance
+                    # mid-stream is either brand-new (no committed
+                    # position exists, so any end is safe) or a restart
+                    # carry-over (committed position unknown, so the
+                    # walk MUST reach the true tip) — the uncapped walk
+                    # is correct for both
+                    shard: (pos, cap if shard in self._paced else None)
+                    for shard, pos in self._positions.items()
+                }
+            )
+        )
+        self._paced |= set(listed)
         return self._snapshot()
 
     def partitions(self, start: dict, end: dict):
@@ -439,15 +558,24 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         parts = []
         for shard, end_seq in hi.items():
             start_seq = lo.get(shard)
-            # RESTART RECONCILIATION: after a checkpoint recovery the
-            # fresh reader's latestOffset re-walked the shard from the
-            # horizon, so `end` can lag the COMMITTED `start` (the one
-            # source of truth, handed to us by the engine from its
-            # offset log). A naive (start, stale-end] range would
-            # re-emit long-committed records — the exact duplicate bug
-            # pinned in tests/test_kinesis_lite.py. Clamp the batch to
-            # empty and fast-forward the driver cursor to the committed
-            # position; the next trigger resumes exactly after it.
+            # RETENTION-EXPIRY RECONCILIATION. latestOffset always
+            # reaches the shard's true tip (pacing never applies below
+            # an instance-derived floor ≥ the committed start), and the
+            # tip can only lag the COMMITTED `start` when the committed
+            # records themselves have AGED OUT of retention — a restart
+            # after the stream's retention window lapsed, where the
+            # horizon walk ends below the offset log's position. The
+            # engine has already logged the stale end by the time we
+            # run, so the next batch will be planned as
+            # (stale_end, new_tip] — but that range CANNOT re-emit the
+            # committed records: every sequence number <= the committed
+            # start is gone from the stream (that is what made the walk
+            # stop early), and Kinesis sequence numbers are strictly
+            # increasing, so new arrivals all sort after it. Clamp this
+            # batch to empty and fast-forward the driver cursor to the
+            # committed position; the duplicate bug a LIVE-record lag
+            # would cause is pinned in tests/test_kinesis_lite.py and
+            # is unreachable by construction.
             stale = (
                 end_seq is None
                 or (start_seq is not None and int(end_seq) < int(start_seq))
@@ -575,7 +703,11 @@ class KinesisLiteDataSource(DataSource):
     """``format("kinesis-lite")``. Options: stream_name (required),
     endpoint_url, region, access_key/secret_key/session_token (enables
     SigV4), starting_position (TRIM_HORIZON | LATEST, streaming),
-    max_records_per_shard (batch), decode (utf8 | base64)."""
+    max_records_per_shard (batch; a one-shot read that would exceed it
+    RAISES unless truncate_at_limit=true), truncate_at_limit (batch),
+    max_records_per_trigger (streaming; per-shard per-trigger pacing,
+    0 = unpaced), tip_walk_threads (streaming; concurrent driver tip
+    walks, default 8), decode (utf8 | base64)."""
 
     @classmethod
     def name(cls) -> str:

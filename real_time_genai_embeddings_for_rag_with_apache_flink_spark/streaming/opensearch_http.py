@@ -35,13 +35,12 @@ from __future__ import annotations
 
 import datetime
 import hashlib
-import hmac
 import json
 import urllib.error
 import urllib.parse
 import urllib.request
 
-from ..sources.kinesis_lite import sigv4_signing_key
+from ..sources.kinesis_lite import sigv4_authorization
 
 
 def sigv4_rest_headers(
@@ -58,48 +57,21 @@ def sigv4_rest_headers(
     content_type: str = "application/json",
 ) -> dict[str, str]:
     """SigV4 for an arbitrary REST call (method/path vary, no query
-    string) — the generalization of kinesis_lite.sigv4_headers, sharing
-    its vector-pinned signing-key derivation."""
+    string) — the ES-family header shape (x-amz-content-sha256
+    required) over the vector-pinned sigv4_authorization core."""
     t = now or datetime.datetime.now(datetime.timezone.utc)
     amz_date = t.strftime("%Y%m%dT%H%M%SZ")
-    date_stamp = t.strftime("%Y%m%d")
-    payload_hash = hashlib.sha256(body).hexdigest()
     headers = {
         "content-type": content_type,
         "host": host,
-        "x-amz-content-sha256": payload_hash,
+        "x-amz-content-sha256": hashlib.sha256(body).hexdigest(),
         "x-amz-date": amz_date,
     }
     if session_token:
         headers["x-amz-security-token"] = session_token
-    signed_names = ";".join(sorted(headers))
-    canonical = "\n".join(
-        [
-            method,
-            urllib.parse.quote(path),
-            "",
-            "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
-            signed_names,
-            payload_hash,
-        ]
-    )
-    scope = f"{date_stamp}/{region}/{service}/aws4_request"
-    string_to_sign = "\n".join(
-        [
-            "AWS4-HMAC-SHA256",
-            amz_date,
-            scope,
-            hashlib.sha256(canonical.encode()).hexdigest(),
-        ]
-    )
-    signature = hmac.new(
-        sigv4_signing_key(secret_key, date_stamp, region, service),
-        string_to_sign.encode(),
-        hashlib.sha256,
-    ).hexdigest()
-    headers["authorization"] = (
-        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
-        f"SignedHeaders={signed_names}, Signature={signature}"
+    headers["authorization"] = sigv4_authorization(
+        method, urllib.parse.quote(path), headers, body, region, service,
+        access_key, secret_key, amz_date,
     )
     return headers
 
@@ -161,7 +133,11 @@ class HttpOpenSearchClient:
                 raw = resp.read()
                 return resp.status, (json.loads(raw) if raw else {})
         except urllib.error.HTTPError as e:
-            if e.code == 404:
+            # 404 is an ANSWER only for HEAD (indices.exists asks "is it
+            # there?"); for every other method it is a failure — mapping
+            # a 404 on POST /_bulk (wrong base path, proxy) to success
+            # would silently drop the batch
+            if e.code == 404 and method == "HEAD":
                 return 404, {}
             raise RuntimeError(
                 f"OpenSearch {method} {path} failed: HTTP {e.code} "
@@ -206,9 +182,14 @@ def http_bulk(client: HttpOpenSearchClient, actions) -> int:
     if n == 0:
         return 0
     body = b"\n".join(lines) + b"\n"
-    _, out = client.request(
+    status, out = client.request(
         "POST", "/_bulk", body, content_type="application/x-ndjson"
     )
+    if status != 200:
+        # belt-and-braces: request() raises on HTTP errors for POST, so
+        # any non-200 reaching here is a transport-level surprise —
+        # never report it as an indexed count
+        raise RuntimeError(f"bulk indexing returned HTTP {status}: {out}")
     if out.get("errors"):
         bad = [
             item for item in out.get("items", [])

@@ -160,3 +160,35 @@ def test_signed_requests_traverse_the_same_path(fake):
     ensure_knn_index(client, "signed", dimension=8)
     assert bulk(client, iter([{"_index": "signed", "_source": {"a": 1}}])) == 1
     assert srv.docs["signed"] == [{"a": 1}]
+
+
+def test_404_is_an_answer_only_for_head(fake):
+    """ADVICE r11: a 404 used to map to a success-shaped (404, {}) for
+    EVERY method, so a bulk POST against a wrong base path could report
+    its full count as indexed. Now only HEAD (indices.exists) treats
+    404 as an answer; any other method raises."""
+    srv, url = fake
+    client = HttpOpenSearchClient(url)
+    assert client.indices.exists("nope") is False  # HEAD 404 -> answer
+    with pytest.raises(RuntimeError, match="HTTP 404"):
+        client.request("GET", "/nope/_search")
+
+    class _One:
+        def __iter__(self):
+            yield {"_index": "missing_search", "_source": {"a": 1}}
+
+    # http_bulk against an endpoint that 404s the bulk path must raise,
+    # not return a count
+    orig = FakeOpenSearchServer._handle
+
+    def gone(self, method, path, b):
+        if path == "/_bulk":
+            return 404, {}
+        return orig(self, method, path, b)
+
+    FakeOpenSearchServer._handle = gone
+    try:
+        with pytest.raises(RuntimeError, match="404"):
+            http_bulk(client, iter(_One()))
+    finally:
+        FakeOpenSearchServer._handle = orig
