@@ -101,16 +101,32 @@ def main() -> int:
             "band_violations": band_violations,
         }
     )
-    # The driver's BENCH_r0N.json artifact keeps only a truncated tail
-    # of stdout (parsed: null every round) — persist the FULL per-query
-    # JSON next to the script so round-over-round comparisons never
-    # lose rows to truncation.
+    # The driver's BENCH_r0N.json artifact keeps only the LAST 2000
+    # stdout chars and parses the final line (r11: the ~8 KB payload
+    # line arrived head-truncated, so parsed stayed null every round) —
+    # persist the FULL per-query JSON next to the script (committed per
+    # round), print it for human logs, then END stdout with a compact
+    # line that fits the tail whole, so the driver artifact is
+    # machine-parseable in place (r11 verdict #7).
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as fh:
         fh.write(payload + "\n")
     print(payload)
+    compact = {
+        "metric": "catalog_bench_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "band_violations": band_violations,
+        "queries_file": "BENCH_LOCAL.json",
+        "slowest_10": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+    }
+    print(json.dumps(compact))
     if hard_violations:
         # after the payload: one noisy box must not destroy the data,
         # but a reproduced >2x drift must not pass silently either

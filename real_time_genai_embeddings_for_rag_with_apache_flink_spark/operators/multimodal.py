@@ -150,6 +150,166 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, b"".join(rows)
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor exactly as the PNG spec defines it (left,
+    up, upper-left; ties resolve left -> up -> upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter(ftype: int, raw: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG scanline filter ``ftype`` (encode direction)."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        left = raw[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        upleft = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        elif ftype == 4:
+            pred = _png_paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter(ftype: int, flt: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Invert PNG scanline filter ``ftype`` (decode direction) —
+    reconstruction feeds back into the left/upper-left references, so
+    this runs in scan order like the spec requires."""
+    recon = bytearray(len(flt))
+    for i in range(len(flt)):
+        left = recon[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        upleft = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        elif ftype == 4:
+            pred = _png_paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[i] = (flt[i] + pred) & 0xFF
+    return bytes(recon)
+
+
+def encode_png(pixel_rows_top_down: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit RGB (color type 2, non-interlaced) PNG writer over
+    stdlib zlib — a genuinely COMPRESSED container, unlike the
+    header-described BMP/WAV pair. Scanline ``r`` uses filter type
+    ``r % 5``, so a decoder must implement the complete filter suite
+    (None/Sub/Up/Average/Paeth) to recover the pixels — the m03b oracle
+    fails on any filter shortcut."""
+    import struct
+
+    stride = width * 3
+    if len(pixel_rows_top_down) != stride * height:
+        raise ValueError(
+            f"pixel buffer {len(pixel_rows_top_down)} != width*3*height "
+            f"{stride * height}"
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    prior = bytes(stride)
+    stream = bytearray()
+    for r in range(height):
+        raw = pixel_rows_top_down[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        stream.append(ftype)
+        stream += _png_filter(ftype, raw, prior)
+        prior = raw
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes, list[int]]:
+    """Parse an 8-bit RGB non-interlaced PNG: signature, chunk walk
+    with CRC-32 verification, IDAT concatenation + zlib inflate, and
+    per-scanline UNFILTERING (all five spec filter types). Returns
+    (width, height, top-down row-major RGB bytes, per-row filter types
+    as read from the stream). Raises ValueError on anything that isn't
+    one (signature, CRC, color type, depth, interlace, stream size)."""
+    import struct
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, dims, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp or filt or interlace:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth} color={ctype} "
+                    f"interlace={interlace})"
+                )
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
+            dims = (w, h)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h = dims
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(stream) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG pixel stream {len(stream)} != (stride+1)*height "
+            f"{(stride + 1) * h}"
+        )
+    prior = bytes(stride)
+    rows: list[bytes] = []
+    filters: list[int] = []
+    for r in range(h):
+        base = r * (stride + 1)
+        ftype = stream[base]
+        recon = _png_unfilter(ftype, stream[base + 1 : base + 1 + stride], prior)
+        rows.append(recon)
+        filters.append(ftype)
+        prior = recon
+    return w, h, b"".join(rows), filters
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     """Parse a PCM RIFF/WAVE header: returns (n_channels, sample_rate,
     bits_per_sample, n_frames). Raises ValueError if not PCM WAV."""
@@ -223,6 +383,94 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal rows whose payloads are REAL compressed
+    PNG files: the UTF-8 text bytes become the pixel area of a 16-wide
+    RGB image (48 bytes/row), zero-padded to fill the last row, stored
+    top-down per the format, each scanline filtered with type row % 5
+    and the whole stream zlib-deflated. Deterministic and byte-level
+    SQL-derivable — the m03b oracle re-computes every decoded feature
+    from the text."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride = _BMP_WIDTH * 3
+        for pdf in batches:
+            payloads, nbytes = [], []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                height = max(1, -(-len(b) // stride))
+                padded = b + b"\x00" * (stride * height - len(b))
+                png = encode_png(padded, _BMP_WIDTH, height)
+                payloads.append(png)
+                nbytes.append(len(png))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image"] * len(pdf),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+_PNG_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("byte_sum", LongType()),
+        StructField("topleft_r", IntegerType()),
+        StructField("bottomleft_r", IntegerType()),
+        StructField("filter_sum", LongType()),
+    ]
+)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction over a COMPRESSED codec (m03b):
+    inflate + unfilter each PNG payload with the pure-Python decoder
+    and emit integer features of the decoded pixel matrix — dimensions,
+    total pixel-byte sum, the red channel of the top-left and
+    bottom-left pixels (row-order sensitive: PNG is top-down where BMP
+    is bottom-up, so a decoder confusing the two fails the oracle), and
+    the SUM OF PER-ROW FILTER TYPES as read back from the inflated
+    stream (proves the decoder walked the real scanline structure, not
+    header arithmetic). Arrow-batched mapInPandas; payloads never leave
+    their scan partition."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px, filters = decode_png(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(arr.sum(dtype=np.int64)),
+                        int(arr[0, 0, 0]),
+                        int(arr[h - 1, 0, 0]),
+                        int(sum(filters)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "byte_sum",
+                    "topleft_r", "bottomleft_r", "filter_sum",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        featurize, schema=_PNG_FEATURES
+    )
 
 
 _BMP_FEATURES = StructType(
@@ -300,6 +548,9 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
                     if raw[:2] == b"BM":
                         w, h, _ = decode_bmp(raw)
                         rows.append((int(doc_id), mtype, w, h, 1))
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, _, _ = decode_png(raw)
+                        rows.append((int(doc_id), mtype, w, h, 1))
                     elif raw[:4] == b"RIFF":
                         n_ch, _rate, bits, n_frames = decode_wav(raw)
                         rows.append((int(doc_id), mtype, n_ch, bits, n_frames))
@@ -346,10 +597,14 @@ def sample_frames(decoded: DataFrame, stride: int = 30) -> DataFrame:
     )
 
 
-def resize_media(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+def resize_media(
+    decoded: DataFrame, max_side: int = 256, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Resize planning: clamp the longer side to ``max_side`` preserving
     aspect ratio (integer arithmetic, so the oracle mirrors it exactly).
-    A codec-backed deployment applies these target dimensions to the
+    ``keep`` carries extra input columns through (m03b rides its decoded
+    features alongside the plan in ONE pass — no second decode). A
+    codec-backed deployment applies these target dimensions to the
     payload inside the same mapInPandas loop as decode_media."""
     w, h = F.col("width"), F.col("height")
     longer = F.greatest(w, h)
@@ -359,6 +614,7 @@ def resize_media(decoded: DataFrame, max_side: int = 256) -> DataFrame:
         "media_type",
         "width",
         "height",
+        *keep,
         F.floor(w * scale_num / longer).cast("int").alias("target_width"),
         F.floor(h * scale_num / longer).cast("int").alias("target_height"),
     )

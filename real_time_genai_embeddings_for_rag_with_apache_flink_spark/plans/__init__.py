@@ -14,73 +14,75 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-11 window (the r10 verdict's directive, executing
-# the rotation plan written in round 10): the cross-round union's
-# stalest cohort is the 50 rows last checked in r06 — exactly one
-# window — so the entries NEW this round (never driver-checked: s05b
-# seeded IVF, p02b exact flagship retrieval, st29
-# transformWithStateInPandas, d32b fixed-point PageRank, p03b exact
-# embed_distinct, p09b exact end-to-end RAG, st30 Kinesis protocol
-# ingest, st31 OpenSearch protocol sink, t27 exact BPE training) plus
-# m03, whose r09 row was rows-only and whose oracle was upgraded to
-# hash-exact this round (r10 verdict #4), displace the ten
-# cheapest-to-defer r06 rows (q45/q46/q47/q48/q32/q33/q71/q28/q73/q70
-# — pure scalar-function/relational entries with six-round green
-# histories, their operator families still covered by sibling window
-# rows, e.g. q67 variant JSON stays for q28, q24/q65 strings for q70),
-# which carry to round 12. After this round the union's stalest rows
-# are those ten (r06); everything else is r07+.
+# entries only. Round-12 window (executing the rotation plan written in
+# round 11, tests/test_driver_window.py "ROUND-12 PLAN"): after
+# CORRECTNESS_r11 the union's stalest rows are the ten rows deferred
+# from the r11 window (last checked r06: q45-q48, q32, q33, q71, q28,
+# q73, q70), then the 50-row r07 cohort. Those ten lead; the r07 cohort
+# follows; and the three entries NEW this round (never driver-checked:
+# s09b seeded flat PQ, t23b exact learned-merge tokenization, m03b PNG
+# real-decode features) take the final slots by displacing the 13
+# cheapest-to-defer r07 rows (the 11 pure-relational TPC-H-family
+# entries q49-q60 — seven-round green, their join/aggregate families
+# covered in-window by q32/q33/q71 and the d/s/st/t rows — plus
+# t24_temperature_mixture, whose mixture siblings t08 stays in-window
+# and t21 was checked r11, and w01_tumbling_window, whose sibling w02
+# stays and whose streaming twin st01 was checked r11), which carry to
+# round 13 as its lead.
 DRIVER_WINDOW: list[str] = [
-    "d20_lsh_bucket_audit",
-    "d21_scalable_components",
-    "d22_seed_reachability",
-    "d23_editdist_verify",
-    "d24_lsh_recall_audit",
-    "d25_cross_source_matrix",
-    "d26_passage_provenance",
-    "d27_prefix_filter_join",
-    "d28_lsh_config_advisor",
-    "m05_payload_phash_dedup",
-    "p09_rag_query",
-    "p10_training_manifest",
-    "p11_partitioned_layout",
-    "p12_schema_evolution",
-    "p13_bucketed_join",
-    "p14_partition_backfill",
-    "q44_window_navigation",
-    "q67_variant_json",
-    "q68_lateral_join",
-    "q69_datasketches",
-    "q72_theta_setops",
-    "s15_knn_graph",
-    "s17_gemm_knn",
-    "s18_filtered_ann",
-    "s19_embedding_health",
-    "st14_stream_incremental_dedup",
-    "st15_stream_index_maintenance",
-    "st16_stream_semi_join",
-    "st17_dedup_within_watermark",
-    "st18_stream_knn_serving",
-    "st19_stream_ohlc",
-    "t19_segment_dedup_clean",
-    "t20_heavy_hitter_sketch",
-    "t21_mixture_allocation",
-    "u04_python_udtf",
-    "w10_gap_fill_forward",
-    "w11_ewma_smoothing",
-    "w12_rolling_active_users",
-    "w13_peak_concurrency",
-    "w14_ohlc_downsample",
-    "s05b_ivf_seeded",
-    "p02b_flagship_retrieval_exact",
-    "st29_stream_transform_with_state",
-    "d32b_pagerank_fixed_point",
-    "p03b_embed_distinct_exact",
-    "p09b_rag_query_exact",
-    "st30_kinesis_protocol_ingest",
-    "st31_opensearch_protocol_sink",
-    "t27_bpe_training_exact",
-    "m03_media_features",
+    # -- the ten r06-stale rows deferred from the r11 window ----------
+    "q45_map_functions",
+    "q46_try_functions",
+    "q47_hash_bit_functions",
+    "q48_null_semantics",
+    "q32_in_subquery",
+    "q33_scalar_subquery",
+    "q71_filtered_aggregates",
+    "q28_json_functions",
+    "q73_mode_median",
+    "q70_collation",
+    # -- the r07 cohort minus the 13 declared round-13 deferrals ------
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_signatures",
+    "d07_hash_sample",
+    "d09_stratified_sample",
+    "d29_bloom_decontamination",
+    "p02_flagship_retrieval",
+    "s01_topk_cosine",
+    "s02_knn_join",
+    "s03_embedding_near_dup",
+    "s04_label_centroids",
+    "s05_ivf_search",
+    "s07_scalar_quantization",
+    "s08_hyperplane_lsh_buckets",
+    "st03_stream_dedup",
+    "st04_stream_filter_project",
+    "st06_stateful_user_totals",
+    "st09_stream_static_join",
+    "st10_foreachbatch_upsert",
+    "st14b_stream_verified_neardups",
+    "st20_stream_quota_sampling",
+    "t01_text_stats",
+    "t02_language_id",
+    "t03_quality_scores",
+    "t04_bpe_token_count",
+    "t05_rolling_hash",
+    "t06_doc_chunking",
+    "t07_pii_redaction",
+    "t08_corpus_mixture",
+    "t22_bpe_merge_learning",
+    "t23_bpe_tokenize",
+    "u01_grouped_agg_udaf",
+    "u02_mapinpandas_tokens",
+    "u03_grouped_map_zscore",
+    "w02_sliding_window",
+    "w12b_sketch_wau",
+    "w13b_peak_concurrency_twophase",
+    # -- new this round (never driver-checked) ------------------------
+    "s09b_pq_seeded",
+    "t23b_bpe_tokenize_exact",
+    "m03b_png_features",
 ]
 
 set_priority(DRIVER_WINDOW)

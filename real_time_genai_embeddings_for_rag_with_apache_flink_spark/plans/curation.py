@@ -1723,19 +1723,23 @@ def t26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T27_MERGES = 8
 
 
-def _t27_oracle() -> str:
-    """The t27 oracle: the Sennrich BPE training loop UNROLLED as 8
-    chained MATERIALIZED rounds (p{k} pair counts, m{k} argmax, w{k}
-    vocabulary rewrite), generated programmatically so the SQL provably
-    mirrors operators/bpe.bpe_merges round for round. The rewrite trick
-    that makes the greedy merge relational: every symbol is rendered as
-    ``GS + symbol + RS`` (chr(29)/chr(30) — absent from any text), so a
-    single literal ``replace(rep, GS+l+RS+GS+r+RS, GS+l+r+RS)`` is
-    EXACTLY the greedy left-to-right non-overlapping merge of
-    bpe._merge_pair's fold: each symbol carries its own start anchor
-    and terminator, so consecutive matches share no characters (runs
-    like 'aaaa' merge to 'aa','aa', never 'aa','a','a') and a pattern
-    can never match mid-symbol or across a longer symbol's prefix."""
+def _t27_chain() -> str:
+    """The Sennrich BPE training loop UNROLLED as 8 chained MATERIALIZED
+    rounds (p{k} pair counts, m{k} argmax, w{k} vocabulary rewrite),
+    generated programmatically so the SQL provably mirrors
+    operators/bpe.bpe_merges round for round — the shared WITH-chain
+    behind the t27 oracle (training certification) and the t23b oracle
+    (tokenization certification; w{K} IS the encoded vocabulary, since
+    encode = the same merge sequence applied to the same char-split
+    words). The rewrite trick that makes the greedy merge relational:
+    every symbol is rendered as ``GS + symbol + RS`` (chr(29)/chr(30) —
+    absent from any text), so a single literal
+    ``replace(rep, GS+l+RS+GS+r+RS, GS+l+r+RS)`` is EXACTLY the greedy
+    left-to-right non-overlapping merge of bpe._merge_pair's fold: each
+    symbol carries its own start anchor and terminator, so consecutive
+    matches share no characters (runs like 'aaaa' merge to 'aa','aa',
+    never 'aa','a','a') and a pattern can never match mid-symbol or
+    across a longer symbol's prefix."""
     from .llmops import _SQL_NORM
 
     gs, rs = "chr(29)", "chr(30)"
@@ -1777,12 +1781,50 @@ w{k} AS MATERIALIZED (
   FROM w{p}
 )"""
         )
+    return "".join(parts)
+
+
+def _t27_oracle() -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM m{k}"
         for k in range(1, _T27_MERGES + 1)
     )
-    parts.append("\n" + selects)
-    return "".join(parts)
+    return _t27_chain() + "\n" + selects
+
+
+def _t23b_oracle() -> str:
+    """t23b: the t27 training chain + tokenize-back. The final
+    vocabulary w{K}.rep is each word AFTER all K merges applied in rank
+    order — exactly what per-word encoding under the learned table
+    computes (bpe_encode_words applies the same merge sequence to the
+    same char-split word, so training-rewrite == encode by induction
+    over rounds). Subword count per word = the symbol count of rep;
+    per-document totals come from the same explode+join+sum the Spark
+    side runs."""
+    from .llmops import _SQL_NORM
+
+    k = _T27_MERGES
+    return (
+        _t27_chain()
+        + f""",
+vocab AS MATERIALIZED (
+  SELECT word,
+    len(list_filter(string_split(rep, chr(29)), x -> x != '')) AS n_subwords
+  FROM w{k}
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(n_subwords) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(length(word)) AS BIGINT) AS n_word_chars
+FROM (
+  SELECT doc_id,
+    unnest(regexp_split_to_array({_SQL_NORM}, '\\s+')) AS word
+  FROM documents
+) dw
+JOIN vocab USING (word)
+GROUP BY doc_id
+"""
+    )
 
 
 @query(
@@ -1820,4 +1862,55 @@ def t27_bpe_training_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_merges(wc, n_merges=_T27_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+@query(
+    "t23b_bpe_tokenize_exact",
+    oracle=_t23b_oracle(),
+    tags=("curation", "tokenizer", "bpe", "token-count"),
+)
+def t23b_bpe_tokenize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-merge TOKENIZATION value-certified hash-exact — the
+    other half of the BPE triptych (t27 certified training; this row
+    certifies ENCODE, closing the r11 verdict's #3b): train the
+    production trainer (operators/bpe.bpe_merges) for 8 merges from
+    raw text, tokenize every distinct word under that learned table
+    through the production pandas-UDF encoder
+    (operators/bpe.bpe_encode_words — the real Arrow seam, not a
+    relational stand-in), and report per-document word / BPE-token /
+    char totals. The DuckDB oracle re-derives the merge table with
+    t27's unrolled MATERIALIZED chain and tokenizes by the same
+    delimiter-wrapped literal-replace identity — the final round's
+    vocabulary rewrite IS the encoded vocabulary, because encode
+    applies the identical merge sequence to the identical char-split
+    words (induction over rounds; the greedy-replace equivalence
+    argument is _t27_chain's docstring). t23 (10 merges) stays the
+    production entry; this row makes the driver re-derive its token
+    counts value-for-value from raw text through train AND encode.
+
+    Scale shape (t23's, unchanged): the pandas-UDF encode runs once
+    per DISTINCT word (vocabulary-sized Python, the embed_distinct
+    pattern); the corpus-sized path is a pure-JVM explode + broadcast-
+    sized join + grouped sum."""
+    from ..operators.bpe import bpe_encode_words, bpe_merges, corpus_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    norm = normalized_text(F.col("text"))
+    wc = corpus_word_counts(docs, norm)
+    merges = bpe_merges(wc, n_merges=_T27_MERGES)
+    vocab = bpe_encode_words(wc.select("word"), merges)
+
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(norm, r"\s+")).alias("word")
+    ).filter(F.length("word") >= 1)
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+        )
     )

@@ -751,6 +751,208 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s09b: PURE product quantization (no coarse cells) with an md5-seeded
+# codebook, hash-exact — the s20b derivation applied to the flat
+# encode -> lookup-table ADC scan (r11 verdict #3a). Shares s20b's
+# subspace geometry so the two rows certify the same algebra with and
+# without IVF pruning.
+_S09B_CODES = 16
+_S09B_K = 10
+_S09B_QMOD = 50  # the s20b/s23 query universe
+
+
+@query(
+    "s09b_pq_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_S20B_DIM}
+),
+cwords AS MATERIALIZED (
+  SELECT rn - 1 AS code, emb FROM (
+    SELECT vec_id, emb, ROW_NUMBER() OVER (
+      ORDER BY md5('s09b:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid
+  ) WHERE rn <= {_S09B_CODES}
+),
+subspaces AS (SELECT unnest(generate_series(0, {_S20B_M - 1})) AS s),
+enc AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, sp.s, cw.code, ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id, sp.s
+      ORDER BY {_s20b_sql_l2(_S20B_SUB, "j",
+                             f"v.emb[sp.s * {_S20B_SUB} + j]",
+                             f"cw.emb[sp.s * {_S20B_SUB} + j]")}, cw.code
+    ) AS ern
+    FROM valid v, subspaces sp, cwords cw
+    WHERE v.vec_id % {_S09B_QMOD} != 0
+  ) WHERE ern = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM valid
+  WHERE vec_id % {_S09B_QMOD} = 0
+),
+lut AS MATERIALIZED (
+  SELECT q.q_id, sp.s, cw.code,
+    CAST(ROUND({_s20b_sql_l2(_S20B_SUB, "j",
+                             f"q.q_emb[sp.s * {_S20B_SUB} + j]",
+                             f"cw.emb[sp.s * {_S20B_SUB} + j]")}
+         * 1000000.0, 0) AS BIGINT) AS part
+  FROM queries q, subspaces sp, cwords cw
+),
+adc AS (
+  SELECT l.q_id, e.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_scaled
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  GROUP BY l.q_id, e.vec_id
+)
+SELECT q_id, vec_id,
+  ROUND(adc_scaled / 1000000.0, 6) AS adc_dist, rank
+FROM (
+  SELECT q_id, vec_id, adc_scaled, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY adc_scaled, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {_S09B_K}
+""",
+    tags=("similarity", "quantization", "ann"),
+    bench=True,
+)
+def s09b_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat product quantization, oracle-certified HASH-EXACT end to
+    end — s09's pipeline shape (per-subspace encode -> per-query ADC
+    lookup table -> linear scan over the code table -> top-k) with the
+    Lloyd-trained codebook replaced by an md5-SEEDED corpus sample (the
+    s20b convention: codewords = the {_S09B_CODES} vectors ranked first
+    by ``md5('s09b:' || vec_id)``, shared across the {_S20B_M} subspaces
+    by slicing). Every per-subspace distance is ROUND(d, 6) and scaled
+    to an exact BIGINT before the m-way sum, so ADC order is
+    aggregation-order independent on any engine; every rank breaks
+    ties by id. s09/s10 keep the trained codebooks (the production
+    path, pinned in tests/test_pq.py); this row certifies the SERVING
+    algebra — encode argmin, LUT construction, lookup-sum, top-k cut —
+    value-for-value against a second engine.
+
+    Scale shape — the flat-PQ story at 100 TB: the codebook is a
+    driver-sized literal; encode is a narrow per-row fold (no
+    exchange) producing {_S20B_M} bytes of codes per vector; serving
+    broadcasts per-query 64-entry LUTs and scans the code table with
+    {_S20B_M} array lookups + one integer add per row — no vector math
+    on the corpus, memory 16x under float32 — and the top-k cut is
+    two-phase WindowGroupLimit (per-partition k, then k of k's). The
+    deliberate linear scan over ALL codes (vs s20b's nprobe/8 pruned
+    scan) is PQ's own trade; IVF-PQ (s10/s20b) is the pruned variant.
+    The reference delegates ANN to OpenSearch HNSW
+    (KDS-P/index-creation-function/lambda_function.py:72-80); this is
+    the engine-native quantized path."""
+    from pyspark.sql import Window
+
+    dim, m, sub, codes = _S20B_DIM, _S20B_M, _S20B_SUB, _S09B_CODES
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    ).select("vec_id", "embedding")
+
+    # -- codebook: one md5-ranked sample (driver-sized at any scale) ---
+    h_cw = F.md5(F.concat(F.lit("s09b:"), F.col("vec_id").cast("string")))
+    cw_rows = valid.orderBy(h_cw, "vec_id").limit(codes).collect()
+    cw_flat = F.lit(
+        [float(x) for r in cw_rows for x in r.embedding]
+    ).cast("array<double>")
+
+    # argmin over codes by (ROUND(d, 6), code) — the s20b helper: the
+    # scored array is built with F.transform over a literal index array
+    # (one py4j expression however many candidates), and the fold keeps
+    # the lowest index on ties.
+    def argmin_over(n: int, dist_of):
+        scored = F.transform(
+            F.lit(list(range(n))),
+            lambda c: F.struct(dist_of(c).alias("d"), c.alias("i")),
+        )
+        return F.aggregate(
+            scored,
+            F.element_at(scored, 1),
+            lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+        )["i"]
+
+    def code_for(s: int):
+        v_sub = F.slice(F.col("embedding"), s * sub + 1, sub)
+        return argmin_over(
+            codes,
+            lambda c: F.round(
+                sq_l2(v_sub, F.slice(cw_flat, c * dim + s * sub + 1, sub)),
+                6,
+            ),
+        )
+
+    encoded = valid.filter(F.col("vec_id") % _S09B_QMOD != 0).select(
+        "vec_id",
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+
+    # -- per-query ADC lookup table: m x codes exact-integer entries ---
+    # (subspace-major: entry for (s, c) at index s*codes + c)
+    def lut_entry(s, c):
+        d = sq_l2(
+            F.slice(F.col("q_emb"), s * sub + 1, sub),
+            F.slice(cw_flat, c * dim + s * sub + 1, sub),
+        )
+        return F.round(F.round(d, 6) * F.lit(1000000.0), 0).cast("long")
+
+    lut = F.flatten(
+        F.transform(
+            F.lit(list(range(m))),
+            lambda s: F.transform(
+                F.lit(list(range(codes))), lambda c: lut_entry(s, c)
+            ),
+        )
+    )
+    queries = (
+        valid.filter(F.col("vec_id") % _S09B_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn("lut", lut)
+        .drop("q_emb")
+    )
+
+    # -- ADC scan: m array lookups + integer sum per (query, vector) ---
+    adc_scaled = F.aggregate(
+        F.lit(list(range(m))),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * codes + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+    wk = Window.partitionBy("q_id").orderBy("adc_scaled", "vec_id")
+    return (
+        encoded.crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", adc_scaled.alias("adc_scaled"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _S09B_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.col("adc_scaled") / 1000000.0, 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 _S05B_CELLS = 8
 _S05B_NPROBE = 2
 _S05B_K = 5  # matches s05's k

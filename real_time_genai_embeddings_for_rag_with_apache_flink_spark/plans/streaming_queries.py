@@ -2693,12 +2693,41 @@ def run_maxsim_serving(
     mkdirs(spark, results_dir)
     state_schema = "q_id long, tok_id long, q_vec array<float>"
 
+    # opt-in per-phase wall-clock attribution (the st28 pattern, r11
+    # verdict #5): with spark.graft.profileSt25=true each trigger
+    # prints buffer-read / readiness / score+write / commit timings to
+    # stderr. The extra count() actions CHANGE the measured total (each
+    # phase materializes eagerly instead of fusing into the downstream
+    # job), so profile numbers attribute cost shares — never compare
+    # them to the frozen baseline directly.
+    profile = (
+        spark.conf.get("spark.graft.profileSt25", "false").lower() == "true"
+    )
+
+    def _phase(label: str, batch_id: int, t0: float) -> float:
+        import sys as _sys
+        import time as _time
+
+        t1 = _time.perf_counter()
+        if profile:
+            print(
+                f"# st25-profile b{batch_id} {label}: {t1 - t0:.3f}s",
+                file=_sys.stderr,
+            )
+        return t1
+
     def process(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if state.applied(batch_id):
             return
+        t = _time.perf_counter()
         toks = state.read(state_schema).unionByName(
             batch.select("q_id", "tok_id", "q_vec")
         )
+        if profile:
+            toks.count()
+            t = _phase("buffer-read", batch_id, t)
         ready = (
             toks.groupBy("q_id")
             .agg(F.count(F.lit(1)).alias("n_toks"))
@@ -2706,6 +2735,9 @@ def run_maxsim_serving(
             .select("q_id")
         )
         ready_toks = toks.join(F.broadcast(ready), "q_id")
+        if profile:
+            ready_toks.count()
+            t = _phase("readiness", batch_id, t)
         w = Window.partitionBy("q_id").orderBy(
             F.col("maxsim_scaled").desc(), "doc_label"
         )
@@ -2716,7 +2748,11 @@ def run_maxsim_serving(
             .write.mode("overwrite")
             .parquet(f"{results_dir}/b{batch_id}")
         )
+        if profile:
+            t = _phase("score+write", batch_id, t)
         state.commit(toks.join(F.broadcast(ready), "q_id", "left_anti"), batch_id)
+        if profile:
+            _phase("commit", batch_id, t)
 
     q = (
         arrivals.writeStream.foreachBatch(process)

@@ -357,6 +357,84 @@ def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m03b_png_features",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 100 AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         16 AS width, CAST((n + 47) // 48 AS INT) AS height
+  FROM src
+)
+SELECT doc_id, width, height,
+  CAST(list_sum(list_transform(generate_series(0, n - 1),
+    j -> CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS INT)))
+    AS BIGINT) AS byte_sum,
+  -- PNG stores rows TOP-DOWN (the BMP fixture is bottom-up): decoded
+  -- row 0 starts at text byte 0
+  CAST(concat('0x', substr(hx, 1, 2)) AS INT) AS topleft_r,
+  -- decoded last row starts at text byte 48*(height-1) (0-based),
+  -- always inside the text because the last row starts before its end
+  CAST(concat('0x', substr(hx, 48 * (height - 1) * 2 + 1, 2)) AS INT)
+    AS bottomleft_r,
+  -- the encoder filters scanline r with type r % 5; the decoder reads
+  -- the types back from the inflated stream
+  CAST(list_sum(list_transform(generate_series(0, height - 1), r -> r % 5))
+    AS BIGINT) AS filter_sum,
+  -- m04's resize plan over the REAL decoded dimensions
+  CAST(FLOOR(width * least(greatest(width, height), 256)
+             / greatest(width, height)) AS INT) AS target_width,
+  CAST(FLOOR(height * least(greatest(width, height), 256)
+             / greatest(width, height)) AS INT) AS target_height
+FROM dims
+""",
+    tags=("multimodal", "udf", "codec"),
+)
+def m03b_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media features through a real COMPRESSED-codec decode path,
+    oracle-certified HASH-EXACT (r11 verdict #6 — m03's certification
+    covered only header-described containers; this row covers a codec
+    with an actual compression stage): the fixture builds genuine PNG
+    files (operators/multimodal.attach_png_payload — UTF-8 text bytes
+    as the pixel area of a 16-wide RGB image, zero-padded, top-down,
+    every scanline filtered with type row % 5, zlib-deflated), and the
+    feature pass (operators/multimodal.png_features) DECODES them for
+    real: signature + per-chunk CRC-32 verification, IDAT inflate, and
+    the full five-filter unfilter suite (None/Sub/Up/Average/Paeth with
+    the spec's Paeth predictor). Certification is adversarial on three
+    axes: topleft/bottomleft are ROW-ORDER sensitive (top-down vs BMP's
+    bottom-up), filter_sum is read back from the inflated scanline
+    stream (header arithmetic can't produce it), and byte_sum needs the
+    exact reconstructed pixels (any unfilter slip shifts it). The m04
+    resize plan runs over the REAL decoded dimensions in the same pass
+    (resize_media keep=..., no second decode), wiring decode -> resize
+    end to end. DuckDB re-derives everything from the text bytes via
+    the m05 hex-extraction convention.
+
+    Scale shape: payloads are built, decoded, and reduced inside one
+    mapInPandas chain — Arrow-batched, map-side, nothing but (doc_id,
+    8 ints) ever leaves the scan partition."""
+    from ..operators.multimodal import (
+        attach_png_payload,
+        png_features,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    feats = png_features(attach_png_payload(docs)).withColumn(
+        "media_type", F.lit("image")
+    )
+    return resize_media(
+        feats,
+        keep=("byte_sum", "topleft_r", "bottomleft_r", "filter_sum"),
+    ).drop("media_type")
+
+
+@query(
     "m04_media_resize",
     oracle="""
 SELECT doc_id, media_type, width, height,

@@ -1,21 +1,25 @@
 """The external driver records correctness rows for the FIRST 50
-catalog entries only (observed: CORRECTNESS_r02..r10 each held exactly
-the first 50 of the priority order). These tests pin the round-11
-rotation (the r10 verdict's directive, executing the plan written in
-round 10): the cross-round union's stalest cohort was the 50 rows last
-checked in r06 — exactly one window — so the nine entries NEW this
-round (never driver-checked) plus the re-oracled m03 displace the
-ten cheapest-to-defer r06 rows (q45/q46/q47/q48 and
-q32/q33/q71/q28/q73/q70 — pure scalar-function/relational entries
-with six-round green histories whose operator families stay covered
-by sibling window rows, e.g. q67 variant JSON stays for q28, q24/q65
-strings for q70), which carry to round 12.
+catalog entries only (observed: CORRECTNESS_r02..r11 each held exactly
+the first 50 of the priority order). These tests pin the round-12
+rotation (executing the plan written in round 11): after
+CORRECTNESS_r11 the cross-round union's stalest rows were the ten
+deferred from the r11 window (last checked r06), then the 50-row r07
+cohort. The ten lead this window; the r07 cohort follows; the three
+entries NEW this round (never driver-checked: s09b, t23b, m03b)
+displace the 13 cheapest-to-defer r07 rows — the 11 pure-relational
+TPC-H-family entries q49-q60 (seven-round green histories; their
+join/aggregate families stay covered in-window by q32/q33/q71 and the
+d/s/st/t rows) plus t24_temperature_mixture (mixture siblings: t08
+stays in-window, t21 checked r11) and w01_tumbling_window (sibling w02
+stays; streaming tumbling twin st01 checked r11) — which carry to
+round 13.
 
-ROUND-12 PLAN (written in round 11, the established handoff): once
-CORRECTNESS_r11 lands, the union's stalest rows are the ten deferred
-q45 q46 q47 q48 q32 q33 q71 q28 q73 q70 (r06), then the 40 r07 rows.
-The round-12 window is those ten + the r07 cohort, with any round-12
-additions displacing the cheapest-to-defer r07 rows."""
+ROUND-13 PLAN (written in round 12, the established handoff): once
+CORRECTNESS_r12 lands, the union's stalest rows are the 13 deferred
+r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01, then
+the 50-row r08 cohort. The round-13 window is those 13 + the r08
+cohort, with any round-13 additions displacing the cheapest-to-defer
+r08 rows."""
 
 from __future__ import annotations
 
@@ -23,8 +27,26 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 12 (the four cheapest-to-defer r06 rows).
-DEFERRED_TO_R12 = (
+# Deferred to round 13 (the 13 cheapest-to-defer r07 rows).
+DEFERRED_TO_R13 = (
+    "q49_priority_late_orders",
+    "q50_argmax_aggregates",
+    "q51_volume_shipping",
+    "q52_market_share",
+    "q53_product_profit",
+    "q55_promo_revenue",
+    "q56_top_supplier",
+    "q57_supplier_part_counts",
+    "q58_disjunctive_join",
+    "q59_excess_volume_suppliers",
+    "q60_waiting_orders",
+    "t24_temperature_mixture",
+    "w01_tumbling_window",
+)
+
+# The ten rows whose latest driver record is r06 — deferred from the
+# r11 window, leading this one.
+LEAD_R06 = (
     "q45_map_functions",
     "q46_try_functions",
     "q47_hash_bit_functions",
@@ -37,68 +59,53 @@ DEFERRED_TO_R12 = (
     "q70_collation",
 )
 
-# The 40 remaining entries whose latest driver row is r06 — the
-# round-11 lead.
-LEAD_R06 = (
-    "d20_lsh_bucket_audit",
-    "d21_scalable_components",
-    "d22_seed_reachability",
-    "d23_editdist_verify",
-    "d24_lsh_recall_audit",
-    "d25_cross_source_matrix",
-    "d26_passage_provenance",
-    "d27_prefix_filter_join",
-    "d28_lsh_config_advisor",
-    "m05_payload_phash_dedup",
-    "p09_rag_query",
-    "p10_training_manifest",
-    "p11_partitioned_layout",
-    "p12_schema_evolution",
-    "p13_bucketed_join",
-    "p14_partition_backfill",
-    "q44_window_navigation",
-    "q67_variant_json",
-    "q68_lateral_join",
-    "q69_datasketches",
-    "q72_theta_setops",
-    "s15_knn_graph",
-    "s17_gemm_knn",
-    "s18_filtered_ann",
-    "s19_embedding_health",
-    "st14_stream_incremental_dedup",
-    "st15_stream_index_maintenance",
-    "st16_stream_semi_join",
-    "st17_dedup_within_watermark",
-    "st18_stream_knn_serving",
-    "st19_stream_ohlc",
-    "t19_segment_dedup_clean",
-    "t20_heavy_hitter_sketch",
-    "t21_mixture_allocation",
-    "u04_python_udtf",
-    "w10_gap_fill_forward",
-    "w11_ewma_smoothing",
-    "w12_rolling_active_users",
-    "w13_peak_concurrency",
-    "w14_ohlc_downsample",
+# The 37 r07-cohort rows that keep their slot.
+LEAD_R07 = (
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_signatures",
+    "d07_hash_sample",
+    "d09_stratified_sample",
+    "d29_bloom_decontamination",
+    "p02_flagship_retrieval",
+    "s01_topk_cosine",
+    "s02_knn_join",
+    "s03_embedding_near_dup",
+    "s04_label_centroids",
+    "s05_ivf_search",
+    "s07_scalar_quantization",
+    "s08_hyperplane_lsh_buckets",
+    "st03_stream_dedup",
+    "st04_stream_filter_project",
+    "st06_stateful_user_totals",
+    "st09_stream_static_join",
+    "st10_foreachbatch_upsert",
+    "st14b_stream_verified_neardups",
+    "st20_stream_quota_sampling",
+    "t01_text_stats",
+    "t02_language_id",
+    "t03_quality_scores",
+    "t04_bpe_token_count",
+    "t05_rolling_hash",
+    "t06_doc_chunking",
+    "t07_pii_redaction",
+    "t08_corpus_mixture",
+    "t22_bpe_merge_learning",
+    "t23_bpe_tokenize",
+    "u01_grouped_agg_udaf",
+    "u02_mapinpandas_tokens",
+    "u03_grouped_map_zscore",
+    "w02_sliding_window",
+    "w12b_sketch_wau",
+    "w13b_peak_concurrency_twophase",
 )
 
-# Never driver-checked (new in round 11); follow the r06 lead.
+# Never driver-checked (new in round 12); take the final slots.
 NEVER_CHECKED = (
-    "s05b_ivf_seeded",
-    "p02b_flagship_retrieval_exact",
-    "st29_stream_transform_with_state",
-    "d32b_pagerank_fixed_point",
-    "p03b_embed_distinct_exact",
-    "p09b_rag_query_exact",
-    "st30_kinesis_protocol_ingest",
-    "st31_opensearch_protocol_sink",
-    "t27_bpe_training_exact",
+    "s09b_pq_seeded",
+    "t23b_bpe_tokenize_exact",
+    "m03b_png_features",
 )
-
-# Checked r09 but only rows-only; the oracle was upgraded to hash-exact
-# in round 11 (r10 verdict #4 — the BMP real-decode un-gating), so the
-# row must be re-recorded.
-REVALIDATED = ("m03_media_features",)
 
 
 def window():
@@ -114,25 +121,28 @@ def test_priority_list_is_exhaustive_and_valid():
     assert len(plans.DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
 
 
-def test_window_order_is_the_round11_rotation():
+def test_window_order_is_the_round12_rotation():
     w = window()
-    expected = list(LEAD_R06) + list(NEVER_CHECKED) + list(REVALIDATED)
+    expected = list(LEAD_R06) + list(LEAD_R07) + list(NEVER_CHECKED)
     assert w == expected, (
-        "round-11 window must be: 40 r06-stale rows, then the new "
-        "entries, then the re-oracled m03"
+        "round-12 window must be: the ten r06-stale deferrals, the r07 "
+        "cohort minus the declared round-13 deferrals, then the new "
+        "entries"
     )
 
 
 def test_only_the_declared_deferrals_miss_their_slot():
-    """Every r06-stale row is either in this window or in the declared
-    round-12 carry list — no silent displacement."""
-    missing = (set(LEAD_R06) | set(DEFERRED_TO_R12)) - set(window())
-    assert missing == set(DEFERRED_TO_R12), sorted(missing)
+    """Every r06/r07-stale row is either in this window or in the
+    declared round-13 carry list — no silent displacement."""
+    missing = (
+        set(LEAD_R06) | set(LEAD_R07) | set(DEFERRED_TO_R13)
+    ) - set(window())
+    assert missing == set(DEFERRED_TO_R13), sorted(missing)
 
 
 def test_stale_sets_match_the_recorded_artifacts():
     """The hand-pinned staleness sets above must agree with the actual
-    CORRECTNESS_r02..r10 artifacts (latest round each name appears in)
+    CORRECTNESS_r02..r11 artifacts (latest round each name appears in)
     — catching copy-paste slips in the bookkeeping sets."""
     import glob
     import json
@@ -142,18 +152,17 @@ def test_stale_sets_match_the_recorded_artifacts():
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        if rnd > 10:
-            continue  # this file pins the ROUND-11 rotation inputs
+        if rnd > 11:
+            continue  # this file pins the ROUND-12 rotation inputs
         for name in json.load(open(f)):
             latest[name] = max(latest.get(name, 0), rnd)
-    assert {n for n, r in latest.items() if r == 6} == (
-        set(LEAD_R06) | set(DEFERRED_TO_R12)
+    assert {n for n, r in latest.items() if r == 6} == set(LEAD_R06)
+    assert {n for n, r in latest.items() if r == 7} == (
+        set(LEAD_R07) | set(DEFERRED_TO_R13)
     )
     assert not {n for n, r in latest.items() if r <= 5}
     for name in NEVER_CHECKED:
         assert name not in latest, f"{name} is not new — it has a driver row"
-    for name in REVALIDATED:
-        assert latest.get(name) == 9, f"{name} should carry an r09 row"
 
 
 def test_every_query_has_a_driver_row_or_a_window_slot():

@@ -268,3 +268,86 @@ def test_bmp_features_match_hand_computation(spark):
     # decoded row 0 (top) is the file's LAST stored row -> text byte 48
     assert got[2].topleft_b == ord("Q")
     assert got[2].bottomleft_b == ord("x")
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode_png filters scanline r with type r % 5, so a 10-row image
+    routes every spec filter (None/Sub/Up/Average/Paeth) through both
+    directions; the decode must reproduce the pixels bit-for-bit and
+    report the filter types it actually read from the inflated
+    stream."""
+    import os
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(42)
+    w, h = 16, 10
+    px = bytes(rng.randrange(256) for _ in range(w * 3 * h))
+    payload = encode_png(px, w, h)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    w2, h2, px2, filters = decode_png(payload)
+    assert (w2, h2) == (w, h)
+    assert px2 == px, "unfilter must reconstruct the exact pixel bytes"
+    assert filters == [r % 5 for r in range(h)]
+    # and the container really is compressed (compressible input)
+    flat = encode_png(bytes(w * 3 * h), w, h)
+    assert len(flat) < w * 3 * h
+
+    # os.urandom-free determinism: same input -> same file bytes
+    assert encode_png(px, w, h) == payload
+    del os
+
+
+def test_png_decoder_rejects_corruption_and_variants():
+    import struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(bytes(48 * 2), 16, 2))
+    # flip one byte inside the IDAT chunk body -> CRC mismatch
+    idat_at = bytes(payload).index(b"IDAT")
+    corrupt = bytearray(payload)
+    corrupt[idat_at + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + bytes(payload[2:]))
+    # unsupported variant: grayscale IHDR (color type 0), CRC valid
+    ihdr = struct.pack(">IIBBBBB", 16, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_decode_media_real_codec_handles_png(spark):
+    from conftest import SF_SMOKE
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        "doc_id < 20 AND length(text) > 0"
+    )
+    rows = decode_media(attach_png_payload(docs), real_codec=True).collect()
+    assert rows and all(r.width == 16 and r.n_frames == 1 for r in rows)
+    assert all(r.height >= 1 for r in rows)
