@@ -21,14 +21,16 @@ from . import retrieval  # noqa: E402,F401
 # q73, q70), then the 50-row r07 cohort. Those ten lead; the r07 cohort
 # follows; and the three entries NEW this round (never driver-checked:
 # s09b seeded flat PQ, t23b exact learned-merge tokenization, m03b PNG
-# real-decode features) take the final slots by displacing the 13
-# cheapest-to-defer r07 rows (the 11 pure-relational TPC-H-family
-# entries q49-q60 — seven-round green, their join/aggregate families
-# covered in-window by q32/q33/q71 and the d/s/st/t rows — plus
-# t24_temperature_mixture, whose mixture siblings t08 stays in-window
-# and t21 was checked r11, and w01_tumbling_window, whose sibling w02
-# stays and whose streaming twin st01 was checked r11), which carry to
-# round 13 as its lead.
+# real-decode features, s22b seeded projection-ANN) take the final
+# slots by displacing the 14 cheapest-to-defer r07 rows (the 11
+# pure-relational TPC-H-family entries q49-q60 — seven-round green,
+# their join/aggregate families covered in-window by q32/q33/q71 and
+# the d/s/st/t rows — plus t24_temperature_mixture, whose mixture
+# sibling t08 stays in-window and t21 was checked r11,
+# w01_tumbling_window, whose sibling w02 stays and whose streaming
+# twin st01 was checked r11, and d07_hash_sample, whose sampling
+# siblings d09 and st20 stay in-window), which carry to round 13 as
+# its lead.
 DRIVER_WINDOW: list[str] = [
     # -- the ten r06-stale rows deferred from the r11 window ----------
     "q45_map_functions",
@@ -41,11 +43,10 @@ DRIVER_WINDOW: list[str] = [
     "q28_json_functions",
     "q73_mode_median",
     "q70_collation",
-    # -- the r07 cohort minus the 13 declared round-13 deferrals ------
+    # -- the r07 cohort minus the 14 declared round-13 deferrals ------
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_signatures",
-    "d07_hash_sample",
     "d09_stratified_sample",
     "d29_bloom_decontamination",
     "p02_flagship_retrieval",
@@ -83,6 +84,7 @@ DRIVER_WINDOW: list[str] = [
     "s09b_pq_seeded",
     "t23b_bpe_tokenize_exact",
     "m03b_png_features",
+    "s22b_projection_ann_seeded",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -3417,6 +3417,186 @@ def s22_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s22b: s22's projection-ANN serving dataflow with the eigenbasis
+# replaced by an md5-SEEDED basis, hash-exact — the s20b derivation
+# applied to the dimensionality-reduction family (the last ANN family
+# whose serving path had no value-certified twin).
+_S22B_K = 8  # projected dims (= s21/s22's PCA k)
+_S22B_COARSE = 40
+_S22B_TOPK = 5
+_S22B_QMOD = 50  # the s22/s23 query universe
+
+_S22B_SQL_DOT = """
+ROUND(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {n}),
+  {i} -> {a} * {b})), (acc, x) -> acc + x), 6)
+"""
+
+
+def _s22b_sql_dot(n: int, i: str, a: str, b: str) -> str:
+    return _S22B_SQL_DOT.format(n=n, i=i, a=a, b=b).strip()
+
+
+@query(
+    "s22b_projection_ann_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_S20B_DIM}
+),
+basis AS (
+  SELECT rn - 1 AS p, emb FROM (
+    SELECT vec_id, emb, ROW_NUMBER() OVER (
+      ORDER BY md5('s22b:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid WHERE vec_id % {_S22B_QMOD} != 0
+  ) WHERE rn <= {_S22B_K}
+),
+proj AS MATERIALIZED (
+  SELECT v.vec_id, b.p,
+    CAST(ROUND({_s22b_sql_dot(_S20B_DIM, "i", "v.emb[i]", "b.emb[i]")}
+         * 1000000.0, 0) AS BIGINT) AS pv
+  FROM valid v, basis b
+),
+coarse AS MATERIALIZED (
+  SELECT q_id, vec_id, coarse_d2 FROM (
+    SELECT qp.vec_id AS q_id, cp.vec_id,
+      CAST(SUM((cp.pv - qp.pv) * (cp.pv - qp.pv)) AS BIGINT) AS coarse_d2,
+      ROW_NUMBER() OVER (
+        PARTITION BY qp.vec_id
+        ORDER BY CAST(SUM((cp.pv - qp.pv) * (cp.pv - qp.pv)) AS BIGINT),
+                 cp.vec_id) AS crank
+    FROM proj cp JOIN proj qp ON cp.p = qp.p
+    WHERE cp.vec_id % {_S22B_QMOD} != 0 AND qp.vec_id % {_S22B_QMOD} = 0
+    GROUP BY qp.vec_id, cp.vec_id
+  ) WHERE crank <= {_S22B_COARSE}
+)
+SELECT q_id, vec_id, coarse_d2, exact_dist, rank FROM (
+  SELECT s.q_id, s.vec_id, s.coarse_d2,
+    {_s20b_sql_l2(_S20B_DIM, "i", "q.emb[i]", "v.emb[i]")} AS exact_dist,
+    ROW_NUMBER() OVER (
+      PARTITION BY s.q_id
+      ORDER BY {_s20b_sql_l2(_S20B_DIM, "i", "q.emb[i]", "v.emb[i]")},
+               s.vec_id) AS rank
+  FROM coarse s
+  JOIN valid v ON v.vec_id = s.vec_id
+  JOIN valid q ON q.vec_id = s.q_id
+) WHERE rank <= {_S22B_TOPK}
+""",
+    tags=("similarity", "projection", "ann", "rerank"),
+    bench=True,
+)
+def s22b_projection_ann_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduction ANN serving, oracle-certified
+    HASH-EXACT end to end — s22's exact pipeline shape (project the
+    corpus and queries to {_S22B_K} dims -> shortlist {_S22B_COARSE} by
+    squared-L2 in the PROJECTED space -> re-rank the shortlist by exact
+    full-space distance -> keep {_S22B_TOPK}) with the one non-
+    relational artifact, the eigendecomposed PCA basis, replaced by an
+    md5-SEEDED corpus sample (basis = the {_S22B_K} corpus vectors
+    ranked first by ``md5('s22b:' || vec_id)`` — a random-projection
+    basis in the Johnson-Lindenstrauss sense, i.e. s12's guarantee
+    rather than s21's variance-optimal one). Every projection is a
+    fixed-order dot fold ROUND(d, 6) scaled to an exact BIGINT, the
+    coarse distance is pure integer arithmetic (order-free), and both
+    rank cuts break ties by id — so the whole serving path (project,
+    prune, broadcast re-rank) is certified value-for-value against a
+    second engine. s21/s22 keep the trained eigenbasis (the production
+    path; determinism, orthonormality, and the PCA-over-JL recall
+    margin are pinned in tests/test_pca.py); swap the seeded basis for
+    the trained one and the dataflow is unchanged. Closes the last ANN
+    family (after s05b IVF, s09b PQ, s20b IVFADC+R, s23 Hamming)
+    without a value-certified serving twin.
+
+    Scale shape (identical to s22): the basis is a driver-sized
+    literal; projection is a narrow per-row fold (no exchange, raw
+    vectors never leave their scan partition); the coarse pass
+    broadcasts the projected queries and scans only (vec_id, 8
+    BIGINTs); the shortlist rejoins raw vectors as a BROADCAST id
+    join; both cuts are two-phase WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    dim, k = _S20B_DIM, _S22B_K
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    ).select("vec_id", "embedding")
+    corpus = valid.filter(F.col("vec_id") % _S22B_QMOD != 0)
+    queries = valid.filter(F.col("vec_id") % _S22B_QMOD == 0)
+
+    # -- basis: one md5-ranked corpus sample (driver-sized) ------------
+    h_b = F.md5(F.concat(F.lit("s22b:"), F.col("vec_id").cast("string")))
+    b_rows = corpus.orderBy(h_b, "vec_id").limit(k).collect()
+    b_flat = F.lit(
+        [float(x) for r in b_rows for x in r.embedding]
+    ).cast("array<double>")
+
+    # -- projection: 8 scaled-integer dot folds per row (no exchange) --
+    pvec = F.transform(
+        F.lit(list(range(k))),
+        lambda p: F.round(
+            F.round(dot(F.col("embedding"), F.slice(b_flat, p * dim + 1, dim)), 6)
+            * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    )
+    cp = corpus.select("vec_id", pvec.alias("pvec"))
+    qp = queries.select(
+        F.col("vec_id").alias("q_id"), pvec.alias("q_pvec")
+    )
+
+    # -- coarse shortlist: integer L2 in the projected space -----------
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("pvec"), F.col("q_pvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    wc = Window.partitionBy("q_id").orderBy("coarse_d2", "vec_id")
+    shortlist = (
+        cp.crossJoin(F.broadcast(qp))
+        .select("q_id", "vec_id", d2.alias("coarse_d2"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _S22B_COARSE)
+        .select("q_id", "vec_id", "coarse_d2")
+    )
+
+    # -- exact full-space re-rank on the broadcast shortlist -----------
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = F.round(sq_l2(F.col("embedding"), F.col("q_vec")), 6)
+    wr = Window.partitionBy("q_id").orderBy("exact_dist", "vec_id")
+    return (
+        corpus.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", "coarse_d2", exact.alias("exact_dist"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S22B_TOPK)
+    )
+
+
 _S23_COARSE = 40
 _S23_K = 5
 

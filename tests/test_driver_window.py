@@ -4,20 +4,21 @@ the first 50 of the priority order). These tests pin the round-12
 rotation (executing the plan written in round 11): after
 CORRECTNESS_r11 the cross-round union's stalest rows were the ten
 deferred from the r11 window (last checked r06), then the 50-row r07
-cohort. The ten lead this window; the r07 cohort follows; the three
-entries NEW this round (never driver-checked: s09b, t23b, m03b)
-displace the 13 cheapest-to-defer r07 rows — the 11 pure-relational
+cohort. The ten lead this window; the r07 cohort follows; the four
+entries NEW this round (never driver-checked: s09b, t23b, m03b, s22b)
+displace the 14 cheapest-to-defer r07 rows — the 11 pure-relational
 TPC-H-family entries q49-q60 (seven-round green histories; their
 join/aggregate families stay covered in-window by q32/q33/q71 and the
 d/s/st/t rows) plus t24_temperature_mixture (mixture siblings: t08
-stays in-window, t21 checked r11) and w01_tumbling_window (sibling w02
-stays; streaming tumbling twin st01 checked r11) — which carry to
+stays in-window, t21 checked r11), w01_tumbling_window (sibling w02
+stays; streaming tumbling twin st01 checked r11), and d07_hash_sample
+(sampling siblings d09 and st20 stay in-window) — which carry to
 round 13.
 
 ROUND-13 PLAN (written in round 12, the established handoff): once
-CORRECTNESS_r12 lands, the union's stalest rows are the 13 deferred
-r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01, then
-the 50-row r08 cohort. The round-13 window is those 13 + the r08
+CORRECTNESS_r12 lands, the union's stalest rows are the 14 deferred
+r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07,
+then the 50-row r08 cohort. The round-13 window is those 14 + the r08
 cohort, with any round-13 additions displacing the cheapest-to-defer
 r08 rows."""
 
@@ -27,7 +28,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 13 (the 13 cheapest-to-defer r07 rows).
+# Deferred to round 13 (the 14 cheapest-to-defer r07 rows).
 DEFERRED_TO_R13 = (
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -42,6 +43,7 @@ DEFERRED_TO_R13 = (
     "q60_waiting_orders",
     "t24_temperature_mixture",
     "w01_tumbling_window",
+    "d07_hash_sample",
 )
 
 # The ten rows whose latest driver record is r06 — deferred from the
@@ -59,12 +61,11 @@ LEAD_R06 = (
     "q70_collation",
 )
 
-# The 37 r07-cohort rows that keep their slot.
+# The 36 r07-cohort rows that keep their slot.
 LEAD_R07 = (
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_signatures",
-    "d07_hash_sample",
     "d09_stratified_sample",
     "d29_bloom_decontamination",
     "p02_flagship_retrieval",
@@ -105,6 +106,7 @@ NEVER_CHECKED = (
     "s09b_pq_seeded",
     "t23b_bpe_tokenize_exact",
     "m03b_png_features",
+    "s22b_projection_ann_seeded",
 )
 
 
