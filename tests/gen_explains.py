@@ -71,6 +71,10 @@ HEADLINES = [
     ("d32b_pagerank_fixed_point", "per-round: one edge equi-join + one sum-by-destination hash aggregate (shuffle ∝ E), rank update a pure integer projection; rounds separated by localCheckpoint (ExistingRDD), dangling mass a collected literal"),
     ("p03b_embed_distinct_exact", "the UDF runs once per DISTINCT fingerprint (aggregate below the embed crossing); the join back carries hashes + vectors; posexplode is a narrow map"),
     ("p09b_rag_query_exact", "chunk+embed feed one persisted seam (InMemoryTableScan); the 50-row shortlist broadcasts into the pair BNLJ; the MMR kernel is one FlatMapGroupsInPandas; chunk-text fetch is a broadcast hash join"),
+    ("s09b_pq_seeded", "encode is a narrow literal-fold projection (no exchange, 4 bytes of codes per vector); serving crossJoins broadcast per-query 64-entry LUTs — 4 array lookups + one integer add per row, no vector math on the corpus — and cuts via two-phase WindowGroupLimit"),
+    ("s22b_projection_ann_seeded", "projection is a narrow 8-dot literal fold (no exchange); the coarse pass scans only (vec_id, 8 BIGINTs) against broadcast projected queries; the exact re-rank re-joins raw vectors by broadcast id join — the corpus never shuffles"),
+    ("t23b_bpe_tokenize_exact", "one corpus pass collapses to (word, count); the pandas-UDF encode (ArrowEvalPython) runs on the DISTINCT vocabulary only; per-doc totals are a pure-JVM explode + join on word + one grouped sum"),
+    ("m03b_png_features", "build -> PNG decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 8 ints) cross into the resize projection"),
 ]
 
 
