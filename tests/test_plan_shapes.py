@@ -668,3 +668,59 @@ def test_d32b_fixed_point_no_python_no_cartesian(spark):
     plan = _plan(spark, "d32b_pagerank_fixed_point")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s09b_adc_scan_is_lookups_over_broadcast_luts(spark):
+    """s09b's serving promise: the code table crossJoins BROADCAST
+    per-query LUTs (no corpus exchange anywhere below the k-row rank
+    cut), and the top-k is two-phase WindowGroupLimit — per-partition
+    Partial cut before the q_id shuffle, Final after."""
+    plan = _plan(spark, "s09b_pq_seeded")
+    cuts = plan.split("WindowGroupLimit")[1:]
+    assert len(cuts) >= 2
+    modes = {seg.split("\n")[0].rstrip().rsplit(", ", 1)[-1] for seg in cuts}
+    assert {"Partial", "Final"} <= modes, modes
+    # the only exchanges: the k-rows-per-query rank shuffle (hash on
+    # q_id) and broadcast exchanges — never a corpus hashpartitioning
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg.startswith("q_id"), (
+            "corpus-keyed exchange leaked into the ADC scan: " + seg[:80]
+        )
+
+
+def test_s22b_projection_never_shuffles_corpus(spark):
+    """s22b's serving promise: projection is a narrow per-row fold, the
+    coarse pass broadcasts projected queries, the re-rank re-joins raw
+    vectors by broadcast id join — every hash exchange is q_id-keyed
+    (k rows per query), never corpus-keyed; no sort-merge join."""
+    plan = _plan(spark, "s22b_projection_ann_seeded")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist + query ids
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg.startswith("q_id"), (
+            "corpus-keyed exchange leaked into s22b: " + seg[:80]
+        )
+
+
+def test_t23b_tokenizes_vocabulary_not_corpus(spark):
+    """t23b's scale promise: the pandas-UDF encode (ArrowEvalPython)
+    runs over the DISTINCT vocabulary — its input subtree must contain
+    the word aggregate — while per-document totals stay pure JVM."""
+    plan = _plan(spark, "t23b_bpe_tokenize_exact")
+    assert "ArrowEvalPython" in plan
+    arrow_subtree = plan.split("ArrowEvalPython")[1]
+    assert "HashAggregate" in arrow_subtree, (
+        "encode must consume the (word, n) aggregate, not raw docs"
+    )
+
+
+def test_m03b_decode_chain_is_one_arrow_span(spark):
+    """m03b's promise: build -> PNG decode -> feature-reduce fuse into
+    mapInPandas spans over ONE documents scan (no exchange between the
+    payload build and the feature extraction), and the resize plan is a
+    pure projection above it."""
+    plan = _plan(spark, "m03b_png_features")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan.split("MapInPandas")[0], (
+        "no shuffle may sit above the decode chain"
+    )
