@@ -52,15 +52,26 @@ iterators. The Python stream API exposes no engine-side admission
 control, so pacing is the reader's job: ``max_records_per_trigger``
 caps each shard's advance per trigger whenever the cap is provably
 restart-safe — i.e. the walk start is an instance-derived floor at or
-above the committed position (every trigger after initialOffset, and
-every trigger after the first post-restart walk). The one remaining
-unpaced batch is the first trigger of a RESTARTED query, where the
-committed position is unknowable until the engine hands it to
-``partitions`` — that batch takes all available data (executor reads
-stream page-by-page, so memory stays one-page-bounded). The double
-fetch is the price of exactness — a deployment that cannot afford 2x
-GetRecords switches to enhanced fan-out or the driver-prefetching
-SimpleDataSourceStreamReader (README deployment notes).
+above the committed position. MEASURED ENGINE BEHAVIOR (Spark 4.1,
+pinned in tests/test_kinesis_lite.py's pipeline test): the engine's
+FIRST call on a new reader instance is ``latestOffset`` — BEFORE
+``initialOffset`` even on a fresh query — and at that moment the
+reader cannot distinguish fresh start from checkpoint restart, so the
+first walk must reach the true tip (a capped guess below a committed
+position would be adopted as progress and re-emit committed records —
+the pinned duplicate bug; and no later clamp can fully repair it,
+because a crash between the stale offset-log write and the clamp
+leaves a fresh instance that replays the stale range verbatim).
+Pacing therefore engages from the SECOND trigger onward: the first
+trigger takes the whole backlog (executors read it page-by-page, so
+memory stays one-page-bounded), every later trigger advances at most
+``max_records_per_trigger`` per shard. A deployment that needs the
+FIRST batch bounded too uses the driver-prefetching
+SimpleDataSourceStreamReader (``kinesis-lite-simple``), whose
+``read(start)`` receives the committed offset and is therefore
+strictly paced by construction. The double fetch is the price of
+exactness — if 2x GetRecords matters, use enhanced fan-out or the
+simple reader (README deployment notes).
 """
 
 from __future__ import annotations
@@ -509,21 +520,46 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             }
             return {s: f.result() for s, f in futs.items()}
 
+    def _trace(self, msg: str) -> None:
+        import os
+        path = os.environ.get("KL_TRACE")
+        if path:
+            with open(path, "a") as fh:
+                fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
+
     def initialOffset(self) -> dict:
-        for shard in self._client.list_shards():
-            self._positions[shard] = None
-            self._paced.add(shard)
+        self._trace("initialOffset")
+        listed = self._client.list_shards()
         if self.start == "LATEST":
             # resolve "now" to concrete sequence numbers by draining
             # what already exists (bounded by retention) — LATEST means
             # "only records produced after the query started", and a
-            # concrete per-shard cursor is what makes that exact
+            # concrete per-shard cursor is what makes that exact.
+            # Resume each walk from the instance cache (forward-only).
             self._positions.update(
-                self._walk_all({s: (None, None) for s in self._positions})
+                self._walk_all(
+                    {s: (self._positions.get(s), None) for s in listed}
+                )
             )
-        return self._snapshot()
+            self._paced |= set(listed)
+            return self._snapshot()
+        # TRIM_HORIZON: the ANSWER is the shard start for every shard,
+        # but the instance walk cache must NOT be reset to it — the
+        # engine calls latestOffset BEFORE initialOffset on a fresh
+        # query (measured; see the module docstring), so the cache may
+        # already hold tips this instance returned as a batch end.
+        # Clobbering it to None would let the next CAPPED walk stop
+        # below that logged end, the offset log would step backwards,
+        # and the batch after the stale-clamp would re-read committed
+        # records (the duplicate bug pinned in
+        # test_engine_pacing_engages_from_second_trigger).
+        for shard in listed:
+            self._positions.setdefault(shard, None)
+            self._paced.add(shard)
+        return {"shards": {s: "" for s in sorted(listed)}}
 
     def latestOffset(self) -> dict:
+        self._trace(f"latestOffset paced={len(self._paced)} per_trigger={self.per_trigger}")
         # resharding: shards that appeared since the last trigger join
         # at TRIM_HORIZON; shards the service no longer lists (closed
         # parents aged out of retention) are PRUNED — keeping them

@@ -116,7 +116,15 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
                 ],
             )
         )
-        for key in ("access_key", "secret_key", "session_token"):
+        for key in (
+            "access_key",
+            "secret_key",
+            "session_token",
+            # r12 operational knobs: concurrent driver tip walks and the
+            # restart-safe per-shard per-trigger catch-up cap
+            "tip_walk_threads",
+            "max_records_per_trigger",
+        ):
             if cfg.extra.get(f"kinesis_{key}"):
                 reader = reader.option(key, str(cfg.extra[f"kinesis_{key}"]))
         return reader.load().select(F.col("data").alias("value"))

@@ -267,6 +267,9 @@ def test_pipeline_source_format_kinesis_lite_end_to_end(spark, fake):
             "kinesis_stream": "docs",
             "kinesis_region": "us-east-1",
             "kinesis_endpoint": url,
+            # the r12 operational knobs ride PipelineConfig.extra
+            "kinesis_tip_walk_threads": 4,
+            "kinesis_max_records_per_trigger": 4,
         },
     )
     raw = build_source(spark, cfg)
@@ -277,6 +280,66 @@ def test_pipeline_source_format_kinesis_lite_end_to_end(spark, fake):
     assert len(rows) == 40
     _, wire0 = wire_record(42, 0)
     assert wire0 in {r.value for r in rows}
+
+
+def test_engine_pacing_engages_from_second_trigger(spark, fake):
+    """The ENGINE-LEVEL pacing contract (measured Spark 4.1 behavior
+    the module docstring documents): the engine's first call on a new
+    reader is latestOffset — BEFORE initialOffset even on a fresh
+    query — so the first trigger must take the whole backlog (a capped
+    first walk could sit below a restart's committed position and
+    re-emit committed records). From the second trigger onward,
+    max_records_per_trigger caps each shard's advance. Pinned here so
+    an engine upgrade that changes the call order (and would let the
+    first batch pace too) is noticed."""
+    import os
+    import tempfile
+    import time
+
+    srv, url = fake
+    register(spark)
+    raw = (
+        spark.readStream.format("kinesis-lite")
+        .option("stream_name", "docs")
+        .option("endpoint_url", url)
+        .option("max_records_per_trigger", "4")
+        .load()
+    )
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="kl_pace_"), "ckpt")
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("kl_pace_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        def wait_rows(n: int) -> None:
+            deadline = time.monotonic() + 60
+            while (
+                time.monotonic() < deadline
+                and spark.table("kl_pace_t").count() < n
+            ):
+                time.sleep(0.2)
+            assert spark.table("kl_pace_t").count() >= n
+
+        # trigger 1: the whole 40-record backlog, unpaced by design
+        wait_rows(40)
+        # post-backlog arrivals ARE paced: 24 new records at 4/shard
+        # per trigger over 4 shards = >= 2 more non-empty triggers
+        for i in range(24):
+            _, wire = wire_record(42, 500 + i)
+            srv.append(f"shardId-{i % 4:012d}", [(str(500 + i), wire.encode())])
+        wait_rows(64)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert sizes[0] == 40, sizes
+    paced = sizes[1:]
+    assert len(paced) >= 2 and all(s <= 16 for s in paced), sizes
+    rows = spark.table("kl_pace_t").collect()
+    assert len({(r.shard_id, r.sequence_number) for r in rows}) == 64
 
 
 def test_spark_streaming_checkpoint_recovery_resumes_after_committed(spark, fake):
@@ -542,11 +605,13 @@ def test_tip_walks_run_concurrently_across_shards(monkeypatch):
 
 
 def test_paced_catchup_first_batch_bounded_and_exactly_once(fake):
-    """max_records_per_trigger caps each shard's per-trigger advance on
-    a FRESH query (the committed floor is this instance's own
-    initialOffset, so pacing is restart-safe by construction): a
-    40-record backlog drains in >= 4 capped batches instead of one
-    unbounded one, every record exactly once."""
+    """max_records_per_trigger caps each shard's per-trigger advance
+    once the instance has a floor (here: initialOffset called first,
+    the DIRECT-API order; the real engine calls latestOffset first, so
+    engine-level pacing starts at trigger 2 — see
+    test_engine_pacing_engages_from_second_trigger): a 40-record
+    backlog drains in >= 4 capped batches instead of one unbounded
+    one, every record exactly once."""
     srv, url = fake
     r = KinesisLiteStreamReader(
         {
