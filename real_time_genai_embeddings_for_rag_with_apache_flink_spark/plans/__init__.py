@@ -21,16 +21,18 @@ from . import retrieval  # noqa: E402,F401
 # q73, q70), then the 50-row r07 cohort. Those ten lead; the r07 cohort
 # follows; and the three entries NEW this round (never driver-checked:
 # s09b seeded flat PQ, t23b exact learned-merge tokenization, m03b PNG
-# real-decode features, s22b seeded projection-ANN) take the final
-# slots by displacing the 14 cheapest-to-defer r07 rows (the 11
+# real-decode features, s22b seeded projection-ANN, st32 the executed
+# Kinesis PRODUCER round-trip) take the final slots by displacing the
+# 15 cheapest-to-defer r07 rows (the 11
 # pure-relational TPC-H-family entries q49-q60 — seven-round green,
 # their join/aggregate families covered in-window by q32/q33/q71 and
 # the d/s/st/t rows — plus t24_temperature_mixture, whose mixture
 # sibling t08 stays in-window and t21 was checked r11,
 # w01_tumbling_window, whose sibling w02 stays and whose streaming
-# twin st01 was checked r11, and d07_hash_sample, whose sampling
-# siblings d09 and st20 stay in-window), which carry to round 13 as
-# its lead.
+# twin st01 was checked r11, d07_hash_sample, whose sampling siblings
+# d09 and st20 stay in-window, and s07_scalar_quantization, whose
+# quantization siblings s09b (new, in-window) and s20b (r11-checked)
+# cover the family), which carry to round 13 as its lead.
 DRIVER_WINDOW: list[str] = [
     # -- the ten r06-stale rows deferred from the r11 window ----------
     "q45_map_functions",
@@ -43,7 +45,7 @@ DRIVER_WINDOW: list[str] = [
     "q28_json_functions",
     "q73_mode_median",
     "q70_collation",
-    # -- the r07 cohort minus the 14 declared round-13 deferrals ------
+    # -- the r07 cohort minus the 15 declared round-13 deferrals ------
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_signatures",
@@ -55,7 +57,6 @@ DRIVER_WINDOW: list[str] = [
     "s03_embedding_near_dup",
     "s04_label_centroids",
     "s05_ivf_search",
-    "s07_scalar_quantization",
     "s08_hyperplane_lsh_buckets",
     "st03_stream_dedup",
     "st04_stream_filter_project",
@@ -85,6 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "t23b_bpe_tokenize_exact",
     "m03b_png_features",
     "s22b_projection_ann_seeded",
+    "st32_kinesis_producer_roundtrip",
 ]
 
 set_priority(DRIVER_WINDOW)

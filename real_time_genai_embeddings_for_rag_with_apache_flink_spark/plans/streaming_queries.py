@@ -3711,3 +3711,101 @@ def st31_opensearch_protocol_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("text").alias("min_text"),
         F.max("text").alias("max_text"),
     )
+
+
+_ST32_DOCS = 600
+_ST32_SHARDS = 4
+
+
+@query(
+    "st32_kinesis_producer_roundtrip",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id,
+    'synthetic text ' || md5('42:' || i) AS text,
+    strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND,
+             '%Y-%m-%dT%H:%M:%S.000Z') AS created_at
+  FROM (SELECT UNNEST(generate_series(0, {_ST32_DOCS - 1})) AS i)
+)
+SELECT doc_id % 5 AS bucket, COUNT(*) AS n_docs,
+       MIN(text) AS first_text, MAX(created_at) AS last_created
+FROM gen GROUP BY doc_id % 5
+""",
+    tags=("streaming", "source", "sink", "kinesis", "pipeline"),
+)
+def st32_kinesis_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's P1 PRODUCER executed over the real wire protocol
+    — the write half st30 left simulated. The reference feeds its
+    stream with a Lambda calling ``put_record``
+    (``kds-producer-lambda/lambda_function.py``); here the engine
+    PRODUCES the identical 600-record docgen corpus into an EMPTY
+    4-shard stream through sources/kinesis_lite.put_records_writer —
+    executor-side PutRecords in API-cap chunks with failed-subset
+    retries, against the in-process endpoint's real PutRecords action
+    (MD5 hash-range PartitionKey routing, the service's documented
+    rule) — then READS IT BACK with the kinesis-lite batch reader
+    (shard-parallel GetRecords), parses the M1 ``from_json`` stage, and
+    reduces per bucket. The oracle regenerates the corpus from
+    arithmetic: every produced record must come back exactly once
+    through write-protocol -> hash routing -> read-protocol, or counts,
+    min-text, and max-created drift. Partial-failure retries and the
+    routing rule itself are pinned in tests/test_kinesis_lite.py.
+    (sf_dir is unused: the corpus is generated.)
+
+    Scale shape: the producer is ``foreachPartition`` — records stream
+    driver-free from each task in 500-record PutRecords calls (the API
+    cap), exactly how a Spark job would feed a real stream; the
+    read-back is one InputPartition per shard. The localCheckpoint
+    materializes the consumed rows so the endpoint can stop before the
+    aggregate runs (the st30 memory-sink pattern, batch form)."""
+    from ..sources.docgen import register as register_docgen
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..sources.kinesis_lite import put_records_writer
+    from ..sources.kinesis_lite import register as register_kinesis
+
+    register_docgen(spark)
+    register_kinesis(spark)
+    srv = FakeKinesisServer(
+        "produced", {f"shardId-{i:012d}": [] for i in range(_ST32_SHARDS)}
+    )
+    endpoint = srv.start()
+    try:
+        corpus = (
+            spark.read.format("docgen")
+            .option("rows", str(_ST32_DOCS))
+            .option("partitions", "4")
+            .option("seed", "42")
+            .load()
+            .select(
+                F.col("doc_id").cast("string").alias("partition_key"),
+                F.col("value").alias("data"),
+            )
+        )
+        corpus.foreachPartition(
+            put_records_writer(
+                {"stream_name": "produced", "endpoint_url": endpoint}
+            )
+        )
+        raw = (
+            spark.read.format("kinesis-lite")
+            .option("stream_name", "produced")
+            .option("endpoint_url", endpoint)
+            .load()
+        )
+        landed = (
+            raw.select(
+                F.col("partition_key").cast("long").alias("doc_id"),
+                F.from_json(
+                    "data", "text string, created_at string"
+                ).alias("r"),
+            )
+            .select("doc_id", "r.text", "r.created_at")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        srv.stop()
+    return landed.groupBy((F.col("doc_id") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("first_text"),
+        F.max("created_at").alias("last_created"),
+    )

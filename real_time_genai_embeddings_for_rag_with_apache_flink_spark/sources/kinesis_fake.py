@@ -18,6 +18,7 @@ regenerate everything the reader will emit.
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -35,8 +36,15 @@ class FakeKinesisServer:
         stream_name: str,
         shards: dict[str, list[tuple[str, bytes]]],
         reveal_per_list: int | None = None,
+        put_fail_every: int | None = None,
     ):
         self.stream_name = stream_name
+        # Write-path failure injection: every Nth record ACROSS
+        # PutRecords calls fails with the throttling ErrorCode (the
+        # real API's partial-failure shape — PutRecords is not atomic),
+        # so client retry-the-failed-subset logic is testable.
+        self._put_fail_every = put_fail_every
+        self._put_seen = 0
         self._lock = threading.Lock()
         self._shards: dict[str, list[tuple[str, bytes]]] = {
             s: list(recs) for s, recs in shards.items()
@@ -160,6 +168,50 @@ class FakeKinesisServer:
                 if not (shard in self._closed and nxt >= len(recs)):
                     out["NextShardIterator"] = self._token(shard, nxt)
                 return out
+            if action == "PutRecords":
+                if payload.get("StreamName") != self.stream_name:
+                    raise KeyError("stream")
+                open_shards = sorted(
+                    s for s in self._shards if s not in self._closed
+                )
+                if not open_shards:
+                    raise KeyError("no open shards")
+                results, failed = [], 0
+                for rec in payload.get("Records", []):
+                    self._put_seen += 1
+                    if (
+                        self._put_fail_every
+                        and self._put_seen % self._put_fail_every == 0
+                    ):
+                        results.append(
+                            {
+                                "ErrorCode": (
+                                    "ProvisionedThroughputExceededException"
+                                ),
+                                "ErrorMessage": "injected",
+                            }
+                        )
+                        failed += 1
+                        continue
+                    pk = rec["PartitionKey"]
+                    data = base64.b64decode(rec["Data"])
+                    # the real routing rule: MD5(partition key) as a
+                    # 128-bit int, mapped onto evenly-divided shard
+                    # hash-key ranges (what CreateStream provisions)
+                    hval = int(hashlib.md5(pk.encode()).hexdigest(), 16)
+                    shard = open_shards[
+                        hval * len(open_shards) >> 128
+                    ]
+                    self._shards[shard].append((pk, data))
+                    results.append(
+                        {
+                            "SequenceNumber": str(
+                                len(self._shards[shard]) - 1
+                            ),
+                            "ShardId": shard,
+                        }
+                    )
+                return {"FailedRecordCount": failed, "Records": results}
             raise KeyError(action)
 
     @staticmethod

@@ -361,6 +361,89 @@ class KinesisClient:
                 empty = 0
 
 
+_PUT_CHUNK = 500  # the PutRecords API cap (records per request)
+
+
+def _client_put_records(
+    client: "KinesisClient",
+    records: list[tuple[str, bytes]],
+    max_retries: int = 5,
+) -> int:
+    """PutRecords in API-cap chunks, retrying the FAILED SUBSET.
+    PutRecords is documented as non-atomic: per-record failures come
+    back with an ErrorCode and FailedRecordCount, and the client
+    contract is to resubmit exactly those records (the reference's
+    producer writes one record per Lambda invoke via put_record,
+    ``kds-producer-lambda/lambda_function.py``; this is the batched
+    form of the same write). Raises after ``max_retries`` resubmits of
+    a still-failing subset — delivery must never be silently partial.
+    Returns the number of records delivered."""
+    delivered = 0
+    for i in range(0, len(records), _PUT_CHUNK):
+        pending = records[i : i + _PUT_CHUNK]
+        for _attempt in range(max_retries + 1):
+            out = client._call(
+                "PutRecords",
+                {
+                    "StreamName": client.stream,
+                    "Records": [
+                        {
+                            "PartitionKey": pk,
+                            "Data": base64.b64encode(data).decode(),
+                        }
+                        for pk, data in pending
+                    ],
+                },
+            )
+            if not out.get("FailedRecordCount"):
+                delivered += len(pending)
+                pending = []
+                break
+            results = out["Records"]
+            still = [
+                pending[j]
+                for j, r in enumerate(results)
+                if r.get("ErrorCode")
+            ]
+            delivered += len(pending) - len(still)
+            pending = still
+        if pending:
+            raise RuntimeError(
+                f"PutRecords: {len(pending)} records still failing after "
+                f"{max_retries} resubmits (first error subset retained "
+                "for retry by the caller)"
+            )
+    return delivered
+
+
+def put_records_writer(options: dict):
+    """The engine's P1 WRITE path over the real wire protocol: returns
+    a ``foreachPartition`` function that delivers each partition's
+    (partition_key, data) rows via an EXECUTOR-SIDE KinesisClient —
+    PutRecords chunks of 500, failed-subset retries, SigV4 when
+    credentialed. data columns may be string or binary. Use with a
+    batch DataFrame (``df.foreachPartition(put_records_writer(opts))``)
+    or per micro-batch inside foreachBatch; either way the driver never
+    touches a record."""
+    opts = dict(options)
+
+    def write(rows) -> None:
+        client = KinesisClient(opts)
+        buf: list[tuple[str, bytes]] = []
+        for row in rows:
+            data = row["data"]
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            buf.append((str(row["partition_key"]), bytes(data)))
+            if len(buf) >= _PUT_CHUNK:
+                _client_put_records(client, buf)
+                buf = []
+        if buf:
+            _client_put_records(client, buf)
+
+    return write
+
+
 def _decode(rec: dict, mode: str) -> str:
     raw = rec.get("Data", "")
     if mode == "base64":

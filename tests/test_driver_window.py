@@ -4,21 +4,22 @@ the first 50 of the priority order). These tests pin the round-12
 rotation (executing the plan written in round 11): after
 CORRECTNESS_r11 the cross-round union's stalest rows were the ten
 deferred from the r11 window (last checked r06), then the 50-row r07
-cohort. The ten lead this window; the r07 cohort follows; the four
-entries NEW this round (never driver-checked: s09b, t23b, m03b, s22b)
-displace the 14 cheapest-to-defer r07 rows — the 11 pure-relational
+cohort. The ten lead this window; the r07 cohort follows; the five
+entries NEW this round (never driver-checked: s09b, t23b, m03b, s22b,
+st32) displace the 15 cheapest-to-defer r07 rows — the 11 pure-relational
 TPC-H-family entries q49-q60 (seven-round green histories; their
 join/aggregate families stay covered in-window by q32/q33/q71 and the
 d/s/st/t rows) plus t24_temperature_mixture (mixture siblings: t08
 stays in-window, t21 checked r11), w01_tumbling_window (sibling w02
-stays; streaming tumbling twin st01 checked r11), and d07_hash_sample
-(sampling siblings d09 and st20 stay in-window) — which carry to
-round 13.
+stays; streaming tumbling twin st01 checked r11), d07_hash_sample
+(sampling siblings d09 and st20 stay in-window), and
+s07_scalar_quantization (quantization siblings s09b new-in-window and
+s20b r11-checked cover the family) — which carry to round 13.
 
 ROUND-13 PLAN (written in round 12, the established handoff): once
-CORRECTNESS_r12 lands, the union's stalest rows are the 14 deferred
-r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07,
-then the 50-row r08 cohort. The round-13 window is those 14 + the r08
+CORRECTNESS_r12 lands, the union's stalest rows are the 15 deferred
+r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07 s07,
+then the 50-row r08 cohort. The round-13 window is those 15 + the r08
 cohort, with any round-13 additions displacing the cheapest-to-defer
 r08 rows."""
 
@@ -28,7 +29,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 13 (the 14 cheapest-to-defer r07 rows).
+# Deferred to round 13 (the 15 cheapest-to-defer r07 rows).
 DEFERRED_TO_R13 = (
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -44,6 +45,7 @@ DEFERRED_TO_R13 = (
     "t24_temperature_mixture",
     "w01_tumbling_window",
     "d07_hash_sample",
+    "s07_scalar_quantization",
 )
 
 # The ten rows whose latest driver record is r06 — deferred from the
@@ -61,7 +63,7 @@ LEAD_R06 = (
     "q70_collation",
 )
 
-# The 36 r07-cohort rows that keep their slot.
+# The 35 r07-cohort rows that keep their slot.
 LEAD_R07 = (
     "d01_exact_dedup",
     "d02_ngram_jaccard",
@@ -74,7 +76,6 @@ LEAD_R07 = (
     "s03_embedding_near_dup",
     "s04_label_centroids",
     "s05_ivf_search",
-    "s07_scalar_quantization",
     "s08_hyperplane_lsh_buckets",
     "st03_stream_dedup",
     "st04_stream_filter_project",
@@ -107,6 +108,7 @@ NEVER_CHECKED = (
     "t23b_bpe_tokenize_exact",
     "m03b_png_features",
     "s22b_projection_ann_seeded",
+    "st32_kinesis_producer_roundtrip",
 )
 
 

@@ -733,3 +733,66 @@ def test_sigv4_full_request_signatures_match_aws_test_suite():
     assert sig("GET", "Param1=value1&Param2=value2") == (
         "b97d918cfa904a5beff61c982a1b6f458b799221646efd99d3219ec94cdf2500"
     )
+
+
+def test_put_records_chunks_routes_and_retries():
+    """The write path: PutRecords delivers >500 records in API-cap
+    chunks, routes each PartitionKey by the MD5 hash-range rule, and
+    resubmits exactly the failed subset when the service reports
+    partial failure (PutRecords is documented non-atomic)."""
+    import hashlib
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.kinesis_lite import (
+        _client_put_records,
+    )
+
+    n_shards = 4
+    srv = FakeKinesisServer(
+        "w", {f"shardId-{i:012d}": [] for i in range(n_shards)},
+        put_fail_every=7,  # every 7th record across calls throttles
+    )
+    url = srv.start()
+    try:
+        client = KinesisClient({"stream_name": "w", "endpoint_url": url})
+        records = [(str(i), f"payload-{i}".encode()) for i in range(1203)]
+        assert _client_put_records(client, records) == 1203
+
+        # every record landed exactly once, in its hash-range shard
+        landed: dict[str, tuple[str, bytes]] = {}
+        shards = client.list_shards()
+        assert len(shards) == n_shards
+        for shard in shards:
+            for rec in client.read_after(shard, None, 10_000):
+                pk = rec["PartitionKey"]
+                assert pk not in landed, f"duplicate delivery of {pk}"
+                expect = shards[
+                    int(hashlib.md5(pk.encode()).hexdigest(), 16)
+                    * n_shards
+                    >> 128
+                ]
+                assert shard == expect, (pk, shard, expect)
+                landed[pk] = rec
+        assert len(landed) == 1203
+    finally:
+        srv.stop()
+
+
+def test_put_records_raises_when_subset_never_succeeds():
+    """A subset that keeps failing past max_retries must raise, never
+    report partial delivery as success."""
+    import pytest as _pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.kinesis_lite import (
+        _client_put_records,
+    )
+
+    srv = FakeKinesisServer(
+        "w2", {"shardId-000000000000": []}, put_fail_every=1  # all fail
+    )
+    url = srv.start()
+    try:
+        client = KinesisClient({"stream_name": "w2", "endpoint_url": url})
+        with _pytest.raises(RuntimeError, match="still failing"):
+            _client_put_records(client, [("k", b"v")], max_retries=2)
+    finally:
+        srv.stop()
