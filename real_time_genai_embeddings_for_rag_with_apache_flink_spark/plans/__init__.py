@@ -22,8 +22,9 @@ from . import retrieval  # noqa: E402,F401
 # follows; and the three entries NEW this round (never driver-checked:
 # s09b seeded flat PQ, t23b exact learned-merge tokenization, m03b PNG
 # real-decode features, s22b seeded projection-ANN, st32 the executed
-# Kinesis PRODUCER round-trip) take the final slots by displacing the
-# 15 cheapest-to-defer r07 rows (the 11
+# Kinesis PRODUCER round-trip, st33 the reference topology wire-to-
+# wire) take the final slots by displacing the 16 cheapest-to-defer
+# r07 rows (the 11
 # pure-relational TPC-H-family entries q49-q60 — seven-round green,
 # their join/aggregate families covered in-window by q32/q33/q71 and
 # the d/s/st/t rows — plus t24_temperature_mixture, whose mixture
@@ -32,7 +33,9 @@ from . import retrieval  # noqa: E402,F401
 # twin st01 was checked r11, d07_hash_sample, whose sampling siblings
 # d09 and st20 stay in-window, and s07_scalar_quantization, whose
 # quantization siblings s09b (new, in-window) and s20b (r11-checked)
-# cover the family), which carry to round 13 as its lead.
+# cover the family, and t05_rolling_hash, whose content-hash siblings
+# d01/d03 stay in-window and d17/t19 were checked r11), which carry to
+# round 13 as its lead.
 DRIVER_WINDOW: list[str] = [
     # -- the ten r06-stale rows deferred from the r11 window ----------
     "q45_map_functions",
@@ -45,7 +48,7 @@ DRIVER_WINDOW: list[str] = [
     "q28_json_functions",
     "q73_mode_median",
     "q70_collation",
-    # -- the r07 cohort minus the 15 declared round-13 deferrals ------
+    # -- the r07 cohort minus the 16 declared round-13 deferrals ------
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_signatures",
@@ -69,7 +72,6 @@ DRIVER_WINDOW: list[str] = [
     "t02_language_id",
     "t03_quality_scores",
     "t04_bpe_token_count",
-    "t05_rolling_hash",
     "t06_doc_chunking",
     "t07_pii_redaction",
     "t08_corpus_mixture",
@@ -87,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "m03b_png_features",
     "s22b_projection_ann_seeded",
     "st32_kinesis_producer_roundtrip",
+    "st33_reference_topology_wire_to_wire",
 ]
 
 set_priority(DRIVER_WINDOW)

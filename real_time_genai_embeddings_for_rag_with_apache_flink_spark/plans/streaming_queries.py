@@ -3809,3 +3809,128 @@ def st32_kinesis_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("text").alias("first_text"),
         F.max("created_at").alias("last_created"),
     )
+
+
+_ST33_DOCS = 600
+_ST33_SHARDS = 4
+_ST33_DIM = 32
+
+
+@query(
+    "st33_reference_topology_wire_to_wire",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST33_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "source", "sink", "kinesis", "opensearch", "pipeline"),
+)
+def st33_reference_topology_wire_to_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE deployed topology with EVERY wire seam
+    executed — the composition st30 (source protocol) and st31 (sink
+    protocol) each certified half of: Kinesis JSON/HTTP consume (S1,
+    ``KDS-P/.../msf/DataStreamJob.java:128-140``) -> deserialize ->
+    normalize -> empty-text filter -> md5-BoW embed through the real
+    pandas-UDF seam (M1/M2/F1/A1) -> hnsw index bootstrap (D1) ->
+    executor-side NDJSON ``_bulk`` over REST (K1, ``:158-177``) ->
+    ``GET /_search`` read-back, in ONE ``run_pipeline`` streaming job
+    whose source and sink both speak their public protocols against
+    in-process endpoints. The oracle re-derives the document counts,
+    the exact integer sum of every indexed embedding coordinate, and
+    the text extrema from generating arithmetic — a drop, duplicate,
+    or corruption at ANY seam (shard read, offset plan, parse, filter,
+    Arrow batch, bulk partition, mapping bootstrap) breaks the hash.
+    This is the row a reference user would point at to ask "does your
+    engine run my job?": same config surface
+    (PipelineConfig ~ FlinkApplicationProperties), same stages, same
+    protocols, value-certified. (sf_dir is unused: the wire corpus is
+    generated, as in st30/st31.)
+
+    Scale shape: the union of st30's and st31's — shard-parallel
+    executor reads, driver moves only per-shard cursors, one bulk
+    stream per output partition, nothing corpus-sized through the
+    driver; availableNow drains the fully-visible backlog exactly as
+    a batch replay of the production stream would."""
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import wire_record
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(_ST33_SHARDS)
+    }
+    for doc_id in range(_ST33_DOCS):
+        _, wire = wire_record(42, doc_id)
+        shards[f"shardId-{doc_id % _ST33_SHARDS:012d}"].append(
+            (str(doc_id), wire.encode())
+        )
+    ksrv = FakeKinesisServer("docs", shards)
+    kurl = ksrv.start()
+    osrv = FakeOpenSearchServer()
+    ourl = osrv.start()
+    try:
+        cfg = PipelineConfig(
+            source_format="kinesis-lite",
+            sink_format="opensearch",
+            embedding_dim=_ST33_DIM,
+            on_error="fail",
+            start_position="earliest",
+            checkpoint_dir=tempfile.mkdtemp(prefix="st33_ckpt_"),
+            extra={
+                "kinesis_stream": "docs",
+                "kinesis_region": "us-east-1",
+                "kinesis_endpoint": kurl,
+                "transport": "http",
+                "hosts": [ourl],
+                "index": "embeddings",
+            },
+        )
+        q = run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder)
+        q.awaitTermination()
+        method = osrv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        assert method["parameters"] == {"ef_construction": 128, "m": 24}
+        client = HttpOpenSearchClient(ourl)
+        _, out = client.request("GET", "/embeddings/_search")
+        hits = [h["_source"] for h in out["hits"]["hits"]]
+    finally:
+        ksrv.stop()
+        osrv.stop()
+
+    indexed = spark.createDataFrame(
+        [
+            (h["text"], [int(x) for x in (h["passage_embedding"] or [])])
+            for h in hits
+        ],
+        "text string, emb array<long>",
+    )
+    coord_sum = F.aggregate(
+        F.col("emb"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return indexed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_indexed"),
+        F.sum(coord_sum).alias("sum_coords"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )

@@ -4,9 +4,9 @@ the first 50 of the priority order). These tests pin the round-12
 rotation (executing the plan written in round 11): after
 CORRECTNESS_r11 the cross-round union's stalest rows were the ten
 deferred from the r11 window (last checked r06), then the 50-row r07
-cohort. The ten lead this window; the r07 cohort follows; the five
+cohort. The ten lead this window; the r07 cohort follows; the six
 entries NEW this round (never driver-checked: s09b, t23b, m03b, s22b,
-st32) displace the 15 cheapest-to-defer r07 rows — the 11 pure-relational
+st32, st33) displace the 16 cheapest-to-defer r07 rows — the 11 pure-relational
 TPC-H-family entries q49-q60 (seven-round green histories; their
 join/aggregate families stay covered in-window by q32/q33/q71 and the
 d/s/st/t rows) plus t24_temperature_mixture (mixture siblings: t08
@@ -14,14 +14,16 @@ stays in-window, t21 checked r11), w01_tumbling_window (sibling w02
 stays; streaming tumbling twin st01 checked r11), d07_hash_sample
 (sampling siblings d09 and st20 stay in-window), and
 s07_scalar_quantization (quantization siblings s09b new-in-window and
-s20b r11-checked cover the family) — which carry to round 13.
+s20b r11-checked cover the family), and t05_rolling_hash (content-hash
+siblings d01/d03 stay in-window; d17/t19 checked r11) — which carry to
+round 13.
 
 ROUND-13 PLAN (written in round 12, the established handoff): once
-CORRECTNESS_r12 lands, the union's stalest rows are the 15 deferred
-r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07 s07,
-then the 50-row r08 cohort. The round-13 window is those 15 + the r08
-cohort, with any round-13 additions displacing the cheapest-to-defer
-r08 rows."""
+CORRECTNESS_r12 lands, the union's stalest rows are the 16 deferred
+r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07 s07
+t05, then the 50-row r08 cohort. The round-13 window is those 16 + the
+r08 cohort, with any round-13 additions displacing the
+cheapest-to-defer r08 rows."""
 
 from __future__ import annotations
 
@@ -29,7 +31,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 13 (the 15 cheapest-to-defer r07 rows).
+# Deferred to round 13 (the 16 cheapest-to-defer r07 rows).
 DEFERRED_TO_R13 = (
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
@@ -46,6 +48,7 @@ DEFERRED_TO_R13 = (
     "w01_tumbling_window",
     "d07_hash_sample",
     "s07_scalar_quantization",
+    "t05_rolling_hash",
 )
 
 # The ten rows whose latest driver record is r06 — deferred from the
@@ -63,7 +66,7 @@ LEAD_R06 = (
     "q70_collation",
 )
 
-# The 35 r07-cohort rows that keep their slot.
+# The 34 r07-cohort rows that keep their slot.
 LEAD_R07 = (
     "d01_exact_dedup",
     "d02_ngram_jaccard",
@@ -88,7 +91,6 @@ LEAD_R07 = (
     "t02_language_id",
     "t03_quality_scores",
     "t04_bpe_token_count",
-    "t05_rolling_hash",
     "t06_doc_chunking",
     "t07_pii_redaction",
     "t08_corpus_mixture",
@@ -109,6 +111,7 @@ NEVER_CHECKED = (
     "m03b_png_features",
     "s22b_projection_ann_seeded",
     "st32_kinesis_producer_roundtrip",
+    "st33_reference_topology_wire_to_wire",
 )
 
 
