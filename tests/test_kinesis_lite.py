@@ -796,3 +796,57 @@ def test_put_records_raises_when_subset_never_succeeds():
             _client_put_records(client, [("k", b"v")], max_retries=2)
     finally:
         srv.stop()
+
+
+def test_resharding_while_paced_adopts_then_paces(fake):
+    """Pacing x resharding: a shard appearing mid-stream (split/merge)
+    while max_records_per_trigger is active gets ONE uncapped adoption
+    walk (it has no instance floor — and for a truly new shard no
+    committed position exists, so any end is safe), then paces like
+    the rest. Nothing lost, nothing duplicated."""
+    srv, url = fake
+    r = KinesisLiteStreamReader(
+        {
+            "stream_name": "docs",
+            "endpoint_url": url,
+            "max_records_per_trigger": "3",
+        }
+    )
+    prev = r.initialOffset()
+    seen: list[tuple[str, str]] = []
+
+    def drain_once(prev):
+        cur = r.latestOffset()
+        rows = [row for p in r.partitions(prev, cur) for row in r.read(p)]
+        seen.extend((row[0], row[1]) for row in rows)
+        return cur, rows
+
+    prev, _ = drain_once(prev)  # paced batch 1 over the 40-record seed
+    # a new shard with 7 records surfaces mid-stream
+    srv.add_shard(
+        "shardId-000000000009", [(str(900 + i), b"{}") for i in range(7)]
+    )
+    cur = r.latestOffset()
+    assert cur["shards"]["shardId-000000000009"] == "6", (
+        "adoption walk must take the new shard's full backlog (no "
+        "committed floor exists below it)"
+    )
+    rows = [row for p in r.partitions(prev, cur) for row in r.read(p)]
+    seen.extend((row[0], row[1]) for row in rows)
+    prev = cur
+    # the new shard now paces with everyone else
+    srv.append("shardId-000000000009", [(str(950 + i), b"{}") for i in range(5)])
+    cur = r.latestOffset()
+    assert cur["shards"]["shardId-000000000009"] == "9", (
+        "post-adoption triggers must pace at max_records_per_trigger"
+    )
+    rows = [row for p in r.partitions(prev, cur) for row in r.read(p)]
+    seen.extend((row[0], row[1]) for row in rows)
+    prev = cur
+    # drain the rest; exactly-once across the whole lifecycle
+    for _ in range(30):
+        cur, rows = drain_once(prev)
+        if not rows and cur == prev:
+            break
+        prev = cur
+    assert len(seen) == 40 + 12 and len(set(seen)) == 52
