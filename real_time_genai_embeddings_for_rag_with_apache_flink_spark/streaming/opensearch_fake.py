@@ -15,10 +15,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class FakeOpenSearchServer:
-    def __init__(self):
+    def __init__(self, throttle_every: int | None = None):
         self._lock = threading.Lock()
         self.indices: dict[str, dict] = {}  # name -> creation body
         self.docs: dict[str, list[dict]] = {}  # name -> sources
+        # backpressure injection: every Nth /_bulk request answers
+        # HTTP 429 without indexing (the real service's throttling
+        # shape), so the transport's backoff-and-retry is testable
+        self._throttle_every = throttle_every
+        self._bulk_seen = 0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -27,6 +32,13 @@ class FakeOpenSearchServer:
     def _handle(self, method: str, path: str, body: bytes):
         parts = [p for p in path.split("/") if p]
         with self._lock:
+            if method == "POST" and parts and parts[-1] == "_bulk":
+                self._bulk_seen += 1
+                if (
+                    self._throttle_every
+                    and self._bulk_seen % self._throttle_every == 0
+                ):
+                    return 429, {"error": {"type": "circuit_breaking"}}
             if method == "HEAD" and len(parts) == 1:
                 return (200, {}) if parts[0] in self.indices else (404, {})
             if method == "PUT" and len(parts) == 1:

@@ -36,6 +36,7 @@ from __future__ import annotations
 import datetime
 import hashlib
 import json
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -74,6 +75,10 @@ def sigv4_rest_headers(
         access_key, secret_key, amz_date,
     )
     return headers
+
+
+class ThrottledError(RuntimeError):
+    """HTTP 429/503 from the service — retry with backoff, don't fail."""
 
 
 class HttpOpenSearchClient:
@@ -139,6 +144,14 @@ class HttpOpenSearchClient:
             # would silently drop the batch
             if e.code == 404 and method == "HEAD":
                 return 404, {}
+            if e.code in (429, 503):
+                # throttling/backpressure is RETRYABLE, not fatal —
+                # surface it as its own type so http_bulk can back off
+                # (the opensearch-py helpers.bulk retry_on_status
+                # contract) instead of failing the whole micro-batch
+                raise ThrottledError(
+                    f"OpenSearch {method} {path} throttled: HTTP {e.code}"
+                ) from e
             raise RuntimeError(
                 f"OpenSearch {method} {path} failed: HTTP {e.code} "
                 f"{e.read().decode()!r}"
@@ -160,7 +173,12 @@ class _Indices:
         return out
 
 
-def http_bulk(client: HttpOpenSearchClient, actions) -> int:
+def http_bulk(
+    client: HttpOpenSearchClient,
+    actions,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+) -> int:
     """``helpers.bulk`` over REST: NDJSON ``{"index": {"_index": ...}}``
     action lines + source lines, one POST /_bulk per call. Raises on
     any per-item error (foreachBatch's retry handles the batch), so a
@@ -182,9 +200,22 @@ def http_bulk(client: HttpOpenSearchClient, actions) -> int:
     if n == 0:
         return 0
     body = b"\n".join(lines) + b"\n"
-    status, out = client.request(
-        "POST", "/_bulk", body, content_type="application/x-ndjson"
-    )
+    # throttling (429/503) backs off and retries the SAME idempotent
+    # bulk body (index actions; at-least-once is the sink contract, as
+    # with the reference's bulk processor) — only a still-throttled
+    # request after max_retries fails the batch
+    attempt = 0
+    while True:
+        try:
+            status, out = client.request(
+                "POST", "/_bulk", body, content_type="application/x-ndjson"
+            )
+            break
+        except ThrottledError:
+            if attempt >= max_retries:
+                raise
+            time.sleep(min(backoff_s * (2 ** attempt), 5.0))
+            attempt += 1
     if status != 200:
         # belt-and-braces: request() raises on HTTP errors for POST, so
         # any non-200 reaching here is a transport-level surprise —

@@ -192,3 +192,43 @@ def test_404_is_an_answer_only_for_head(fake):
             http_bulk(client, iter(_One()))
     finally:
         FakeOpenSearchServer._handle = orig
+
+
+def test_bulk_backs_off_on_throttling_and_delivers():
+    """429/503 is backpressure, not failure: http_bulk retries the same
+    idempotent bulk body with backoff (the helpers.bulk
+    retry_on_status contract) and only raises once max_retries is
+    exhausted — a throttled domain must not fail every micro-batch."""
+    srv = FakeOpenSearchServer(throttle_every=2)  # every 2nd bulk 429s
+    url = srv.start()
+    try:
+        client = HttpOpenSearchClient(url)
+        client.indices.create("thr", {"settings": {}})
+        for i in range(4):  # half of these hit an injected 429 first
+            n = http_bulk(
+                client,
+                iter([{"_index": "thr", "_source": {"i": i}}]),
+                backoff_s=0.01,
+            )
+            assert n == 1
+        assert len(srv.docs["thr"]) == 4, "every batch delivered once"
+
+        # exhaustion path: a permanently-throttled endpoint raises
+        always = FakeOpenSearchServer(throttle_every=1)
+        url2 = always.start()
+        try:
+            from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.opensearch_http import (
+                ThrottledError,
+            )
+
+            with pytest.raises(ThrottledError):
+                http_bulk(
+                    HttpOpenSearchClient(url2),
+                    iter([{"_index": "x", "_source": {"a": 1}}]),
+                    max_retries=2,
+                    backoff_s=0.01,
+                )
+        finally:
+            always.stop()
+    finally:
+        srv.stop()
