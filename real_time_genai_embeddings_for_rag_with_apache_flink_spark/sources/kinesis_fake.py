@@ -26,6 +26,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 
 
+class _Throttled(Exception):
+    """Internal signal: answer this request with the throttling error."""
+
+
 class FakeKinesisServer:
     """``shards`` maps shard_id -> list of (partition_key, data_bytes).
     ``add_shard`` may be called while serving (the resharding case:
@@ -37,8 +41,15 @@ class FakeKinesisServer:
         shards: dict[str, list[tuple[str, bytes]]],
         reveal_per_list: int | None = None,
         put_fail_every: int | None = None,
+        get_throttle_every: int | None = None,
     ):
         self.stream_name = stream_name
+        # Read-path rate-limit injection: every Nth GetRecords answers
+        # the JSON protocol's throttling error (HTTP 400 +
+        # __type ProvisionedThroughputExceededException — the real
+        # 5-reads/sec/shard ceiling), so client backoff is testable.
+        self._get_throttle_every = get_throttle_every
+        self._gets_seen = 0
         # Write-path failure injection: every Nth record ACROSS
         # PutRecords calls fails with the throttling ErrorCode (the
         # real API's partial-failure shape — PutRecords is not atomic),
@@ -140,6 +151,12 @@ class FakeKinesisServer:
                     raise KeyError(kind)
                 return {"ShardIterator": self._token(shard, idx)}
             if action == "GetRecords":
+                self._gets_seen += 1
+                if (
+                    self._get_throttle_every
+                    and self._gets_seen % self._get_throttle_every == 0
+                ):
+                    raise _Throttled()
                 shard, idx = self._untoken(payload["ShardIterator"])
                 limit = int(payload.get("Limit", 10_000))
                 recs = self._shards.get(shard, [])
@@ -240,6 +257,20 @@ class FakeKinesisServer:
                 action = target.split(".")[-1]
                 try:
                     out = fake._handle(action, payload)
+                except _Throttled:
+                    body = json.dumps(
+                        {
+                            "__type": (
+                                "ProvisionedThroughputExceededException"
+                            ),
+                            "message": "Rate exceeded",
+                        }
+                    ).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 except KeyError as e:
                     body = json.dumps(
                         {"__type": "ResourceNotFoundException", "message": str(e)}

@@ -209,11 +209,24 @@ def sigv4_headers(
 # ---------------------------------------------------------------------------
 
 
+# AWS JSON-protocol error types that signal rate limiting, not failure
+# (returned as HTTP 400 with {"__type": "..."} — the polling consumer's
+# documented 5-reads/sec/shard ceiling surfaces as the first one)
+_THROTTLE_TYPES = (
+    "ProvisionedThroughputExceededException",
+    "LimitExceededException",
+)
+
+
 class KinesisClient:
     """Minimal Kinesis Data Streams JSON/HTTP client (ListShards,
-    GetShardIterator, GetRecords). One instance per driver poll or per
-    executor task — stateless besides config, safe to rebuild on
-    retry."""
+    GetShardIterator, GetRecords, PutRecords). One instance per driver
+    poll or per executor task — stateless besides config, safe to
+    rebuild on retry. Rate-limit errors (the JSON protocol's
+    ProvisionedThroughputExceeded/LimitExceeded, HTTP 400 + __type)
+    retry in-place with exponential backoff (``max_throttle_retries``,
+    default 8) — a polling reader at the 5-reads/sec/shard ceiling
+    must slow down, not fail the task."""
 
     def __init__(self, options: dict):
         self.stream = options.get("stream_name") or options.get("streamname")
@@ -228,36 +241,57 @@ class KinesisClient:
         self.secret_key = options.get("secret_key")
         self.session_token = options.get("session_token")
         self.timeout = float(options.get("http_timeout_sec", 10))
+        self.throttle_retries = int(options.get("max_throttle_retries", 8))
+        self.backoff_s = float(options.get("throttle_backoff_sec", 0.05))
 
     def _call(self, action: str, payload: dict) -> dict:
         body = json.dumps(payload, separators=(",", ":")).encode()
         target = f"{_API_VERSION}.{action}"
         host = self.endpoint.split("://", 1)[1].split("/", 1)[0]
-        if self.access_key and self.secret_key:
-            headers = sigv4_headers(
-                host,
-                target,
-                body,
-                self.region,
-                self.access_key,
-                self.secret_key,
-                self.session_token,
+        attempt = 0
+        while True:
+            if self.access_key and self.secret_key:
+                # re-sign per attempt: x-amz-date must stay fresh
+                headers = sigv4_headers(
+                    host,
+                    target,
+                    body,
+                    self.region,
+                    self.access_key,
+                    self.secret_key,
+                    self.session_token,
+                )
+            else:
+                headers = {
+                    "content-type": "application/x-amz-json-1.1",
+                    "x-amz-target": target,
+                }
+            req = urllib.request.Request(
+                self.endpoint + "/", data=body, headers=headers, method="POST"
             )
-        else:
-            headers = {
-                "content-type": "application/x-amz-json-1.1",
-                "x-amz-target": target,
-            }
-        req = urllib.request.Request(
-            self.endpoint + "/", data=body, headers=headers, method="POST"
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read().decode())
-        except urllib.error.HTTPError as e:  # surface the AWS error body
-            raise RuntimeError(
-                f"Kinesis {action} failed: HTTP {e.code} {e.read().decode()!r}"
-            ) from e
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode())
+            except urllib.error.HTTPError as e:
+                raw = e.read().decode()
+                err_type = ""
+                try:
+                    err_type = json.loads(raw).get("__type", "")
+                except ValueError:
+                    pass
+                if (
+                    err_type.split("#")[-1] in _THROTTLE_TYPES
+                    and attempt < self.throttle_retries
+                ):
+                    import time as _time
+
+                    _time.sleep(min(self.backoff_s * (2**attempt), 5.0))
+                    attempt += 1
+                    continue
+                # surface the AWS error body
+                raise RuntimeError(
+                    f"Kinesis {action} failed: HTTP {e.code} {raw!r}"
+                ) from e
 
     def list_shards(self) -> list[str]:
         shards: list[str] = []

@@ -850,3 +850,45 @@ def test_resharding_while_paced_adopts_then_paces(fake):
             break
         prev = cur
     assert len(seen) == 40 + 12 and len(set(seen)) == 52
+
+
+def test_get_records_backs_off_on_throughput_exceeded():
+    """The polling consumer's documented ceiling (5 reads/sec/shard)
+    surfaces as ProvisionedThroughputExceededException; the client must
+    back off and retry in place — not fail the executor task — and a
+    PERSISTENT throttle must still raise after max_throttle_retries."""
+    srv = FakeKinesisServer("docs", _seeded_shards(), get_throttle_every=3)
+    url = srv.start()
+    try:
+        c = KinesisClient(
+            {
+                "stream_name": "docs",
+                "endpoint_url": url,
+                "throttle_backoff_sec": "0.01",
+            }
+        )
+        # every 3rd GetRecords throttles; the full drain still succeeds
+        rows = [
+            rec
+            for shard in c.list_shards()
+            for rec in c.read_after(shard, None, 10_000)
+        ]
+        assert len(rows) == 40
+    finally:
+        srv.stop()
+
+    hard = FakeKinesisServer("docs", _seeded_shards(), get_throttle_every=1)
+    url2 = hard.start()
+    try:
+        c2 = KinesisClient(
+            {
+                "stream_name": "docs",
+                "endpoint_url": url2,
+                "max_throttle_retries": "2",
+                "throttle_backoff_sec": "0.01",
+            }
+        )
+        with pytest.raises(RuntimeError, match="ProvisionedThroughput"):
+            c2.read_after("shardId-000000000000", None, 10)
+    finally:
+        hard.stop()
