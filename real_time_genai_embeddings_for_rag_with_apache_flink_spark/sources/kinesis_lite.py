@@ -16,12 +16,19 @@ What is implemented (all public AWS API surface):
 - ``ListShards`` / ``GetShardIterator`` / ``GetRecords`` over
   ``application/x-amz-json-1.1`` POSTs with the
   ``X-Amz-Target: Kinesis_20131202.<Action>`` header — the complete
-  consumer protocol for a polling (non-EFO) reader;
+  consumer protocol for a polling (non-EFO) reader — plus
+  ``PutRecords`` (the producer side: put_records_writer delivers
+  DataFrame partitions executor-side, 500-record chunks, failed-subset
+  resubmission; driver row st32), and in-place exponential backoff on
+  the protocol's throttling errors (ProvisionedThroughputExceeded /
+  LimitExceeded) on every call;
 - AWS Signature Version 4 request signing in pure stdlib (hmac +
-  hashlib; the algorithm is published in full by AWS), applied whenever
-  credentials are supplied — so the same source points at real AWS,
-  kinesalite, or LocalStack; unsigned requests serve anonymous local
-  endpoints (the in-process fake in tests/fake_kinesis.py);
+  hashlib; the algorithm is published in full by AWS; the signing core
+  is pinned against the AWS-published signature test-suite vectors),
+  applied whenever credentials are supplied — so the same source points
+  at real AWS, kinesalite, or LocalStack; unsigned requests serve
+  anonymous local endpoints (the in-process fake in
+  sources/kinesis_fake.py);
 - shard-parallel reads: ``partitions()`` is one slice per shard, so the
   scan spreads across executors exactly like the real connector;
 - per-shard SEQUENCE-NUMBER offsets: the stream reader checkpoints
