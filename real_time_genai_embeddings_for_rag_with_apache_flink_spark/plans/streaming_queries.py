@@ -3689,8 +3689,11 @@ def st31_opensearch_protocol_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         assert method["name"] == "hnsw", method
         assert method["parameters"] == {"ef_construction": 128, "m": 24}
         client = HttpOpenSearchClient(endpoint)
-        _, out = client.request("GET", "/embeddings/_search")
-        hits = [h["_source"] for h in out["hits"]["hits"]]
+        # paginated read-back (search_after, one bounded page per
+        # request): the certification step scales past a single
+        # response page; text is unique per doc, so it is a valid
+        # resume key. page_size < n_docs so pagination really runs.
+        hits = list(client.search_all("embeddings", "text", page_size=250))
     finally:
         srv.stop()
 
@@ -3911,12 +3914,21 @@ def st33_reference_topology_wire_to_wire(spark: SparkSession, sf_dir: str) -> Da
         assert method["name"] == "hnsw", method
         assert method["parameters"] == {"ef_construction": 128, "m": 24}
         client = HttpOpenSearchClient(ourl)
-        _, out = client.request("GET", "/embeddings/_search")
-        hits = [h["_source"] for h in out["hits"]["hits"]]
+        # paginated read-back — see st31; the one-shot GET /_search a
+        # driver-sized fixture permits would cap at the service's
+        # single-page size limit on a real domain
+        hits = list(client.search_all("embeddings", "text", page_size=250))
     finally:
         ksrv.stop()
         osrv.stop()
 
+    return _st33_certify(spark, hits)
+
+
+def _st33_certify(spark: SparkSession, hits: list[dict]) -> DataFrame:
+    """Shared certification aggregate for the wire-topology rows (st33
+    and its fault-injected twin st34): doc counts, the exact integer
+    sum of every indexed embedding coordinate, text extrema."""
     indexed = spark.createDataFrame(
         [
             (h["text"], [int(x) for x in (h["passage_embedding"] or [])])
@@ -3934,3 +3946,140 @@ def st33_reference_topology_wire_to_wire(spark: SparkSession, sf_dir: str) -> Da
         F.min("text").alias("min_text"),
         F.max("text").alias("max_text"),
     )
+
+
+_ST34_DOCS = 600
+_ST34_SHARDS = 4
+_ST34_DIM = 32
+
+
+@query(
+    "st34_wire_topology_fault_injected",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST34_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "source", "sink", "kinesis", "opensearch", "pipeline"),
+)
+def st34_wire_topology_fault_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st33's wire-to-wire topology re-run with EVERY retry path under
+    fire — the at-least-once-without-duplicates claim certified as a
+    value hash, not just unit tests. Same stages and protocols as the
+    reference topology row (produce -> Kinesis consume -> M1 parse ->
+    M2 normalize -> F1 filter -> A1 embed -> D1 hnsw bootstrap -> K1
+    _bulk -> paginated read-back;
+    ``KDS-P/.../msf/DataStreamJob.java:90-193``), but the endpoints now
+    inject the real services' documented failure shapes end to end:
+
+    - the corpus enters through PutRecords with every 7th record
+      REJECTED (per-record ProvisionedThroughputExceeded ErrorCode —
+      the API's non-atomic partial-failure form): the failed-subset
+      resubmission with backoff must deliver each record exactly once;
+    - every 3rd GetRecords answers the throttling error (the
+      5-reads/sec/shard ceiling): KinesisClient._call's exponential
+      backoff must absorb it without dropping a planned range;
+    - the OpenSearch endpoint 429s a 2-request burst at bootstrap
+      (request()-level backoff must cover the HEAD/PUT DDL path, not
+      just _bulk) and every 2nd _bulk thereafter: http_bulk must
+      re-POST the SAME idempotent NDJSON body until it lands.
+
+    The oracle is st33's, re-derived from generating arithmetic. One
+    dropped record, one double-delivered PutRecords subset, or one
+    double-indexed bulk body breaks the hash — the retry paths are
+    proven EXACT, not merely survivable. (sf_dir unused: the corpus is
+    generated.)
+
+    Scale shape: identical to st33 — the injected faults change only
+    the retry schedule, never what crosses the driver."""
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import register as register_docgen
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..sources.kinesis_lite import put_records_writer
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    register_docgen(spark)
+    ksrv = FakeKinesisServer(
+        "docs",
+        {f"shardId-{i:012d}": [] for i in range(_ST34_SHARDS)},
+        put_fail_every=7,
+        get_throttle_every=3,
+    )
+    kurl = ksrv.start()
+    osrv = FakeOpenSearchServer(throttle_every=2)
+    ourl = osrv.start()
+    try:
+        corpus = (
+            spark.read.format("docgen")
+            .option("rows", str(_ST34_DOCS))
+            .option("partitions", "4")
+            .option("seed", "42")
+            .load()
+            .select(
+                F.col("doc_id").cast("string").alias("partition_key"),
+                F.col("value").alias("data"),
+            )
+        )
+        corpus.foreachPartition(
+            put_records_writer(
+                {
+                    "stream_name": "docs",
+                    "endpoint_url": kurl,
+                    # keep the injected-failure resubmit pauses short —
+                    # the schedule, not the wall-clock, is under test
+                    "throttle_backoff_sec": "0.01",
+                }
+            )
+        )
+        # burst at the bootstrap seam: the next two requests (HEAD
+        # existence probe, PUT index DDL) each eat a 429 first
+        osrv.throttle_next = 2
+        cfg = PipelineConfig(
+            source_format="kinesis-lite",
+            sink_format="opensearch",
+            embedding_dim=_ST34_DIM,
+            on_error="fail",
+            start_position="earliest",
+            checkpoint_dir=tempfile.mkdtemp(prefix="st34_ckpt_"),
+            extra={
+                "kinesis_stream": "docs",
+                "kinesis_region": "us-east-1",
+                "kinesis_endpoint": kurl,
+                "kinesis_throttle_backoff_sec": "0.01",
+                "transport": "http",
+                "hosts": [ourl],
+                "index": "embeddings",
+            },
+        )
+        q = run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder)
+        q.awaitTermination()
+        method = osrv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        assert method["parameters"] == {"ef_construction": 128, "m": 24}
+        client = HttpOpenSearchClient(ourl)
+        hits = list(client.search_all("embeddings", "text", page_size=250))
+    finally:
+        ksrv.stop()
+        osrv.stop()
+
+    return _st33_certify(spark, hits)

@@ -448,6 +448,17 @@ def _client_put_records(
             ]
             delivered += len(pending) - len(still)
             pending = still
+            if pending and _attempt < max_retries:
+                # Per-record throughput-exceeded failures are almost
+                # always still throttled milliseconds later — back off
+                # before resubmitting the failed subset (mirroring
+                # _call's throttle backoff) instead of burning every
+                # resubmit in ~ms and failing the task; the Spark task
+                # retry would then re-PutRecords the whole partition,
+                # duplicating records already delivered.
+                import time as _time
+
+                _time.sleep(min(client.backoff_s * (2**_attempt), 5.0))
         if pending:
             raise RuntimeError(
                 f"PutRecords: {len(pending)} records still failing after "
@@ -611,13 +622,24 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
     ) -> str | None:
         """Last sequence number of a shard at most `cap` records past
         `start` (None cap = the true current tip; walk bounded by
-        retention). Fresh client per call — walks run concurrently."""
+        retention). Fresh client per call — walks run concurrently.
+
+        UNPACED walks (cap None — restart carry-over, brand-new shard,
+        LATEST resolution) run STRICT: an early return after
+        _MAX_EMPTY_POLLS empty pages while still behind tip could land
+        BELOW a committed start the restarted instance cannot see, and
+        once the engine logs that stale end the next batch
+        (stale_end, new_tip] re-emits already-committed records — so a
+        transiently slow shard fails the trigger (the engine retries)
+        rather than opening that duplicate window. PACED walks start
+        from an instance-derived floor ≥ every committed position, so
+        their early return is always ≥ committed and stays lenient."""
         client = KinesisClient(self.options)
         last = start
         remaining = cap
         while remaining is None or remaining > 0:
             page = min(10_000, remaining) if remaining is not None else 10_000
-            recs = client.read_after(shard, last, page)
+            recs = client.read_after(shard, last, page, strict=cap is None)
             if not recs:
                 return last
             last = recs[-1]["SequenceNumber"]
@@ -644,15 +666,7 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             }
             return {s: f.result() for s, f in futs.items()}
 
-    def _trace(self, msg: str) -> None:
-        import os
-        path = os.environ.get("KL_TRACE")
-        if path:
-            with open(path, "a") as fh:
-                fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
-
     def initialOffset(self) -> dict:
-        self._trace("initialOffset")
         listed = self._client.list_shards()
         if self.start == "LATEST":
             # resolve "now" to concrete sequence numbers by draining
@@ -683,7 +697,6 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         return {"shards": {s: "" for s in sorted(listed)}}
 
     def latestOffset(self) -> dict:
-        self._trace(f"latestOffset paced={len(self._paced)} per_trigger={self.per_trigger}")
         # resharding: shards that appeared since the last trigger join
         # at TRIM_HORIZON; shards the service no longer lists (closed
         # parents aged out of retention) are PRUNED — keeping them
@@ -718,24 +731,26 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         parts = []
         for shard, end_seq in hi.items():
             start_seq = lo.get(shard)
-            # RETENTION-EXPIRY RECONCILIATION. latestOffset always
-            # reaches the shard's true tip (pacing never applies below
-            # an instance-derived floor ≥ the committed start), and the
-            # tip can only lag the COMMITTED `start` when the committed
-            # records themselves have AGED OUT of retention — a restart
+            # STALE-END RECONCILIATION. A walked end can lag the
+            # COMMITTED `start` only via retention expiry: a restart
             # after the stream's retention window lapsed, where the
-            # horizon walk ends below the offset log's position. The
-            # engine has already logged the stale end by the time we
-            # run, so the next batch will be planned as
-            # (stale_end, new_tip] — but that range CANNOT re-emit the
-            # committed records: every sequence number <= the committed
-            # start is gone from the stream (that is what made the walk
-            # stop early), and Kinesis sequence numbers are strictly
-            # increasing, so new arrivals all sort after it. Clamp this
-            # batch to empty and fast-forward the driver cursor to the
-            # committed position; the duplicate bug a LIVE-record lag
-            # would cause is pinned in tests/test_kinesis_lite.py and
-            # is unreachable by construction.
+            # horizon walk ends below the offset log's position because
+            # every committed sequence number has aged out. (The other
+            # conceivable path — a transiently slow shard making an
+            # early empty-poll return below live committed records — is
+            # closed at the source: unpaced walks run read_after
+            # strict=True and FAIL the trigger instead of returning a
+            # stale end; see _walk_to_tip.) The engine has already
+            # logged the stale end by the time we run, so the next
+            # batch will be planned as (stale_end, new_tip] — but that
+            # range cannot re-emit the committed records: every
+            # sequence number <= the committed start is gone from the
+            # stream (that is what made the walk stop early), and
+            # Kinesis sequence numbers are strictly increasing, so new
+            # arrivals all sort after it. Clamp this batch to empty and
+            # fast-forward the driver cursor to the committed position;
+            # the duplicate bug a LIVE-record lag would cause is pinned
+            # in tests/test_kinesis_lite.py.
             stale = (
                 end_seq is None
                 or (start_seq is not None and int(end_seq) < int(start_seq))

@@ -24,6 +24,10 @@ class FakeOpenSearchServer:
         # shape), so the transport's backoff-and-retry is testable
         self._throttle_every = throttle_every
         self._bulk_seen = 0
+        # burst injection: throttle the next N requests of ANY kind
+        # (bootstrap DDL and searches throttle on real domains too, not
+        # just _bulk) — tests set this directly to simulate a burst
+        self.throttle_next = 0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -32,6 +36,9 @@ class FakeOpenSearchServer:
     def _handle(self, method: str, path: str, body: bytes):
         parts = [p for p in path.split("/") if p]
         with self._lock:
+            if self.throttle_next > 0:
+                self.throttle_next -= 1
+                return 429, {"error": {"type": "circuit_breaking"}}
             if method == "POST" and parts and parts[-1] == "_bulk":
                 self._bulk_seen += 1
                 if (
@@ -86,9 +93,34 @@ class FakeOpenSearchServer:
                 if name not in self.indices:
                     return 404, {}
                 hits = self.docs.get(name, [])
+                total = len(hits)
+                # the search_after subset the paginated reader drives:
+                # body {"size": N, "sort": [{field: {"order": "asc"}}],
+                # "search_after": [v]} — sort on one field, resume
+                # strictly after the cursor value, return one page with
+                # per-hit "sort" values (the real API's resume tokens)
+                query = json.loads(body) if body else {}
+                sort = query.get("sort")
+                if sort:
+                    field = next(iter(sort[0]))
+                    hits = sorted(hits, key=lambda s: s.get(field))
+                    after = query.get("search_after")
+                    if after is not None:
+                        hits = [s for s in hits if s.get(field) > after[0]]
+                    size = int(query.get("size", 10))
+                    page = hits[:size]
+                    return 200, {
+                        "hits": {
+                            "total": {"value": total},
+                            "hits": [
+                                {"_source": s, "sort": [s.get(field)]}
+                                for s in page
+                            ],
+                        }
+                    }
                 return 200, {
                     "hits": {
-                        "total": {"value": len(hits)},
+                        "total": {"value": total},
                         "hits": [{"_source": s} for s in hits],
                     }
                 }

@@ -95,6 +95,8 @@ class HttpOpenSearchClient:
         secret_key: str | None = None,
         session_token: str | None = None,
         timeout: float = 10.0,
+        throttle_retries: int = 4,
+        throttle_backoff_s: float = 0.05,
     ):
         self.base = base_url.rstrip("/")
         self.region = region
@@ -103,6 +105,13 @@ class HttpOpenSearchClient:
         self.secret_key = secret_key
         self.session_token = session_token
         self.timeout = timeout
+        # 429/503 backoff applies to EVERY call — indices.exists /
+        # indices.create during sink bootstrap and raw GET /_search
+        # readers must survive a transient throttle, not just _bulk
+        # (http_bulk layers its own retry loop on top as the
+        # helpers.bulk contract for non-HTTP client objects)
+        self.throttle_retries = throttle_retries
+        self.throttle_backoff_s = throttle_backoff_s
         self.indices = _Indices(self)
 
     def request(
@@ -114,48 +123,89 @@ class HttpOpenSearchClient:
     ) -> tuple[int, dict]:
         data = body or b""
         host = self.base.split("://", 1)[1].split("/", 1)[0]
-        if self.region and self.access_key and self.secret_key:
-            headers = sigv4_rest_headers(
-                method,
-                host,
-                path,
-                data,
-                self.region,
-                self.service,
-                self.access_key,
-                self.secret_key,
-                self.session_token,
-                content_type=content_type,
+        attempt = 0
+        while True:
+            if self.region and self.access_key and self.secret_key:
+                # re-sign per attempt: x-amz-date must stay fresh
+                headers = sigv4_rest_headers(
+                    method,
+                    host,
+                    path,
+                    data,
+                    self.region,
+                    self.service,
+                    self.access_key,
+                    self.secret_key,
+                    self.session_token,
+                    content_type=content_type,
+                )
+            else:
+                headers = {"content-type": content_type}
+            req = urllib.request.Request(
+                self.base + path, data=data if body is not None else None,
+                headers=headers, method=method,
             )
-        else:
-            headers = {"content-type": content_type}
-        req = urllib.request.Request(
-            self.base + path, data=data if body is not None else None,
-            headers=headers, method=method,
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                raw = resp.read()
-                return resp.status, (json.loads(raw) if raw else {})
-        except urllib.error.HTTPError as e:
-            # 404 is an ANSWER only for HEAD (indices.exists asks "is it
-            # there?"); for every other method it is a failure — mapping
-            # a 404 on POST /_bulk (wrong base path, proxy) to success
-            # would silently drop the batch
-            if e.code == 404 and method == "HEAD":
-                return 404, {}
-            if e.code in (429, 503):
-                # throttling/backpressure is RETRYABLE, not fatal —
-                # surface it as its own type so http_bulk can back off
-                # (the opensearch-py helpers.bulk retry_on_status
-                # contract) instead of failing the whole micro-batch
-                raise ThrottledError(
-                    f"OpenSearch {method} {path} throttled: HTTP {e.code}"
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    raw = resp.read()
+                    return resp.status, (json.loads(raw) if raw else {})
+            except urllib.error.HTTPError as e:
+                # 404 is an ANSWER only for HEAD (indices.exists asks "is
+                # it there?"); for every other method it is a failure —
+                # mapping a 404 on POST /_bulk (wrong base path, proxy)
+                # to success would silently drop the batch
+                if e.code == 404 and method == "HEAD":
+                    return 404, {}
+                if e.code in (429, 503):
+                    # throttling/backpressure is RETRYABLE, not fatal:
+                    # back off in place for a bounded number of attempts
+                    # (every caller — bootstrap DDL, searches, bulk —
+                    # survives a transient throttle), then surface the
+                    # typed error so http_bulk's outer retry_on_status
+                    # loop can keep going on long bursts
+                    if attempt < self.throttle_retries:
+                        time.sleep(
+                            min(self.throttle_backoff_s * (2**attempt), 5.0)
+                        )
+                        attempt += 1
+                        continue
+                    raise ThrottledError(
+                        f"OpenSearch {method} {path} throttled: HTTP {e.code}"
+                    ) from e
+                raise RuntimeError(
+                    f"OpenSearch {method} {path} failed: HTTP {e.code} "
+                    f"{e.read().decode()!r}"
                 ) from e
-            raise RuntimeError(
-                f"OpenSearch {method} {path} failed: HTTP {e.code} "
-                f"{e.read().decode()!r}"
-            ) from e
+
+
+    def search_all(self, index: str, sort_field: str, page_size: int = 1000):
+        """Paginated read-back over ``search_after`` — yields every
+        ``_source`` in ``sort_field`` order, one bounded page per
+        request, so the read path scales past a single response page
+        (a one-shot GET /_search caps out at the service's size limit;
+        scroll/PIT is the stateful alternative, but search_after is
+        stateless and enough for a monotone sort key). ``sort_field``
+        must be unique per document (a duplicate value on a page
+        boundary would be skipped by the strictly-after resume)."""
+        after = None
+        while True:
+            q: dict = {
+                "size": page_size,
+                "sort": [{sort_field: {"order": "asc"}}],
+            }
+            if after is not None:
+                q["search_after"] = after
+            _, out = self.request(
+                "POST",
+                f"/{index}/_search",
+                json.dumps(q, separators=(",", ":")).encode(),
+            )
+            hits = out.get("hits", {}).get("hits", [])
+            if not hits:
+                return
+            for h in hits:
+                yield h["_source"]
+            after = hits[-1]["sort"]
 
 
 class _Indices:

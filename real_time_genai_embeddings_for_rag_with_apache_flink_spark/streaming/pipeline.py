@@ -124,6 +124,10 @@ def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
             # restart-safe per-shard per-trigger catch-up cap
             "tip_walk_threads",
             "max_records_per_trigger",
+            # throttle-backoff tuning (st34 fault-injection row shortens
+            # the schedule; production leaves the defaults)
+            "throttle_backoff_sec",
+            "max_throttle_retries",
         ):
             if cfg.extra.get(f"kinesis_{key}"):
                 reader = reader.option(key, str(cfg.extra[f"kinesis_{key}"]))

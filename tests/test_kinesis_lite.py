@@ -892,3 +892,79 @@ def test_get_records_backs_off_on_throughput_exceeded():
             c2.read_after("shardId-000000000000", None, 10)
     finally:
         hard.stop()
+
+
+def test_unpaced_walk_is_strict_on_empty_pages_behind_tip(monkeypatch):
+    """A transiently slow shard serving empty GetRecords pages while
+    still BEHIND TIP must fail an UNPACED driver walk (restart
+    carry-over / LATEST resolution) instead of returning early: the
+    early return can land below a committed start the restarted
+    instance cannot see, the engine logs that stale end, and the next
+    batch (stale_end, new_tip] re-emits already-committed records. A
+    PACED walk starts from an instance-derived floor >= every committed
+    position, so its early return stays lenient."""
+    reader = KinesisLiteStreamReader(
+        {"stream_name": "docs", "endpoint_url": "http://127.0.0.1:1"}
+    )
+
+    monkeypatch.setattr(
+        KinesisClient, "shard_iterator", lambda self, s, p: "tok"
+    )
+    monkeypatch.setattr(
+        KinesisClient,
+        "get_records",
+        lambda self, it, limit: {
+            "Records": [],
+            "MillisBehindLatest": 5000,  # behind tip, nothing served
+            "NextShardIterator": "tok",
+        },
+    )
+
+    # unpaced (cap None): strict — raises instead of a stale early end
+    with pytest.raises(RuntimeError, match="empty"):
+        reader._walk_to_tip("shardId-000000000000", "7", cap=None)
+    # paced (cap set): lenient — early return at the >=committed floor
+    assert reader._walk_to_tip("shardId-000000000000", "7", cap=5) == "7"
+
+
+def test_put_records_resubmits_back_off_between_attempts(monkeypatch):
+    """Per-record throughput-exceeded failures are usually still
+    throttled milliseconds later: the failed-subset resubmit loop must
+    sleep (exponential, mirroring _call's throttle backoff) between
+    attempts rather than burning every resubmit in ~ms."""
+    import time as _time
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.kinesis_lite import (
+        _client_put_records,
+    )
+
+    naps: list[float] = []
+    real_sleep = _time.sleep
+    monkeypatch.setattr(
+        _time, "sleep", lambda s: (naps.append(s), real_sleep(0))[1]
+    )
+
+    srv = FakeKinesisServer(
+        "docs",
+        {f"shardId-{i:012d}": [] for i in range(2)},
+        put_fail_every=3,  # every 3rd record across calls fails once
+    )
+    url = srv.start()
+    try:
+        client = KinesisClient(
+            {
+                "stream_name": "docs",
+                "endpoint_url": url,
+                "throttle_backoff_sec": "0.02",
+            }
+        )
+        records = [(str(i), f"r{i}".encode()) for i in range(30)]
+        assert _client_put_records(client, records) == 30
+    finally:
+        srv.stop()
+    # 30 records / fail_every=3 -> ~10 first-round failures -> at least
+    # one resubmit round, each preceded by a backoff nap at the
+    # configured schedule
+    assert naps and all(n >= 0.02 for n in naps), naps
+    delivered = sum(len(v) for v in srv._shards.values())
+    assert delivered == 30, "each record delivered exactly once"

@@ -232,3 +232,74 @@ def test_bulk_backs_off_on_throttling_and_delivers():
             always.stop()
     finally:
         srv.stop()
+
+
+def test_request_level_backoff_covers_ddl_and_search():
+    """429/503 must be survivable on EVERY call, not just _bulk: the
+    sink bootstrap (HEAD existence probe, PUT index DDL) and search
+    readers hit the same domain-level throttling. request() backs off
+    in place for a bounded number of attempts, then surfaces the typed
+    error."""
+    srv = FakeOpenSearchServer()
+    url = srv.start()
+    try:
+        client = HttpOpenSearchClient(url, throttle_backoff_s=0.01)
+        srv.throttle_next = 2  # burst: HEAD then PUT each eat a 429
+        assert not client.indices.exists("burst")
+        srv.throttle_next = 1
+        client.indices.create("burst", {"settings": {}})
+        assert client.indices.exists("burst")
+
+        # exhaustion still raises the typed error for outer loops
+        from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.opensearch_http import (
+            ThrottledError,
+        )
+
+        srv.throttle_next = 10_000
+        fast = HttpOpenSearchClient(
+            url, throttle_retries=2, throttle_backoff_s=0.01
+        )
+        with pytest.raises(ThrottledError):
+            fast.request("GET", "/burst/_search")
+    finally:
+        srv.stop()
+
+
+def test_search_all_paginates_search_after_in_order():
+    """The paginated read-back: search_all must return EVERY document
+    in sort order across page boundaries via search_after resume
+    tokens, issuing one bounded request per page — the read path that
+    scales past a single response page."""
+    srv = FakeOpenSearchServer()
+    url = srv.start()
+    try:
+        client = HttpOpenSearchClient(url)
+        client.indices.create("p", {"settings": {}})
+        docs = [{"_index": "p", "_source": {"k": f"id{i:04d}", "v": i}}
+                for i in range(25)]
+        # index shuffled so pagination order is earned, not incidental
+        import random
+
+        rng = random.Random(7)
+        shuffled = docs[:]
+        rng.shuffle(shuffled)
+        assert http_bulk(client, iter(shuffled)) == 25
+
+        pages = []
+        orig = HttpOpenSearchClient.request
+
+        def counting(self, method, path, body=None, **kw):
+            if path.endswith("/_search"):
+                pages.append(path)
+            return orig(self, method, path, body, **kw)
+
+        HttpOpenSearchClient.request = counting
+        try:
+            got = list(client.search_all("p", "k", page_size=10))
+        finally:
+            HttpOpenSearchClient.request = orig
+        assert [g["k"] for g in got] == [f"id{i:04d}" for i in range(25)]
+        # 10 + 10 + 5 + terminating empty page
+        assert len(pages) == 4, pages
+    finally:
+        srv.stop()
