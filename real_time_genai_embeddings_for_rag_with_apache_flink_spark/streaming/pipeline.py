@@ -67,18 +67,59 @@ def kinesis_reader_options(cfg: PipelineConfig) -> dict[str, str]:
     }
 
 
+# The four consumer properties the reference's MSK variant FORCE-SETS
+# before building its KafkaSource (MSK-S/.../msf/DataStreamJob.java:
+# getKafkaProperties, :117-121) — IAM-authenticated SASL over TLS.
+# Spark's Kafka connector takes the same Kafka client properties under a
+# "kafka." option prefix; the jaas/callback classes ship in the public
+# aws-msk-iam-auth jar, which must be on the cluster classpath exactly
+# as it must be on the reference's Flink classpath.
+MSK_IAM_KAFKA_OPTIONS: dict[str, str] = {
+    "kafka.security.protocol": "SASL_SSL",
+    "kafka.sasl.mechanism": "AWS_MSK_IAM",
+    "kafka.sasl.jaas.config": (
+        "software.amazon.msk.auth.iam.IAMLoginModule required;"
+    ),
+    "kafka.sasl.client.callback.handler.class": (
+        "software.amazon.msk.auth.iam.IAMClientCallbackHandler"
+    ),
+}
+
+
+def kafka_reader_options(cfg: PipelineConfig) -> dict[str, str]:
+    """Option map for Spark's Kafka connector, mirroring the reference's
+    KafkaSource (MSK-S/.../msf/DataStreamJob.java:127-135): bootstrap
+    servers + topic + earliest start, plus the consumer-property
+    passthrough its ``getKafkaProperties`` implements (:108-125) —
+    every ``extra`` key starting with ``kafka.`` is forwarded verbatim
+    (Spark's documented prefix for Kafka client properties), and
+    ``extra.msk_iam=True`` force-sets the exact four MSK IAM/SASL
+    properties the reference hardcodes, in the same
+    passthrough-then-force order (an explicit kafka.* credential option
+    cannot silently override the IAM mode, matching the reference)."""
+    if not (cfg.kafka_bootstrap and cfg.kafka_topic):
+        raise ValueError("kafka source needs kafka_bootstrap and kafka_topic")
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": str(cfg.kafka_bootstrap),
+        "subscribe": str(cfg.kafka_topic),
+        "startingOffsets": cfg.start_position,
+    }
+    for key, val in cfg.extra.items():
+        if key.startswith("kafka."):
+            opts[key] = str(val)
+    if cfg.extra.get("msk_iam"):
+        opts.update(MSK_IAM_KAFKA_OPTIONS)
+    return opts
+
+
 def build_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Streaming source -> RAW(value: string) per schemas.RAW_SCHEMA."""
     if cfg.source_format == "kafka":
-        if not (cfg.kafka_bootstrap and cfg.kafka_topic):
-            raise ValueError("kafka source needs kafka_bootstrap and kafka_topic")
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
-            .option("subscribe", cfg.kafka_topic)
-            .option("startingOffsets", cfg.start_position)
-            .load()
-            .select(F.col("value").cast("string").alias("value"))
+        reader = spark.readStream.format("kafka")
+        for key, val in kafka_reader_options(cfg).items():
+            reader = reader.option(key, val)
+        return reader.load().select(
+            F.col("value").cast("string").alias("value")
         )
     if cfg.source_format == "kinesis":
         # The KDS variants' FlinkKinesisConsumer (stream name + region +

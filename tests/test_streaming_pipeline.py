@@ -288,3 +288,122 @@ def test_pipeline_observed_metrics_account_for_every_row(
         assert listener.totals(q.id) == expected
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_kafka_reader_options_msk_iam_and_passthrough():
+    """S2: the Kafka branch maps PipelineConfig onto Spark's Kafka
+    connector options — bootstrap/subscribe/startingOffsets plus the
+    reference's consumer-property passthrough
+    (MSK-S/.../DataStreamJob.java getKafkaProperties:108-125): every
+    extra key under the 'kafka.' prefix is forwarded verbatim, and
+    extra.msk_iam=True force-sets the exact four IAM/SASL properties
+    the reference hardcodes (:117-121) AFTER the passthrough, so a
+    stray kafka.* credential option cannot override the IAM mode. No
+    broker needed: the option mapping is the executable contract (the
+    read path itself needs the Kafka connector jar + a broker, neither
+    in this container — recorded in BASELINE.md)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        MSK_IAM_KAFKA_OPTIONS,
+        kafka_reader_options,
+    )
+
+    cfg = PipelineConfig(
+        source_format="kafka",
+        kafka_bootstrap="b-1.msk.example:9098,b-2.msk.example:9098",
+        kafka_topic="input-topic",
+        start_position="earliest",
+        extra={
+            "msk_iam": True,
+            "kafka.client.id": "engine-1",
+            # attempts to soften the forced IAM mode must lose:
+            "kafka.security.protocol": "PLAINTEXT",
+        },
+    )
+    opts = kafka_reader_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == (
+        "b-1.msk.example:9098,b-2.msk.example:9098"
+    )
+    assert opts["subscribe"] == "input-topic"
+    assert opts["startingOffsets"] == "earliest"  # reference :132
+    assert opts["kafka.client.id"] == "engine-1"  # passthrough
+    for key, val in MSK_IAM_KAFKA_OPTIONS.items():
+        assert opts[key] == val  # forced, reference :117-121
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    # without the flag: plain passthrough, nothing forced
+    plain = kafka_reader_options(
+        PipelineConfig(
+            source_format="kafka",
+            kafka_bootstrap="localhost:9092",
+            kafka_topic="t",
+            extra={"kafka.isolation.level": "read_committed"},
+        )
+    )
+    assert plain["kafka.isolation.level"] == "read_committed"
+    assert "kafka.sasl.mechanism" not in plain
+
+    with pytest.raises(ValueError, match="kafka"):
+        kafka_reader_options(PipelineConfig(source_format="kafka"))
+
+
+def test_kafka_topic_bootstrap_mirrors_reference_lambda():
+    """The MSK variant's topic-creation Lambda
+    (MSK-S/topicCreation/index.py:37-59) as an engine bootstrap:
+    ensure_topic creates once, is idempotent on reruns, and routes the
+    reference's exact NewTopic parameters. A fake admin client stands
+    in for the broker (kafka-python is import-gated, like boto3/delta)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.kafka_admin import (
+        ensure_topic,
+    )
+
+    calls: list = []
+
+    class FakeAdmin:
+        def __init__(self):
+            self.topics = {"existing"}
+
+        def list_topics(self):
+            return sorted(self.topics)
+
+        def create_topics(self, new_topics, validate_only):
+            assert not validate_only
+            for t in new_topics:
+                name = t["name"] if isinstance(t, dict) else t.name
+                self.topics.add(name)
+                calls.append(t)
+
+        def close(self):
+            calls.append("closed")
+
+    admin = FakeAdmin()
+
+    def factory(bootstrap, region):
+        assert bootstrap == "b-1:9098"
+        assert region == "us-east-1"
+        return admin
+
+    created = ensure_topic(
+        "b-1:9098",
+        "input-topic",
+        num_partitions=3,
+        replication_factor=2,
+        region="us-east-1",
+        admin_factory=factory,
+    )
+    assert created
+    spec = calls[0]
+    assert spec["name"] == "input-topic"
+    assert spec["num_partitions"] == 3
+    assert spec["replication_factor"] == 2
+    assert calls[-1] == "closed"
+
+    # idempotent rerun: no second create, still closes the client
+    assert not ensure_topic(
+        "b-1:9098", "input-topic", region="us-east-1", admin_factory=factory
+    )
+    assert calls.count("closed") == 2
+    assert len([c for c in calls if c != "closed"]) == 1
+
+    # the real factory is import-gated with a actionable error
+    with pytest.raises(NotImplementedError, match="kafka-python"):
+        ensure_topic("b:9092", "t")
