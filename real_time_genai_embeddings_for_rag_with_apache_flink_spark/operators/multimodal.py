@@ -91,8 +91,10 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
 # formats are public and header-described, so a dependency-free decoder
 # is ~30 lines each — enough to run a REAL decode path in this
 # container and value-certify the media plumbing end to end (m03).
-# PNG/JPEG/MP3/... still require external codecs and keep the
-# NotImplementedError gate.
+# Two genuinely COMPRESSED codecs joined them: PNG (r12 — zlib/DEFLATE
+# + the five-filter suite) and GIF (r13 — variable-width LZW from the
+# GIF89a spec appendix). JPEG/MP3/H.264/... still require external
+# codecs and keep the NotImplementedError gate.
 # ---------------------------------------------------------------------------
 
 _BMP_WIDTH = 16  # fixture width: stride 16*3 = 48 bytes, already 4-aligned
@@ -310,6 +312,222 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes, list[int]]:
     return w, h, b"".join(rows), filters
 
 
+# ---------------------------------------------------------------------------
+# GIF (LZW) — the second compressed codec (r12 verdict #8). PNG/zlib
+# exercises DEFLATE; GIF exercises a fundamentally different
+# decompressor: variable-width LZW codes packed LSB-first into 255-byte
+# sub-blocks, with dictionary growth, in-band CLEAR resets, and the
+# KwKwK self-reference case. Both directions are implemented from the
+# public GIF89a specification (appendix F defines the LZW variant).
+# ---------------------------------------------------------------------------
+
+_GIF_MCS = 8  # 256-entry palette: pixel index == byte value
+_GIF_MAX_WIDTH = 12  # the spec's hard code-width ceiling
+
+
+def _gif_lzw_encode(data: bytes, clear_every: int = 64) -> bytes:
+    """GIF-variant LZW: variable code width starting at mcs+1, LSB-first
+    bit packing, CLEAR emitted at the start, every ``clear_every`` data
+    codes (forcing decoders through the reset path), and whenever the
+    table fills at 4096. Width grows when the next free code would
+    exceed the current width's capacity (encoder rule: next == (1 <<
+    width) + 1 — the decoder's table lags one entry, so its paired rule
+    is next == 1 << width)."""
+    mcs = _GIF_MCS
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    w = b""
+    emitted = 0
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        emitted += 1
+        table[w + c] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
+            width += 1
+        w = c
+        if nxt == (1 << _GIF_MAX_WIDTH) or (
+            clear_every and emitted % clear_every == 0
+        ):
+            emit(clear, width)
+            table, nxt, width = fresh()
+            # w stays: its single-byte code survives the reset
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(stream: bytes, mcs: int) -> bytes:
+    """Inverse of the spec's LZW: LSB-first variable-width code reader,
+    CLEAR/EOI handling, dictionary growth with the decoder's one-entry
+    lag (width grows at next == 1 << width), and the KwKwK case (a code
+    equal to the next unassigned entry)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = cur = nbits = 0
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < width:
+            if pos >= len(stream):
+                # Real-world GIFs routinely omit the explicit EOI code
+                # and let the zero-length block terminator end the
+                # stream (the published 1x1 fixture in
+                # tests/test_multimodal.py does) — tolerate it; the
+                # caller's pixel-count check still rejects genuine
+                # truncation.
+                return bytes(out)
+            cur |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: eoi + 1]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW: first code {code} undefined")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
+                width += 1
+        prev = entry
+
+
+def encode_gif(indices_top_down: bytes, width: int, height: int) -> bytes:
+    """Minimal GIF89a writer: one non-interlaced frame over a 256-entry
+    grayscale global color table (palette index i -> RGB(i,i,i)), pixel
+    indices LZW-compressed (min code size 8) into 255-byte sub-blocks.
+    The forced periodic CLEAR codes make any decoder run its dictionary
+    reset path, not just the happy growth path."""
+    import struct
+
+    if len(indices_top_down) != width * height:
+        raise ValueError(
+            f"index buffer {len(indices_top_down)} != width*height "
+            f"{width * height}"
+        )
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    lzw = _gif_lzw_encode(indices_top_down)
+    blocks = bytearray([_GIF_MCS])
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return b"GIF89a" + lsd + gct + img + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes, list[tuple[int, int, int]]]:
+    """Parse a GIF87a/89a single-frame image: header + logical screen
+    descriptor, global color table, extension-block skipping (GCE etc.),
+    image descriptor, sub-block reassembly, and the full LZW inflate.
+    Returns (width, height, top-down row-major palette-index bytes, the
+    global color table as RGB triples). Raises ValueError on anything
+    that isn't one (magic, interlace, local color tables, truncation,
+    LZW stream errors, pixel-count mismatch)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated GIF payload") from e
+
+
+def _decode_gif_body(payload: bytes):
+    import struct
+
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = [tuple(raw[i : i + 3]) for i in range(0, len(raw), 3)]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("unsupported GIF variant (local color table)")
+            if ipacked & 0x40:
+                raise ValueError("unsupported GIF variant (interlaced)")
+            if w <= 0 or h <= 0 or w > sw or h > sh:
+                raise ValueError(f"bad GIF frame dimensions {w}x{h}")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                part = payload[pos + 1 : pos + 1 + ln]
+                if len(part) != ln:
+                    raise ValueError("truncated GIF data sub-block")
+                lzw += part
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(lzw), mcs)
+            if len(indices) != w * h:
+                raise ValueError(
+                    f"GIF decoded {len(indices)} pixels != {w}x{h}"
+                )
+            return w, h, indices, gct
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF missing image descriptor")
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     """Parse a PCM RIFF/WAVE header: returns (n_channels, sample_rate,
     bits_per_sample, n_frames). Raises ValueError if not PCM WAV."""
@@ -415,6 +633,94 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+_GIF_WIDTH = 16  # fixture width: one palette index per pixel, stride 16
+
+
+def attach_gif_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal rows whose payloads are REAL LZW-compressed
+    GIF89a files: the UTF-8 text bytes become the palette-index raster of
+    a 16-wide frame over a 256-entry grayscale color table (index i ->
+    RGB(i,i,i)), zero-padded to fill the last row, stored top-down
+    non-interlaced, LZW-encoded with forced periodic CLEAR resets.
+    Deterministic and byte-level SQL-derivable — the m07 oracle
+    re-computes every decoded feature from the text."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nbytes = [], []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                height = max(1, -(-len(b) // _GIF_WIDTH))
+                padded = b + b"\x00" * (_GIF_WIDTH * height - len(b))
+                gif = encode_gif(padded, _GIF_WIDTH, height)
+                payloads.append(gif)
+                nbytes.append(len(gif))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image"] * len(pdf),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+_GIF_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("index_sum", LongType()),
+        StructField("topleft_idx", IntegerType()),
+        StructField("bottomleft_idx", IntegerType()),
+        StructField("topleft_gray", IntegerType()),
+    ]
+)
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction over the LZW codec (m07): walk
+    each GIF payload with the pure-Python decoder — header, global
+    color table, sub-block reassembly, full variable-width LZW inflate
+    with CLEAR resets and the KwKwK case — and emit integer features of
+    the decoded raster: dimensions, the sum of every decoded palette
+    index (unreachable without real decompression), the top-left and
+    bottom-left indices (row-order sensitive), and the top-left pixel's
+    red value via the PARSED color table (proves the palette walk, not
+    just the raster). Arrow-batched mapInPandas; payloads never leave
+    their scan partition."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, idx, gct = decode_gif(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(sum(idx)),
+                        int(idx[0]),
+                        int(idx[(h - 1) * w]),
+                        int(gct[idx[0]][0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "index_sum",
+                    "topleft_idx", "bottomleft_idx", "topleft_gray",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        featurize, schema=_GIF_FEATURES
+    )
 
 
 _PNG_FEATURES = StructType(

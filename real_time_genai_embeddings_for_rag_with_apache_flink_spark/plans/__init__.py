@@ -14,82 +14,71 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-12 window (executing the rotation plan written in
-# round 11, tests/test_driver_window.py "ROUND-12 PLAN"): after
-# CORRECTNESS_r11 the union's stalest rows are the ten rows deferred
-# from the r11 window (last checked r06: q45-q48, q32, q33, q71, q28,
-# q73, q70), then the 50-row r07 cohort. Those ten lead; the r07 cohort
+# entries only. Round-13 window (executing the rotation plan written in
+# round 12, tests/test_driver_window.py "ROUND-13 PLAN"): after
+# CORRECTNESS_r12 the union's stalest rows are the 16 rows deferred
+# from the r12 window (last checked r07: q49-q60, t24, w01, d07, s07,
+# t05), then the 50-row r08 cohort. The 16 lead; the r08 cohort
 # follows; and the three entries NEW this round (never driver-checked:
-# s09b seeded flat PQ, t23b exact learned-merge tokenization, m03b PNG
-# real-decode features, s22b seeded projection-ANN, st32 the executed
-# Kinesis PRODUCER round-trip, st33 the reference topology wire-to-
-# wire) take the final slots by displacing the 16 cheapest-to-defer
-# r07 rows (the 11
-# pure-relational TPC-H-family entries q49-q60 — seven-round green,
-# their join/aggregate families covered in-window by q32/q33/q71 and
-# the d/s/st/t rows — plus t24_temperature_mixture, whose mixture
-# sibling t08 stays in-window and t21 was checked r11,
-# w01_tumbling_window, whose sibling w02 stays and whose streaming
-# twin st01 was checked r11, d07_hash_sample, whose sampling siblings
-# d09 and st20 stay in-window, and s07_scalar_quantization, whose
-# quantization siblings s09b (new, in-window) and s20b (r11-checked)
-# cover the family, and t05_rolling_hash, whose content-hash siblings
-# d01/d03 stay in-window and d17/t19 were checked r11), which carry to
-# round 13 as its lead.
+# st34 the fault-injected wire topology, s06b the seeded k-means
+# assignment twin, m07 GIF/LZW real-decode features) displace — along
+# with the 16 leads — the 19 cheapest-to-defer r08 rows, which carry
+# to round 14 as its lead. Deferral reasoning per row in
+# tests/test_driver_window.py DEFERRED_TO_R14.
 DRIVER_WINDOW: list[str] = [
-    # -- the ten r06-stale rows deferred from the r11 window ----------
-    "q45_map_functions",
-    "q46_try_functions",
-    "q47_hash_bit_functions",
-    "q48_null_semantics",
-    "q32_in_subquery",
-    "q33_scalar_subquery",
-    "q71_filtered_aggregates",
-    "q28_json_functions",
-    "q73_mode_median",
-    "q70_collation",
-    # -- the r07 cohort minus the 16 declared round-13 deferrals ------
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_signatures",
-    "d09_stratified_sample",
-    "d29_bloom_decontamination",
-    "p02_flagship_retrieval",
-    "s01_topk_cosine",
-    "s02_knn_join",
-    "s03_embedding_near_dup",
-    "s04_label_centroids",
-    "s05_ivf_search",
-    "s08_hyperplane_lsh_buckets",
-    "st03_stream_dedup",
-    "st04_stream_filter_project",
-    "st06_stateful_user_totals",
-    "st09_stream_static_join",
-    "st10_foreachbatch_upsert",
-    "st14b_stream_verified_neardups",
-    "st20_stream_quota_sampling",
-    "t01_text_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_bpe_token_count",
-    "t06_doc_chunking",
-    "t07_pii_redaction",
-    "t08_corpus_mixture",
-    "t22_bpe_merge_learning",
-    "t23_bpe_tokenize",
-    "u01_grouped_agg_udaf",
-    "u02_mapinpandas_tokens",
-    "u03_grouped_map_zscore",
-    "w02_sliding_window",
-    "w12b_sketch_wau",
-    "w13b_peak_concurrency_twophase",
+    # -- the 16 r07-stale rows deferred from the r12 window -----------
+    "q49_priority_late_orders",
+    "q50_argmax_aggregates",
+    "q51_volume_shipping",
+    "q52_market_share",
+    "q53_product_profit",
+    "q55_promo_revenue",
+    "q56_top_supplier",
+    "q57_supplier_part_counts",
+    "q58_disjunctive_join",
+    "q59_excess_volume_suppliers",
+    "q60_waiting_orders",
+    "t24_temperature_mixture",
+    "w01_tumbling_window",
+    "d07_hash_sample",
+    "s07_scalar_quantization",
+    "t05_rolling_hash",
+    # -- the r08 cohort minus the 19 declared round-14 deferrals ------
+    "d30_leakage_safe_split",
+    "d31_weighted_sample",
+    "d32_dup_graph_pagerank",
+    "p01_pipeline_sink_docs",
+    "p03_embed_distinct",
+    "p05_vecdir_sink_roundtrip",
+    "p15_snapshot_diff",
+    "p16_cdc_apply",
+    "p17_data_quality_gate",
+    "p18_incremental_view_maintenance",
+    "p19_zorder_clustering",
+    "p20_compaction_planner",
+    "p21_k_anonymity_audit",
+    "s23_binary_hamming_ann",
+    "s24_hamming_width_advisor",
+    "s25_retrieval_eval",
+    "s26_maxsim_late_interaction",
+    "st01_stream_tumbling_complete",
+    "st02_stream_watermark_append",
+    "st05_stream_embed_pipeline",
+    "st07_stream_stream_join",
+    "st12_python_stream_source",
+    "st21_stream_zscore_anomaly",
+    "st22_stream_cdc_apply",
+    "st23_stream_ivm",
+    "st24_stream_compaction",
+    "t25_source_divergence",
+    "w03_session_window",
+    "w04_interval_join",
+    "w18_scd2_snapshot",
+    "w19_purchase_attribution",
     # -- new this round (never driver-checked) ------------------------
-    "s09b_pq_seeded",
-    "t23b_bpe_tokenize_exact",
-    "m03b_png_features",
-    "s22b_projection_ann_seeded",
-    "st32_kinesis_producer_roundtrip",
-    "st33_reference_topology_wire_to_wire",
+    "st34_wire_topology_fault_injected",
+    "s06b_kmeans_cells_seeded",
+    "m07_gif_features",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1113,6 +1113,78 @@ def s05b_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S06B_CELLS = 8
+
+
+@query(
+    "s06b_kmeans_cells_seeded",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_S20B_DIM}
+),
+cents AS (
+  SELECT rn - 1 AS cell,
+    list_transform(emb, x -> x / sqrt(list_reduce(
+      list_prepend(0.0, list_transform(emb, y -> y * y)),
+      (a, b) -> a + b))) AS semb
+  FROM (
+    SELECT emb, ROW_NUMBER() OVER (
+      ORDER BY md5('s06bc:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM valid
+  ) WHERE rn <= {_S06B_CELLS}
+)
+SELECT vec_id, cell FROM (
+  SELECT v.vec_id, c.cell, ROW_NUMBER() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, {_S20B_DIM}),
+        i -> v.emb[i] * c.semb[i])), (a, b) -> a + b) DESC, c.cell
+  ) AS arn
+  FROM valid v, cents c
+) WHERE arn = 1
+""",
+    tags=("similarity", "clustering"),
+    bench=True,
+)
+def s06b_kmeans_cells_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s06's cell ASSIGNMENT step oracle-certified HASH-EXACT — the
+    seeded-twin recipe (s05b/s20b/d34) applied to the k-means family's
+    one remaining rows-only trained artifact: the Lloyd-trained
+    centroids are replaced by md5-SEEDED sample centroids (the 8 corpus
+    vectors ranked first by ``md5('s06bc:' || vec_id)``), and the
+    assignment runs through the OPERATOR'S OWN literal-argmin path
+    (operators/kmeans._nearest_cell — pre-normalized centroids, one
+    codegen'd max-cosine fold per row, ties to the lowest cell; the
+    exact expression every Lloyd iteration of s06 executes). The DuckDB
+    oracle replays the identical sequential double arithmetic
+    (zip-multiply -> left-to-right fold -> strict-max tiebreak), so a
+    drift in the fold order, the normalization, the NULL/wrong-length
+    hygiene, or the tie direction breaks the hash. s06 keeps the
+    iterative training (rows-only by design); this row value-certifies
+    the assignment dataflow those iterations and the IVF quantizers
+    share.
+
+    Scale shape (s06's): centroids are a driver-sized literal at any
+    corpus scale; assignment is a narrow per-row fold — no exchange
+    anywhere in the plan."""
+    from ..operators.kmeans import _nearest_cell
+
+    em = load_table(spark, sf_dir, "embeddings")
+    valid = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _S20B_DIM)
+    ).select("vec_id", "embedding")
+
+    h_cent = F.md5(F.concat(F.lit("s06bc:"), F.col("vec_id").cast("string")))
+    cent_rows = valid.orderBy(h_cent, "vec_id").limit(_S06B_CELLS).collect()
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    return valid.select(
+        "vec_id", _nearest_cell(F.col("embedding"), centroids).alias("cell")
+    )
+
+
 @query(
     "p04_python_datasource",
     oracle="""

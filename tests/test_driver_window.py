@@ -1,29 +1,22 @@
 """The external driver records correctness rows for the FIRST 50
-catalog entries only (observed: CORRECTNESS_r02..r11 each held exactly
-the first 50 of the priority order). These tests pin the round-12
-rotation (executing the plan written in round 11): after
-CORRECTNESS_r11 the cross-round union's stalest rows were the ten
-deferred from the r11 window (last checked r06), then the 50-row r07
-cohort. The ten lead this window; the r07 cohort follows; the six
-entries NEW this round (never driver-checked: s09b, t23b, m03b, s22b,
-st32, st33) displace the 16 cheapest-to-defer r07 rows — the 11 pure-relational
-TPC-H-family entries q49-q60 (seven-round green histories; their
-join/aggregate families stay covered in-window by q32/q33/q71 and the
-d/s/st/t rows) plus t24_temperature_mixture (mixture siblings: t08
-stays in-window, t21 checked r11), w01_tumbling_window (sibling w02
-stays; streaming tumbling twin st01 checked r11), d07_hash_sample
-(sampling siblings d09 and st20 stay in-window), and
-s07_scalar_quantization (quantization siblings s09b new-in-window and
-s20b r11-checked cover the family), and t05_rolling_hash (content-hash
-siblings d01/d03 stay in-window; d17/t19 checked r11) — which carry to
-round 13.
+catalog entries only (observed: CORRECTNESS_r02..r12 each held exactly
+the first 50 of the priority order). These tests pin the round-13
+rotation (executing the plan written in round 12): after
+CORRECTNESS_r12 the cross-round union's stalest rows were the 16
+deferred from the r12 window (last checked r07: q49-q60, t24, w01,
+d07, s07, t05), then the 50-row r08 cohort. The 16 lead this window;
+the r08 cohort follows; the three entries NEW this round (never
+driver-checked: st34 the fault-injected wire topology, s06b the
+seeded k-means assignment twin, m07 GIF/LZW real-decode features)
+displace — together with the 16 leads — the 19 cheapest-to-defer r08
+rows, which carry to round 14. Per-row deferral reasoning is inline in
+DEFERRED_TO_R14 below.
 
-ROUND-13 PLAN (written in round 12, the established handoff): once
-CORRECTNESS_r12 lands, the union's stalest rows are the 16 deferred
-r07 rows q49 q50 q51 q52 q53 q55 q56 q57 q58 q59 q60 t24 w01 d07 s07
-t05, then the 50-row r08 cohort. The round-13 window is those 16 + the
-r08 cohort, with any round-13 additions displacing the
-cheapest-to-defer r08 rows."""
+ROUND-14 PLAN (written in round 13, the established handoff): once
+CORRECTNESS_r13 lands, the union's stalest rows are the 19 deferred
+r08 rows in DEFERRED_TO_R14, then the 48-row r09 cohort. The round-14
+window is those 19 + the r09 cohort, with any round-14 additions
+displacing the cheapest-to-defer r09 rows."""
 
 from __future__ import annotations
 
@@ -31,8 +24,48 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 13 (the 16 cheapest-to-defer r07 rows).
-DEFERRED_TO_R13 = (
+# Deferred to round 14 (the 19 cheapest-to-defer r08 rows). Every
+# deferral leaves its family covered by an in-window or r11/r12-checked
+# sibling:
+# - s06_kmeans_cells (rows-only; its assignment path is hash-exact
+#   in-window via the new s06b twin), d14_semantic_dedup (rows-only;
+#   seeded twin d34 checked r12-era, cell machinery via s06b),
+# - s09/s10/s20/s21/s22 (PQ/IVF-PQ/PCA families: seeded hash-exact
+#   twins s09b + s22b checked r12, s20b r11; IVF itself via s05 r12),
+# - t22b (BPE family: t22/t23/t23b all checked r12),
+# - q27/q29/q34/q40/q54 (scalar/pivot/subquery/TPC-H families: q45-q48
+#   q28 q70 q73 q32 q33 checked r12, q34b/q35 r09, q49-q60 in-window),
+# - m01/m02 (decode/media families: m03b checked r12, m07 new
+#   in-window, m04 r09),
+# - w15/w16/w17 (window-fn families: w11/w22 r09, w12b r12 for
+#   distinct-user sketches, SCD2 stays covered by in-window w18),
+# - st08 (streaming session window: batch sibling w03 stays in-window,
+#   st01/st02 streaming event-time stays in-window).
+DEFERRED_TO_R14 = (
+    "d14_semantic_dedup",
+    "m01_multimodal_decode",
+    "m02_frame_sampling",
+    "q27_math_functions",
+    "q29_array_functions",
+    "q34_pivot",
+    "q40_correlated_scalar",
+    "q54_priority_lateness",
+    "s06_kmeans_cells",
+    "s09_product_quantization",
+    "s10_ivfpq_search",
+    "s20_ivfpq_refined",
+    "s21_pca_projection",
+    "s22_pca_ann",
+    "st08_stream_session_append",
+    "t22b_bpe_vocab_local",
+    "w15_rolling_zscore_anomaly",
+    "w16_windowed_distinct_users",
+    "w17_scd2_dimension_join",
+)
+
+# The 16 rows whose latest driver record is r07 — deferred from the
+# r12 window, leading this one.
+LEAD_R07 = (
     "q49_priority_late_orders",
     "q50_argmax_aggregates",
     "q51_volume_shipping",
@@ -51,67 +84,46 @@ DEFERRED_TO_R13 = (
     "t05_rolling_hash",
 )
 
-# The ten rows whose latest driver record is r06 — deferred from the
-# r11 window, leading this one.
-LEAD_R06 = (
-    "q45_map_functions",
-    "q46_try_functions",
-    "q47_hash_bit_functions",
-    "q48_null_semantics",
-    "q32_in_subquery",
-    "q33_scalar_subquery",
-    "q71_filtered_aggregates",
-    "q28_json_functions",
-    "q73_mode_median",
-    "q70_collation",
+# The 31 r08-cohort rows that keep their slot.
+LEAD_R08 = (
+    "d30_leakage_safe_split",
+    "d31_weighted_sample",
+    "d32_dup_graph_pagerank",
+    "p01_pipeline_sink_docs",
+    "p03_embed_distinct",
+    "p05_vecdir_sink_roundtrip",
+    "p15_snapshot_diff",
+    "p16_cdc_apply",
+    "p17_data_quality_gate",
+    "p18_incremental_view_maintenance",
+    "p19_zorder_clustering",
+    "p20_compaction_planner",
+    "p21_k_anonymity_audit",
+    "s23_binary_hamming_ann",
+    "s24_hamming_width_advisor",
+    "s25_retrieval_eval",
+    "s26_maxsim_late_interaction",
+    "st01_stream_tumbling_complete",
+    "st02_stream_watermark_append",
+    "st05_stream_embed_pipeline",
+    "st07_stream_stream_join",
+    "st12_python_stream_source",
+    "st21_stream_zscore_anomaly",
+    "st22_stream_cdc_apply",
+    "st23_stream_ivm",
+    "st24_stream_compaction",
+    "t25_source_divergence",
+    "w03_session_window",
+    "w04_interval_join",
+    "w18_scd2_snapshot",
+    "w19_purchase_attribution",
 )
 
-# The 34 r07-cohort rows that keep their slot.
-LEAD_R07 = (
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_signatures",
-    "d09_stratified_sample",
-    "d29_bloom_decontamination",
-    "p02_flagship_retrieval",
-    "s01_topk_cosine",
-    "s02_knn_join",
-    "s03_embedding_near_dup",
-    "s04_label_centroids",
-    "s05_ivf_search",
-    "s08_hyperplane_lsh_buckets",
-    "st03_stream_dedup",
-    "st04_stream_filter_project",
-    "st06_stateful_user_totals",
-    "st09_stream_static_join",
-    "st10_foreachbatch_upsert",
-    "st14b_stream_verified_neardups",
-    "st20_stream_quota_sampling",
-    "t01_text_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_bpe_token_count",
-    "t06_doc_chunking",
-    "t07_pii_redaction",
-    "t08_corpus_mixture",
-    "t22_bpe_merge_learning",
-    "t23_bpe_tokenize",
-    "u01_grouped_agg_udaf",
-    "u02_mapinpandas_tokens",
-    "u03_grouped_map_zscore",
-    "w02_sliding_window",
-    "w12b_sketch_wau",
-    "w13b_peak_concurrency_twophase",
-)
-
-# Never driver-checked (new in round 12); take the final slots.
+# Never driver-checked (new in round 13); take the final slots.
 NEVER_CHECKED = (
-    "s09b_pq_seeded",
-    "t23b_bpe_tokenize_exact",
-    "m03b_png_features",
-    "s22b_projection_ann_seeded",
-    "st32_kinesis_producer_roundtrip",
-    "st33_reference_topology_wire_to_wire",
+    "st34_wire_topology_fault_injected",
+    "s06b_kmeans_cells_seeded",
+    "m07_gif_features",
 )
 
 
@@ -128,28 +140,28 @@ def test_priority_list_is_exhaustive_and_valid():
     assert len(plans.DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
 
 
-def test_window_order_is_the_round12_rotation():
+def test_window_order_is_the_round13_rotation():
     w = window()
-    expected = list(LEAD_R06) + list(LEAD_R07) + list(NEVER_CHECKED)
+    expected = list(LEAD_R07) + list(LEAD_R08) + list(NEVER_CHECKED)
     assert w == expected, (
-        "round-12 window must be: the ten r06-stale deferrals, the r07 "
-        "cohort minus the declared round-13 deferrals, then the new "
+        "round-13 window must be: the 16 r07-stale deferrals, the r08 "
+        "cohort minus the declared round-14 deferrals, then the new "
         "entries"
     )
 
 
 def test_only_the_declared_deferrals_miss_their_slot():
-    """Every r06/r07-stale row is either in this window or in the
-    declared round-13 carry list — no silent displacement."""
+    """Every r07/r08-stale row is either in this window or in the
+    declared round-14 carry list — no silent displacement."""
     missing = (
-        set(LEAD_R06) | set(LEAD_R07) | set(DEFERRED_TO_R13)
+        set(LEAD_R07) | set(LEAD_R08) | set(DEFERRED_TO_R14)
     ) - set(window())
-    assert missing == set(DEFERRED_TO_R13), sorted(missing)
+    assert missing == set(DEFERRED_TO_R14), sorted(missing)
 
 
 def test_stale_sets_match_the_recorded_artifacts():
     """The hand-pinned staleness sets above must agree with the actual
-    CORRECTNESS_r02..r11 artifacts (latest round each name appears in)
+    CORRECTNESS_r02..r12 artifacts (latest round each name appears in)
     — catching copy-paste slips in the bookkeeping sets."""
     import glob
     import json
@@ -159,15 +171,15 @@ def test_stale_sets_match_the_recorded_artifacts():
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        if rnd > 11:
-            continue  # this file pins the ROUND-12 rotation inputs
+        if rnd > 12:
+            continue  # this file pins the ROUND-13 rotation inputs
         for name in json.load(open(f)):
             latest[name] = max(latest.get(name, 0), rnd)
-    assert {n for n, r in latest.items() if r == 6} == set(LEAD_R06)
-    assert {n for n, r in latest.items() if r == 7} == (
-        set(LEAD_R07) | set(DEFERRED_TO_R13)
+    assert {n for n, r in latest.items() if r == 7} == set(LEAD_R07)
+    assert {n for n, r in latest.items() if r == 8} == (
+        set(LEAD_R08) | set(DEFERRED_TO_R14)
     )
-    assert not {n for n, r in latest.items() if r <= 5}
+    assert not {n for n, r in latest.items() if r <= 6}
     for name in NEVER_CHECKED:
         assert name not in latest, f"{name} is not new — it has a driver row"
 

@@ -351,3 +351,122 @@ def test_decode_media_real_codec_handles_png(spark):
     rows = decode_media(attach_png_payload(docs), real_codec=True).collect()
     assert rows and all(r.width == 16 and r.n_frames == 1 for r in rows)
     assert all(r.height >= 1 for r in rows)
+
+
+def test_gif_lzw_roundtrip_growth_resets_and_kwkwk():
+    """The GIF89a LZW pair (spec appendix F): variable code width grows
+    in lockstep (decoder lags the encoder's table by one entry), forced
+    CLEAR codes reset the dictionary mid-stream, the table-full 4096
+    reset fires on low-entropy input, and runs exercise the KwKwK
+    self-reference case."""
+    import random
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(1)
+    cases = [
+        b"a",
+        b"aaaaaaaaaaaaaaaa",  # KwKwK immediately
+        bytes(rng.randrange(256) for _ in range(20_000)),  # width growth
+        b"the quick brown fox " * 3000,  # dictionary hits 4096 -> reset
+        bytes(5000),  # all-zero run
+    ]
+    for data in cases:
+        for clear_every in (0, 7, 64):
+            assert _gif_lzw_decode(
+                _gif_lzw_encode(data, clear_every=clear_every), 8
+            ) == data, (len(data), clear_every)
+
+
+def test_gif_roundtrip_and_published_fixture():
+    """encode_gif -> decode_gif is the identity on the index raster, and
+    the decoder accepts a REAL third-party artifact: the ubiquitous
+    published 1x1 transparent GIF (GCE extension block, 2-entry color
+    table, mcs=2, and NO explicit EOI code — the block terminator ends
+    the stream, which real decoders must tolerate)."""
+    import base64
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    data = "synthetic text payload for the gif raster".encode()
+    height = -(-len(data) // 16)
+    padded = data + b"\x00" * (16 * height - len(data))
+    w, h, idx, gct = decode_gif(encode_gif(padded, 16, height))
+    assert (w, h) == (16, height)
+    assert idx == padded
+    assert gct[65] == (65, 65, 65)  # grayscale palette: entry i = (i,i,i)
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, idx, gct = decode_gif(tiny)
+    assert (w, h) == (1, 1)
+    assert idx == b"\x00"
+    assert gct[0] == (0, 0, 0) and gct[1] == (255, 255, 255)
+
+
+def test_gif_decoder_rejects_corruption_and_variants():
+    import base64
+
+    import pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + bytes(60))
+    for cut in (20, 30, 38):
+        with pytest.raises(ValueError):
+            decode_gif(tiny[:cut])
+    with pytest.raises(ValueError):  # image descriptor byte corrupted
+        decode_gif(tiny.replace(b"\x2c", b"\x2d"))
+    # interlace flag set -> explicitly unsupported, never wrong pixels
+    good = encode_gif(bytes(range(16)), 16, 1)
+    desc_at = 6 + 7 + 768  # header + LSD + 256-entry GCT
+    assert good[desc_at] == 0x2C
+    interlaced = (
+        good[: desc_at + 9]
+        + bytes([good[desc_at + 9] | 0x40])
+        + good[desc_at + 10 :]
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(interlaced)
+    # pixel-count mismatch (truncated LZW payload) is caught even when
+    # the lenient no-EOI path returns a short raster
+    short = encode_gif(bytes(64), 16, 4)
+    with pytest.raises(ValueError):
+        decode_gif(short[:-6] + b"\x00\x3b")
+
+
+def test_gif_features_match_hand_computation(spark):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        attach_gif_payload,
+        gif_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "z" * 40)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in gif_features(attach_gif_payload(docs)).collect()
+    }
+    a = out[1]
+    assert (a.width, a.height) == (16, 1)
+    assert a.index_sum == ord("a") + ord("b") + ord("c")
+    assert a.topleft_idx == ord("a") and a.topleft_gray == ord("a")
+    assert a.bottomleft_idx == ord("a")  # one row: bottom == top
+    z = out[2]
+    assert (z.width, z.height) == (16, 3)
+    assert z.index_sum == 40 * ord("z")
+    assert z.bottomleft_idx == ord("z")  # byte 32 starts the last row
