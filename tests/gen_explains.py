@@ -75,6 +75,8 @@ HEADLINES = [
     ("s22b_projection_ann_seeded", "projection is a narrow 8-dot literal fold (no exchange); the coarse pass scans only (vec_id, 8 BIGINTs) against broadcast projected queries; the exact re-rank re-joins raw vectors by broadcast id join — the corpus never shuffles"),
     ("t23b_bpe_tokenize_exact", "one corpus pass collapses to (word, count); the pandas-UDF encode (ArrowEvalPython) runs on the DISTINCT vocabulary only; per-doc totals are a pure-JVM explode + join on word + one grouped sum"),
     ("m03b_png_features", "build -> PNG decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 8 ints) cross into the resize projection"),
+    ("s06b_kmeans_cells_seeded", "the k-means assignment step alone: the operator's literal max-cosine fold as ONE narrow projection over the scan — no exchange, no Python, plan size fixed by k"),
+    ("m07_gif_features", "build -> GIF LZW decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 6 ints) ever leave the scan partition"),
 ]
 
 
