@@ -4083,3 +4083,111 @@ def st34_wire_topology_fault_injected(spark: SparkSession, sf_dir: str) -> DataF
         osrv.stop()
 
     return _st33_certify(spark, hits)
+
+
+_ST35_DOCS = 600
+_ST35_SHARDS = 4
+_ST35_DIM = 32
+
+
+@query(
+    "st35_idempotent_sink_torn_bulk",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST35_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "source", "sink", "kinesis", "opensearch", "pipeline"),
+)
+def st35_idempotent_sink_torn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TORN-WRITE replay case st34 cannot cover, closed by explicit
+    document ids: every 2nd ``_bulk`` request APPLIES THE FIRST HALF of
+    its items and then answers 429 — indistinguishable, client-side,
+    from a clean rejection — so the transport's full-body retry
+    re-indexes documents that already landed. The reference ships with
+    auto-generated ids (its ``.id(element.get("_id"))`` line is
+    commented out, ``KDS-P/.../msf/DataStreamJob.java:191``), so its
+    at-least-once bulk processor would DUPLICATE here; the engine's
+    ``extra.index_by_id`` routes the M2 ``_id``
+    (``id_strategy='deterministic'`` — md5 of content, stable across
+    restarts) onto each action, turning every index into an idempotent
+    upsert that converges under replay. The topology is st33's
+    wire-to-wire run (Kinesis consume -> parse -> normalize -> filter
+    -> embed -> hnsw bootstrap -> _bulk -> paginated read-back), the
+    oracle is st33's exact arithmetic: a single duplicated document
+    inflates n_docs and sum_coords and breaks the hash, so this row
+    certifies exactly-once EFFECTS end to end under partial-failure
+    replay — the guarantee level above st34's
+    at-least-once-without-loss. The auto-id duplicate hazard itself is
+    pinned (expected and observed) in tests/test_opensearch_http.py.
+    (sf_dir unused: the corpus is generated.)
+
+    Scale shape: identical to st33 — ids add one string column to the
+    sink projection; nothing else changes."""
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import wire_record
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(_ST35_SHARDS)
+    }
+    for doc_id in range(_ST35_DOCS):
+        _, wire = wire_record(42, doc_id)
+        shards[f"shardId-{doc_id % _ST35_SHARDS:012d}"].append(
+            (str(doc_id), wire.encode())
+        )
+    ksrv = FakeKinesisServer("docs", shards)
+    kurl = ksrv.start()
+    osrv = FakeOpenSearchServer(partial_every=2)
+    ourl = osrv.start()
+    try:
+        cfg = PipelineConfig(
+            source_format="kinesis-lite",
+            sink_format="opensearch",
+            embedding_dim=_ST35_DIM,
+            on_error="fail",
+            start_position="earliest",
+            checkpoint_dir=tempfile.mkdtemp(prefix="st35_ckpt_"),
+            extra={
+                "kinesis_stream": "docs",
+                "kinesis_region": "us-east-1",
+                "kinesis_endpoint": kurl,
+                "transport": "http",
+                "hosts": [ourl],
+                "index": "embeddings",
+                "id_strategy": "deterministic",
+                "index_by_id": True,
+            },
+        )
+        q = run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder)
+        q.awaitTermination()
+        method = osrv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        client = HttpOpenSearchClient(ourl)
+        hits = list(client.search_all("embeddings", "text", page_size=250))
+    finally:
+        ksrv.stop()
+        osrv.stop()
+
+    return _st33_certify(spark, hits)

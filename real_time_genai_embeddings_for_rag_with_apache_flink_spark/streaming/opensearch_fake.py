@@ -15,10 +15,23 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class FakeOpenSearchServer:
-    def __init__(self, throttle_every: int | None = None):
+    def __init__(
+        self,
+        throttle_every: int | None = None,
+        partial_every: int | None = None,
+    ):
         self._lock = threading.Lock()
         self.indices: dict[str, dict] = {}  # name -> creation body
         self.docs: dict[str, list[dict]] = {}  # name -> sources
+        # name -> {_id: position in docs[name]} for explicit-id actions
+        # (the real service's semantics: same id REPLACES the document)
+        self._id_pos: dict[str, dict[str, int]] = {}
+        # the adversarial at-least-once shape: every Nth /_bulk request
+        # APPLIES THE FIRST HALF of its items, then answers 429 — the
+        # client cannot tell a partial application from a clean
+        # rejection, so its full-body retry duplicates every applied
+        # item unless the actions carry explicit ids
+        self._partial_every = partial_every
         # backpressure injection: every Nth /_bulk request answers
         # HTTP 429 without indexing (the real service's throttling
         # shape), so the transport's backoff-and-retry is testable
@@ -59,10 +72,19 @@ class FakeOpenSearchServer:
                 return 200, {"acknowledged": True, "index": name}
             if method == "POST" and parts == ["_bulk"]:
                 lines = [ln for ln in body.split(b"\n") if ln.strip()]
+                stop_after = None
+                if self._partial_every and (
+                    self._bulk_seen % self._partial_every == 0
+                ):
+                    # apply the first half of the ACTIONS, then fail the
+                    # request — the torn-write retry trap
+                    stop_after = (len(lines) // 2 // 2) * 2
                 items = []
                 errors = False
                 i = 0
                 while i < len(lines):
+                    if stop_after is not None and i >= stop_after:
+                        return 429, {"error": {"type": "circuit_breaking"}}
                     action = json.loads(lines[i])
                     op, meta = next(iter(action.items()))
                     if op != "index":
@@ -80,7 +102,16 @@ class FakeOpenSearchServer:
                     if index not in self.indices:
                         self.indices[index] = {}
                         self.docs[index] = []
-                    self.docs[index].append(source)
+                    doc_id = meta.get("_id")
+                    if doc_id is not None:
+                        known = self._id_pos.setdefault(index, {})
+                        if doc_id in known:  # same id replaces
+                            self.docs[index][known[doc_id]] = source
+                        else:
+                            known[doc_id] = len(self.docs[index])
+                            self.docs[index].append(source)
+                    else:
+                        self.docs[index].append(source)
                     items.append({"index": {"_index": index, "status": 201}})
                     i += 2
                 return 200, {"errors": errors, "items": items}

@@ -237,11 +237,14 @@ def http_bulk(
     lines: list[bytes] = []
     n = 0
     for action in actions:
+        meta = {"_index": action["_index"]}
+        if action.get("_id") is not None:
+            # explicit document id: the index action becomes an
+            # idempotent upsert, so retrying the same body after a
+            # partial application converges instead of duplicating
+            meta["_id"] = action["_id"]
         lines.append(
-            json.dumps(
-                {"index": {"_index": action["_index"]}},
-                separators=(",", ":"),
-            ).encode()
+            json.dumps({"index": meta}, separators=(",", ":")).encode()
         )
         lines.append(
             json.dumps(action["_source"], separators=(",", ":")).encode()

@@ -209,7 +209,17 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
     bootstrap_index (default True: create the k-NN index with the
     reference's hnsw mapping if missing, once, driver-side, before the
     first bulk write), knn_* overrides (knn_ef_construction, knn_m,
-    knn_shards, knn_replicas, knn_space_type, knn_engine)."""
+    knn_shards, knn_replicas, knn_space_type, knn_engine), and
+    index_by_id (default False = the reference's deployed behavior:
+    auto-generated document ids — its ``.id(element.get("_id"))`` line
+    is commented out, DataStreamJob.java:191, so an at-least-once bulk
+    retry can duplicate documents there. True routes the pipeline's M2
+    ``_id`` onto each bulk action, turning every index into an
+    idempotent upsert: a replay of the SAME body after a partial
+    application converges instead of duplicating — pair with
+    extra.id_strategy='deterministic' so restarts reuse ids; driver row
+    st35 certifies the claim hash-exactly under injected partial-bulk
+    faults)."""
     index = cfg.extra.get("index", "embeddings")
     hosts = cfg.extra.get("hosts", ["https://localhost:9200"])
     region = cfg.extra.get("aws_region")
@@ -262,7 +272,18 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
         good = batch
         if "error" in batch.columns:
             good = batch.filter(F.col("error").isNull())
-        docs = to_sink_docs(good)
+        by_id = bool(cfg.extra.get("index_by_id"))
+        if by_id:
+            # the sink projection plus the M2 _id (to_sink_docs is the
+            # reference's exact createIndexRequest2 triple and drops it)
+            docs = good.select(
+                F.col("embedding").alias("passage_embedding"),
+                F.col("created_at").alias("date"),
+                F.col("text"),
+                F.col("_id").cast("string").alias("_id"),
+            )
+        else:
+            docs = to_sink_docs(good)
 
         def send_partition(rows) -> None:
             first = next(iter(rows), None)
@@ -274,6 +295,7 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
             actions = (
                 {
                     "_index": index,
+                    **({"_id": row._id} if by_id else {}),
                     "_source": {
                         "passage_embedding": row.passage_embedding,
                         "date": row.date.isoformat() if row.date else None,

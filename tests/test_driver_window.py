@@ -7,16 +7,18 @@ deferred from the r12 window (last checked r07: q49-q60, t24, w01,
 d07, s07, t05), then the 50-row r08 cohort. The 16 lead this window;
 the r08 cohort follows; the three entries NEW this round (never
 driver-checked: st34 the fault-injected wire topology, s06b the
-seeded k-means assignment twin, m07 GIF/LZW real-decode features)
-displace — together with the 16 leads — the 19 cheapest-to-defer r08
-rows, which carry to round 14. Per-row deferral reasoning is inline in
-DEFERRED_TO_R14 below.
+seeded k-means assignment twin, m07 GIF/LZW real-decode features,
+st35 the idempotent-sink torn-bulk certification) displace — together
+with the 16 leads — the 20 cheapest-to-defer r08 rows, which carry to
+round 14. Per-row deferral reasoning is inline in DEFERRED_TO_R14
+below.
 
 ROUND-14 PLAN (written in round 13, the established handoff): once
-CORRECTNESS_r13 lands, the union's stalest rows are the 19 deferred
+CORRECTNESS_r13 lands, the union's stalest rows are the 20 deferred
 r08 rows in DEFERRED_TO_R14, then the 48-row r09 cohort. The round-14
-window is those 19 + the r09 cohort, with any round-14 additions
-displacing the cheapest-to-defer r09 rows."""
+window is those 20 + 30 of the r09 cohort, with any round-14 additions
+displacing the cheapest-to-defer r09 rows (18 r09 rows defer to r15
+even with zero additions)."""
 
 from __future__ import annotations
 
@@ -24,7 +26,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 14 (the 19 cheapest-to-defer r08 rows). Every
+# Deferred to round 14 (the 20 cheapest-to-defer r08 rows). Every
 # deferral leaves its family covered by an in-window or r11/r12-checked
 # sibling:
 # - s06_kmeans_cells (rows-only; its assignment path is hash-exact
@@ -40,7 +42,9 @@ DRIVER_WINDOW_SIZE = 50
 # - w15/w16/w17 (window-fn families: w11/w22 r09, w12b r12 for
 #   distinct-user sketches, SCD2 stays covered by in-window w18),
 # - st08 (streaming session window: batch sibling w03 stays in-window,
-#   st01/st02 streaming event-time stays in-window).
+#   st01/st02 streaming event-time stays in-window),
+# - w19 (funnel/attribution family: w07 and w21 both checked r09;
+#   displaced by the late-added st35).
 DEFERRED_TO_R14 = (
     "d14_semantic_dedup",
     "m01_multimodal_decode",
@@ -61,6 +65,7 @@ DEFERRED_TO_R14 = (
     "w15_rolling_zscore_anomaly",
     "w16_windowed_distinct_users",
     "w17_scd2_dimension_join",
+    "w19_purchase_attribution",
 )
 
 # The 16 rows whose latest driver record is r07 — deferred from the
@@ -84,7 +89,7 @@ LEAD_R07 = (
     "t05_rolling_hash",
 )
 
-# The 31 r08-cohort rows that keep their slot.
+# The 30 r08-cohort rows that keep their slot.
 LEAD_R08 = (
     "d30_leakage_safe_split",
     "d31_weighted_sample",
@@ -116,7 +121,6 @@ LEAD_R08 = (
     "w03_session_window",
     "w04_interval_join",
     "w18_scd2_snapshot",
-    "w19_purchase_attribution",
 )
 
 # Never driver-checked (new in round 13); take the final slots.
@@ -124,6 +128,7 @@ NEVER_CHECKED = (
     "st34_wire_topology_fault_injected",
     "s06b_kmeans_cells_seeded",
     "m07_gif_features",
+    "st35_idempotent_sink_torn_bulk",
 )
 
 

@@ -303,3 +303,49 @@ def test_search_all_paginates_search_after_in_order():
         assert len(pages) == 4, pages
     finally:
         srv.stop()
+
+
+def test_torn_bulk_duplicates_without_ids_and_converges_with_them():
+    """The adversarial at-least-once shape: a _bulk that applies HALF
+    its items and then fails looks exactly like a clean rejection from
+    the client side, so the full-body retry re-indexes what already
+    landed. Auto-id actions (the reference's deployed behavior — its
+    .id() line is commented out, DataStreamJob.java:191) DUPLICATE;
+    explicit-id actions are idempotent upserts and converge. Driver row
+    st35 certifies the same property wire-to-wire."""
+    # without ids: duplicates (pinned, not fixed — it documents why
+    # index_by_id exists)
+    srv = FakeOpenSearchServer(partial_every=2)
+    url = srv.start()
+    try:
+        client = HttpOpenSearchClient(url, throttle_backoff_s=0.01)
+        client.indices.create("noid", {"settings": {}})
+        # prime the per-request counter: tearing hits every 2nd bulk, so
+        # the next call's FIRST attempt tears and its retry lands clean
+        http_bulk(client, iter([{"_index": "prime", "_source": {"x": 0}}]))
+        n = http_bulk(
+            client,
+            iter([{"_index": "noid", "_source": {"i": i}} for i in range(10)]),
+            backoff_s=0.01,
+        )
+        assert n == 10
+        # bulk #2 applied 5 items then 429'd; the retry applied all 10
+        assert len(srv.docs["noid"]) == 15, "torn write + replay duplicates"
+
+        # with ids: the replay REPLACES the torn half — exactly once
+        client.indices.create("byid", {"settings": {}})
+        n = http_bulk(
+            client,
+            iter(
+                [
+                    {"_index": "byid", "_id": f"d{i}", "_source": {"i": i}}
+                    for i in range(10)
+                ]
+            ),
+            backoff_s=0.01,
+        )
+        assert n == 10
+        assert len(srv.docs["byid"]) == 10, "idempotent upsert converges"
+        assert sorted(d["i"] for d in srv.docs["byid"]) == list(range(10))
+    finally:
+        srv.stop()
