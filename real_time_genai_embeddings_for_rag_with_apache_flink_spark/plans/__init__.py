@@ -19,12 +19,13 @@ from . import retrieval  # noqa: E402,F401
 # CORRECTNESS_r12 the union's stalest rows are the 16 rows deferred
 # from the r12 window (last checked r07: q49-q60, t24, w01, d07, s07,
 # t05), then the 50-row r08 cohort. The 16 lead; the r08 cohort
-# follows; and the four entries NEW this round (never driver-checked:
+# follows; and the five entries NEW this round (never driver-checked:
 # st34 the fault-injected wire topology, s06b the seeded k-means
 # assignment twin, m07 GIF/LZW real-decode features, st35 the
-# idempotent-sink torn-bulk certification) displace — along with the
-# 16 leads — the 20 cheapest-to-defer r08 rows, which carry to round
-# 14 as its lead. Deferral reasoning per row in
+# idempotent-sink torn-bulk certification, st36 the exactly-once
+# checkpoint-restart wire certification) displace — along with the 16
+# leads — the 21 cheapest-to-defer r08 rows, which carry to round 14
+# as its lead. Deferral reasoning per row in
 # tests/test_driver_window.py DEFERRED_TO_R14.
 DRIVER_WINDOW: list[str] = [
     # -- the 16 r07-stale rows deferred from the r12 window -----------
@@ -70,7 +71,6 @@ DRIVER_WINDOW: list[str] = [
     "st21_stream_zscore_anomaly",
     "st22_stream_cdc_apply",
     "st23_stream_ivm",
-    "st24_stream_compaction",
     "t25_source_divergence",
     "w03_session_window",
     "w04_interval_join",
@@ -80,6 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "s06b_kmeans_cells_seeded",
     "m07_gif_features",
     "st35_idempotent_sink_torn_bulk",
+    "st36_restart_exactly_once_wire",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -4191,3 +4191,121 @@ def st35_idempotent_sink_torn_bulk(spark: SparkSession, sf_dir: str) -> DataFram
         osrv.stop()
 
     return _st33_certify(spark, hits)
+
+
+_ST36_DOCS = 600
+_ST36_SHARDS = 4
+_ST36_DIM = 32
+
+
+@query(
+    "st36_restart_exactly_once_wire",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST36_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "source", "sink", "kinesis", "opensearch", "pipeline"),
+)
+def st36_restart_exactly_once_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SOURCE recovery across a real checkpoint restart,
+    certified at the wire level: the st33 topology runs TWICE against
+    one checkpoint — run 1 drains the first half of the corpus (300
+    docs) and terminates; the stream then GROWS (the producer keeps
+    writing, simulated by appending the second half to the live
+    shards); run 2 restarts from the offset log and must consume ONLY
+    the new records. The restarted reader instance has no walk cache,
+    so this exercises the exact seam the module docstring dissects:
+    Spark calls ``latestOffset`` on the fresh instance before anything
+    else, the unpaced strict walk re-derives the true tip, and
+    ``partitions(committed, tip)`` plans AFTER_SEQUENCE_NUMBER ranges
+    strictly above the committed cursors. The sink uses the reference's
+    AUTO-ID behavior on purpose (no ``index_by_id`` safety net): a
+    restart that re-reads even one committed record lands a duplicate
+    document, inflating n_docs/sum_coords and breaking st33's
+    arithmetic oracle; a restart that over-trusts a stale cursor skips
+    records and deflates it. Hash-exact means the offset-log contract
+    holds end to end, not just in the unit-level fake-engine tests
+    (tests/test_kinesis_lite.py pins the same property per-component).
+    (sf_dir unused: the corpus is generated.)
+
+    Scale shape: st33's — the restart adds one offset-log read and one
+    unpaced tip walk per shard, nothing corpus-sized."""
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import wire_record
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    half = _ST36_DOCS // 2
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(_ST36_SHARDS)
+    }
+    for doc_id in range(half):
+        _, wire = wire_record(42, doc_id)
+        shards[f"shardId-{doc_id % _ST36_SHARDS:012d}"].append(
+            (str(doc_id), wire.encode())
+        )
+    ksrv = FakeKinesisServer("docs", shards)
+    kurl = ksrv.start()
+    osrv = FakeOpenSearchServer()
+    ourl = osrv.start()
+    ckpt = tempfile.mkdtemp(prefix="st36_ckpt_")
+    try:
+        cfg = PipelineConfig(
+            source_format="kinesis-lite",
+            sink_format="opensearch",
+            embedding_dim=_ST36_DIM,
+            on_error="fail",
+            start_position="earliest",
+            checkpoint_dir=ckpt,
+            extra={
+                "kinesis_stream": "docs",
+                "kinesis_region": "us-east-1",
+                "kinesis_endpoint": kurl,
+                "transport": "http",
+                "hosts": [ourl],
+                "index": "embeddings",
+            },
+        )
+        # run 1: drain the visible half, then the query terminates
+        run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder).awaitTermination()
+        n_after_first = sum(len(v) for v in osrv.docs.values())
+        assert n_after_first == half, n_after_first
+        # the producer keeps writing while the job is down
+        for doc_id in range(half, _ST36_DOCS):
+            _, wire = wire_record(42, doc_id)
+            ksrv.append(
+                f"shardId-{doc_id % _ST36_SHARDS:012d}",
+                [(str(doc_id), wire.encode())],
+            )
+        # run 2: restart from the SAME checkpoint — only new records
+        run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder).awaitTermination()
+        method = osrv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        client = HttpOpenSearchClient(ourl)
+        hits = list(client.search_all("embeddings", "text", page_size=250))
+    finally:
+        ksrv.stop()
+        osrv.stop()
+
+    return _st33_certify(spark, hits)

@@ -8,16 +8,17 @@ d07, s07, t05), then the 50-row r08 cohort. The 16 lead this window;
 the r08 cohort follows; the three entries NEW this round (never
 driver-checked: st34 the fault-injected wire topology, s06b the
 seeded k-means assignment twin, m07 GIF/LZW real-decode features,
-st35 the idempotent-sink torn-bulk certification) displace — together
-with the 16 leads — the 20 cheapest-to-defer r08 rows, which carry to
-round 14. Per-row deferral reasoning is inline in DEFERRED_TO_R14
-below.
+st35 the idempotent-sink torn-bulk certification, st36 the
+exactly-once checkpoint-restart wire certification) displace —
+together with the 16 leads — the 21 cheapest-to-defer r08 rows, which
+carry to round 14. Per-row deferral reasoning is inline in
+DEFERRED_TO_R14 below.
 
 ROUND-14 PLAN (written in round 13, the established handoff): once
-CORRECTNESS_r13 lands, the union's stalest rows are the 20 deferred
+CORRECTNESS_r13 lands, the union's stalest rows are the 21 deferred
 r08 rows in DEFERRED_TO_R14, then the 48-row r09 cohort. The round-14
-window is those 20 + 30 of the r09 cohort, with any round-14 additions
-displacing the cheapest-to-defer r09 rows (18 r09 rows defer to r15
+window is those 21 + 29 of the r09 cohort, with any round-14 additions
+displacing the cheapest-to-defer r09 rows (19 r09 rows defer to r15
 even with zero additions)."""
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 14 (the 20 cheapest-to-defer r08 rows). Every
+# Deferred to round 14 (the 21 cheapest-to-defer r08 rows). Every
 # deferral leaves its family covered by an in-window or r11/r12-checked
 # sibling:
 # - s06_kmeans_cells (rows-only; its assignment path is hash-exact
@@ -44,7 +45,9 @@ DRIVER_WINDOW_SIZE = 50
 # - st08 (streaming session window: batch sibling w03 stays in-window,
 #   st01/st02 streaming event-time stays in-window),
 # - w19 (funnel/attribution family: w07 and w21 both checked r09;
-#   displaced by the late-added st35).
+#   displaced by the late-added st35),
+# - st24 (table-maintenance family: p19 z-order and p20 compaction
+#   planner stay in-window; displaced by the late-added st36).
 DEFERRED_TO_R14 = (
     "d14_semantic_dedup",
     "m01_multimodal_decode",
@@ -61,6 +64,7 @@ DEFERRED_TO_R14 = (
     "s21_pca_projection",
     "s22_pca_ann",
     "st08_stream_session_append",
+    "st24_stream_compaction",
     "t22b_bpe_vocab_local",
     "w15_rolling_zscore_anomaly",
     "w16_windowed_distinct_users",
@@ -89,7 +93,7 @@ LEAD_R07 = (
     "t05_rolling_hash",
 )
 
-# The 30 r08-cohort rows that keep their slot.
+# The 29 r08-cohort rows that keep their slot.
 LEAD_R08 = (
     "d30_leakage_safe_split",
     "d31_weighted_sample",
@@ -116,7 +120,6 @@ LEAD_R08 = (
     "st21_stream_zscore_anomaly",
     "st22_stream_cdc_apply",
     "st23_stream_ivm",
-    "st24_stream_compaction",
     "t25_source_divergence",
     "w03_session_window",
     "w04_interval_join",
@@ -129,6 +132,7 @@ NEVER_CHECKED = (
     "s06b_kmeans_cells_seeded",
     "m07_gif_features",
     "st35_idempotent_sink_torn_bulk",
+    "st36_restart_exactly_once_wire",
 )
 
 
