@@ -470,3 +470,28 @@ def test_gif_features_match_hand_computation(spark):
     assert (z.width, z.height) == (16, 3)
     assert z.index_sum == 40 * ord("z")
     assert z.bottomleft_idx == ord("z")  # byte 32 starts the last row
+
+
+def test_gif_lzw_roundtrip_property():
+    """Property-based: LZW encode->decode is the identity for arbitrary
+    byte strings at every clear cadence (hypothesis drives the corpus;
+    the explicit cases above pin the named edge paths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=4000),
+        clear_every=st.sampled_from([0, 1, 3, 64]),
+    )
+    def check(data: bytes, clear_every: int):
+        assert _gif_lzw_decode(
+            _gif_lzw_encode(data, clear_every=clear_every), 8
+        ) == data
+
+    check()
