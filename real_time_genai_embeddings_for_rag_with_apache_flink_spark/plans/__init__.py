@@ -45,7 +45,7 @@ DRIVER_WINDOW: list[str] = [
     "d07_hash_sample",
     "s07_scalar_quantization",
     "t05_rolling_hash",
-    # -- the r08 cohort minus the 19 declared round-14 deferrals ------
+    # -- the r08 cohort minus the 21 declared round-14 deferrals ------
     "d30_leakage_safe_split",
     "d31_weighted_sample",
     "d32_dup_graph_pagerank",

@@ -102,6 +102,10 @@ from pyspark.sql.datasource import (
 
 _API_VERSION = "Kinesis_20131202"
 _MAX_EMPTY_POLLS = 8  # GetRecords may return empty pages mid-stream
+# persist=True walks tolerate long empty runs (sparse/aged stream
+# regions) because every page advances the iterator; this cap only
+# trips a service that stops advancing entirely
+_PERSIST_EMPTY_CAP = 100_000
 
 
 # ---------------------------------------------------------------------------
@@ -342,19 +346,39 @@ class KinesisClient:
         limit: int,
         strict: bool = False,
         stop_after: int | None = None,
+        persist: bool = False,
     ) -> list[dict]:
         """Up to `limit` records strictly after `position` (None =
         shard start). Stops at a caught-up shard (empty page with
         MillisBehindLatest 0) or a closed one (no NextShardIterator).
-        A behind-tip shard may serve empty pages while the service
-        catches up; after _MAX_EMPTY_POLLS of those, ``strict=False``
-        returns what it has (fine for tip discovery — the next trigger
-        continues) while ``strict=True`` RAISES (required for a planned
-        executor range, where returning early would silently drop
-        committed records; the failed task retries instead)."""
+        A behind-tip shard may serve empty pages while the iterator
+        seeks (a sparse or aged stream region serves MANY); the three
+        empty-page policies, by call site:
+
+        - default (lenient): return what we have after _MAX_EMPTY_POLLS
+          empties — fine for PACED tip discovery, whose walk start is
+          an instance-derived floor >= every committed position, so an
+          early end can never plan a duplicate range;
+        - ``strict=True``: RAISE — required for a planned EXECUTOR
+          range, where returning early would silently drop committed
+          records; the failed task retries (task retry is real there,
+          unlike a driver-side source call, which would kill the query);
+        - ``persist=True``: keep polling through empty pages until
+          caught up — required for UNPACED driver walks (restart
+          carry-over, LATEST resolution), which have no committed floor
+          and whose early return would log a stale end below committed
+          records (the next batch would then re-emit them). Each empty
+          page still advances the shard iterator, so the walk
+          provably progresses; _PERSIST_EMPTY_CAP bounds the
+          pathological non-advancing endpoint."""
         return list(
             self.iter_after(
-                shard_id, position, limit, strict=strict, stop_after=stop_after
+                shard_id,
+                position,
+                limit,
+                strict=strict,
+                stop_after=stop_after,
+                persist=persist,
             )
         )
 
@@ -365,6 +389,7 @@ class KinesisClient:
         limit: int,
         strict: bool = False,
         stop_after: int | None = None,
+        persist: bool = False,
     ):
         """Generator form of read_after — yields one GetRecords PAGE's
         records at a time, so an executor streaming a huge planned
@@ -389,6 +414,15 @@ class KinesisClient:
                 empty += 1
                 if page.get("MillisBehindLatest", 0) == 0:
                     break
+                if persist:
+                    if empty >= _PERSIST_EMPTY_CAP:
+                        raise RuntimeError(
+                            f"shard {shard_id}: {empty} consecutive empty "
+                            "GetRecords pages while still behind tip — "
+                            "the iterator is not advancing (service "
+                            "fault); refusing to return a below-tip end"
+                        )
+                    continue
                 if empty >= _MAX_EMPTY_POLLS:
                     if strict:
                         raise RuntimeError(
@@ -625,21 +659,24 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
         retention). Fresh client per call — walks run concurrently.
 
         UNPACED walks (cap None — restart carry-over, brand-new shard,
-        LATEST resolution) run STRICT: an early return after
-        _MAX_EMPTY_POLLS empty pages while still behind tip could land
-        BELOW a committed start the restarted instance cannot see, and
-        once the engine logs that stale end the next batch
-        (stale_end, new_tip] re-emits already-committed records — so a
-        transiently slow shard fails the trigger (the engine retries)
-        rather than opening that duplicate window. PACED walks start
-        from an instance-derived floor ≥ every committed position, so
-        their early return is always ≥ committed and stays lenient."""
+        LATEST resolution) run PERSISTENT: an early return after a few
+        empty behind-tip pages could land BELOW a committed start the
+        restarted instance cannot see, and once the engine logs that
+        stale end the next batch (stale_end, new_tip] re-emits
+        already-committed records. A sparse or aged stream region
+        legitimately serves MANY empty pages while the iterator seeks
+        (so raising here — a driver-side source call, where no task
+        retry exists — would kill the query); persist keeps polling
+        until caught up, guaranteed to progress because every page
+        advances the iterator. PACED walks start from an
+        instance-derived floor ≥ every committed position, so their
+        early return is always ≥ committed and stays lenient."""
         client = KinesisClient(self.options)
         last = start
         remaining = cap
         while remaining is None or remaining > 0:
             page = min(10_000, remaining) if remaining is not None else 10_000
-            recs = client.read_after(shard, last, page, strict=cap is None)
+            recs = client.read_after(shard, last, page, persist=cap is None)
             if not recs:
                 return last
             last = recs[-1]["SequenceNumber"]
@@ -650,21 +687,40 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
     def _walk_all(self, targets: dict[str, tuple[str | None, int | None]]):
         """Concurrent tip walks: {shard: (start, cap)} -> {shard: tip}.
         Bounded pool — driver poll latency is max over shards, not the
-        serial sum (the r11 scale caveat)."""
+        serial sum (the r11 scale caveat). Completed walks are CACHED
+        into self._positions before any failure propagates: on a
+        many-shard stream where one shard's walk dies (throttle-retry
+        exhaustion, the persist cap), the other shards' possibly
+        retention-length walks must not be thrown away — the retry then
+        RESUMES from their tips instead of re-walking every shard."""
         if not targets:
             return {}
         workers = min(self.walk_threads, len(targets))
         if workers == 1:
-            return {
-                s: self._walk_to_tip(s, p, c)
-                for s, (p, c) in targets.items()
-            }
+            out: dict[str, str | None] = {}
+            try:
+                for s, (p, c) in targets.items():
+                    out[s] = self._walk_to_tip(s, p, c)
+            finally:
+                self._positions.update(out)
+            return out
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
             futs = {
                 s: pool.submit(self._walk_to_tip, s, p, c)
                 for s, (p, c) in targets.items()
             }
-            return {s: f.result() for s, f in futs.items()}
+            done: dict[str, str | None] = {}
+            first_exc: BaseException | None = None
+            for s, f in futs.items():
+                try:
+                    done[s] = f.result()
+                except BaseException as e:  # noqa: BLE001 - re-raised below
+                    if first_exc is None:
+                        first_exc = e
+            self._positions.update(done)
+            if first_exc is not None:
+                raise first_exc
+            return done
 
     def initialOffset(self) -> dict:
         listed = self._client.list_shards()
@@ -739,8 +795,9 @@ class KinesisLiteStreamReader(DataSourceStreamReader):
             # conceivable path — a transiently slow shard making an
             # early empty-poll return below live committed records — is
             # closed at the source: unpaced walks run read_after
-            # strict=True and FAIL the trigger instead of returning a
-            # stale end; see _walk_to_tip.) The engine has already
+            # persist=True and keep polling to the true tip instead of
+            # returning a stale end; see _walk_to_tip.) The engine has
+            # already
             # logged the stale end by the time we run, so the next
             # batch will be planned as (stale_end, new_tip] — but that
             # range cannot re-emit the committed records: every

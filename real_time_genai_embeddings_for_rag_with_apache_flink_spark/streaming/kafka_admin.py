@@ -66,7 +66,9 @@ def ensure_topic(
 ) -> bool:
     """Create ``topic`` if it does not exist; True if created, False if
     it was already there (idempotent, like ensure_knn_index — a rerun
-    or a second job sharing the topic must not fail the bootstrap).
+    or a second job sharing the topic must not fail the bootstrap;
+    list-then-create is racy, so a concurrent creator's
+    TopicAlreadyExists is also treated as the already-there success).
     ``region`` switches on the reference's MSK IAM auth; ``admin_factory``
     injects a fake client in tests."""
     factory = admin_factory or _default_admin_factory
@@ -92,7 +94,17 @@ def ensure_topic(
                 "replication_factor": replication_factor,
             }
         )
-        admin.create_topics(new_topics=[new], validate_only=False)
+        try:
+            admin.create_topics(new_topics=[new], validate_only=False)
+        except Exception as e:
+            # list-then-create is racy: a concurrent bootstrap (two jobs
+            # sharing the topic) can win between our list and create.
+            # Already-exists IS the idempotent success case — match by
+            # class name so the check works without importing
+            # kafka.errors (and against injected fakes).
+            if "TopicAlreadyExists" in type(e).__name__:
+                return False
+            raise
         return True
     finally:
         admin.close()

@@ -273,17 +273,7 @@ def _opensearch_writer(cfg: PipelineConfig) -> Callable[[DataFrame, int], None]:
         if "error" in batch.columns:
             good = batch.filter(F.col("error").isNull())
         by_id = bool(cfg.extra.get("index_by_id"))
-        if by_id:
-            # the sink projection plus the M2 _id (to_sink_docs is the
-            # reference's exact createIndexRequest2 triple and drops it)
-            docs = good.select(
-                F.col("embedding").alias("passage_embedding"),
-                F.col("created_at").alias("date"),
-                F.col("text"),
-                F.col("_id").cast("string").alias("_id"),
-            )
-        else:
-            docs = to_sink_docs(good)
+        docs = to_sink_docs(good, include_id=by_id)
 
         def send_partition(rows) -> None:
             first = next(iter(rows), None)

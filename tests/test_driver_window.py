@@ -5,7 +5,7 @@ rotation (executing the plan written in round 12): after
 CORRECTNESS_r12 the cross-round union's stalest rows were the 16
 deferred from the r12 window (last checked r07: q49-q60, t24, w01,
 d07, s07, t05), then the 50-row r08 cohort. The 16 lead this window;
-the r08 cohort follows; the three entries NEW this round (never
+the r08 cohort follows; the five entries NEW this round (never
 driver-checked: st34 the fault-injected wire topology, s06b the
 seeded k-means assignment twin, m07 GIF/LZW real-decode features,
 st35 the idempotent-sink torn-bulk certification, st36 the

@@ -894,37 +894,101 @@ def test_get_records_backs_off_on_throughput_exceeded():
         hard.stop()
 
 
-def test_unpaced_walk_is_strict_on_empty_pages_behind_tip(monkeypatch):
-    """A transiently slow shard serving empty GetRecords pages while
-    still BEHIND TIP must fail an UNPACED driver walk (restart
-    carry-over / LATEST resolution) instead of returning early: the
-    early return can land below a committed start the restarted
-    instance cannot see, the engine logs that stale end, and the next
-    batch (stale_end, new_tip] re-emits already-committed records. A
+def test_unpaced_walk_persists_through_empty_pages_behind_tip(monkeypatch):
+    """A shard serving empty GetRecords pages while still BEHIND TIP
+    (sparse/aged stream regions do this for many consecutive pages)
+    must not make an UNPACED driver walk (restart carry-over / LATEST
+    resolution) return early: the early return can land below a
+    committed start the restarted instance cannot see, the engine logs
+    that stale end, and the next batch (stale_end, new_tip] re-emits
+    already-committed records. The unpaced walk PERSISTS — keeps
+    polling through far more than _MAX_EMPTY_POLLS empty pages until
+    the true tip (raising would be just as wrong: a driver-side source
+    failure kills the query, and empty behind-tip pages are normal). A
     PACED walk starts from an instance-derived floor >= every committed
     position, so its early return stays lenient."""
     reader = KinesisLiteStreamReader(
         {"stream_name": "docs", "endpoint_url": "http://127.0.0.1:1"}
     )
 
+    served = {"pages": 0}
+
+    def fake_get_records(self, it, limit):
+        served["pages"] += 1
+        if served["pages"] <= 50:  # 50 empty pages, still behind tip
+            return {
+                "Records": [],
+                "MillisBehindLatest": 5000,
+                "NextShardIterator": "tok",
+            }
+        if served["pages"] == 51:  # the tip record finally arrives
+            return {
+                "Records": [
+                    {"SequenceNumber": "99", "PartitionKey": "k", "Data": ""}
+                ],
+                "MillisBehindLatest": 0,
+                "NextShardIterator": "tok2",
+            }
+        return {  # caught up: empty at tip
+            "Records": [],
+            "MillisBehindLatest": 0,
+            "NextShardIterator": "tok2",
+        }
+
     monkeypatch.setattr(
         KinesisClient, "shard_iterator", lambda self, s, p: "tok"
     )
+    monkeypatch.setattr(KinesisClient, "get_records", fake_get_records)
+
+    # unpaced (cap None): pushes through the empty run to the true tip
+    assert reader._walk_to_tip("shardId-000000000000", "7", cap=None) == "99"
+    assert served["pages"] >= 51
+
+    # paced (cap set): lenient — early return at the >=committed floor
+    served["pages"] = 0
     monkeypatch.setattr(
         KinesisClient,
         "get_records",
         lambda self, it, limit: {
             "Records": [],
-            "MillisBehindLatest": 5000,  # behind tip, nothing served
+            "MillisBehindLatest": 5000,
             "NextShardIterator": "tok",
         },
     )
-
-    # unpaced (cap None): strict — raises instead of a stale early end
-    with pytest.raises(RuntimeError, match="empty"):
-        reader._walk_to_tip("shardId-000000000000", "7", cap=None)
-    # paced (cap set): lenient — early return at the >=committed floor
     assert reader._walk_to_tip("shardId-000000000000", "7", cap=5) == "7"
+
+    # pathological endpoint (iterator never advances): the persist cap
+    # still refuses to return a below-tip end
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources import (
+        kinesis_lite as kl,
+    )
+
+    monkeypatch.setattr(kl, "_PERSIST_EMPTY_CAP", 20)
+    with pytest.raises(RuntimeError, match="not advancing"):
+        reader._walk_to_tip("shardId-000000000000", "7", cap=None)
+
+
+def test_walk_all_keeps_completed_walks_when_one_shard_fails(monkeypatch):
+    """On a many-shard stream where ONE walk dies, the other shards'
+    (possibly retention-length) completed walks must be cached so the
+    retry RESUMES from their tips instead of re-walking everything."""
+    reader = KinesisLiteStreamReader(
+        {"stream_name": "docs", "endpoint_url": "http://127.0.0.1:1"}
+    )
+
+    def fake_walk(self, shard, start, cap=None):
+        if shard == "bad":
+            raise RuntimeError("injected walk failure")
+        return "42"
+
+    monkeypatch.setattr(KinesisLiteStreamReader, "_walk_to_tip", fake_walk)
+    with pytest.raises(RuntimeError, match="injected"):
+        reader._walk_all(
+            {"a": (None, None), "bad": (None, None), "c": (None, None)}
+        )
+    assert reader._positions.get("a") == "42"
+    assert reader._positions.get("c") == "42"
+    assert "bad" not in reader._positions
 
 
 def test_put_records_resubmits_back_off_between_attempts(monkeypatch):

@@ -407,3 +407,29 @@ def test_kafka_topic_bootstrap_mirrors_reference_lambda():
     # the real factory is import-gated with a actionable error
     with pytest.raises(NotImplementedError, match="kafka-python"):
         ensure_topic("b:9092", "t")
+
+
+def test_kafka_topic_bootstrap_tolerates_create_race():
+    """list-then-create is racy: a concurrent bootstrap can create the
+    topic between our list and create. The broker's TopicAlreadyExists
+    is the idempotent-success case, not a failure."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.kafka_admin import (
+        ensure_topic,
+    )
+
+    class TopicAlreadyExistsError(Exception):
+        pass
+
+    class RacyAdmin:
+        def list_topics(self):
+            return []  # the racing creator hasn't landed yet...
+
+        def create_topics(self, new_topics, validate_only):
+            raise TopicAlreadyExistsError("...but wins the create")
+
+        def close(self):
+            pass
+
+    assert not ensure_topic(
+        "b:9092", "t", admin_factory=lambda b, r: RacyAdmin()
+    )
