@@ -325,7 +325,29 @@ def run_pipeline(
 
     With ``trigger_interval=None`` the job drains available input and
     stops (availableNow) — the test/batch-replay mode; with an interval it
-    runs continuously like the reference job."""
+    runs continuously like the reference job.
+
+    ``extra.bootstrap_topic=True`` (kafka source only) creates the
+    source topic first via streaming/kafka_admin.ensure_topic — the
+    deploy step the reference runs as a custom-resource Lambda before
+    the Flink job starts (MSK-S/topicCreation/index.py), in the same
+    driver-side create-if-missing position as the OpenSearch sink's
+    ensure_knn_index. Knobs: extra.topic_partitions,
+    extra.topic_replication_factor, extra.msk_region (IAM auth),
+    extra.kafka_admin_factory (test injection)."""
+    if cfg.source_format == "kafka" and cfg.extra.get("bootstrap_topic"):
+        from .kafka_admin import ensure_topic
+
+        ensure_topic(
+            cfg.kafka_bootstrap,
+            cfg.kafka_topic,
+            num_partitions=int(cfg.extra.get("topic_partitions", 1)),
+            replication_factor=int(
+                cfg.extra.get("topic_replication_factor", 1)
+            ),
+            region=cfg.extra.get("msk_region"),
+            admin_factory=cfg.extra.get("kafka_admin_factory"),
+        )
     emb = build_pipeline(spark, cfg, embedder_factory=embedder_factory)
     writer = emb.writeStream.foreachBatch(foreach_batch_writer(cfg))
     if cfg.checkpoint_dir:

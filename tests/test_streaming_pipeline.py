@@ -433,3 +433,50 @@ def test_kafka_topic_bootstrap_tolerates_create_race():
     assert not ensure_topic(
         "b:9092", "t", admin_factory=lambda b, r: RacyAdmin()
     )
+
+
+def test_run_pipeline_bootstraps_kafka_topic_when_asked(spark):
+    """extra.bootstrap_topic=True makes run_pipeline create the source
+    topic before the stream starts — the reference's topicCreation
+    custom resource in the engine's ensure_knn_index position. The
+    stream build itself fails in this container (no Kafka connector
+    jar), so the injected fake admin records the bootstrap and the
+    failure mode proves ordering: topic DDL ran FIRST."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.pipeline import (
+        run_pipeline,
+    )
+
+    created = []
+
+    class FakeAdmin:
+        def list_topics(self):
+            return []
+
+        def create_topics(self, new_topics, validate_only):
+            created.extend(new_topics)
+
+        def close(self):
+            pass
+
+    cfg = PipelineConfig(
+        source_format="kafka",
+        kafka_bootstrap="b-1:9098",
+        kafka_topic="input-topic",
+        checkpoint_dir=str(spark.conf.get("spark.sql.warehouse.dir")),
+        extra={
+            "bootstrap_topic": True,
+            "topic_partitions": 3,
+            "kafka_admin_factory": lambda b, r: FakeAdmin(),
+        },
+    )
+    with pytest.raises(Exception):
+        # the kafka connector jar is absent — the stream build raises
+        # AFTER the bootstrap, which is exactly the ordering under test
+        run_pipeline(spark, cfg)
+    assert len(created) == 1
+    spec = created[0]
+    name = spec["name"] if isinstance(spec, dict) else spec.name
+    parts = (
+        spec["num_partitions"] if isinstance(spec, dict) else spec.num_partitions
+    )
+    assert (name, parts) == ("input-topic", 3)
