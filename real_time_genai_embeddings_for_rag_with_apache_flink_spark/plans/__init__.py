@@ -19,14 +19,14 @@ from . import retrieval  # noqa: E402,F401
 # CORRECTNESS_r12 the union's stalest rows are the 16 rows deferred
 # from the r12 window (last checked r07: q49-q60, t24, w01, d07, s07,
 # t05), then the 50-row r08 cohort. The 16 lead; the r08 cohort
-# follows; and the five entries NEW this round (never driver-checked:
+# follows; and the six entries NEW this round (never driver-checked:
 # st34 the fault-injected wire topology, s06b the seeded k-means
 # assignment twin, m07 GIF/LZW real-decode features, st35 the
 # idempotent-sink torn-bulk certification, st36 the exactly-once
-# checkpoint-restart wire certification) displace — along with the 16
-# leads — the 21 cheapest-to-defer r08 rows, which carry to round 14
-# as its lead. Deferral reasoning per row in
-# tests/test_driver_window.py DEFERRED_TO_R14.
+# checkpoint-restart wire certification, s29 Matryoshka prefix-dim
+# ANN) displace — along with the 16 leads — the 22 cheapest-to-defer
+# r08 rows, which carry to round 14 as its lead. Deferral reasoning
+# per row in tests/test_driver_window.py DEFERRED_TO_R14.
 DRIVER_WINDOW: list[str] = [
     # -- the 16 r07-stale rows deferred from the r12 window -----------
     "q49_priority_late_orders",
@@ -45,7 +45,7 @@ DRIVER_WINDOW: list[str] = [
     "d07_hash_sample",
     "s07_scalar_quantization",
     "t05_rolling_hash",
-    # -- the r08 cohort minus the 21 declared round-14 deferrals ------
+    # -- the r08 cohort minus the 22 declared round-14 deferrals ------
     "d30_leakage_safe_split",
     "d31_weighted_sample",
     "d32_dup_graph_pagerank",
@@ -60,7 +60,6 @@ DRIVER_WINDOW: list[str] = [
     "p20_compaction_planner",
     "p21_k_anonymity_audit",
     "s23_binary_hamming_ann",
-    "s24_hamming_width_advisor",
     "s25_retrieval_eval",
     "s26_maxsim_late_interaction",
     "st01_stream_tumbling_complete",
@@ -81,6 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "m07_gif_features",
     "st35_idempotent_sink_torn_bulk",
     "st36_restart_exactly_once_wire",
+    "s29_matryoshka_prefix_ann",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -5,20 +5,21 @@ rotation (executing the plan written in round 12): after
 CORRECTNESS_r12 the cross-round union's stalest rows were the 16
 deferred from the r12 window (last checked r07: q49-q60, t24, w01,
 d07, s07, t05), then the 50-row r08 cohort. The 16 lead this window;
-the r08 cohort follows; the five entries NEW this round (never
+the r08 cohort follows; the six entries NEW this round (never
 driver-checked: st34 the fault-injected wire topology, s06b the
 seeded k-means assignment twin, m07 GIF/LZW real-decode features,
 st35 the idempotent-sink torn-bulk certification, st36 the
-exactly-once checkpoint-restart wire certification) displace —
-together with the 16 leads — the 21 cheapest-to-defer r08 rows, which
-carry to round 14. Per-row deferral reasoning is inline in
+exactly-once checkpoint-restart wire certification, s29 the
+Matryoshka prefix-dimension ANN serving path) displace — together
+with the 16 leads — the 22 cheapest-to-defer r08 rows, which carry to
+round 14. Per-row deferral reasoning is inline in
 DEFERRED_TO_R14 below.
 
 ROUND-14 PLAN (written in round 13, the established handoff): once
-CORRECTNESS_r13 lands, the union's stalest rows are the 21 deferred
+CORRECTNESS_r13 lands, the union's stalest rows are the 22 deferred
 r08 rows in DEFERRED_TO_R14, then the 48-row r09 cohort. The round-14
-window is those 21 + 29 of the r09 cohort, with any round-14 additions
-displacing the cheapest-to-defer r09 rows (19 r09 rows defer to r15
+window is those 22 + 28 of the r09 cohort, with any round-14 additions
+displacing the cheapest-to-defer r09 rows (20 r09 rows defer to r15
 even with zero additions)."""
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 14 (the 21 cheapest-to-defer r08 rows). Every
+# Deferred to round 14 (the 22 cheapest-to-defer r08 rows). Every
 # deferral leaves its family covered by an in-window or r11/r12-checked
 # sibling:
 # - s06_kmeans_cells (rows-only; its assignment path is hash-exact
@@ -47,7 +48,10 @@ DRIVER_WINDOW_SIZE = 50
 # - w19 (funnel/attribution family: w07 and w21 both checked r09;
 #   displaced by the late-added st35),
 # - st24 (table-maintenance family: p19 z-order and p20 compaction
-#   planner stay in-window; displaced by the late-added st36).
+#   planner stay in-window; displaced by the late-added st36),
+# - s24 (coarse-pass advisor: its subject s23 stays in-window and the
+#   advisor pattern's sibling d28 has its own union row; displaced by
+#   the late-added s29).
 DEFERRED_TO_R14 = (
     "d14_semantic_dedup",
     "m01_multimodal_decode",
@@ -60,6 +64,7 @@ DEFERRED_TO_R14 = (
     "s06_kmeans_cells",
     "s09_product_quantization",
     "s10_ivfpq_search",
+    "s24_hamming_width_advisor",
     "s20_ivfpq_refined",
     "s21_pca_projection",
     "s22_pca_ann",
@@ -93,7 +98,7 @@ LEAD_R07 = (
     "t05_rolling_hash",
 )
 
-# The 29 r08-cohort rows that keep their slot.
+# The 28 r08-cohort rows that keep their slot.
 LEAD_R08 = (
     "d30_leakage_safe_split",
     "d31_weighted_sample",
@@ -109,7 +114,6 @@ LEAD_R08 = (
     "p20_compaction_planner",
     "p21_k_anonymity_audit",
     "s23_binary_hamming_ann",
-    "s24_hamming_width_advisor",
     "s25_retrieval_eval",
     "s26_maxsim_late_interaction",
     "st01_stream_tumbling_complete",
@@ -133,6 +137,7 @@ NEVER_CHECKED = (
     "m07_gif_features",
     "st35_idempotent_sink_torn_bulk",
     "st36_restart_exactly_once_wire",
+    "s29_matryoshka_prefix_ann",
 )
 
 
