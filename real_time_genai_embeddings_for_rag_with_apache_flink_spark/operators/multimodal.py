@@ -445,6 +445,13 @@ def encode_gif(indices_top_down: bytes, width: int, height: int) -> bytes:
             f"index buffer {len(indices_top_down)} != width*height "
             f"{width * height}"
         )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        # the logical screen descriptor packs dimensions as uint16 —
+        # out-of-range values must fail as a clear ValueError here, not
+        # as struct.error inside an executor
+        raise ValueError(
+            f"GIF dimensions must be in [1, 65535]: got {width}x{height}"
+        )
     gct = bytes(v for i in range(256) for v in (i, i, i))
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
     img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)

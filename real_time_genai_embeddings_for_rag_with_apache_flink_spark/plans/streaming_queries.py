@@ -3693,7 +3693,7 @@ def st31_opensearch_protocol_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         # request): the certification step scales past a single
         # response page; text is unique per doc, so it is a valid
         # resume key. page_size < n_docs so pagination really runs.
-        hits = list(client.search_all("embeddings", "text", page_size=250))
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
     finally:
         srv.stop()
 
@@ -3917,7 +3917,7 @@ def st33_reference_topology_wire_to_wire(spark: SparkSession, sf_dir: str) -> Da
         # paginated read-back — see st31; the one-shot GET /_search a
         # driver-sized fixture permits would cap at the service's
         # single-page size limit on a real domain
-        hits = list(client.search_all("embeddings", "text", page_size=250))
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
     finally:
         ksrv.stop()
         osrv.stop()
@@ -4077,7 +4077,7 @@ def st34_wire_topology_fault_injected(spark: SparkSession, sf_dir: str) -> DataF
         assert method["name"] == "hnsw", method
         assert method["parameters"] == {"ef_construction": 128, "m": 24}
         client = HttpOpenSearchClient(ourl)
-        hits = list(client.search_all("embeddings", "text", page_size=250))
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
     finally:
         ksrv.stop()
         osrv.stop()
@@ -4185,7 +4185,7 @@ def st35_idempotent_sink_torn_bulk(spark: SparkSession, sf_dir: str) -> DataFram
         ]["method"]
         assert method["name"] == "hnsw", method
         client = HttpOpenSearchClient(ourl)
-        hits = list(client.search_all("embeddings", "text", page_size=250))
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
     finally:
         ksrv.stop()
         osrv.stop()
@@ -4303,7 +4303,7 @@ def st36_restart_exactly_once_wire(spark: SparkSession, sf_dir: str) -> DataFram
         ]["method"]
         assert method["name"] == "hnsw", method
         client = HttpOpenSearchClient(ourl)
-        hits = list(client.search_all("embeddings", "text", page_size=250))
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
     finally:
         ksrv.stop()
         osrv.stop()

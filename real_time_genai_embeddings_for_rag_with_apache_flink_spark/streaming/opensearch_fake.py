@@ -134,17 +134,55 @@ class FakeOpenSearchServer:
                 sort = query.get("sort")
                 if sort:
                     field = next(iter(sort[0]))
-                    hits = sorted(hits, key=lambda s: s.get(field))
+                    # mapping fidelity: real OpenSearch disables
+                    # fielddata on text fields, so sorting on one fails
+                    # with search_phase_execution_exception unless the
+                    # sort targets a keyword subfield (text.raw). The
+                    # fake enforces the same rule from the creation
+                    # body, so a reader that only works against a
+                    # permissive fake cannot pass the tests.
+                    base, _, sub = field.partition(".")
+                    props = (
+                        (self.indices.get(name) or {})
+                        .get("mappings", {})
+                        .get("properties", {})
+                    )
+                    fmap = props.get(base, {})
+                    if fmap.get("type") == "text":
+                        subtype = (
+                            fmap.get("fields", {}).get(sub, {}).get("type")
+                        )
+                        if subtype != "keyword":
+                            return 400, {
+                                "error": {
+                                    "type": (
+                                        "search_phase_execution_exception"
+                                    ),
+                                    "reason": (
+                                        "Text fields are not optimised "
+                                        "for operations that require "
+                                        "per-document field data like "
+                                        f"sorting [{field}]: use a "
+                                        "keyword subfield instead"
+                                    ),
+                                }
+                            }
+
+                    def sort_key(s, _f=field, _b=base):
+                        # a keyword subfield shares the parent's value
+                        return s.get(_f, s.get(_b))
+
+                    hits = sorted(hits, key=sort_key)
                     after = query.get("search_after")
                     if after is not None:
-                        hits = [s for s in hits if s.get(field) > after[0]]
+                        hits = [s for s in hits if sort_key(s) > after[0]]
                     size = int(query.get("size", 10))
                     page = hits[:size]
                     return 200, {
                         "hits": {
                             "total": {"value": total},
                             "hits": [
-                                {"_source": s, "sort": [s.get(field)]}
+                                {"_source": s, "sort": [sort_key(s)]}
                                 for s in page
                             ],
                         }

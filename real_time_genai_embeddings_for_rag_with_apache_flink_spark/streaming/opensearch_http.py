@@ -186,7 +186,11 @@ class HttpOpenSearchClient:
         scroll/PIT is the stateful alternative, but search_after is
         stateless and enough for a monotone sort key). ``sort_field``
         must be unique per document (a duplicate value on a page
-        boundary would be skipped by the strictly-after resume)."""
+        boundary would be skipped by the strictly-after resume) and
+        must be keyword-typed on the domain — real OpenSearch disables
+        fielddata on text fields, so sorting a text-mapped field needs
+        its keyword subfield (the sink's mapping exposes ``text.raw``
+        for exactly this; sinks.knn_index_body)."""
         after = None
         while True:
             q: dict = {

@@ -338,6 +338,10 @@ def run_pipeline(
     if cfg.source_format == "kafka" and cfg.extra.get("bootstrap_topic"):
         from .kafka_admin import ensure_topic
 
+        # same validation the reader path applies — a misconfigured
+        # source should fail with the clear ValueError, not a confusing
+        # admin-client connection error against bootstrap=None
+        kafka_reader_options(cfg)
         ensure_topic(
             cfg.kafka_bootstrap,
             cfg.kafka_topic,

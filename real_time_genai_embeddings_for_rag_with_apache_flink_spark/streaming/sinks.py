@@ -170,7 +170,18 @@ def knn_index_body(
                     },
                 },
                 "date": {"type": "date"},
-                "text": {"type": "text"},
+                # the reference maps text as a bare text field
+                # (lambda_function.py:84); a keyword subfield is added
+                # here because real OpenSearch disables fielddata on
+                # text fields — sort/search_after (the paginated
+                # read-back path, opensearch_http.search_all) must
+                # target text.raw, and a bare text mapping would reject
+                # it on a real domain even though full-text search
+                # behavior is unchanged by the multi-field
+                "text": {
+                    "type": "text",
+                    "fields": {"raw": {"type": "keyword"}},
+                },
             }
         },
         "settings": {

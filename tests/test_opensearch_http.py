@@ -349,3 +349,37 @@ def test_torn_bulk_duplicates_without_ids_and_converges_with_them():
         assert sorted(d["i"] for d in srv.docs["byid"]) == list(range(10))
     finally:
         srv.stop()
+
+
+def test_sort_on_text_field_rejected_keyword_subfield_works():
+    """Mapping fidelity for the paginated reader: real OpenSearch
+    disables fielddata on text fields, so sort/search_after on a
+    text-mapped field fails — the reader must target the keyword
+    subfield (text.raw) the sink's mapping exposes. The fake enforces
+    this from the creation body, so a reader that only worked against
+    a permissive fake cannot pass."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.sinks import (
+        knn_index_body,
+    )
+
+    srv = FakeOpenSearchServer()
+    url = srv.start()
+    try:
+        client = HttpOpenSearchClient(url)
+        client.indices.create("emb", knn_index_body(4))
+        rows = [
+            {"_index": "emb", "_source": {"text": f"doc {i}", "date": i}}
+            for i in range(7)
+        ]
+        assert http_bulk(client, iter(rows)) == 7
+
+        # sorting on the bare text field is a mapping error on a real
+        # domain — the fake answers 400 the same way
+        with pytest.raises(RuntimeError, match="field data|keyword"):
+            list(client.search_all("emb", "text", page_size=3))
+
+        # the keyword subfield path works and pages in order
+        got = list(client.search_all("emb", "text.raw", page_size=3))
+        assert [g["text"] for g in got] == [f"doc {i}" for i in range(7)]
+    finally:
+        srv.stop()

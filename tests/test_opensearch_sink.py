@@ -204,7 +204,13 @@ def test_opensearch_writer_bootstraps_knn_index(spark, tmp_path):
     assert vec["method"]["name"] == "hnsw"
     assert vec["method"]["parameters"] == {"ef_construction": 128, "m": 24}
     assert body["mappings"]["properties"]["date"] == {"type": "date"}
-    assert body["mappings"]["properties"]["text"] == {"type": "text"}
+    # text keeps the reference's text type, plus the keyword subfield
+    # the paginated read-back sorts on (fielddata is disabled on text
+    # fields on a real domain)
+    assert body["mappings"]["properties"]["text"] == {
+        "type": "text",
+        "fields": {"raw": {"type": "keyword"}},
+    }
     assert body["settings"]["index"]["knn"] is True
     assert body["settings"]["index"]["number_of_shards"] == 5
 
