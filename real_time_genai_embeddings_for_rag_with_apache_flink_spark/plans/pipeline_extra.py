@@ -4878,3 +4878,296 @@ def s29_matryoshka_prefix_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= _S29_TOPK)
     )
+
+
+# -- s30: graph-based ANN (the HNSW-family serving shape) ---------------
+#
+# The reference's one configured index type is hnsw
+# (KDS-P/index-creation-function/lambda_function.py:72-80: hnsw,
+# ef_construction 128, m 24) — the single ANN family the engine served
+# with every coarse pass EXCEPT a graph walk. s30 closes it: a greedy
+# beam search over a banded-LSH k-NN graph, the flat (single-layer)
+# analogue of HNSW's search layer, with every stage relational and
+# deterministic so the whole walk is oracle-certified hash-exact.
+_S30_KG = 3  # out-edges per node per band (graph degree ~ 4*3*2 sym)
+_S30_BANDS = 4  # 2-plane bands derived from the 8-plane s08 bucket
+_S30_ENTRY = 8  # md5-seeded global entry points (HNSW's fixed entry)
+_S30_BEAM = 16  # frontier kept per hop (HNSW's ef)
+_S30_HOPS = 5  # FIXED unrolled hops — the d32b iterative recipe
+_S30_SHORT = _S23_COARSE  # re-rank width: equal-width comparable to s23
+_S30_K = _S23_K
+
+
+def _s30_oracle() -> str:
+    """The s30 oracle: the banded k-NN graph build plus the beam walk
+    UNROLLED as chained CTEs (v0..v5), one (beam cut, edge expand,
+    distance fold + distinct union) triple per hop — generated
+    programmatically so the SQL provably mirrors the operator's loop
+    step for step (the _d32b_oracle pattern applied to graph search).
+    Walk distances are integer Hamming (bit_count of XOR on the packed
+    sign words — order-free), graph/rerank similarities are the proven
+    ROUND(cosine, 6) fixed-order folds; every rank breaks ties by id.
+    All multiply-referenced CTEs are MATERIALIZED (DuckDB re-inlines
+    per reference otherwise and the unrolled chain goes exponential)."""
+    from .llmops import _SQL_HYPERPLANE_BUCKETS
+
+    band_keys = " OR ".join(
+        f"((a.bucket >> {2 * j}) & 3) = ((b.bucket >> {2 * j}) & 3)"
+        for j in range(_S30_BANDS)
+    )
+    band_vals = ", ".join(f"({j})" for j in range(_S30_BANDS))
+    parts = [
+        f"""
+WITH {_SQL_HYPERPLANE_BUCKETS.strip()},
+bits AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    {_SQL_SIGN_BITS.format(lo=1, hi=32).strip()} AS b0,
+    {_SQL_SIGN_BITS.format(lo=33, hi=64).strip()} AS b1
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+qs AS MATERIALIZED (SELECT * FROM bits WHERE vec_id % 50 = 0),
+cs AS MATERIALIZED (SELECT * FROM bits WHERE vec_id % 50 != 0),
+gsides AS MATERIALIZED (
+  SELECT c.vec_id, hb.bucket, CAST(c.embedding AS DOUBLE[]) AS v,
+    sqrt(list_reduce(list_prepend(0.0,
+           list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)),
+         (acc, x) -> acc + x)) AS nrm
+  FROM cs c JOIN hp_buckets hb ON c.vec_id = hb.vec_id
+),
+gdir AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id, band.j
+        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rnk
+    FROM (VALUES {band_vals}) AS band(j)
+    CROSS JOIN gsides a
+    JOIN gsides b
+      ON ((a.bucket >> (2*band.j)) & 3) = ((b.bucket >> (2*band.j)) & 3)
+     AND a.vec_id != b.vec_id
+    WHERE a.nrm * b.nrm != 0
+  ) WHERE rnk <= {_S30_KG}
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM gdir UNION ALL SELECT dst AS src, src AS dst FROM gdir)
+),
+entry AS (SELECT vec_id FROM cs
+  ORDER BY md5('s30e:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_S30_ENTRY}),
+v0 AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.vec_id,
+    CAST(bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming
+  FROM qs q JOIN cs c ON c.vec_id IN (SELECT vec_id FROM entry))"""
+    ]
+    for i in range(_S30_HOPS):
+        parts.append(
+            f""",
+beam{i} AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY hamming, vec_id) AS r
+  FROM v{i}) WHERE r <= {_S30_BEAM}),
+n{i} AS (SELECT DISTINCT b.q_id, e.dst AS vec_id
+         FROM beam{i} b JOIN edges e ON e.src = b.vec_id),
+v{i + 1} AS MATERIALIZED (
+  SELECT DISTINCT q_id, vec_id, hamming FROM (
+    SELECT q_id, vec_id, hamming FROM v{i}
+    UNION ALL
+    SELECT n.q_id, n.vec_id,
+      CAST(bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS BIGINT)
+    FROM n{i} n JOIN qs q ON q.vec_id = n.q_id JOIN cs c ON c.vec_id = n.vec_id))"""
+        )
+    parts.append(
+        f"""
+SELECT q_id, vec_id, hamming, sim, rank FROM (
+  SELECT s.q_id, s.vec_id, s.hamming,
+    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+    ROW_NUMBER() OVER (PARTITION BY s.q_id
+      ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) DESC,
+               s.vec_id) AS rank
+  FROM (SELECT q_id, vec_id, hamming FROM (
+          SELECT q_id, vec_id, hamming,
+            ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY hamming, vec_id) AS cr
+          FROM v{_S30_HOPS}) WHERE cr <= {_S30_SHORT}) s
+  JOIN cs c ON c.vec_id = s.vec_id
+  JOIN qs q ON q.vec_id = s.q_id
+) WHERE rank <= {_S30_K}"""
+    )
+    assert band_keys  # bands participate via the join predicate above
+    return "".join(parts)
+
+
+@query(
+    "s30_graph_beam_ann",
+    oracle=_s30_oracle(),
+    tags=("similarity", "ann", "graph", "hnsw", "rerank"),
+    bench=True,
+)
+def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN serving — the HNSW-family search shape (the one
+    index type the reference actually configures:
+    KDS-P/index-creation-function/lambda_function.py:72-80, hnsw with
+    ef_construction 128 / m 24), re-expressed as a fixed-depth beam
+    search in pure DataFrame ops and oracle-certified HASH-EXACT.
+
+    Index build (the amortized part — at scale it persists like s05's
+    IVF cells): a navigable k-NN graph from the s08/s15 machinery,
+    DENSIFIED by banding — the 8-plane bucket code splits into
+    {_S30_BANDS} 2-plane bands (``(bucket >> 2j) & 3``, derived from
+    ONE bucket computation), each node keeps its top-{_S30_KG} in-band
+    neighbors by exact cosine per band, edges union across bands and
+    symmetrize. Single-band cliques are disconnected (the s15 graph's
+    65 singleton buckets on this corpus cannot be walked); band
+    diversity is what makes the graph navigable — the same reason
+    HNSW's long-range layer edges exist, earned here from the d04
+    banded-LSH recipe instead of level sampling.
+
+    Serving walk (the HNSW search-layer loop, ef={_S30_BEAM}): from
+    {_S30_ENTRY} md5-seeded entry points (the fixed-entry convention of
+    s12/d31), {_S30_HOPS} UNROLLED hops — each hop cuts the frontier to
+    the beam (top-{_S30_BEAM} visited by integer Hamming distance on
+    the packed sign words, the d32b integer-fold discipline), expands
+    one edge join, folds new candidates into the visited set by
+    DISTINCT. The visited set's best {_S30_SHORT} then pay the exact
+    cosine re-rank, keep {_S30_K} — byte-identical tail to s23, so the
+    two coarse passes compare at equal shortlist width. Measured
+    recall@5 at width {_S30_SHORT}: comparable to s23's GLOBAL Hamming
+    cut on both fixtures (0.78 vs 0.76 at sf0.01, 0.70 vs 0.76 at
+    sf0.001) while examining only ~54% of the corpus — graph-guided
+    candidates (cosine-built edges) buy back most of what the partial
+    view costs (floor pinned in tests/test_binary_ann.py; the visited
+    fraction falls with corpus size — see below).
+
+    Scale shape: the serving walk never shuffles the corpus — the edge
+    table (O(n*degree) ints) and bit table join BROADCAST; each hop's
+    exchange carries <= queries x beam x degree candidate rows (ids +
+    one BIGINT), so per-query work is bounded by beam*degree*hops
+    regardless of corpus size — the defining property of graph ANN vs
+    scan-based coarse passes. On a 1000-executor cluster the graph
+    build is the heavy amortized job (banded self-joins, the certified
+    d04 shape); serving is pennies per query batch. Every stage is
+    relational: the DuckDB oracle replays build + walk value-for-value
+    (_s30_oracle, unrolled MATERIALIZED CTEs)."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity, dot, l2_norm
+    from .llmops import _hyperplane_bucket_col
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _sign_bits_split(em)
+
+    # ---- index build: banded-LSH k-NN graph over the corpus ---------
+    sides = corpus.select(
+        "vec_id",
+        _hyperplane_bucket_col().alias("bucket"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
+    wj = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    gdir = None
+    for j in range(_S30_BANDS):
+        bkey_a = F.shiftright(F.col("a.bucket"), 2 * j).bitwiseAND(F.lit(3))
+        bkey_b = F.shiftright(F.col("b.bucket"), 2 * j).bitwiseAND(F.lit(3))
+        band = (
+            a.join(
+                b,
+                (bkey_a == bkey_b) & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .filter(denom != 0.0)
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+                sim.alias("sim"),
+            )
+            .withColumn("rnk", F.row_number().over(wj))
+            .filter(F.col("rnk") <= _S30_KG)
+            .select("src", "dst")
+        )
+        gdir = band if gdir is None else gdir.unionByName(band)
+    gdir = gdir.distinct()
+    edges = (
+        gdir.unionByName(
+            gdir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # the index is BUILT ONCE and walked five times — without the
+        # lineage cut every hop's broadcast re-runs the banded
+        # self-joins (the d32b per-round localCheckpoint discipline)
+        .localCheckpoint()
+    )
+
+    # ---- seeded entry points (HNSW's fixed entry, md5-ranked) -------
+    entry = (
+        corpus.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("s30e:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(_S30_ENTRY)
+    )
+
+    qb = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("b0").alias("q0"),
+        F.col("b1").alias("q1"),
+    )
+    cbits = corpus.select("vec_id", "b0", "b1")
+    ham = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+
+    visited = (
+        qb.crossJoin(F.broadcast(entry.join(cbits, "vec_id")))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+    )
+    wb = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    for _ in range(_S30_HOPS):
+        beam = (
+            visited.withColumn("r", F.row_number().over(wb))
+            .filter(F.col("r") <= _S30_BEAM)
+            .select("q_id", F.col("vec_id").alias("src"))
+        )
+        nbr = (
+            beam.join(F.broadcast(edges), "src")
+            .select("q_id", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(F.broadcast(cbits), "vec_id")
+            .join(F.broadcast(qb), "q_id")
+            .select("q_id", "vec_id", ham.alias("hamming"))
+        )
+        # lineage doubles per hop (visited references itself) — cut it
+        # so hop i+1 starts from materialized rows, not a 2^i-deep plan
+        visited = visited.unionByName(nbr).distinct().localCheckpoint()
+
+    # ---- exact re-rank of the walk's shortlist (s23's tail) ---------
+    shortlist = (
+        visited.withColumn("cr", F.row_number().over(wb))
+        .filter(F.col("cr") <= _S30_SHORT)
+        .select("q_id", "vec_id", "hamming")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        corpus.select("vec_id", "embedding")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S30_K)
+    )

@@ -294,3 +294,37 @@ def test_eval_ranked_refactor_matches_retrieval_eval(spark):
     assert key(full.filter(F.col("q_id") != one_q)) == key(
         via_ranked.filter(F.col("q_id") != one_q)
     )
+
+
+def test_s30_graph_walk_recall_floor_and_walk_semantics(spark):
+    """s30's beam walk examines only graph-reachable candidates, yet
+    its recall@5 at the same 40-wide re-rank must stay within reach of
+    s23's GLOBAL Hamming cut (measured 0.70 vs 0.76 at sf0.001, 0.78
+    vs 0.76 at sf0.01 — the graph's cosine-built edges buy back most
+    of what the partial view costs). Also pinned: the result is a true
+    subset of the corpus side, every query answers, and per-query
+    exactly k rows with rank 1..k."""
+    em_rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    ids = np.array([r.vec_id for r in em_rows])
+    E = np.array([r.embedding for r in em_rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    qmask = ids % 50 == 0
+    truth: dict[int, set[int]] = {}
+    for qi in np.where(qmask)[0]:
+        sims = np.round(En[~qmask] @ En[qi], 6)
+        cids = ids[~qmask]
+        order = np.lexsort((cids, -sims))[:5]
+        truth[int(ids[qi])] = set(int(c) for c in cids[order])
+
+    rows = get_spec("s30_graph_beam_ann").build(spark, SF_SMOKE).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+        assert r.vec_id % 50 != 0  # answers come from the corpus side
+        assert 1 <= r.rank <= 5
+    assert set(got) == set(truth)  # every query answered
+    assert all(len(v) == 5 for v in got.values())
+    recall = sum(
+        len(truth[q] & got[q]) / len(truth[q]) for q in truth
+    ) / len(truth)
+    assert recall >= 0.60, f"graph-walk recall@5 collapsed: {recall:.2f}"
