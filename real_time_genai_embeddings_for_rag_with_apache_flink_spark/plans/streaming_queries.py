@@ -4309,3 +4309,147 @@ def st36_restart_exactly_once_wire(spark: SparkSession, sf_dir: str) -> DataFram
         osrv.stop()
 
     return _st33_certify(spark, hits)
+
+
+_ST37_DOCS = 600
+_ST37_DIM = 32
+
+
+@query(
+    "st37_reshard_exactly_once_wire",
+    oracle=f"""
+WITH gen AS (
+  SELECT i AS doc_id, 'synthetic text ' || md5('42:' || i) AS text
+  FROM (SELECT UNNEST(generate_series(0, {_ST37_DOCS - 1})) AS i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('m06:' || tok), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
+    FROM gen
+  ) WHERE tok != ''
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_indexed,
+       CAST(SUM(1 + (h // 256) % 7) AS BIGINT) AS sum_coords,
+       (SELECT MIN(text) FROM gen) AS min_text,
+       (SELECT MAX(text) FROM gen) AS max_text
+FROM toks
+""",
+    tags=("streaming", "source", "sink", "kinesis", "opensearch", "pipeline"),
+)
+def st37_reshard_exactly_once_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a LIVE RESHARD, certified at the wire — the
+    seam st34 (retries), st35 (torn bulks), and st36 (restarts) left
+    uncovered: a production Kinesis stream is re-sharded while the
+    consumer is down (SplitShard on a hot shard, MergeShards on two
+    cold ones — the scaling actions the real service performs), and the
+    restarted job must stitch four different offset situations into one
+    exactly-once read:
+
+    - the CLOSED PARENTS' committed prefixes must NOT be re-read
+      (cursors in the offset log stand);
+    - a closed parent's UNREAD REMAINDER must still be drained — docs
+      300-329 land on shard 2 after run 1 commits but BEFORE the split
+      closes it, so skipping closed shards loses them;
+    - the SPLIT children (shards 3, 4) must be adopted at TRIM_HORIZON
+      (absent from the committed offset, every record new);
+    - the MERGED child (shard 5) likewise — and its two closed parents
+      (shards 0, 1) must each keep their committed cursor without
+      double-draining into the child.
+
+    The topology and certification are st33's (produce -> Kinesis
+    consume -> M1-A1 pipeline -> D1 hnsw bootstrap -> K1 _bulk ->
+    paginated read-back; ``KDS-P/.../msf/DataStreamJob.java:90-193``),
+    with the reference's AUTO-ID sink deliberately unprotected: one
+    record lost at any seam deflates n_docs/sum_coords, one re-read
+    duplicates and inflates them — either breaks the arithmetic hash.
+    The reshard lifecycle itself was previously pinned only unit-level
+    (tests/test_kinesis_lite.py); this row composes it through the
+    whole deployed dataflow. (sf_dir unused: the corpus is generated.)
+
+    Scale shape: st33's — resharding adds one ListShards discovery and
+    per-child TRIM_HORIZON cursors; parent remainders drain once and
+    the closed shards then cost one empty GetRecords per trigger until
+    retention ages them out (their disappearance is likewise pinned in
+    tests/test_kinesis_lite.py)."""
+    from ..config import PipelineConfig
+    from ..operators.embed import Md5BowEmbedder
+    from ..sources.docgen import wire_record
+    from ..sources.kinesis_fake import FakeKinesisServer
+    from ..streaming.opensearch_fake import FakeOpenSearchServer
+    from ..streaming.opensearch_http import HttpOpenSearchClient
+    from ..streaming.pipeline import run_pipeline
+
+    def wire(doc_id: int) -> tuple[str, bytes]:
+        _, w = wire_record(42, doc_id)
+        return (str(doc_id), w.encode())
+
+    # phase A: docs 0-299 round-robin over three original shards
+    shards: dict[str, list[tuple[str, bytes]]] = {
+        f"shardId-{i:012d}": [] for i in range(3)
+    }
+    for doc_id in range(300):
+        shards[f"shardId-{doc_id % 3:012d}"].append(wire(doc_id))
+    ksrv = FakeKinesisServer("docs", shards)
+    kurl = ksrv.start()
+    osrv = FakeOpenSearchServer()
+    ourl = osrv.start()
+    ckpt = tempfile.mkdtemp(prefix="st37_ckpt_")
+    try:
+        cfg = PipelineConfig(
+            source_format="kinesis-lite",
+            sink_format="opensearch",
+            embedding_dim=_ST37_DIM,
+            on_error="fail",
+            start_position="earliest",
+            checkpoint_dir=ckpt,
+            extra={
+                "kinesis_stream": "docs",
+                "kinesis_region": "us-east-1",
+                "kinesis_endpoint": kurl,
+                "transport": "http",
+                "hosts": [ourl],
+                "index": "embeddings",
+            },
+        )
+        # run 1: drain the pre-reshard stream and commit its cursors
+        run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder).awaitTermination()
+        n_after_first = sum(len(v) for v in osrv.docs.values())
+        assert n_after_first == 300, n_after_first
+
+        # the producer lands docs 300-329 on shard 2 BEFORE the reshard
+        # closes it: the unread remainder of a closed parent
+        ksrv.append("shardId-000000000002", [wire(d) for d in range(300, 330)])
+        # SplitShard: shard 2 closes, docs 330-449 alternate onto its
+        # two children
+        ksrv.split_shard(
+            "shardId-000000000002",
+            {
+                "shardId-000000000003": [wire(d) for d in range(330, 450, 2)],
+                "shardId-000000000004": [wire(d) for d in range(331, 450, 2)],
+            },
+        )
+        # MergeShards: shards 0 and 1 close, docs 450-599 land on the
+        # merged child
+        ksrv.merge_shards(
+            "shardId-000000000000",
+            "shardId-000000000001",
+            "shardId-000000000005",
+            [wire(d) for d in range(450, 600)],
+        )
+
+        # run 2: restart from the committed offsets over the new shard map
+        run_pipeline(spark, cfg, embedder_factory=Md5BowEmbedder).awaitTermination()
+        method = osrv.indices["embeddings"]["mappings"]["properties"][
+            "passage_embedding"
+        ]["method"]
+        assert method["name"] == "hnsw", method
+        client = HttpOpenSearchClient(ourl)
+        hits = list(client.search_all("embeddings", "text.raw", page_size=250))
+    finally:
+        ksrv.stop()
+        osrv.stop()
+
+    return _st33_certify(spark, hits)

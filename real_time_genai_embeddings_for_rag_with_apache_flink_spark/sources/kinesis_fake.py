@@ -117,6 +117,32 @@ class FakeKinesisServer:
                     self._reveal if self._reveal is not None else -1
                 )
 
+    def merge_shards(
+        self,
+        parent_a: str,
+        parent_b: str,
+        child: str,
+        records: list[tuple[str, bytes]],
+    ) -> None:
+        """Close BOTH parents and surface the single merged child — the
+        MergeShards half of the reshard lifecycle (split_shard models
+        the other half). Parent remainders freeze fully readable, same
+        as split: consumers must drain them above their committed
+        cursors and pick the child up at TRIM_HORIZON."""
+        with self._lock:
+            for parent in (parent_a, parent_b):
+                if parent not in self._shards:
+                    raise ValueError(f"shard {parent} does not exist")
+            if child in self._shards:
+                raise ValueError(f"shard {child} exists")
+            for parent in (parent_a, parent_b):
+                self._closed.add(parent)
+                self._visible[parent] = -1  # remainder fully readable
+            self._shards[child] = list(records)
+            self._visible[child] = (
+                self._reveal if self._reveal is not None else -1
+            )
+
     # -- protocol ---------------------------------------------------------
 
     def _handle(self, action: str, payload: dict) -> dict:

@@ -1032,3 +1032,55 @@ def test_put_records_resubmits_back_off_between_attempts(monkeypatch):
     assert naps and all(n >= 0.02 for n in naps), naps
     delivered = sum(len(v) for v in srv._shards.values())
     assert delivered == 30, "each record delivered exactly once"
+
+
+def test_merge_shards_lifecycle_both_parents_closed(fake):
+    """MergeShards lifecycle (the half split_shard doesn't model): BOTH
+    parents close with frozen remainders, the single merged child reads
+    from TRIM_HORIZON, and a consumer resuming from pre-merge cursors
+    drains exactly the parents' unread remainders plus the child —
+    nothing lost, nothing double-read into the child."""
+    srv, url = fake
+    r = KinesisLiteStreamReader({"stream_name": "docs", "endpoint_url": url})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    drained = [row for p in r.partitions(o0, o1) for row in r.read(p)]
+    assert len(drained) == 40
+
+    # remainder lands on parent A after the consumer's commit, before
+    # the merge closes it
+    srv.append("shardId-000000000000", [("rem", b"{}")])
+    srv.merge_shards(
+        "shardId-000000000000",
+        "shardId-000000000001",
+        "shardId-000000000012",
+        [("m1", b"{}"), ("m2", b"{}")],
+    )
+    for parent in ("shardId-000000000000", "shardId-000000000001"):
+        c = KinesisClient({"stream_name": "docs", "endpoint_url": url})
+        tip = "10" if parent.endswith("0") else "9"
+        page = c.get_records(c.shard_iterator(parent, tip), 100)
+        assert page["Records"] == [] and "NextShardIterator" not in page
+        with pytest.raises(ValueError):
+            srv.append(parent, [("x", b"{}")])
+    # the merged child must not be re-creatable
+    with pytest.raises(ValueError):
+        srv.merge_shards(
+            "shardId-000000000002",
+            "shardId-000000000003",
+            "shardId-000000000012",
+            [],
+        )
+
+    o2 = r.latestOffset()
+    assert o2["shards"]["shardId-000000000000"] == "10"  # remainder seen
+    assert o2["shards"]["shardId-000000000012"] == "1"  # last seq of 2
+    new_rows = sorted(
+        (row[0], row[1]) for p in r.partitions(o1, o2) for row in r.read(p)
+    )
+    assert new_rows == [
+        ("shardId-000000000000", "10"),
+        ("shardId-000000000012", "0"),
+        ("shardId-000000000012", "1"),
+    ]
+    assert r.latestOffset() == o2  # quiescent after the drain
