@@ -4453,3 +4453,134 @@ def st37_reshard_exactly_once_wire(spark: SparkSession, sf_dir: str) -> DataFram
         osrv.stop()
 
     return _st33_certify(spark, hits)
+
+
+def _st38_oracle() -> str:
+    """st38 serves s23's exact query from the maintained word table, so
+    its oracle IS s23's (registered first — plans/__init__ imports
+    pipeline_extra before this module): same coarse Hamming cut, same
+    re-rank, same rounding and tiebreaks. One source of truth — a
+    change to s23's semantics lands here by construction."""
+    from .registry import all_specs
+
+    return all_specs()["s23_binary_hamming_ann"].oracle
+
+
+@query(
+    "st38_stream_hamming_index_maintenance",
+    oracle=_st38_oracle(),
+    tags=("streaming", "ann", "quantization", "sink", "index-maintenance"),
+    bench=True,
+)
+def st38_stream_hamming_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous maintenance for the BINARY-HAMMING index — st15's
+    append->compact->serve lifecycle (there: IVF cells) given to the
+    engine's second ANN family, closing the 'indexes are maintained,
+    not rebuilt' story for s23: each micro-batch of the embedding
+    stream is sign-packed EXECUTOR-SIDE into the two BIGINT words
+    (functions/vector.pack_sign_bits — 16 bytes/vector at this width,
+    the 32x compression s23 documents) and APPENDED to a parquet word
+    table via foreachBatch; when the stream drains, per-batch shard
+    files COMPACT into one rewrite; serving then runs s23's exact
+    popcount coarse pass + cosine re-rank AGAINST THE MAINTAINED
+    TABLE — and must produce s23's batch answer to the value hash,
+    which is precisely what the shared oracle certifies (a vector
+    dropped, duplicated, or mis-packed anywhere in the
+    stream->append->compact->serve chain breaks it).
+
+    State shape: the streaming side holds NO state store at all — the
+    word table on disk IS the state, bounded at 16 bytes/vector +
+    (transiently) one shard file per cell-free batch, collapsed by the
+    compaction rewrite; the full-precision vectors never enter the
+    index (the re-rank broadcast-joins them back from the base table
+    by id, s23's contract). At 100 TB this is the maintenance plan a
+    real deployment runs: packbits rides the ingest stream as a narrow
+    per-row map (no exchange), compaction is one bounded rewrite per
+    window, and the serving scan reads ONLY the compact word table —
+    the raw corpus stays parquet-pruned."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity, pack_sign_bits
+    from ..sources.batch import load_table
+    from .pipeline_extra import _S23_COARSE, _S23_K
+
+    index_dir = tempfile.mkdtemp(prefix="st38_index_")
+    compact_dir = tempfile.mkdtemp(prefix="st38_compact_")
+    LAST_INDEX_DIRS["st38"] = (index_dir, compact_dir)
+
+    def append_words(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select(
+                "vec_id",
+                pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+                pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+            )
+            .filter(F.col("b0").isNotNull())
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), "st38")
+    q = (
+        stream_embeddings(spark, sf_dir)
+        .writeStream.foreachBatch(append_words)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st38"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    # compaction: the per-batch shard files collapse into one rewrite
+    (
+        spark.read.parquet(index_dir)
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(compact_dir)
+    )
+    words = spark.read.parquet(compact_dir)
+
+    # ---- serving: s23's coarse + re-rank against the MAINTAINED table
+    queries_w = words.filter(F.col("vec_id") % 50 == 0)
+    corpus_w = words.filter(F.col("vec_id") % 50 != 0)
+    qb = F.broadcast(
+        queries_w.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("b0").alias("q0"),
+            F.col("b1").alias("q1"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        corpus_w.join(qb, F.lit(True))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _S23_COARSE)
+        .select("q_id", "vec_id", "hamming")
+    )
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = em.join(queries_w.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        em.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _S23_K)
+    )

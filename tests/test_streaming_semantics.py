@@ -1298,3 +1298,42 @@ def test_stream_dup_components_rep_change_chain(spark, tmp_path):
         ).collect()
     }
     assert out == {30: 5, 20: 5, 5: 5, 25: 15, 15: 15}, out
+
+
+def test_hamming_index_maintenance_lifecycle_and_word_only_scan(spark):
+    """st38 contract: (a) the word-table maintenance really ran
+    multi-batch, (b) per-batch shard files collapse to one compacted
+    file, (c) the compacted index holds ONLY the packed words (id +
+    two BIGINTs — never the raw vectors), and (d) serving from the
+    maintained table answers exactly s23's batch result."""
+    import glob as g
+    import os
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_INDEX_DIRS,
+        LAST_RUN_BATCHES,
+        N_STREAM_FILES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    served = sorted(
+        (r.q_id, r.vec_id, r.hamming, r.sim, r.rank)
+        for r in get_spec("st38_stream_hamming_index_maintenance")
+        .build(spark, sf)
+        .collect()
+    )
+    assert LAST_RUN_BATCHES["st38"] >= N_STREAM_FILES
+    append_dir, compact_dir = LAST_INDEX_DIRS["st38"]
+    assert len(g.glob(os.path.join(append_dir, "part-*.parquet"))) >= 2
+    assert len(g.glob(os.path.join(compact_dir, "part-*.parquet"))) == 1
+    words = spark.read.parquet(compact_dir)
+    assert set(words.columns) == {"vec_id", "b0", "b1"}
+
+    batch = sorted(
+        (r.q_id, r.vec_id, r.hamming, r.sim, r.rank)
+        for r in get_spec("s23_binary_hamming_ann").build(spark, sf).collect()
+    )
+    assert served == batch
