@@ -16,6 +16,10 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     sf = _guess_sf(sf_dir)
+    # Load provenance (r13 verdict #6): ambient-load attribution has
+    # been prose in BASELINE.md; record the box's 1/5/15-min load at
+    # start and end IN the artifact so a loaded run self-identifies.
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.session import (
@@ -89,7 +93,11 @@ def main() -> int:
     band_violations, hard_violations = _check_bands(
         spark, specs, sf_dir, timings, force
     )
+    ratio_violations = _check_ratio_bands(timings)
+    for msg in ratio_violations:
+        print(f"# RATIO BAND WARNING: {msg}", file=sys.stderr)
 
+    load_end = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
         {
@@ -99,6 +107,9 @@ def main() -> int:
             "queries": timings,
             "sf": sf,
             "band_violations": band_violations,
+            "ratio_violations": ratio_violations,
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
         }
     )
     # The driver's BENCH_r0N.json artifact keeps only the LAST 2000
@@ -121,6 +132,9 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "band_violations": band_violations,
+        "ratio_violations": ratio_violations,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "queries_file": "BENCH_LOCAL.json",
         "slowest_10": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:10]
@@ -140,9 +154,12 @@ def main() -> int:
 
 
 # Quiet-box expectation bands for the most expensive catalog rows plus
-# the scheduling-dominated s21 (the r9 precedent). Edges bracket the
-# frozen BASELINE.md number and the r8-r10 quiet readings; they flag
-# structural drift, they are not perf targets.
+# the scheduling-dominated s21 (the r9 precedent), extended in r14 to
+# the stress rows that dominate the total (the r13 driver run read
+# s23_stress_pack at 17.0 s vs the 0.96 s quiet freeze and the
+# absolute-band gate stayed silent because none of them were banded).
+# Edges bracket the frozen BASELINE.md number and recent quiet
+# readings; they flag structural drift, they are not perf targets.
 _BANDS: dict[str, tuple[float, float]] = {
     "st28_stream_dup_components": (5.0, 14.0),
     "d34_semantic_dedup_seeded": (3.0, 8.5),
@@ -155,7 +172,77 @@ _BANDS: dict[str, tuple[float, float]] = {
     "d27_prefix_filter_join": (2.5, 7.5),
     "s20b_ivfadc_seeded": (2.5, 7.0),
     "s21_pca_projection": (0.5, 0.9),
+    # the r13-quiet slowest rows previously outside the gate
+    "d04_skew_guard_off": (8.0, 26.0),  # deliberately quadratic
+    "d21_chain_stress": (4.0, 12.0),
+    "w13_sweep_hot_onephase": (4.0, 13.0),
+    "s26_stress_expr_100kx64tok": (4.0, 13.0),
+    "plaid_stress_maxsim_full_200kx64tok": (2.0, 8.0),
+    "rank_stress_naive_global_5m": (3.5, 11.0),
+    "s23_stress_flatsum_1024d_5k": (1.5, 6.0),
+    "s23_stress_pack1024d_20k": (0.4, 2.5),
 }
+
+# Hazard-twin RATIO gate (r13 verdict #1): every stress pair exists to
+# prove a structural claim — the scale-safe sibling is faster than the
+# anti-pattern. Ambient CPU contention can invert the ABSOLUTE numbers
+# when the twins run minutes apart (the r13 driver run read pack 17.0 s
+# vs flatsum 15.7 s — the exact opposite of the 0.96 vs 2.62 quiet
+# evidence), so the twin evidence must be gated, not just recorded:
+# each entry is (fast_row, slow_row, max_ratio), with max_ratio set
+# ~2x above the quiet-freeze ratio (0.11-0.37) so a clean box never
+# trips while an inversion always does. Violations are recorded in the
+# payload (ratio_violations) and shouted to stderr — they mean THIS
+# RUN's stress evidence is load-poisoned and BASELINE.md's frozen
+# quiet ratios are the numbers to trust; they do not fail the run
+# (the box, not the code, is what inverted).
+_RATIO_BANDS: dict[str, tuple[str, str, float]] = {
+    "pack_vs_flatsum": (
+        "s23_stress_pack1024d_20k",
+        "s23_stress_flatsum_1024d_5k",
+        0.70,
+    ),
+    "gemm_vs_expr": (
+        "s26_stress_gemm_100kx64tok",
+        "s26_stress_expr_100kx64tok",
+        0.50,
+    ),
+    "twophase_vs_onephase": (
+        "w13_sweep_hot_twophase",
+        "w13_sweep_hot_onephase",
+        0.60,
+    ),
+    "skew_guard_on_vs_off": (
+        "d04_skew_guard_on",
+        "d04_skew_guard_off",
+        0.40,
+    ),
+    "bucketed_vs_naive_rank": (
+        "rank_stress_bucketed_5m",
+        "rank_stress_naive_global_5m",
+        0.70,
+    ),
+}
+
+
+def _check_ratio_bands(timings: dict[str, float]) -> list[str]:
+    """The hazard-twin ratio gate. Pure on the timings dict so the
+    loaded-r13-vs-quiet behavior is unit-testable without running the
+    suite (tests/test_bench_gate.py)."""
+    violations: list[str] = []
+    for label, (fast, slow, max_ratio) in _RATIO_BANDS.items():
+        tf, ts = timings.get(fast), timings.get(slow)
+        if tf is None or ts is None or ts <= 0:
+            continue
+        ratio = tf / ts
+        if ratio > max_ratio:
+            violations.append(
+                f"{label}: {fast}={tf:.3f}s / {slow}={ts:.3f}s = "
+                f"{ratio:.2f} > {max_ratio} — the structural evidence "
+                "this twin pair exists to provide is inverted on this "
+                "run (load-poisoned); trust BASELINE.md's quiet ratios"
+            )
+    return violations
 
 
 def _check_bands(

@@ -14,73 +14,70 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 
 # The external correctness driver records rows for the FIRST 50 catalog
-# entries only. Round-13 window (executing the rotation plan written in
-# round 12, tests/test_driver_window.py "ROUND-13 PLAN"): after
-# CORRECTNESS_r12 the union's stalest rows are the 16 rows deferred
-# from the r12 window (last checked r07: q49-q60, t24, w01, d07, s07,
-# t05), then the 50-row r08 cohort. The 16 lead; the r08 cohort
-# follows; and the six entries NEW this round (never driver-checked:
-# st34 the fault-injected wire topology, s06b the seeded k-means
-# assignment twin, m07 GIF/LZW real-decode features, st35 the
-# idempotent-sink torn-bulk certification, st36 the exactly-once
-# checkpoint-restart wire certification, s29 Matryoshka prefix-dim
-# ANN) displace — along with the 16 leads — the 22 cheapest-to-defer
-# r08 rows, which carry to round 14 as its lead. Deferral reasoning
-# per row in tests/test_driver_window.py DEFERRED_TO_R14.
+# entries only. Round-14 window (executing the rotation plan written in
+# round 13, tests/test_driver_window.py "ROUND-14 PLAN"): after
+# CORRECTNESS_r13 the union's stalest rows are the 22 r08 rows deferred
+# from the r13 window, then the 48-row r09 cohort. The 22 lead; 25 of
+# the r09 cohort follow; and the three entries NEW this round (never
+# driver-checked: s30 the graph-beam ANN serving twin, st37 the
+# exactly-once live-reshard wire certification, st38 the streaming
+# binary-Hamming index maintenance) displace the cheapest-to-defer r09
+# rows — 23 r09 rows carry to round 15 as its lead. Deferral reasoning
+# per row in tests/test_driver_window.py DEFERRED_TO_R15.
 DRIVER_WINDOW: list[str] = [
-    # -- the 16 r07-stale rows deferred from the r12 window -----------
-    "q49_priority_late_orders",
-    "q50_argmax_aggregates",
-    "q51_volume_shipping",
-    "q52_market_share",
-    "q53_product_profit",
-    "q55_promo_revenue",
-    "q56_top_supplier",
-    "q57_supplier_part_counts",
-    "q58_disjunctive_join",
-    "q59_excess_volume_suppliers",
-    "q60_waiting_orders",
-    "t24_temperature_mixture",
-    "w01_tumbling_window",
-    "d07_hash_sample",
-    "s07_scalar_quantization",
-    "t05_rolling_hash",
-    # -- the r08 cohort minus the 22 declared round-14 deferrals ------
-    "d30_leakage_safe_split",
-    "d31_weighted_sample",
-    "d32_dup_graph_pagerank",
-    "p01_pipeline_sink_docs",
-    "p03_embed_distinct",
-    "p05_vecdir_sink_roundtrip",
-    "p15_snapshot_diff",
-    "p16_cdc_apply",
-    "p17_data_quality_gate",
-    "p18_incremental_view_maintenance",
-    "p19_zorder_clustering",
-    "p20_compaction_planner",
-    "p21_k_anonymity_audit",
-    "s23_binary_hamming_ann",
-    "s25_retrieval_eval",
-    "s26_maxsim_late_interaction",
-    "st01_stream_tumbling_complete",
-    "st02_stream_watermark_append",
-    "st05_stream_embed_pipeline",
-    "st07_stream_stream_join",
-    "st12_python_stream_source",
-    "st21_stream_zscore_anomaly",
-    "st22_stream_cdc_apply",
-    "st23_stream_ivm",
-    "t25_source_divergence",
-    "w03_session_window",
-    "w04_interval_join",
-    "w18_scd2_snapshot",
+    # -- the 22 r08-stale rows deferred from the r13 window -----------
+    "d14_semantic_dedup",
+    "m01_multimodal_decode",
+    "m02_frame_sampling",
+    "q27_math_functions",
+    "q29_array_functions",
+    "q34_pivot",
+    "q40_correlated_scalar",
+    "q54_priority_lateness",
+    "s06_kmeans_cells",
+    "s09_product_quantization",
+    "s10_ivfpq_search",
+    "s24_hamming_width_advisor",
+    "s20_ivfpq_refined",
+    "s21_pca_projection",
+    "s22_pca_ann",
+    "st08_stream_session_append",
+    "st24_stream_compaction",
+    "t22b_bpe_vocab_local",
+    "w15_rolling_zscore_anomaly",
+    "w16_windowed_distinct_users",
+    "w17_scd2_dimension_join",
+    "w19_purchase_attribution",
+    # -- the r09 cohort minus the 23 declared round-15 deferrals ------
+    "d04_minhash_lsh_pairs",
+    "d08_dup_components",
+    "d10_lsh_verified_dupes",
+    "d12_decontamination",
+    "d33_cross_source_dup_matrix",
+    "p04_python_datasource",
+    "p22_column_statistics",
+    "q35_unpivot",
+    "q36_percentiles",
+    "q41_min_price_line",
+    "q64_histogram",
+    "r01_salted_join",
+    "r02_salted_aggregation",
+    "s11_hybrid_rrf",
+    "st26_stream_transition_matrix",
+    "t09_curation_rules",
+    "t10_repetition_stats",
+    "t11_bm25_retrieval",
+    "t12_vocab_heavy_hitters",
+    "t13_sequence_packing",
+    "t15_bigram_lm_quality",
+    "w05_windowed_topk_users",
+    "w07_event_funnel",
+    "w09_retention_cohorts",
+    "w22_cusum_drift",
     # -- new this round (never driver-checked) ------------------------
-    "st34_wire_topology_fault_injected",
-    "s06b_kmeans_cells_seeded",
-    "m07_gif_features",
-    "st35_idempotent_sink_torn_bulk",
-    "st36_restart_exactly_once_wire",
-    "s29_matryoshka_prefix_ann",
+    "s30_graph_beam_ann",
+    "st37_reshard_exactly_once_wire",
+    "st38_stream_hamming_index_maintenance",
 ]
 
 set_priority(DRIVER_WINDOW)
