@@ -48,7 +48,14 @@ def main() -> None:
     }
     for name in ("st32_kinesis_producer_roundtrip",
                  "st33_reference_topology_wire_to_wire"):
-        for label, (docs, shards) in scales.items():
+        # 100x tier (r13 verdict #8): push the headline wire row one
+        # decade further — 60k docs / 16 shards through the same
+        # in-process endpoints — so the scaling evidence spans two
+        # decades, not one.
+        tiers = dict(scales)
+        if name == "st33_reference_topology_wire_to_wire":
+            tiers["100x (60000 docs / 16 shards)"] = (60000, 16)
+        for label, (docs, shards) in tiers.items():
             sq._ST32_DOCS = sq._ST33_DOCS = docs
             sq._ST32_SHARDS = sq._ST33_SHARDS = shards
             run(name)  # warm
