@@ -129,6 +129,8 @@ class FakeKinesisServer:
         the other half). Parent remainders freeze fully readable, same
         as split: consumers must drain them above their committed
         cursors and pick the child up at TRIM_HORIZON."""
+        if parent_a == parent_b:
+            raise ValueError("MergeShards needs two distinct parents")
         with self._lock:
             for parent in (parent_a, parent_b):
                 if parent not in self._shards:

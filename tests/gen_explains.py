@@ -77,6 +77,8 @@ HEADLINES = [
     ("m03b_png_features", "build -> PNG decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 8 ints) cross into the resize projection"),
     ("s06b_kmeans_cells_seeded", "the k-means assignment step alone: the operator's literal max-cosine fold as ONE narrow projection over the scan — no exchange, no Python, plan size fixed by k"),
     ("m07_gif_features", "build -> GIF LZW decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 6 ints) ever leave the scan partition"),
+    ("s30_graph_beam_ann", "the serving walk never shuffles the corpus: the banded k-NN graph and bit table materialize once (localCheckpoint -> ExistingRDD) and every hop joins them BROADCAST; per-hop exchanges carry only (q_id, vec_id, hamming) candidate rows; the exact re-rank is s23's broadcast-id tail"),
+    ("st38_stream_hamming_index_maintenance", "serving reads ONLY the compacted word table (ReadSchema = vec_id + two BIGINTs); the coarse popcount runs against the broadcast query words; raw vectors re-enter solely through the broadcast-id re-rank joins — the corpus parquet stays column-pruned"),
 ]
 
 

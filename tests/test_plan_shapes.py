@@ -724,3 +724,43 @@ def test_m03b_decode_chain_is_one_arrow_span(spark):
     assert "Exchange" not in plan.split("MapInPandas")[0], (
         "no shuffle may sit above the decode chain"
     )
+
+
+def test_s30_serving_walk_never_shuffles_corpus(spark):
+    """s30's serving promise: the graph and bit tables materialize once
+    (localCheckpoint) and enter every hop join BROADCAST; after the
+    lineage cuts, every hash exchange in the final serving plan is
+    q_id-keyed (beam/shortlist rows), never corpus-keyed; the exact
+    re-rank is s23's broadcast-id tail with no sort-merge join."""
+    plan = _plan(spark, "s30_graph_beam_ann")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist + query ids
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg.startswith("q_id"), (
+            "corpus-keyed exchange leaked into s30 serving: " + seg[:80]
+        )
+
+
+def test_st38_serving_scans_only_the_word_table(spark):
+    """st38's serving promise: the coarse pass reads ONLY the compacted
+    word table — the base embeddings parquet contributes nothing but
+    the broadcast-id re-rank vectors, so its scan must be pruned to
+    (vec_id, embedding) and the word scan to (vec_id, b0, b1); no
+    sort-merge join anywhere."""
+    plan = _plan(spark, "st38_stream_hamming_index_maintenance")
+    assert "SortMergeJoin" not in plan
+    word_scans = [
+        seg
+        for seg in plan.split("ReadSchema: ")[1:]
+        if seg.startswith("struct<vec_id:bigint,b0:bigint,b1:bigint>")
+    ]
+    assert word_scans, "compacted word-table scan missing or unpruned"
+    base_scans = [
+        seg
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "embedding" in seg.split(",", 3)[:3][-1][:60]
+    ]
+    for seg in base_scans:
+        assert seg.startswith("struct<vec_id:bigint,embedding:"), (
+            "base-table scan not pruned to (vec_id, embedding): " + seg[:80]
+        )
