@@ -17,12 +17,13 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-14 window (executing the rotation plan written in
 # round 13, tests/test_driver_window.py "ROUND-14 PLAN"): after
 # CORRECTNESS_r13 the union's stalest rows are the 22 r08 rows deferred
-# from the r13 window, then the 48-row r09 cohort. The 22 lead; 25 of
-# the r09 cohort follow; and the three entries NEW this round (never
+# from the r13 window, then the 48-row r09 cohort. The 22 lead; 24 of
+# the r09 cohort follow; and the four entries NEW this round (never
 # driver-checked: s30 the graph-beam ANN serving twin, st37 the
 # exactly-once live-reshard wire certification, st38 the streaming
-# binary-Hamming index maintenance) displace the cheapest-to-defer r09
-# rows — 23 r09 rows carry to round 15 as its lead. Deferral reasoning
+# binary-Hamming index maintenance, st39 the streaming graph-index
+# maintenance) displace the cheapest-to-defer r09 rows — 24 r09 rows
+# carry to round 15 as its lead. Deferral reasoning
 # per row in tests/test_driver_window.py DEFERRED_TO_R15.
 DRIVER_WINDOW: list[str] = [
     # -- the 22 r08-stale rows deferred from the r13 window -----------
@@ -70,7 +71,6 @@ DRIVER_WINDOW: list[str] = [
     "t12_vocab_heavy_hitters",
     "t13_sequence_packing",
     "t15_bigram_lm_quality",
-    "w05_windowed_topk_users",
     "w07_event_funnel",
     "w09_retention_cohorts",
     "w22_cusum_drift",
@@ -78,6 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "s30_graph_beam_ann",
     "st37_reshard_exactly_once_wire",
     "st38_stream_hamming_index_maintenance",
+    "st39_stream_graph_index_maintenance",
 ]
 
 set_priority(DRIVER_WINDOW)

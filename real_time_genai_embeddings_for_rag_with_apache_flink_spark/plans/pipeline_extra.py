@@ -5102,6 +5102,25 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    return _graph_beam_serve(queries, corpus, edges)
+
+
+def _graph_beam_serve(
+    queries: DataFrame, corpus: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """The s30 SERVING walk — seeded entries, {_S30_HOPS} unrolled
+    Hamming-guided beam hops, exact cosine re-rank — shared verbatim by
+    the batch entry (s30, graph built in-plan) and the maintained-index
+    streaming twin (st39, graph read from VersionedState), so 'serve
+    from the maintained graph' and 'serve from the batch-built graph'
+    are the same code path by construction and their shared oracle
+    certifies both. ``queries``/``corpus`` are _sign_bits_split halves;
+    ``edges`` is the SYMMETRIZED (src, dst) edge table, already
+    lineage-cut by the caller."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
     # ---- seeded entry points (HNSW's fixed entry, md5-ranked) -------
     entry = (
         corpus.select("vec_id")

@@ -4584,3 +4584,176 @@ def st38_stream_hamming_index_maintenance(
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= _S23_K)
     )
+
+
+def _st39_oracle() -> str:
+    """st39 serves s30's exact query from the maintained graph, so its
+    oracle IS s30's (same registration-order argument as _st38_oracle):
+    graph build replayed as SQL, walk unrolled, identical rounding and
+    tiebreaks. The incremental edge maintenance must converge to the
+    batch edge set for the hash to match — that convergence is the
+    claim this row certifies."""
+    from .registry import all_specs
+
+    return all_specs()["s30_graph_beam_ann"].oracle
+
+
+@query(
+    "st39_stream_graph_index_maintenance",
+    oracle=_st39_oracle(),
+    tags=("streaming", "ann", "graph", "hnsw", "index-maintenance"),
+    bench=True,
+)
+def st39_stream_graph_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous maintenance for the GRAPH index — the append->
+    compact->serve lifecycle (st15: IVF cells, st38: Hamming words)
+    given to the engine's newest ANN family, s30's banded k-NN graph,
+    i.e. the engine-native version of what OpenSearch does when the
+    reference's pipeline streams vectors into its hnsw index
+    (KDS-P/index-creation-function/lambda_function.py:72-80): each
+    micro-batch of the embedding stream becomes graph NODES (bucket +
+    packed sign words + norm) plus directed candidate EDGES — the new
+    arrivals joined per band against everything indexed so far, BOTH
+    directions, so a pair's edge is created exactly once, when its
+    later endpoint arrives, and existing nodes' neighbor lists keep
+    improving as better neighbors stream in. Per trigger the candidate
+    set COMPACTS to each (band, src)'s top-{_S30_KG} by exact cosine —
+    safe because similarities never change, so anything outranked by
+    {_S30_KG} better neighbors can never re-enter (the monotone-
+    compaction argument), which bounds edge state at
+    O(nodes x bands x {_S30_KG}) rows no matter how long the stream
+    runs. Nodes and edges commit ATOMICALLY in one VersionedState
+    version (the st23 commit_tables protocol — no crash point publishes
+    edges referencing unpublished nodes); replayed batches are no-ops
+    via applied(). When the stream drains, serving runs s30's walk —
+    literally the same function, _graph_beam_serve — against the
+    MAINTAINED edge table, and must reproduce s30's batch answer to the
+    value hash, which is what the shared oracle certifies: the
+    incremental edge set converging to the batch-built graph is the
+    whole claim.
+
+    Scale shape: per trigger the band joins carry |batch| x in-band
+    rows (the same banded-blocking discipline as d04 — never all-pairs
+    against the corpus), the compaction rank runs over edge state that
+    the top-K cut keeps linear in nodes, and the full-precision vectors
+    live in the node table only for edge scoring — the serving walk
+    broadcasts ids and words exactly as s30 does. At 100 TB this is the
+    streaming half of an HNSW deployment: ingest maintains the
+    neighbor lists incrementally; queries never see a rebuild."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, l2_norm, pack_sign_bits
+    from ..sources.batch import load_table
+    from ..streaming.statefs import VersionedState
+    from .llmops import _hyperplane_bucket_col
+    from .pipeline_extra import (
+        _S30_BANDS,
+        _S30_KG,
+        _graph_beam_serve,
+        _sign_bits_split,
+    )
+
+    work_root = _stream_work_root(spark, sf_dir, "st39", table="embeddings")
+    state = VersionedState(spark, f"{work_root.rstrip('/')}/state")
+    ckpt = os.path.join(work_root, "ckpt")
+    # tests read the committed state back to pin the edge-state bound
+    LAST_INDEX_DIRS["st39"] = (f"{work_root.rstrip('/')}/state", ckpt)
+    nodes_schema = (
+        "vec_id long, bucket int, b0 long, b1 long, "
+        "embedding array<float>, nrm double"
+    )
+    edges_schema = "band int, src long, dst long, sim double"
+
+    def as_nodes(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                "vec_id",
+                _hyperplane_bucket_col().alias("bucket"),
+                pack_sign_bits(F.col("embedding"), 1, 32).alias("b0"),
+                pack_sign_bits(F.col("embedding"), 33, 64).alias("b1"),
+                "embedding",
+                l2_norm(F.col("embedding")).alias("nrm"),
+            )
+            .filter((F.col("vec_id") % 50 != 0) & F.col("b0").isNotNull())
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if state.applied(batch_id):
+            return
+        newv = as_nodes(batch).localCheckpoint()
+        prev_nodes = state.read_table("nodes", nodes_schema)
+        all_nodes = prev_nodes.unionByName(newv)
+        a, b = newv.alias("a"), all_nodes.alias("b")
+        denom = F.col("a.nrm") * F.col("b.nrm")
+        sim = F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6
+        )
+        cand = None
+        for j in range(_S30_BANDS):
+            ka = F.shiftright(F.col("a.bucket"), 2 * j).bitwiseAND(F.lit(3))
+            kb = F.shiftright(F.col("b.bucket"), 2 * j).bitwiseAND(F.lit(3))
+            band = (
+                a.join(
+                    b,
+                    (ka == kb) & (F.col("a.vec_id") != F.col("b.vec_id")),
+                )
+                .filter(denom != 0.0)
+                .select(
+                    F.lit(j).alias("band"),
+                    F.col("a.vec_id").alias("src"),
+                    F.col("b.vec_id").alias("dst"),
+                    sim.alias("sim"),
+                )
+            )
+            # both directions: the OLD endpoint's neighbor list must
+            # also see the new arrival (cosine is exactly symmetric —
+            # IEEE multiply commutes, fold order identical)
+            both = band.unionByName(
+                band.select(
+                    "band",
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "sim",
+                )
+            )
+            cand = both if cand is None else cand.unionByName(both)
+        prev_edges = state.read_table("edges", edges_schema)
+        # distinct: a new-new pair surfaces from both endpoints' join
+        # rows; duplicate (band, src, dst, sim) rows would occupy two
+        # rank slots and push out a legitimate k-th neighbor
+        merged = prev_edges.unionByName(cand).distinct()
+        wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
+        kept = (
+            merged.withColumn("rnk", F.row_number().over(wj))
+            .filter(F.col("rnk") <= _S30_KG)
+            .drop("rnk")
+        )
+        state.commit_tables({"nodes": all_nodes, "edges": kept}, batch_id)
+
+    q = (
+        stream_embeddings(spark, sf_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_RUN_BATCHES["st39"] = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+
+    # ---- serving: s30's walk against the MAINTAINED graph -----------
+    kept_edges = state.read_table("edges", edges_schema)
+    gdir = kept_edges.select("src", "dst").distinct()
+    edges_sym = (
+        gdir.unionByName(
+            gdir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _sign_bits_split(em)
+    return _graph_beam_serve(queries, corpus, edges_sym)

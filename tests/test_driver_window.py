@@ -4,18 +4,19 @@ the first 50 of the priority order). These tests pin the round-14
 rotation (executing the plan written in round 13): after
 CORRECTNESS_r13 the cross-round union's stalest rows were the 22 r08
 rows deferred from the r13 window, then the 48-row r09 cohort. The 22
-lead this window; 25 of the r09 cohort follow; the three entries NEW
+lead this window; 24 of the r09 cohort follow; the four entries NEW
 this round (never driver-checked: s30 the graph-beam ANN serving twin,
 st37 the exactly-once live-reshard wire certification, st38 the
-streaming binary-Hamming index maintenance) take the final slots,
-displacing the 23 cheapest-to-defer r09 rows, which carry to round 15.
+streaming binary-Hamming index maintenance, st39 the streaming
+graph-index maintenance) take the final slots, displacing the 24
+cheapest-to-defer r09 rows, which carry to round 15.
 Per-row deferral reasoning is inline in DEFERRED_TO_R15 below.
 
 ROUND-15 PLAN (written in round 14, the established handoff): once
-CORRECTNESS_r14 lands, the union's stalest rows are the 23 deferred
+CORRECTNESS_r14 lands, the union's stalest rows are the 24 deferred
 r09 rows in DEFERRED_TO_R15, then the 50-row r10 cohort. The round-15
-window is those 23 + 27 of the r10 cohort, with any round-15 additions
-displacing the cheapest-to-defer r10 rows (23 r10 rows defer to r16
+window is those 24 + 26 of the r10 cohort, with any round-15 additions
+displacing the cheapest-to-defer r10 rows (24 r10 rows defer to r16
 even with zero additions)."""
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 15 (the 23 cheapest-to-defer r09 rows). Every
+# Deferred to round 15 (the 24 cheapest-to-defer r09 rows). Every
 # deferral leaves its family covered by an in-window or r12/r13-checked
 # sibling:
 # - d05/d06 (SimHash/hamming-pairs: d04 LSH pairing stays in-window,
@@ -51,6 +52,9 @@ DRIVER_WINDOW_SIZE = 50
 # - t14_source_caps (d31 weighted-sample caps checked r13; t25 source
 #   divergence checked r13),
 # - t16_source_datacard (t25 checked r13; p22 statistics in-window),
+# - w05_windowed_topk_users (windowed top-k family: the sliding-frame
+#   machinery stays in-window via w16, the per-group WindowGroupLimit
+#   cut via s23/s30; displaced by the late-added st39),
 # - w06_time_weighted_avg (rolling-window family: w15 leads in-window,
 #   w22 cusum stays in-window),
 # - w08_subsequence_search (w07 funnel stays in-window),
@@ -78,6 +82,7 @@ DEFERRED_TO_R15 = (
     "st28_stream_dup_components",
     "t14_source_caps",
     "t16_source_datacard",
+    "w05_windowed_topk_users",
     "w06_time_weighted_avg",
     "w08_subsequence_search",
     "w20_event_transition_matrix",
@@ -112,7 +117,7 @@ LEAD_R08 = (
     "w19_purchase_attribution",
 )
 
-# The 25 r09-cohort rows that keep their slot.
+# The 24 r09-cohort rows that keep their slot.
 LEAD_R09 = (
     "d04_minhash_lsh_pairs",
     "d08_dup_components",
@@ -135,7 +140,6 @@ LEAD_R09 = (
     "t12_vocab_heavy_hitters",
     "t13_sequence_packing",
     "t15_bigram_lm_quality",
-    "w05_windowed_topk_users",
     "w07_event_funnel",
     "w09_retention_cohorts",
     "w22_cusum_drift",
@@ -146,6 +150,7 @@ NEVER_CHECKED = (
     "s30_graph_beam_ann",
     "st37_reshard_exactly_once_wire",
     "st38_stream_hamming_index_maintenance",
+    "st39_stream_graph_index_maintenance",
 )
 
 

@@ -1337,3 +1337,63 @@ def test_hamming_index_maintenance_lifecycle_and_word_only_scan(spark):
         for r in get_spec("s23_binary_hamming_ann").build(spark, sf).collect()
     )
     assert served == batch
+
+
+def test_graph_index_maintenance_converges_to_batch_graph(spark):
+    """st39 contract: (a) the maintenance really ran multi-batch, (b)
+    the compacted edge state is bounded at nodes x bands x K rows with
+    per-(band, src) top-K semantics, and (c) serving from the
+    incrementally maintained graph answers exactly s30's batch result
+    — the monotone-compaction convergence claim."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        get_spec,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _S30_BANDS,
+        _S30_KG,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_RUN_BATCHES,
+        N_STREAM_FILES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    served = sorted(
+        (r.q_id, r.vec_id, r.hamming, r.sim, r.rank)
+        for r in get_spec("st39_stream_graph_index_maintenance")
+        .build(spark, sf)
+        .collect()
+    )
+    assert LAST_RUN_BATCHES["st39"] >= N_STREAM_FILES
+
+    batch = sorted(
+        (r.q_id, r.vec_id, r.hamming, r.sim, r.rank)
+        for r in get_spec("s30_graph_beam_ann").build(spark, sf).collect()
+    )
+    assert served == batch
+
+    # edge-state bound: the committed compacted edge table must hold at
+    # most K rows per (band, src) — nodes x bands x K total, no matter
+    # how many triggers ran (the monotone top-K compaction)
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.streaming_queries import (
+        LAST_INDEX_DIRS,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming.statefs import (
+        VersionedState,
+    )
+
+    state_root, _ = LAST_INDEX_DIRS["st39"]
+    state = VersionedState(spark, state_root)
+    edges = state.read_table("edges", "band int, src long, dst long, sim double")
+    nodes = state.read_table(
+        "nodes",
+        "vec_id long, bucket int, b0 long, b1 long, "
+        "embedding array<float>, nrm double",
+    )
+    n_nodes = nodes.count()
+    assert 0 < n_nodes <= 490  # corpus side only (queries filtered out)
+    per_key_max = (
+        edges.groupBy("band", "src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_key_max <= _S30_KG, per_key_max
+    assert edges.count() <= n_nodes * _S30_BANDS * _S30_KG
