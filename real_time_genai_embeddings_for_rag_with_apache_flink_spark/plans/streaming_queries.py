@@ -4639,9 +4639,15 @@ def st39_stream_graph_index_maintenance(
     against the corpus), the compaction rank runs over edge state that
     the top-K cut keeps linear in nodes, and the full-precision vectors
     live in the node table only for edge scoring — the serving walk
-    broadcasts ids and words exactly as s30 does. At 100 TB this is the
-    streaming half of an HNSW deployment: ingest maintains the
-    neighbor lists incrementally; queries never see a rebuild."""
+    broadcasts ids and words exactly as s30 does. Honesty note on the
+    node table: VersionedState REWRITES it per commit (O(indexed so
+    far) per trigger) — right at fixture scale and for demonstrating
+    the atomic nodes+edges commit, but at 100 TB nodes would append as
+    batch-keyed partitions (the statefs overwrite-output convention,
+    st14/st38's shape) with only the compacted edge table riding the
+    versioned commit; the edge algebra is unchanged. With that split
+    this is the streaming half of an HNSW deployment: ingest maintains
+    the neighbor lists incrementally; queries never see a rebuild."""
     from pyspark.sql import Window
 
     from ..functions.vector import dot, l2_norm, pack_sign_bits
