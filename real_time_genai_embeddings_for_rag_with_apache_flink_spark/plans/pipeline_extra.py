@@ -5066,31 +5066,14 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
     )
-    a, b = sides.alias("a"), sides.alias("b")
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
-    wj = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
-    gdir = None
-    for j in range(_S30_BANDS):
-        bkey_a = F.shiftright(F.col("a.bucket"), 2 * j).bitwiseAND(F.lit(3))
-        bkey_b = F.shiftright(F.col("b.bucket"), 2 * j).bitwiseAND(F.lit(3))
-        band = (
-            a.join(
-                b,
-                (bkey_a == bkey_b) & (F.col("a.vec_id") != F.col("b.vec_id")),
-            )
-            .filter(denom != 0.0)
-            .select(
-                F.col("a.vec_id").alias("src"),
-                F.col("b.vec_id").alias("dst"),
-                sim.alias("sim"),
-            )
-            .withColumn("rnk", F.row_number().over(wj))
-            .filter(F.col("rnk") <= _S30_KG)
-            .select("src", "dst")
-        )
-        gdir = band if gdir is None else gdir.unionByName(band)
-    gdir = gdir.distinct()
+    wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
+    gdir = (
+        _banded_pairs(sides, sides)
+        .withColumn("rnk", F.row_number().over(wj))
+        .filter(F.col("rnk") <= _S30_KG)
+        .select("src", "dst")
+        .distinct()
+    )
     edges = (
         gdir.unionByName(
             gdir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -5103,6 +5086,59 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _graph_beam_serve(queries, corpus, edges)
+
+
+def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+    """All in-band candidate pairs ``(band, src, dst, sim)`` between
+    ``a_side`` and ``b_side`` rows (each needs vec_id, bucket,
+    embedding, nrm): every row explodes over the {_S30_BANDS} 2-plane
+    bands of its s08 bucket code, and ONE equi-join on the derived
+    (band, band-key) pair generates all bands' candidates in a single
+    exchange — the restructure of one-join-per-band that cut s30's
+    build from 4 shuffles + 4 rank windows to 1 + 1. Shared by s30
+    (corpus self-pairs) and st39 (new-arrivals x indexed-so-far)."""
+    from ..functions.vector import dot
+
+    bkey = None
+    for j in range(_S30_BANDS):
+        val = F.shiftright(F.col("bucket"), 2 * j)
+        bkey = (
+            F.when(F.col("band") == j, val)
+            if bkey is None
+            else bkey.when(F.col("band") == j, val)
+        )
+    bkey = bkey.otherwise(F.lit(0)).bitwiseAND(F.lit(3))
+
+    def with_band(df: DataFrame) -> DataFrame:
+        return (
+            df.select("vec_id", "bucket", "embedding", "nrm")
+            .withColumn(
+                "band",
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(_S30_BANDS)])
+                ),
+            )
+            .withColumn("bkey", bkey)
+        )
+
+    a, b = with_band(a_side).alias("a"), with_band(b_side).alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(denom != 0.0)
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            sim.alias("sim"),
+        )
+    )
 
 
 def _graph_beam_serve(

@@ -4650,13 +4650,13 @@ def st39_stream_graph_index_maintenance(
     the neighbor lists incrementally; queries never see a rebuild."""
     from pyspark.sql import Window
 
-    from ..functions.vector import dot, l2_norm, pack_sign_bits
+    from ..functions.vector import l2_norm, pack_sign_bits
     from ..sources.batch import load_table
     from ..streaming.statefs import VersionedState
     from .llmops import _hyperplane_bucket_col
     from .pipeline_extra import (
-        _S30_BANDS,
         _S30_KG,
+        _banded_pairs,
         _graph_beam_serve,
         _sign_bits_split,
     )
@@ -4691,40 +4691,18 @@ def st39_stream_graph_index_maintenance(
         newv = as_nodes(batch).localCheckpoint()
         prev_nodes = state.read_table("nodes", nodes_schema)
         all_nodes = prev_nodes.unionByName(newv)
-        a, b = newv.alias("a"), all_nodes.alias("b")
-        denom = F.col("a.nrm") * F.col("b.nrm")
-        sim = F.round(
-            dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6
+        band_pairs = _banded_pairs(newv, all_nodes)
+        # both directions: the OLD endpoint's neighbor list must also
+        # see the new arrival (cosine is exactly symmetric — IEEE
+        # multiply commutes, fold order identical)
+        cand = band_pairs.unionByName(
+            band_pairs.select(
+                "band",
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "sim",
+            )
         )
-        cand = None
-        for j in range(_S30_BANDS):
-            ka = F.shiftright(F.col("a.bucket"), 2 * j).bitwiseAND(F.lit(3))
-            kb = F.shiftright(F.col("b.bucket"), 2 * j).bitwiseAND(F.lit(3))
-            band = (
-                a.join(
-                    b,
-                    (ka == kb) & (F.col("a.vec_id") != F.col("b.vec_id")),
-                )
-                .filter(denom != 0.0)
-                .select(
-                    F.lit(j).alias("band"),
-                    F.col("a.vec_id").alias("src"),
-                    F.col("b.vec_id").alias("dst"),
-                    sim.alias("sim"),
-                )
-            )
-            # both directions: the OLD endpoint's neighbor list must
-            # also see the new arrival (cosine is exactly symmetric —
-            # IEEE multiply commutes, fold order identical)
-            both = band.unionByName(
-                band.select(
-                    "band",
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    "sim",
-                )
-            )
-            cand = both if cand is None else cand.unionByName(both)
         prev_edges = state.read_table("edges", edges_schema)
         # distinct: a new-new pair surfaces from both endpoints' join
         # rows; duplicate (band, src, dst, sim) rows would occupy two
