@@ -5121,7 +5121,17 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
             .withColumn("bkey", bkey)
         )
 
-    a, b = with_band(a_side).alias("a"), with_band(b_side).alias("b")
+    # the probe side inherits the parquet scan's partition count (often
+    # 1-2 files) and every downstream dot fold runs on that many tasks;
+    # the build side broadcasts, so the probe side is free to spread —
+    # without this the ~|pairs| similarity folds serialize onto two
+    # cores. The partition count must be EXPLICIT: the exploded rows
+    # are only ~KBs, so AQE would coalesce a bare repartition back to
+    # one partition — it cannot know each row fans out bucket-width
+    # pairs of interpreted 64-element folds downstream.
+    nparts = 2 * a_side.sparkSession.sparkContext.defaultParallelism
+    a = with_band(a_side).repartition(nparts, F.col("vec_id")).alias("a")
+    b = with_band(b_side).alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
     sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
     return (
