@@ -161,26 +161,35 @@ def main() -> int:
 # Edges bracket the frozen BASELINE.md number and recent quiet
 # readings; they flag structural drift, they are not perf targets.
 _BANDS: dict[str, tuple[float, float]] = {
-    "st28_stream_dup_components": (5.0, 14.0),
-    "d34_semantic_dedup_seeded": (3.0, 8.5),
-    "st14b_stream_verified_neardups": (3.0, 9.5),
-    "d24_lsh_recall_audit": (3.0, 12.0),
-    "p10_training_manifest": (3.0, 9.0),
-    "st25_stream_maxsim_serving": (3.0, 8.0),
-    "st14_stream_incremental_dedup": (3.0, 8.5),
-    "s25_retrieval_eval": (2.5, 7.0),
-    "d27_prefix_filter_join": (2.5, 7.5),
-    "s20b_ivfadc_seeded": (2.5, 7.0),
-    "s21_pca_projection": (0.5, 0.9),
-    # the r13-quiet slowest rows previously outside the gate
+    # tops recalibrated to the r14 box epoch (BASELINE.md §r14: this
+    # round's box runs ~1.3x the r13 freeze box on exchange-heavy rows;
+    # envelopes bracket the min/max of four full quiet r14 runs with
+    # ~30% headroom — cross-epoch drift detection is the ratio gate's
+    # job, absolute bands exist to catch structural plan regressions)
+    "st28_stream_dup_components": (6.0, 17.0),
+    "d34_semantic_dedup_seeded": (4.0, 15.0),
+    "st14b_stream_verified_neardups": (4.0, 13.0),
+    "d24_lsh_recall_audit": (4.0, 15.0),
+    "p10_training_manifest": (3.0, 11.0),
+    "st25_stream_maxsim_serving": (3.5, 12.5),
+    "st14_stream_incremental_dedup": (3.0, 13.0),
+    "s25_retrieval_eval": (3.0, 10.0),
+    "d27_prefix_filter_join": (3.0, 10.5),
+    "s20b_ivfadc_seeded": (2.5, 9.0),
+    "s21_pca_projection": (0.5, 1.4),
+    # the slowest stress rows previously outside the gate
     "d04_skew_guard_off": (8.0, 26.0),  # deliberately quadratic
-    "d21_chain_stress": (4.0, 12.0),
-    "w13_sweep_hot_onephase": (4.0, 13.0),
-    "s26_stress_expr_100kx64tok": (4.0, 13.0),
-    "plaid_stress_maxsim_full_200kx64tok": (2.0, 8.0),
+    "d21_chain_stress": (4.5, 14.0),
+    "w13_sweep_hot_onephase": (4.0, 12.5),
+    "s26_stress_expr_100kx64tok": (5.0, 18.0),
+    "plaid_stress_maxsim_full_200kx64tok": (2.0, 9.0),
     "rank_stress_naive_global_5m": (3.5, 11.0),
-    "s23_stress_flatsum_1024d_5k": (1.5, 6.0),
-    "s23_stress_pack1024d_20k": (0.4, 2.5),
+    "s23_stress_flatsum_1024d_5k": (1.5, 4.5),
+    "s23_stress_pack1024d_20k": (0.4, 2.0),
+    # the round-14 rows, enveloped from their first four quiet runs
+    "s30_graph_beam_ann": (5.0, 20.0),
+    "st39_stream_graph_index_maintenance": (12.0, 33.0),
+    "st38_stream_hamming_index_maintenance": (2.0, 7.5),
 }
 
 # Hazard-twin RATIO gate (r13 verdict #1): every stress pair exists to
