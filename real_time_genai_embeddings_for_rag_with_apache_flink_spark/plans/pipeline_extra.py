@@ -5016,8 +5016,8 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index build (the amortized part — at scale it persists like s05's
     IVF cells): a navigable k-NN graph from the s08/s15 machinery,
     DENSIFIED by banding — the 8-plane bucket code splits into
-    {_S30_BANDS} 2-plane bands (``(bucket >> 2j) & 3``, derived from
-    ONE bucket computation), each node keeps its top-{_S30_KG} in-band
+    four 2-plane bands (``(bucket >> 2j) & 3``, derived from
+    ONE bucket computation), each node keeps its top-3 in-band
     neighbors by exact cosine per band, edges union across bands and
     symmetrize. Single-band cliques are disconnected (the s15 graph's
     65 singleton buckets on this corpus cannot be walked); band
@@ -5025,16 +5025,16 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     HNSW's long-range layer edges exist, earned here from the d04
     banded-LSH recipe instead of level sampling.
 
-    Serving walk (the HNSW search-layer loop, ef={_S30_BEAM}): from
-    {_S30_ENTRY} md5-seeded entry points (the fixed-entry convention of
-    s12/d31), {_S30_HOPS} UNROLLED hops — each hop cuts the frontier to
-    the beam (top-{_S30_BEAM} visited by integer Hamming distance on
+    Serving walk (the HNSW search-layer loop, ef=16): from
+    8 md5-seeded entry points (the fixed-entry convention of
+    s12/d31), 5 UNROLLED hops — each hop cuts the frontier to
+    the beam (top-16 visited by integer Hamming distance on
     the packed sign words, the d32b integer-fold discipline), expands
     one edge join, folds new candidates into the visited set by
-    DISTINCT. The visited set's best {_S30_SHORT} then pay the exact
-    cosine re-rank, keep {_S30_K} — byte-identical tail to s23, so the
+    DISTINCT. The visited set's best 40 then pay the exact
+    cosine re-rank, keep 5 — byte-identical tail to s23, so the
     two coarse passes compare at equal shortlist width. Measured
-    recall@5 at width {_S30_SHORT}: comparable to s23's GLOBAL Hamming
+    recall@5 at width 40: comparable to s23's GLOBAL Hamming
     cut on both fixtures (0.78 vs 0.76 at sf0.01, 0.70 vs 0.76 at
     sf0.001) while examining only ~54% of the corpus — graph-guided
     candidates (cosine-built edges) buy back most of what the partial
@@ -5091,7 +5091,7 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
     """All in-band candidate pairs ``(band, src, dst, sim)`` between
     ``a_side`` and ``b_side`` rows (each needs vec_id, bucket,
-    embedding, nrm): every row explodes over the {_S30_BANDS} 2-plane
+    embedding, nrm): every row explodes over the four 2-plane
     bands of its s08 bucket code, and ONE equi-join on the derived
     (band, band-key) pair generates all bands' candidates in a single
     exchange — the restructure of one-join-per-band that cut s30's
@@ -5154,7 +5154,7 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
 def _graph_beam_serve(
     queries: DataFrame, corpus: DataFrame, edges: DataFrame
 ) -> DataFrame:
-    """The s30 SERVING walk — seeded entries, {_S30_HOPS} unrolled
+    """The s30 SERVING walk — seeded entries, fixed unrolled
     Hamming-guided beam hops, exact cosine re-rank — shared verbatim by
     the batch entry (s30, graph built in-plan) and the maintained-index
     streaming twin (st39, graph read from VersionedState), so 'serve

@@ -4619,11 +4619,11 @@ def st39_stream_graph_index_maintenance(
     directions, so a pair's edge is created exactly once, when its
     later endpoint arrives, and existing nodes' neighbor lists keep
     improving as better neighbors stream in. Per trigger the candidate
-    set COMPACTS to each (band, src)'s top-{_S30_KG} by exact cosine —
+    set COMPACTS to each (band, src)'s top-3 by exact cosine —
     safe because similarities never change, so anything outranked by
-    {_S30_KG} better neighbors can never re-enter (the monotone-
+    3 better neighbors can never re-enter (the monotone-
     compaction argument), which bounds edge state at
-    O(nodes x bands x {_S30_KG}) rows no matter how long the stream
+    O(nodes x bands x 3) rows no matter how long the stream
     runs. Nodes and edges commit ATOMICALLY in one VersionedState
     version (the st23 commit_tables protocol — no crash point publishes
     edges referencing unpublished nodes); replayed batches are no-ops
