@@ -328,3 +328,59 @@ def test_s30_graph_walk_recall_floor_and_walk_semantics(spark):
         len(truth[q] & got[q]) / len(truth[q]) for q in truth
     ) / len(truth)
     assert recall >= 0.60, f"graph-walk recall@5 collapsed: {recall:.2f}"
+
+
+def test_banded_pairs_equal_per_band_union(spark):
+    """_banded_pairs' single (band, key) equi-join must produce exactly
+    the pairs the original one-join-per-band construction produced —
+    the restructure is a plan optimization, not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
+        dot,
+        l2_norm,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _hyperplane_bucket_col,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _S30_BANDS,
+        _banded_pairs,
+        _sign_bits_split,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    _, corpus = _sign_bits_split(em)
+    sides = corpus.select(
+        "vec_id",
+        _hyperplane_bucket_col().alias("bucket"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    got = sorted(
+        (r.band, r.src, r.dst, r.sim)
+        for r in _banded_pairs(sides, sides).collect()
+    )
+
+    a, b = sides.alias("a"), sides.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
+    expected = []
+    for j in range(_S30_BANDS):
+        ka = F.shiftright(F.col("a.bucket"), 2 * j).bitwiseAND(F.lit(3))
+        kb = F.shiftright(F.col("b.bucket"), 2 * j).bitwiseAND(F.lit(3))
+        expected.extend(
+            (j, r.src, r.dst, r.sim)
+            for r in a.join(
+                b, (ka == kb) & (F.col("a.vec_id") != F.col("b.vec_id"))
+            )
+            .filter(denom != 0.0)
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+                sim.alias("sim"),
+            )
+            .collect()
+        )
+    assert got == sorted(expected)
+    assert got, "pair set must be non-empty at this fixture size"
