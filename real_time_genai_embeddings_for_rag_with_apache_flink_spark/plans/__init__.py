@@ -17,13 +17,14 @@ from . import retrieval  # noqa: E402,F401
 # entries only. Round-14 window (executing the rotation plan written in
 # round 13, tests/test_driver_window.py "ROUND-14 PLAN"): after
 # CORRECTNESS_r13 the union's stalest rows are the 22 r08 rows deferred
-# from the r13 window, then the 48-row r09 cohort. The 22 lead; 24 of
-# the r09 cohort follow; and the four entries NEW this round (never
+# from the r13 window, then the 48-row r09 cohort. The 22 lead; 23 of
+# the r09 cohort follow; and the five entries NEW this round (never
 # driver-checked: s30 the graph-beam ANN serving twin, st37 the
 # exactly-once live-reshard wire certification, st38 the streaming
 # binary-Hamming index maintenance, st39 the streaming graph-index
-# maintenance) displace the cheapest-to-defer r09 rows — 24 r09 rows
-# carry to round 15 as its lead. Deferral reasoning
+# maintenance, d35 exact duplicated-span detection) displace the
+# cheapest-to-defer r09 rows — 25 r09 rows carry to round 15 as its
+# lead. Deferral reasoning
 # per row in tests/test_driver_window.py DEFERRED_TO_R15.
 DRIVER_WINDOW: list[str] = [
     # -- the 22 r08-stale rows deferred from the r13 window -----------
@@ -62,7 +63,6 @@ DRIVER_WINDOW: list[str] = [
     "q41_min_price_line",
     "q64_histogram",
     "r01_salted_join",
-    "r02_salted_aggregation",
     "s11_hybrid_rrf",
     "st26_stream_transition_matrix",
     "t09_curation_rules",
@@ -79,6 +79,7 @@ DRIVER_WINDOW: list[str] = [
     "st37_reshard_exactly_once_wire",
     "st38_stream_hamming_index_maintenance",
     "st39_stream_graph_index_maintenance",
+    "d35_exact_dup_spans",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1914,3 +1914,118 @@ def t23b_bpe_tokenize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).cast("long").alias("n_word_chars"),
         )
     )
+
+
+# Exact duplicated-span seed length (tokens). 8 is the standard seed
+# width for blocked exact-substring dedup: long enough that natural
+# language rarely collides, short enough that any real duplicated
+# passage contains at least one full window.
+_D35_SPAN = 8
+
+
+def _d35_span_sql() -> str:
+    parts = ", ".join(f"toks[i+{k}]" for k in range(_D35_SPAN))
+    return f"""
+WITH spanned AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < {_D35_SPAN} THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(toks) - {_D35_SPAN - 1}),
+                i -> md5(concat_ws(' ', {parts})))) END AS fps
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, '\\s+') AS toks
+        FROM documents)
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM spanned),
+fc AS (SELECT fp, COUNT(*) AS n_docs FROM ex GROUP BY fp),
+dup AS (
+  SELECT e.doc_id, COUNT(*) AS n_dup
+  FROM ex e JOIN fc USING (fp) WHERE fc.n_docs >= 2 GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.fps) AS BIGINT) AS n_spans,
+  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  ROUND(CASE WHEN len(s.fps) = 0 THEN 0.0
+        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(s.fps) END,
+        6) AS dup_span_frac
+FROM spanned s LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@query(
+    "d35_exact_dup_spans",
+    oracle=_d35_span_sql(),
+    tags=("dedup", "text", "curation", "substring"),
+    bench=True,
+)
+def d35_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span detection — the seed stage of exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": their suffix-array pass finds
+    byte-identical spans >= 50 chars; the standard distributed
+    approximation blocks on fixed-width token windows, which is what
+    C4/RefinedWeb-class pipelines ship). Complements d11, which asks
+    "does this doc SHARE VOCABULARY n-grams" — d35 asks the stronger
+    question "does this doc contain an 8-TOKEN VERBATIM RUN that also
+    appears verbatim elsewhere": every document's sliding 8-token
+    windows become 16-byte md5 fingerprints (distinct per doc), a
+    fingerprint present in >= 2 distinct documents marks its spans as
+    exact cross-document duplication, and each doc reports its
+    duplicated-span fraction — the signal a curation pipeline uses to
+    route documents into passage-level dedup or boilerplate stripping
+    (1,015 shared spans across 47 documents on the sf0.01 fixture, so
+    the thresholds exercise real data, not vacuous zeros).
+
+    Scale shape: the span fan-out is linear in corpus tokens (one
+    16-byte hash per window, built by ONE slice pass per window —
+    text itself never leaves the scan projection); the only exchanges
+    carry (fingerprint, doc) pairs and the fingerprint-count
+    aggregate partial-combines map-side, so shuffled bytes scale with
+    the span vocabulary — the d11 aggregate-then-join-back discipline
+    at 8-gram width. At 100 TB this is the recipe's exact published
+    shape: fingerprint windows, group, mark, join back; the
+    suffix-array refinement (arbitrary-length maximal spans) is a
+    per-duplicate-cluster postpass over the tiny flagged subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    # span hashing is CPU-bound and the fixture is one parquet file —
+    # spread rows across cores first (the d11/_minhash_docs rationale)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(normalized_text(F.col("text")), r"\s+")
+    n = F.size(toks)
+    spans = F.when(
+        n < _D35_SPAN, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - _D35_SPAN + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i, _D35_SPAN))
+                ),
+            )
+        )
+    )
+    spanned = docs.select("doc_id", spans.alias("fps"))
+    ex = spanned.select("doc_id", F.explode("fps").alias("fp"))
+    # fps are distinct per doc, so COUNT(*) per fp == distinct-doc count
+    fp_docs = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (
+        ex.join(fp_docs, "fp")
+        .filter(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_spans = F.size("fps")
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        spanned.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.cast("bigint").alias("n_spans"),
+            n_dup.cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.when(n_spans == 0, F.lit(0.0)).otherwise(
+                    n_dup.cast("double") / n_spans
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -4,19 +4,20 @@ the first 50 of the priority order). These tests pin the round-14
 rotation (executing the plan written in round 13): after
 CORRECTNESS_r13 the cross-round union's stalest rows were the 22 r08
 rows deferred from the r13 window, then the 48-row r09 cohort. The 22
-lead this window; 24 of the r09 cohort follow; the four entries NEW
+lead this window; 23 of the r09 cohort follow; the five entries NEW
 this round (never driver-checked: s30 the graph-beam ANN serving twin,
 st37 the exactly-once live-reshard wire certification, st38 the
 streaming binary-Hamming index maintenance, st39 the streaming
-graph-index maintenance) take the final slots, displacing the 24
-cheapest-to-defer r09 rows, which carry to round 15.
+graph-index maintenance, d35 exact duplicated-span detection) take
+the final slots, displacing the 25 cheapest-to-defer r09 rows, which
+carry to round 15.
 Per-row deferral reasoning is inline in DEFERRED_TO_R15 below.
 
 ROUND-15 PLAN (written in round 14, the established handoff): once
-CORRECTNESS_r14 lands, the union's stalest rows are the 24 deferred
+CORRECTNESS_r14 lands, the union's stalest rows are the 25 deferred
 r09 rows in DEFERRED_TO_R15, then the 50-row r10 cohort. The round-15
-window is those 24 + 26 of the r10 cohort, with any round-15 additions
-displacing the cheapest-to-defer r10 rows (24 r10 rows defer to r16
+window is those 25 + 25 of the r10 cohort, with any round-15 additions
+displacing the cheapest-to-defer r10 rows (25 r10 rows defer to r16
 even with zero additions)."""
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from real_time_genai_embeddings_for_rag_with_apache_flink_spark import plans
 
 DRIVER_WINDOW_SIZE = 50
 
-# Deferred to round 15 (the 24 cheapest-to-defer r09 rows). Every
+# Deferred to round 15 (the 25 cheapest-to-defer r09 rows). Every
 # deferral leaves its family covered by an in-window or r12/r13-checked
 # sibling:
 # - d05/d06 (SimHash/hamming-pairs: d04 LSH pairing stays in-window,
@@ -39,6 +40,9 @@ DRIVER_WINDOW_SIZE = 50
 #   checked r12; q41 keeps the scalar-subquery slot),
 # - q61/q62/q63 (TPC-H multi-join shapes: q49-q60 all checked r13),
 # - m04_media_resize (m01 decode + m02 frame sampling lead in-window),
+# - r02_salted_aggregation (skew family: r01 salted_join keeps the
+#   slot — same machinery, join + agg variants; displaced by the
+#   late-added d35),
 # - s12_random_projection (s22 PCA-ANN in-window; the hyperplane
 #   projection machinery is in-window via s30 and r13-checked via s29),
 # - s27_ann_quality_certification (its ground-truth subject s25 was
@@ -74,6 +78,7 @@ DEFERRED_TO_R15 = (
     "q43_large_volume_orders",
     "q61_important_parts",
     "q62_returned_items",
+    "r02_salted_aggregation",
     "q63_customer_distribution",
     "s12_random_projection",
     "s27_ann_quality_certification",
@@ -117,7 +122,7 @@ LEAD_R08 = (
     "w19_purchase_attribution",
 )
 
-# The 24 r09-cohort rows that keep their slot.
+# The 23 r09-cohort rows that keep their slot.
 LEAD_R09 = (
     "d04_minhash_lsh_pairs",
     "d08_dup_components",
@@ -131,7 +136,6 @@ LEAD_R09 = (
     "q41_min_price_line",
     "q64_histogram",
     "r01_salted_join",
-    "r02_salted_aggregation",
     "s11_hybrid_rrf",
     "st26_stream_transition_matrix",
     "t09_curation_rules",
@@ -151,6 +155,7 @@ NEVER_CHECKED = (
     "st37_reshard_exactly_once_wire",
     "st38_stream_hamming_index_maintenance",
     "st39_stream_graph_index_maintenance",
+    "d35_exact_dup_spans",
 )
 
 
