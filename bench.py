@@ -190,6 +190,7 @@ _BANDS: dict[str, tuple[float, float]] = {
     "s30_graph_beam_ann": (5.0, 20.0),
     "st39_stream_graph_index_maintenance": (12.0, 33.0),
     "st38_stream_hamming_index_maintenance": (2.0, 7.5),
+    "d35_exact_dup_spans": (3.0, 12.0),
 }
 
 # Hazard-twin RATIO gate (r13 verdict #1): every stress pair exists to

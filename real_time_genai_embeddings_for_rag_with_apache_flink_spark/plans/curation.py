@@ -1991,20 +1991,29 @@ def d35_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(F.col("text")), r"\s+")
     n = F.size(toks)
+    # window texts via CHAINED zip_with over shifted slices — 7 linear
+    # passes instead of a per-window slice+concat lambda (the _trigrams
+    # rationale at 8-gram width: higher-order functions run
+    # interpreted, and transform(sequence)+slice re-copies 8 elements
+    # per window; measured ~2x). md5 is NOT applied inside the array:
+    # it runs in whole-stage codegen on the exploded column, and
+    # distinct span texts ~ distinct fingerprints, so the oracle's
+    # list_distinct-of-md5 set is unchanged.
+    nwin = n - (_D35_SPAN - 1)
+    acc = F.slice(toks, 1, nwin)
+    for k in range(1, _D35_SPAN):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, nwin),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     spans = F.when(
         n < _D35_SPAN, F.array().cast("array<string>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - _D35_SPAN + 1),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(toks, i, _D35_SPAN))
-                ),
-            )
-        )
-    )
+    ).otherwise(F.array_distinct(acc))
     spanned = docs.select("doc_id", spans.alias("fps"))
-    ex = spanned.select("doc_id", F.explode("fps").alias("fp"))
+    ex = spanned.select(
+        "doc_id", F.explode("fps").alias("span")
+    ).select("doc_id", F.md5("span").alias("fp"))
     # fps are distinct per doc, so COUNT(*) per fp == distinct-doc count
     fp_docs = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = (
