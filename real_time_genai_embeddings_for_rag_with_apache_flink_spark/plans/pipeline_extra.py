@@ -5088,7 +5088,9 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_beam_serve(queries, corpus, edges)
 
 
-def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+def _banded_pairs(
+    a_side: DataFrame, b_side: DataFrame, b_flag: str | None = None
+) -> DataFrame:
     """All in-band candidate pairs ``(band, src, dst, sim)`` between
     ``a_side`` and ``b_side`` rows (each needs vec_id, bucket,
     embedding, nrm): every row explodes over the four 2-plane
@@ -5096,8 +5098,13 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
     (band, band-key) pair generates all bands' candidates in a single
     exchange — the restructure of one-join-per-band that cut s30's
     build from 4 shuffles + 4 rank windows to 1 + 1. Shared by s30
-    (corpus self-pairs) and st39 (new-arrivals x indexed-so-far)."""
-    from ..functions.vector import dot
+    (corpus self-pairs) and st39 (new-arrivals x indexed-so-far).
+
+    ``b_flag`` optionally names a boolean column on ``b_side`` passed
+    through to the output (st39 uses it to tag which pairs' dst is a
+    prior-batch node, so the symmetrizing reversal can skip new-new
+    pairs instead of deduplicating them afterwards)."""
+    from ..operators.similarity import sequential_dot_arrow
 
     bkey = None
     for j in range(_S30_BANDS):
@@ -5109,9 +5116,9 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
         )
     bkey = bkey.otherwise(F.lit(0)).bitwiseAND(F.lit(3))
 
-    def with_band(df: DataFrame) -> DataFrame:
+    def with_band(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         return (
-            df.select("vec_id", "bucket", "embedding", "nrm")
+            df.select("vec_id", "bucket", "embedding", "nrm", *extra)
             .withColumn(
                 "band",
                 F.explode(
@@ -5131,10 +5138,15 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
     # pairs of interpreted 64-element folds downstream.
     nparts = 2 * a_side.sparkSession.sparkContext.defaultParallelism
     a = with_band(a_side).repartition(nparts, F.col("vec_id")).alias("a")
-    b = with_band(b_side).alias("b")
+    b = with_band(b_side, (b_flag,) if b_flag else ()).alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
-    sim = F.round(dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6)
-    return (
+    # The per-pair dot is the build's dominant cost (~85% of s30's
+    # wall-clock as the interpreted fold; measured 3.9M pairs at sf0.1).
+    # It now runs through the Arrow kernel — bit-identical to the fold
+    # by construction (sequential_dot_arrow docstring) — while the
+    # norms, the division and the 6-dp round stay in the plan, so the
+    # emitted (band, src, dst, sim) rows are unchanged to the bit.
+    joined = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -5146,8 +5158,19 @@ def _banded_pairs(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
             F.col("a.band").alias("band"),
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            sim.alias("sim"),
+            denom.alias("_denom"),
+            F.col("a.embedding").alias("_ea"),
+            F.col("b.embedding").alias("_eb"),
+            *([F.col(f"b.{b_flag}").alias(b_flag)] if b_flag else []),
         )
+    )
+    dotted = sequential_dot_arrow(joined, "_ea", "_eb", "_dot")
+    return dotted.select(
+        "band",
+        "src",
+        "dst",
+        F.round(F.col("_dot") / F.col("_denom"), 6).alias("sim"),
+        *([b_flag] if b_flag else []),
     )
 
 

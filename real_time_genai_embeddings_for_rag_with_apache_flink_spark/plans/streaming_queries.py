@@ -4690,13 +4690,22 @@ def st39_stream_graph_index_maintenance(
             return
         newv = as_nodes(batch).localCheckpoint()
         prev_nodes = state.read_table("nodes", nodes_schema)
-        all_nodes = prev_nodes.unionByName(newv)
-        band_pairs = _banded_pairs(newv, all_nodes)
+        all_nodes = prev_nodes.withColumn(
+            "settled", F.lit(True)
+        ).unionByName(newv.withColumn("settled", F.lit(False)))
+        band_pairs = _banded_pairs(newv, all_nodes, b_flag="settled")
         # both directions: the OLD endpoint's neighbor list must also
         # see the new arrival (cosine is exactly symmetric — IEEE
-        # multiply commutes, fold order identical)
-        cand = band_pairs.unionByName(
-            band_pairs.select(
+        # multiply commutes, fold order identical). A new-new pair
+        # already surfaces from BOTH endpoints' direct join rows, so
+        # the reversal covers only pairs whose dst is a settled
+        # prior-batch node — the candidate set comes out duplicate-free
+        # by construction and the former full-width ``distinct()``
+        # shuffle of the merged edge state is gone (its only job was
+        # dropping the new-new double emissions).
+        cand = band_pairs.drop("settled").unionByName(
+            band_pairs.filter(F.col("settled"))
+            .select(
                 "band",
                 F.col("dst").alias("src"),
                 F.col("src").alias("dst"),
@@ -4704,17 +4713,18 @@ def st39_stream_graph_index_maintenance(
             )
         )
         prev_edges = state.read_table("edges", edges_schema)
-        # distinct: a new-new pair surfaces from both endpoints' join
-        # rows; duplicate (band, src, dst, sim) rows would occupy two
-        # rank slots and push out a legitimate k-th neighbor
-        merged = prev_edges.unionByName(cand).distinct()
+        # prev_edges cannot collide with cand: every candidate has a
+        # this-batch endpoint, and vec_ids never repeat across batches
+        merged = prev_edges.unionByName(cand)
         wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
         kept = (
             merged.withColumn("rnk", F.row_number().over(wj))
             .filter(F.col("rnk") <= _S30_KG)
             .drop("rnk")
         )
-        state.commit_tables({"nodes": all_nodes, "edges": kept}, batch_id)
+        state.commit_tables(
+            {"nodes": all_nodes.drop("settled"), "edges": kept}, batch_id
+        )
 
     q = (
         stream_embeddings(spark, sf_dir)
