@@ -328,80 +328,6 @@ def pack_sign_words_arrow(
     )
 
 
-def sequential_dot_arrow(
-    pairs: DataFrame, a_col: str, b_col: str, out_col: str
-) -> DataFrame:
-    """Per-row dot product of two fixed-width float-array columns,
-    computed vectorized in Arrow batches with results BIT-IDENTICAL to
-    ``functions.vector.dot``'s sequential fold.
-
-    WHY this exists next to the fold: the fold is a Catalyst
-    higher-order function, so each element runs through interpreted
-    lambda evaluation — fine for per-row or per-small-group use, but on
-    pair-scoring paths (banded graph builds, per-cell verification
-    scans) the fold IS the operator's cost: s30's build spends ~85% of
-    its wall-clock folding ~3.9M 64-dim pairs. This kernel computes the
-    same arithmetic as one vectorized dimension loop per Arrow batch:
-    ``acc = 0.0; for d: acc += A[:, d] * B[:, d]`` — per row that is
-    exactly the fold's IEEE sequence ``((0.0 + a1*b1) + a2*b2) + ...``
-    (float32 -> float64 widening is exact, both multiply and add are
-    correctly-rounded doubles in the same order), so equality is by
-    construction, not by tolerance; tests/test_binary_ann.py asserts
-    bitwise agreement on the fixtures.
-
-    The rows cross into Python exactly once (mapInArrow, zero-copy
-    reshape of the list values buffer — no per-row Python objects); all
-    non-vector columns pass through untouched, ``a_col``/``b_col`` are
-    consumed, ``out_col`` (double) is appended. Rows must be non-null,
-    equal-width vectors with no null elements — violations raise
-    loudly (this kernel serves plans whose upstream already filtered
-    null embeddings) rather than silently diverging from the fold's
-    null semantics."""
-    import numpy as np
-    import pyarrow as pa
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    in_fields = pairs.schema.fields
-    keep = [f.name for f in in_fields if f.name not in (a_col, b_col)]
-    out_schema = StructType(
-        [f for f in in_fields if f.name in keep]
-        + [StructField(out_col, DoubleType())]
-    )
-    out_names = keep + [out_col]
-
-    def as_matrix(col, n: int):
-        if col.null_count:
-            raise ValueError("sequential_dot_arrow: null vector row")
-        lens = pa.compute.list_value_length(col).to_numpy(
-            zero_copy_only=False
-        )
-        if n and (lens != lens[0]).any():
-            raise ValueError("sequential_dot_arrow: ragged vector widths")
-        flat = col.flatten()
-        if flat.null_count:
-            raise ValueError("sequential_dot_arrow: null vector element")
-        vals = np.asarray(flat, dtype=np.float64)
-        return vals.reshape(n, -1) if n else vals.reshape(0, 1)
-
-    def kern(batches):
-        for rb in batches:
-            n = rb.num_rows
-            A = as_matrix(rb.column(rb.schema.get_field_index(a_col)), n)
-            B = as_matrix(rb.column(rb.schema.get_field_index(b_col)), n)
-            if n and A.shape[1] != B.shape[1]:
-                raise ValueError("sequential_dot_arrow: width mismatch")
-            acc = np.zeros(n, dtype=np.float64)
-            for d in range(A.shape[1] if n else 0):
-                acc = acc + A[:, d] * B[:, d]
-            arrays = [
-                rb.column(rb.schema.get_field_index(name)) for name in keep
-            ] + [pa.array(acc, type=pa.float64())]
-            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
-
-    return pairs.mapInArrow(kern, out_schema)
-
-
 def hamming_words(a, b):
     """Hamming distance between two packed sign-word arrays — a
     word-count-sized codegen fold (bit_count over xor), never a

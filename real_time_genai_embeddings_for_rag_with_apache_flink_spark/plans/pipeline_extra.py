@@ -5100,11 +5100,27 @@ def _banded_pairs(
     build from 4 shuffles + 4 rank windows to 1 + 1. Shared by s30
     (corpus self-pairs) and st39 (new-arrivals x indexed-so-far).
 
-    ``b_flag`` optionally names a boolean column on ``b_side`` passed
-    through to the output (st39 uses it to tag which pairs' dst is a
-    prior-batch node, so the symmetrizing reversal can skip new-new
-    pairs instead of deduplicating them afterwards)."""
-    from ..operators.similarity import sequential_dot_arrow
+    Each unordered pair's cosine is computed ONCE and mirrored into
+    both directions by a 2-struct explode — cosine is exactly
+    symmetric (IEEE multiply commutes term-for-term and the fold order
+    over elements is unchanged, so dot(a,b) == dot(b,a) to the bit and
+    nrm_a*nrm_b == nrm_b*nrm_a likewise), so the mirrored row carries
+    the identical ``sim`` the swapped join row would have computed.
+    The join therefore keeps only ``a.vec_id < b.vec_id`` for pairs
+    whose both endpoints can appear on the a side, which HALVES the
+    per-pair similarity folds — the dominant cost of the build
+    (millions of pairs at sf0.1; same-box A/B medians for s30:
+    both-directions fold 13.1 s, both-directions Arrow kernel 16.8 s,
+    64-term statically-unrolled expression 37.0 s — the unroll blows
+    the JIT method budget and the kernel pays the Arrow boundary for
+    every pair's two embeddings, so the halved fold wins).
+
+    ``b_flag`` optionally names a boolean column on ``b_side`` marking
+    rows that can NEVER appear on the a side (st39's settled
+    prior-batch nodes): those pairs surface only as (a, flagged-b), so
+    they are kept regardless of id order — the mirror still emits the
+    (flagged-b, a) direction the caller's neighbor lists need."""
+    from ..functions.vector import dot
 
     bkey = None
     for j in range(_S30_BANDS):
@@ -5140,38 +5156,37 @@ def _banded_pairs(
     a = with_band(a_side).repartition(nparts, F.col("vec_id")).alias("a")
     b = with_band(b_side, (b_flag,) if b_flag else ()).alias("b")
     denom = F.col("a.nrm") * F.col("b.nrm")
-    # The per-pair dot is the build's dominant cost (~85% of s30's
-    # wall-clock as the interpreted fold; measured 3.9M pairs at sf0.1).
-    # It now runs through the Arrow kernel — bit-identical to the fold
-    # by construction (sequential_dot_arrow docstring) — while the
-    # norms, the division and the 6-dp round stay in the plan, so the
-    # emitted (band, src, dst, sim) rows are unchanged to the bit.
-    joined = (
+    keep = F.col("a.vec_id") < F.col("b.vec_id")
+    if b_flag:
+        keep = keep | F.col(f"b.{b_flag}")
+    half = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & keep,
         )
         .filter(denom != 0.0)
         .select(
             F.col("a.band").alias("band"),
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            denom.alias("_denom"),
-            F.col("a.embedding").alias("_ea"),
-            F.col("b.embedding").alias("_eb"),
-            *([F.col(f"b.{b_flag}").alias(b_flag)] if b_flag else []),
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding")) / denom, 6
+            ).alias("sim"),
         )
     )
-    dotted = sequential_dot_arrow(joined, "_ea", "_eb", "_dot")
-    return dotted.select(
+    return half.select(
         "band",
-        "src",
-        "dst",
-        F.round(F.col("_dot") / F.col("_denom"), 6).alias("sim"),
-        *([b_flag] if b_flag else []),
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e"),
+        "sim",
+    ).select("band", "e.src", "e.dst", "sim")
 
 
 def _graph_beam_serve(

@@ -4693,25 +4693,12 @@ def st39_stream_graph_index_maintenance(
         all_nodes = prev_nodes.withColumn(
             "settled", F.lit(True)
         ).unionByName(newv.withColumn("settled", F.lit(False)))
-        band_pairs = _banded_pairs(newv, all_nodes, b_flag="settled")
-        # both directions: the OLD endpoint's neighbor list must also
-        # see the new arrival (cosine is exactly symmetric — IEEE
-        # multiply commutes, fold order identical). A new-new pair
-        # already surfaces from BOTH endpoints' direct join rows, so
-        # the reversal covers only pairs whose dst is a settled
-        # prior-batch node — the candidate set comes out duplicate-free
-        # by construction and the former full-width ``distinct()``
-        # shuffle of the merged edge state is gone (its only job was
-        # dropping the new-new double emissions).
-        cand = band_pairs.drop("settled").unionByName(
-            band_pairs.filter(F.col("settled"))
-            .select(
-                "band",
-                F.col("dst").alias("src"),
-                F.col("src").alias("dst"),
-                "sim",
-            )
-        )
+        # both directions come out of _banded_pairs itself (each pair
+        # scored once, mirrored by explode): the OLD endpoint's
+        # neighbor list also sees the new arrival, new-new pairs score
+        # once instead of twice, and the candidate set is
+        # duplicate-free by construction — no per-trigger distinct()
+        cand = _banded_pairs(newv, all_nodes, b_flag="settled")
         prev_edges = state.read_table("edges", edges_schema)
         # prev_edges cannot collide with cand: every candidate has a
         # this-batch endpoint, and vec_ids never repeat across batches

@@ -384,39 +384,3 @@ def test_banded_pairs_equal_per_band_union(spark):
         )
     assert got == sorted(expected)
     assert got, "pair set must be non-empty at this fixture size"
-
-
-def test_sequential_dot_arrow_bitwise_equals_fold(spark):
-    """The Arrow pair-dot kernel must agree with the Catalyst fold to
-    the BIT (not a tolerance): it claims the identical IEEE operation
-    sequence ((0.0 + a1*b1) + a2*b2) + ... per row, so any nonzero
-    difference is a kernel bug. Also pins the passthrough contract:
-    non-vector columns survive untouched, in declared order."""
-    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
-        dot,
-    )
-    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.similarity import (
-        sequential_dot_arrow,
-    )
-
-    em = load_table(spark, SF_SMOKE, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
-    pairs = (
-        em.alias("a")
-        .join(em.alias("b"), F.col("a.vec_id") == F.col("b.vec_id") + 1)
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            (F.col("a.vec_id") % 2 == 0).alias("flag"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            dot(F.col("a.embedding"), F.col("b.embedding")).alias("want"),
-        )
-    )
-    out = sequential_dot_arrow(pairs, "ea", "eb", "got").collect()
-    assert out, "fixture produced no pairs"
-    for r in out:
-        assert r.got == r.want, f"bitwise dot mismatch at src={r.src}"
-        assert r.flag == (r.src % 2 == 0)  # passthrough intact
-    assert set(out[0].asDict()) == {"src", "dst", "flag", "want", "got"}
