@@ -73,7 +73,14 @@ def knn_join(
     stage measured no faster and added a per-row Python/Arrow hop).
     tests/test_plan_shapes.py pins the Partial phase below the
     exchange."""
+    from ..sources.batch import spread_compute
+
     q = F.broadcast(queries.select(query_id, query_vec))
+    # the map-side cosine runs at the corpus' incoming partitioning —
+    # spread a single-split fixture scan so the scoring pass doesn't
+    # serialize on one core (no-op when the corpus already arrives
+    # wide, e.g. any production-scale scan)
+    corpus = spread_compute(corpus, corpus_id)
     scored = corpus.crossJoin(q).select(
         F.col(query_id),
         F.col(corpus_id),
@@ -395,7 +402,14 @@ def retrieval_eval(
 
     Ranking ties are broken on ``ROUND(sim, 6)`` then corpus id — the
     s02 cross-engine-stable ordering."""
+    from ..sources.batch import spread_compute
+
     q = F.broadcast(queries.select(query_id, query_vec, query_label))
+    # the map-side cosine is the pass's whole cost and runs at the
+    # corpus' incoming partitioning — spread a single-split fixture
+    # scan so it doesn't serialize on one core (no-op when the corpus
+    # already arrives wide, e.g. any production-scale scan)
+    corpus = spread_compute(corpus, corpus_id)
     scored = corpus.crossJoin(q).select(
         F.col(query_id),
         F.col(query_label),

@@ -38,7 +38,7 @@ from ..functions.text import (
     token_count,
 )
 from ..functions.vector import cosine_similarity
-from ..sources.batch import load_table
+from ..sources.batch import load_table, spread_compute
 from .registry import query
 
 # Shared SQL fragment: canonical whitespace-normalized lowercase text.
@@ -1854,9 +1854,18 @@ def d34_semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     em = load_table(spark, sf_dir, "embeddings")
-    valid = em.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
-    ).select("vec_id", "embedding")
+    # the centroid-argmin assignment (8 interpreted folds/row) and the
+    # within-cell pair scan (one fold per pair, quadratic in cell size)
+    # both run upstream of the first exchange, i.e. at the SCAN's
+    # parallelism — spread the single-split fixture scan or the whole
+    # quadratic stage serializes on one core (spread_compute no-ops on
+    # a many-split production scan)
+    valid = spread_compute(
+        em.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        ).select("vec_id", "embedding"),
+        "vec_id",
+    )
 
     h = F.md5(F.concat(F.lit("d34c:"), F.col("vec_id").cast("string")))
     cent_rows = valid.orderBy(h, "vec_id").limit(_D34_CELLS).collect()

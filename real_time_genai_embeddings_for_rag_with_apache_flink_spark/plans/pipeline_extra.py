@@ -20,7 +20,7 @@ from contextlib import contextmanager as _contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.batch import load_table
+from ..sources.batch import load_table, spread_compute
 from .llmops import (
     _SQL_LSH_CTES,
     _SQL_NORM,
@@ -595,9 +595,15 @@ def s20b_ivfadc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     em = load_table(spark, sf_dir, "embeddings")
-    valid = em.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
-    ).select("vec_id", "embedding")
+    # assignment/encode are narrow per-row folds UPSTREAM of the first
+    # exchange, so they run at the scan's parallelism — spread the
+    # single-split fixture scan (no-op on a many-split production scan)
+    valid = spread_compute(
+        em.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        ).select("vec_id", "embedding"),
+        "vec_id",
+    )
 
     # -- model artifacts: two md5-ranked samples (driver-sized) --------
     h_cent = F.md5(F.concat(F.lit("s20bc:"), F.col("vec_id").cast("string")))
@@ -860,9 +866,15 @@ def s09b_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     em = load_table(spark, sf_dir, "embeddings")
-    valid = em.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
-    ).select("vec_id", "embedding")
+    # encode + the ADC linear scan run upstream of the first exchange,
+    # i.e. at scan parallelism — spread the single-split fixture scan
+    # (no-op on a many-split production scan)
+    valid = spread_compute(
+        em.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        ).select("vec_id", "embedding"),
+        "vec_id",
+    )
 
     # -- codebook: one md5-ranked sample (driver-sized at any scale) ---
     h_cw = F.md5(F.concat(F.lit("s09b:"), F.col("vec_id").cast("string")))

@@ -895,8 +895,12 @@ def _ann_ranked_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction for both."""
     from ..functions.vector import pack_sign_bits
 
+    from ..sources.batch import spread_compute
+
     em = load_table(spark, sf_dir, "embeddings")
-    bits = em.select(
+    # packing + the popcount coarse pass run at scan parallelism —
+    # spread the single-split fixture scan (no-op on a production scan)
+    bits = spread_compute(em, "vec_id").select(
         "vec_id",
         "label",
         "embedding",

@@ -58,6 +58,31 @@ def source_fingerprint(path: str) -> str:
         return "remote"
 
 
+def spread_compute(df: DataFrame, key: str, mult: int = 1) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` to ``mult`` x the cluster's
+    default parallelism IF its current partitioning is narrower — the
+    scan-parallelism guard for compute-dominated probe sides. A
+    single-file parquet fixture arrives as ONE scan split, so any
+    O(pairs)/O(rows x centroids) expression work downstream of the scan
+    (broadcast-join pair folds, literal-centroid argmin scans)
+    serializes on one core; a 100 TB table arrives as thousands of
+    splits, ``getNumPartitions() >= target`` holds, and this returns
+    the input UNCHANGED — the repartition is scale-adaptive, never a
+    constant tuned for local mode. The exchange moves only the scan's
+    own narrow rows (pre-join, pre-fan-out), and the EXPLICIT partition
+    count keeps AQE from coalescing the KB-sized local fixture back to
+    one task (AQE sizes by bytes and cannot see the downstream
+    compute fan-out). Hash-keyed (never round-robin), so a retried map
+    task reproduces the same row placement (SPARK-38388 discipline)."""
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    target = mult * sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

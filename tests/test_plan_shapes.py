@@ -764,3 +764,28 @@ def test_st38_serving_scans_only_the_word_table(spark):
         assert seg.startswith("struct<vec_id:bigint,embedding:"), (
             "base-table scan not pruned to (vec_id, embedding): " + seg[:80]
         )
+
+
+def test_spread_compute_is_scale_adaptive(spark):
+    """spread_compute (the scan-parallelism guard under the
+    fold-heavy similarity/dedup probe sides) must (a) widen a
+    narrower-than-cluster input to mult*defaultParallelism via a
+    DETERMINISTIC hash repartition on the given key, (b) return the
+    input UNCHANGED when it already meets the target — so on a
+    many-split production scan it is a no-op, never a constant tuned
+    for local mode — and (c) never change the row multiset."""
+    from pyspark.sql import functions as F
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.sources.batch import (
+        spread_compute,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    wide = spread_compute(narrow, "id")
+    assert wide.rdd.getNumPartitions() == target
+    assert "RoundRobinPartitioning" not in wide._jdf.queryExecution().toString()
+    assert sorted(r.id for r in wide.collect()) == list(range(100))
+
+    already = spark.range(100).repartition(2 * target, F.col("id"))
+    assert spread_compute(already, "id") is already
