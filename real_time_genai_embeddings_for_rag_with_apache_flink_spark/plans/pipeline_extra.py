@@ -5080,7 +5080,7 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
     gdir = (
-        _banded_pairs(sides, sides)
+        _banded_topk(sides)
         .withColumn("rnk", F.row_number().over(wj))
         .filter(F.col("rnk") <= _S30_KG)
         .select("src", "dst")
@@ -5199,6 +5199,142 @@ def _banded_pairs(
         ).alias("e"),
         "sim",
     ).select("band", "e.src", "e.dst", "sim")
+
+
+def _banded_topk(
+    nodes: DataFrame, settled_col: str | None = None, k: int = _S30_KG
+) -> DataFrame:
+    """The candidate set the s30/st39 graph build actually consumes —
+    per (band, src) a SUPERSET of the top-``k`` in-band neighbors by
+    (ROUND(cosine, 6) DESC, dst) — computed by a per-cell vectorized
+    kernel instead of _banded_pairs' pair-at-a-time join. Guide §4.2:
+    the join's per-pair interpreted 64-element fold was ~85% of the
+    build; here each (band, band-key) cell crosses the Python boundary
+    ONCE (|cell| embeddings, not |cell|^2 pair copies — the mistake the
+    reverted Arrow pair-kernel made) and the cell's pair dots come out
+    of 64 vectorized rank-1 updates.
+
+    Bit-equality with the fold (the oracle's arbiter): the kernel
+    accumulates ``R += M[:, d] x M[:, d]`` in element order d = 0..63
+    starting from 0.0, so every R[i, j] performs the identical IEEE
+    multiply-add sequence as ``functions.vector.dot``'s left fold
+    (float32 inputs cast exactly to float64; numpy elementwise ops are
+    plain IEEE doubles, no FMA/reassociation), and ``sim_raw =
+    R / (nrm_i * nrm_j)`` is the same two ops the join computed. The
+    6-dp ROUND stays in Spark on the returned doubles, so the published
+    value is produced by the exact expression the oracle was proven
+    against.
+
+    The top-k cut uses a RAW-sim margin, never a Python-side rounding:
+    per src the kth-largest raw sim r_k is found and everything with
+    ``raw >= r_k - 2e-6`` is kept. ROUND is monotone and its grid step
+    is 1e-6, so any candidate excluded by the margin rounds strictly
+    below ROUND(r_k) <= the kth ROUNDED value — it can never enter the
+    consumer's top-k window under (sim DESC, dst) whatever the
+    tiebreaks — while every rounding-tie candidate survives for the
+    window to break by dst. The callers' rank windows are unchanged;
+    they just run over ~nodes x bands x k rows instead of every pair.
+
+    ``settled_col`` names st39's prior-batch marker: settled rows pair
+    only with unsettled (new) rows — both directions still emitted, the
+    settled side's sims read from the transposed block bit-exactly
+    (IEEE multiply commutes term-for-term, fold order unchanged).
+
+    Scale note: one cell = one task, like one LSH bucket in d04 — the
+    kernel assumes the banding keeps cells task-sized (the bucket-cap
+    discipline); _banded_pairs remains the reference semantics and the
+    spill-friendly fallback for a pathological cell."""
+    bkey = None
+    for j in range(_S30_BANDS):
+        val = F.shiftright(F.col("bucket"), 2 * j)
+        bkey = (
+            F.when(F.col("band") == j, val)
+            if bkey is None
+            else bkey.when(F.col("band") == j, val)
+        )
+    bkey = bkey.otherwise(F.lit(0)).bitwiseAND(F.lit(3))
+
+    new_flag = (
+        F.lit(True) if settled_col is None else ~F.col(settled_col)
+    )
+    banded = (
+        nodes.select(
+            "vec_id",
+            "bucket",
+            "embedding",
+            "nrm",
+            new_flag.alias("new"),
+        )
+        .withColumn(
+            "band",
+            F.explode(F.array(*[F.lit(j) for j in range(_S30_BANDS)])),
+        )
+        .withColumn("bkey", bkey)
+    )
+
+    def cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "band": pd.Series(dtype="int32"),
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "sim_raw": pd.Series(dtype="float64"),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        new = pdf["new"].to_numpy()
+        band = int(pdf["band"].iloc[0])
+        valid = nrm != 0.0
+        nidx = np.flatnonzero(new & valid)
+        if nidx.size == 0 or len(ids) < 2:
+            return empty
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # element-order rank-1 accumulation == the dot fold, bit-exact
+        R = np.zeros((nidx.size, len(ids)))
+        Mn = M[nidx]
+        for d in range(M.shape[1]):
+            R += Mn[:, d : d + 1] * M[:, d]
+        sims = R / (nrm[nidx][:, None] * nrm[None, :])
+        finite = np.broadcast_to(valid, sims.shape).copy()
+        finite[np.arange(nidx.size), nidx] = False  # self-pairs
+        neg = np.where(finite, sims, -np.inf)
+
+        def margin_rows(block, row_ids, col_ids, fin):
+            if block.shape[1] > k:
+                kth = -np.partition(-block, k - 1, axis=1)[:, k - 1]
+                keep = fin & (block >= (kth - 2e-6)[:, None])
+            else:
+                keep = fin
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame(
+                {
+                    "band": np.full(ii.size, band, dtype="int32"),
+                    "src": row_ids[ii],
+                    "dst": col_ids[jj],
+                    "sim_raw": block[ii, jj],
+                }
+            )
+
+        out = [margin_rows(neg, ids[nidx], ids, finite)]
+        sidx = np.flatnonzero(~new & valid)
+        if sidx.size:
+            # settled srcs: candidates are exactly the new arrivals —
+            # the transposed block holds their bit-identical sims
+            blockT = neg[:, sidx].T
+            out.append(
+                margin_rows(
+                    blockT, ids[sidx], ids[nidx], blockT != -np.inf
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return banded.groupBy("band", "bkey").applyInPandas(
+        cell_topk, "band int, src long, dst long, sim_raw double"
+    ).select("band", "src", "dst", F.round("sim_raw", 6).alias("sim"))
 
 
 def _graph_beam_serve(

@@ -4656,7 +4656,7 @@ def st39_stream_graph_index_maintenance(
     from .llmops import _hyperplane_bucket_col
     from .pipeline_extra import (
         _S30_KG,
-        _banded_pairs,
+        _banded_topk,
         _graph_beam_serve,
         _sign_bits_split,
     )
@@ -4693,12 +4693,15 @@ def st39_stream_graph_index_maintenance(
         all_nodes = prev_nodes.withColumn(
             "settled", F.lit(True)
         ).unionByName(newv.withColumn("settled", F.lit(False)))
-        # both directions come out of _banded_pairs itself (each pair
-        # scored once, mirrored by explode): the OLD endpoint's
-        # neighbor list also sees the new arrival, new-new pairs score
-        # once instead of twice, and the candidate set is
-        # duplicate-free by construction — no per-trigger distinct()
-        cand = _banded_pairs(newv, all_nodes, b_flag="settled")
+        # both directions come out of _banded_topk itself (each pair's
+        # dot computed once per cell kernel, settled srcs read the
+        # transposed block): the OLD endpoint's neighbor list also sees
+        # the new arrival, and the candidate set is duplicate-free by
+        # construction — no per-trigger distinct(). The per-src margin
+        # cut is safe under the union below: a candidate outside its
+        # own (band, src) top-3 superset has >3 better batch rivals,
+        # so it can never rank top-3 in (prev edges UNION batch) either
+        cand = _banded_topk(all_nodes, settled_col="settled")
         prev_edges = state.read_table("edges", edges_schema)
         # prev_edges cannot collide with cand: every candidate has a
         # this-batch endpoint, and vec_ids never repeat across batches

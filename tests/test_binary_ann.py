@@ -384,3 +384,103 @@ def test_banded_pairs_equal_per_band_union(spark):
         )
     assert got == sorted(expected)
     assert got, "pair set must be non-empty at this fixture size"
+
+
+def _graph_sides(spark, n_limit: int):
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.functions.vector import (
+        l2_norm,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.llmops import (
+        _hyperplane_bucket_col,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _sign_bits_split,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings").limit(n_limit)
+    _, corpus = _sign_bits_split(em)
+    return corpus.select(
+        "vec_id",
+        _hyperplane_bucket_col().alias("bucket"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+
+
+def test_banded_topk_matches_banded_pairs_after_rank(spark):
+    """_banded_topk (the per-cell vectorized kernel) must be a drop-in
+    for _banded_pairs at the point the graph build consumes it: the
+    top-K-per-(band, src) window over its output — identical ROUND,
+    identical (sim DESC, dst) tiebreaks — must equal the window over
+    the full pair set, row for row and value for value (the kernel's
+    raw-sim margin is a superset cut, never a decision). Also pinned:
+    the kernel emits a SUBSET of the true pair set with bit-identical
+    sims (the rank-1 element-order accumulation IS the fold)."""
+    from pyspark.sql import Window
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _S30_KG,
+        _banded_pairs,
+        _banded_topk,
+    )
+
+    sides = _graph_sides(spark, 150)
+    wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
+
+    def ranked(pairs):
+        return sorted(
+            (r.band, r.src, r.dst, r.sim)
+            for r in pairs.withColumn("rnk", F.row_number().over(wj))
+            .filter(F.col("rnk") <= _S30_KG)
+            .collect()
+        )
+
+    full = _banded_pairs(sides, sides)
+    culled = _banded_topk(sides)
+    assert ranked(culled) == ranked(full)
+    full_set = {
+        (r.band, r.src, r.dst): r.sim for r in full.collect()
+    }
+    culled_rows = culled.collect()
+    assert culled_rows, "kernel emitted nothing at this fixture size"
+    for r in culled_rows:
+        assert full_set[(r.band, r.src, r.dst)] == r.sim
+
+
+def test_banded_topk_settled_matches_b_flag_join(spark):
+    """The settled path (st39's per-trigger call) must reproduce the
+    b_flag join semantics after the rank: settled rows pair only with
+    new arrivals, both directions present, sims bit-identical."""
+    from pyspark.sql import Window
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _S30_KG,
+        _banded_pairs,
+        _banded_topk,
+    )
+
+    sides = _graph_sides(spark, 150)
+    all_nodes = sides.withColumn("settled", F.col("vec_id") % 3 == 0)
+    newv = all_nodes.filter(~F.col("settled")).drop("settled")
+    wj = Window.partitionBy("band", "src").orderBy(F.desc("sim"), "dst")
+
+    def ranked(pairs):
+        return sorted(
+            (r.band, r.src, r.dst, r.sim)
+            for r in pairs.withColumn("rnk", F.row_number().over(wj))
+            .filter(F.col("rnk") <= _S30_KG)
+            .collect()
+        )
+
+    full = _banded_pairs(newv, all_nodes, b_flag="settled")
+    culled = _banded_topk(all_nodes, settled_col="settled")
+    assert ranked(culled) == ranked(full)
+    # every settled src's candidates are new arrivals only
+    new_ids = {r.vec_id for r in newv.select("vec_id").collect()}
+    settled_ids = {
+        r.vec_id
+        for r in all_nodes.filter("settled").select("vec_id").collect()
+    }
+    for r in culled.collect():
+        if r.src in settled_ids:
+            assert r.dst in new_ids

@@ -681,9 +681,15 @@ def test_s09b_adc_scan_is_lookups_over_broadcast_luts(spark):
     modes = {seg.split("\n")[0].rstrip().rsplit(", ", 1)[-1] for seg in cuts}
     assert {"Partial", "Final"} <= modes, modes
     # the only exchanges: the k-rows-per-query rank shuffle (hash on
-    # q_id) and broadcast exchanges — never a corpus hashpartitioning
+    # q_id), broadcast exchanges, and the EXPLICIT scan-parallelism
+    # spread directly above the single-split fixture scan
+    # (spread_compute — REPARTITION_BY_NUM on vec_id, guide §2.5 input
+    # skew; a no-op on a production many-split scan) — never a
+    # PLANNER-REQUIRED corpus hashpartitioning (ENSURE_REQUIREMENTS),
+    # which would mean a join/aggregate is shuffling the corpus
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
-        assert seg.startswith("q_id"), (
+        head = seg.split("\n")[0]
+        assert seg.startswith("q_id") or "REPARTITION_BY_NUM" in head, (
             "corpus-keyed exchange leaked into the ADC scan: " + seg[:80]
         )
 
