@@ -1026,6 +1026,11 @@ def run_incremental_dedup(
 
         sp = batch.sparkSession
         known = read_fps(sp, batch_id)
+        # NOT spread_compute'd (measured r14): the per-row md5 here is
+        # cheap and the expensive shingle explode below runs AFTER the
+        # groupBy(fp) exchange already spreads surv — an extra
+        # repartition of the batch costs more than it parallelizes
+        # (A/B medians 7.06 s -> 8.20 s with the spread)
         arr = batch.withColumn("fp", doc_fingerprint(F.col("text")))
         fresh = arr.join(known, "fp", "left_anti")
         surv = (
@@ -2848,9 +2853,18 @@ def st25_stream_maxsim_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_vec"),
         )
     )
+    from ..sources.batch import spread_compute
+
+    # the corpus is the only big side of every trigger's MaxSim pass
+    # and arrives as ONE scan split at fixture scale — spread it before
+    # the per-row cosine folds (guide §2.5; no-op on a production scan)
     corpus = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") >= _ST25_QPOOL)
+        spread_compute(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") >= _ST25_QPOOL
+            ),
+            "vec_id",
+        )
         .select(F.col("label").alias("doc_label"), "embedding")
     )
     work_root = _stream_work_root(spark, sf_dir, "st25", table="embeddings")
@@ -3206,13 +3220,21 @@ def run_stream_dup_components(
     def process(batch: DataFrame, batch_id: int) -> None:
         import time as _time
 
+        from ..sources.batch import spread_compute
         from .llmops import _lsh_bands_df, signatures_from_docs
 
         if state.applied(batch_id):
             return
         t = _time.perf_counter()
+        # a file-stream micro-batch arrives as ONE scan split, so the
+        # shingle+md5 explode below signatures_from_docs would run on
+        # one core (guide §2.5 input skew — the same spread_compute
+        # guard the batch probe sides use; no-op on a many-partition
+        # production micro-batch)
         bands_b = _lsh_bands_df(
-            signatures_from_docs(batch.select("doc_id", "text"))
+            signatures_from_docs(
+                spread_compute(batch.select("doc_id", "text"), "doc_id")
+            )
         ).persist()
         if profile:
             bands_b.count()
