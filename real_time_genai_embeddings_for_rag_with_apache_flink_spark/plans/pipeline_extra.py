@@ -5039,14 +5039,13 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Serving walk (the HNSW search-layer loop, ef=16): from
     8 md5-seeded entry points (the fixed-entry convention of
-    s12/d31), 5 UNROLLED hops — each hop cuts the frontier to
-    the beam (top-16 visited by integer Hamming distance on
-    the packed sign words, the d32b integer-fold discipline), expands
-    one edge join, folds new candidates into the visited set by
-    DISTINCT. The visited set's best 40 then pay the exact
-    cosine re-rank, keep 5 — byte-identical tail to s23, so the
-    two coarse passes compare at equal shortlist width. Measured
-    recall@5 at width 40: comparable to s23's GLOBAL Hamming
+    s12/d31), 5 hops — each hop cuts the frontier to the beam (top-16
+    visited by integer Hamming distance on the packed sign words, the
+    d32b integer-fold discipline), expands the beam's neighbor lists,
+    folds new candidates into the visited set. The visited set's best
+    40 then pay the exact cosine re-rank, keep 5 — byte-identical tail
+    to s23, so the two coarse passes compare at equal shortlist width.
+    Measured recall@5 at width 40: comparable to s23's GLOBAL Hamming
     cut on both fixtures (0.78 vs 0.76 at sf0.01, 0.70 vs 0.76 at
     sf0.001) while examining only ~54% of the corpus — graph-guided
     candidates (cosine-built edges) buy back most of what the partial
@@ -5054,15 +5053,17 @@ def s30_graph_beam_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction falls with corpus size — see below).
 
     Scale shape: the serving walk never shuffles the corpus — the edge
-    table (O(n*degree) ints) and bit table join BROADCAST; each hop's
-    exchange carries <= queries x beam x degree candidate rows (ids +
-    one BIGINT), so per-query work is bounded by beam*degree*hops
-    regardless of corpus size — the defining property of graph ANN vs
-    scan-based coarse passes. On a 1000-executor cluster the graph
-    build is the heavy amortized job (banded self-joins, the certified
-    d04 shape); serving is pennies per query batch. Every stage is
-    relational: the DuckDB oracle replays build + walk value-for-value
-    (_s30_oracle, unrolled MATERIALIZED CTEs)."""
+    table (O(n*degree) ints) and bit table ride ONE broadcast into a
+    per-query integer beam loop (mapInPandas over the query table; see
+    _graph_beam_serve for why the loop is per-query rather than five
+    cluster-wide hop jobs), so per-query work is bounded by
+    beam*degree*hops regardless of corpus size — the defining property
+    of graph ANN vs scan-based coarse passes. On a 1000-executor
+    cluster the graph build is the heavy amortized job (banded
+    self-joins, the certified d04 shape); serving is pennies per query
+    batch. The walk is integer end to end and the re-rank stays
+    relational, so the DuckDB oracle replays build + walk
+    value-for-value (_s30_oracle, unrolled MATERIALIZED CTEs)."""
     from pyspark.sql import Window
 
     from ..functions.vector import cosine_similarity, dot, l2_norm
@@ -5340,69 +5341,127 @@ def _banded_topk(
 def _graph_beam_serve(
     queries: DataFrame, corpus: DataFrame, edges: DataFrame
 ) -> DataFrame:
-    """The s30 SERVING walk — seeded entries, fixed unrolled
-    Hamming-guided beam hops, exact cosine re-rank — shared verbatim by
-    the batch entry (s30, graph built in-plan) and the maintained-index
-    streaming twin (st39, graph read from VersionedState), so 'serve
-    from the maintained graph' and 'serve from the batch-built graph'
-    are the same code path by construction and their shared oracle
-    certifies both. ``queries``/``corpus`` are _sign_bits_split halves;
-    ``edges`` is the SYMMETRIZED (src, dst) edge table, already
-    lineage-cut by the caller."""
+    """The s30 SERVING walk — seeded entries, fixed Hamming-guided beam
+    hops, exact cosine re-rank — shared verbatim by the batch entry
+    (s30, graph built in-plan) and the maintained-index streaming twin
+    (st39, graph read from VersionedState), so 'serve from the
+    maintained graph' and 'serve from the batch-built graph' are the
+    same code path by construction and their shared oracle certifies
+    both. ``queries``/``corpus`` are _sign_bits_split halves; ``edges``
+    is the SYMMETRIZED (src, dst) edge table, already lineage-cut by
+    the caller.
+
+    The hop loop runs PER QUERY inside one mapInPandas pass over the
+    query table, against graph artifacts that were ALREADY
+    driver-bounded by design (the previous formulation broadcast the
+    full edge and bit tables into every hop join — same memory class,
+    5x the jobs): a beam walk is inherently sequential per query, so
+    expressing each hop as a cluster-wide job bought nothing but
+    scheduling — 5 hop jobs x (rank window + 3 broadcast builds + 2
+    distinct shuffles + a localCheckpoint) measured ~9 s of s30's
+    ~18 s on the r14 box while the data per query is <= a few
+    thousand integer rows (guide §1.2 step 1: fix the algorithm's
+    shape first). This is also how a deployed graph-ANN replica
+    serves: graph resident, queries streaming through it.
+
+    Exactness: the walk is INTEGER end to end — Hamming distances via
+    XOR + popcount on the packed words (a 16-bit lookup table;
+    bit-identical to F.bit_count), beam and shortlist cuts by
+    (hamming, vec_id) — so the Python hops reproduce the relational
+    hops' rows exactly; the oracle-sensitive floating arithmetic (the
+    cosine re-rank) stays in the unchanged Spark tail below. Scale
+    shape: queries distribute across tasks; the graph rides one
+    broadcast exactly as before (a graph beyond replica memory would
+    need graph partitioning — out of scope for this engine, as it was
+    for the join formulation)."""
     from pyspark.sql import Window
 
     from ..functions.vector import cosine_similarity
 
-    # ---- seeded entry points (HNSW's fixed entry, md5-ranked) -------
-    entry = (
-        corpus.select("vec_id")
+    # ---- driver-bounded graph artifacts (the former broadcasts) -----
+    entry_ids = [
+        r.vec_id
+        for r in corpus.select("vec_id")
         .orderBy(
             F.md5(F.concat(F.lit("s30e:"), F.col("vec_id").cast("string"))),
             "vec_id",
         )
         .limit(_S30_ENTRY)
+        .collect()
+    ]
+    bit_rows = corpus.select("vec_id", "b0", "b1").collect()
+    edge_rows = edges.collect()
+
+    import numpy as np
+
+    ids = np.array([r.vec_id for r in bit_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    w0 = np.array([r.b0 for r in bit_rows], dtype=np.uint64)[order]
+    w1 = np.array([r.b1 for r in bit_rows], dtype=np.uint64)[order]
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    adj: dict[int, list[int]] = {}
+    for r in edge_rows:
+        si, di = idx_of.get(r.src), idx_of.get(r.dst)
+        # an endpoint outside the bit table was dropped by the old
+        # formulation's joins too (beam join on src, cbits join on dst)
+        if si is not None and di is not None:
+            adj.setdefault(si, []).append(di)
+    adj_arr = {s: np.array(sorted(d), dtype=np.int64) for s, d in adj.items()}
+    entry_idx = np.array([idx_of[v] for v in entry_ids], dtype=np.int64)
+    pop16 = np.array(
+        [bin(i).count("1") for i in range(1 << 16)], dtype=np.int64
     )
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (ids, w0, w1, adj_arr, entry_idx, pop16)
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        g_ids, g_w0, g_w1, g_adj, g_entry, g_pop = bc.value
+
+        def popcnt(x):
+            return (
+                g_pop[x & np.uint64(0xFFFF)]
+                + g_pop[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+                + g_pop[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+                + g_pop[(x >> np.uint64(48)) & np.uint64(0xFFFF)]
+            )
+
+        for pdf in batches:
+            out_q, out_v, out_h = [], [], []
+            for q_id, q0, q1 in zip(pdf["q_id"], pdf["q0"], pdf["q1"]):
+                ham_all = popcnt(g_w0 ^ np.uint64(q0)) + popcnt(
+                    g_w1 ^ np.uint64(q1)
+                )
+                visited = g_entry.copy()
+                for _ in range(_S30_HOPS):
+                    hv = ham_all[visited]
+                    beam_local = np.lexsort((g_ids[visited], hv))[:_S30_BEAM]
+                    beam = visited[beam_local]
+                    nbrs = [g_adj[s] for s in beam if s in g_adj]
+                    if not nbrs:
+                        continue
+                    cand = np.concatenate([visited] + nbrs)
+                    visited = np.unique(cand)
+                hv = ham_all[visited]
+                keep = np.lexsort((g_ids[visited], hv))[:_S30_SHORT]
+                short = visited[keep]
+                out_q.extend([int(q_id)] * len(short))
+                out_v.extend(int(x) for x in g_ids[short])
+                out_h.extend(int(x) for x in hv[keep])
+            yield pd.DataFrame(
+                {"q_id": out_q, "vec_id": out_v, "hamming": out_h}
+            )
 
     qb = queries.select(
         F.col("vec_id").alias("q_id"),
         F.col("b0").alias("q0"),
         F.col("b1").alias("q1"),
     )
-    cbits = corpus.select("vec_id", "b0", "b1")
-    ham = (
-        F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
-        + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
-    ).cast("long")
-
-    visited = (
-        qb.crossJoin(F.broadcast(entry.join(cbits, "vec_id")))
-        .select("q_id", "vec_id", ham.alias("hamming"))
-    )
-    wb = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
-    for _ in range(_S30_HOPS):
-        beam = (
-            visited.withColumn("r", F.row_number().over(wb))
-            .filter(F.col("r") <= _S30_BEAM)
-            .select("q_id", F.col("vec_id").alias("src"))
-        )
-        nbr = (
-            beam.join(F.broadcast(edges), "src")
-            .select("q_id", F.col("dst").alias("vec_id"))
-            .distinct()
-            .join(F.broadcast(cbits), "vec_id")
-            .join(F.broadcast(qb), "q_id")
-            .select("q_id", "vec_id", ham.alias("hamming"))
-        )
-        # lineage doubles per hop (visited references itself) — cut it
-        # so hop i+1 starts from materialized rows, not a 2^i-deep plan
-        visited = visited.unionByName(nbr).distinct().localCheckpoint()
-
     # ---- exact re-rank of the walk's shortlist (s23's tail) ---------
-    shortlist = (
-        visited.withColumn("cr", F.row_number().over(wb))
-        .filter(F.col("cr") <= _S30_SHORT)
-        .select("q_id", "vec_id", "hamming")
-    )
+    shortlist = qb.mapInPandas(walk, "q_id long, vec_id long, hamming long")
     qv = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

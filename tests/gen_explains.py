@@ -77,9 +77,9 @@ HEADLINES = [
     ("m03b_png_features", "build -> PNG decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 8 ints) cross into the resize projection"),
     ("s06b_kmeans_cells_seeded", "the k-means assignment step alone: the operator's literal max-cosine fold as ONE narrow projection over the scan — no exchange, no Python, plan size fixed by k"),
     ("m07_gif_features", "build -> GIF LZW decode -> feature-reduce is one fused mapInPandas chain (single ArrowEvalPython span over the scan); only (doc_id, 6 ints) ever leave the scan partition"),
-    ("s30_graph_beam_ann", "the serving walk never shuffles the corpus: the banded k-NN graph and bit table materialize once (localCheckpoint -> ExistingRDD) and every hop joins them BROADCAST; per-hop exchanges carry only (q_id, vec_id, hamming) candidate rows; the exact re-rank is s23's broadcast-id tail"),
+    ("s30_graph_beam_ann", "the serving walk never shuffles the corpus: the driver-bounded graph artifacts (edge + bit tables — the same tables the pre-r14 formulation broadcast into five hop joins) ride ONE broadcast into a single mapInPandas whose per-query integer beam loop emits only (q_id, vec_id, hamming) shortlist rows; the exact re-rank is s23's broadcast-id tail"),
     ("st38_stream_hamming_index_maintenance", "serving reads ONLY the compacted word table (ReadSchema = vec_id + two BIGINTs); the coarse popcount runs against the broadcast query words; raw vectors re-enter solely through the broadcast-id re-rank joins — the corpus parquet stays column-pruned"),
-    ("st39_stream_graph_index_maintenance", "serving is s30's literal walk function over the MAINTAINED edge table (VersionedState parquet -> symmetrize -> localCheckpoint): broadcast hop joins, q_id-keyed exchanges only, s23's broadcast-id re-rank tail — the maintenance ran earlier in foreachBatch and left nothing corpus-sized in this plan"),
+    ("st39_stream_graph_index_maintenance", "serving is s30's literal walk function over the MAINTAINED edge table (VersionedState parquet -> symmetrize -> localCheckpoint -> one broadcast into the per-query mapInPandas beam loop): q_id-keyed exchanges only, s23's broadcast-id re-rank tail — the maintenance ran earlier in foreachBatch and left nothing corpus-sized in this plan"),
 ]
 
 
