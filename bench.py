@@ -167,13 +167,17 @@ _BANDS: dict[str, tuple[float, float]] = {
     # ~30% headroom — cross-epoch drift detection is the ratio gate's
     # job, absolute bands exist to catch structural plan regressions)
     "st28_stream_dup_components": (6.0, 17.0),
-    "d34_semantic_dedup_seeded": (4.0, 15.0),
+    # r14 optimization round: rows whose plans changed this round get
+    # RE-ENVELOPED edges bracketing the post-optimization quiet
+    # readings (same ±30% headroom discipline) — the old low edges
+    # would flag the legitimate speedups as too-fast warnings
+    "d34_semantic_dedup_seeded": (1.2, 10.0),  # spread_compute (r14)
     "st14b_stream_verified_neardups": (4.0, 13.0),
     "d24_lsh_recall_audit": (4.0, 15.0),
     "p10_training_manifest": (3.0, 11.0),
-    "st25_stream_maxsim_serving": (3.5, 12.5),
+    "st25_stream_maxsim_serving": (2.0, 12.5),  # corpus spread (r14)
     "st14_stream_incremental_dedup": (3.0, 13.0),
-    "s25_retrieval_eval": (3.0, 10.0),
+    "s25_retrieval_eval": (0.6, 7.0),  # spread_compute (r14)
     "d27_prefix_filter_join": (3.0, 10.5),
     "s20b_ivfadc_seeded": (2.5, 9.0),
     "s21_pca_projection": (0.5, 1.4),
@@ -186,9 +190,11 @@ _BANDS: dict[str, tuple[float, float]] = {
     "rank_stress_naive_global_5m": (3.5, 11.0),
     "s23_stress_flatsum_1024d_5k": (1.5, 4.5),
     "s23_stress_pack1024d_20k": (0.4, 2.0),
-    # the round-14 rows, enveloped from their first four quiet runs
-    "s30_graph_beam_ann": (5.0, 20.0),
-    "st39_stream_graph_index_maintenance": (12.0, 33.0),
+    # the round-14 rows, re-enveloped after the optimization round's
+    # cell-kernel build + per-query serving walk (quiet medians: s30
+    # 3.95 s, st39 11.0 s on the r14-opt box)
+    "s30_graph_beam_ann": (1.5, 14.0),
+    "st39_stream_graph_index_maintenance": (5.0, 25.0),
     "st38_stream_hamming_index_maintenance": (2.0, 7.5),
     "d35_exact_dup_spans": (3.0, 12.0),
 }
