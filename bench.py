@@ -8,8 +8,34 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+# r14 verdict #3: single timed runs on this box swing individual rows
+# up to 6.5x under ambient steal bursts (s21_stress read 7.3 -> 47.2 s
+# across same-tree runs), so every row is timed BENCH_RUNS times and
+# the reported number is the MEDIAN of the timed runs; the per-run
+# times land in the BENCH_LOCAL.json payload ("runs") so a noisy run
+# self-identifies. The one-line JSON contract is unchanged — "queries"
+# still maps name -> seconds (now the median) — fields are additive,
+# and the band/ratio gates consume the medians.
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+RUN_LOG: dict[str, list[float]] = {}
+
+
+def timed_median(name: str, timings: dict[str, float], fn, pre=None) -> None:
+    """Run ``fn`` BENCH_RUNS times (``pre`` before each, outside the
+    clock), record every run in RUN_LOG and the median in timings."""
+    runs: list[float] = []
+    for _ in range(BENCH_RUNS):
+        if pre is not None:
+            pre()
+        t0 = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t0, 4))
+    RUN_LOG[name] = runs
+    timings[name] = round(statistics.median(runs), 4)
 
 
 def main() -> int:
@@ -56,17 +82,25 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         # Warm run first (JVM/codegen/parquet footers), then measure the
-        # steady-state execution — what a resident cluster would see.
+        # steady-state execution BENCH_RUNS times and keep the median —
+        # what a resident cluster would see, robust to one steal burst.
         # The dedup chain's session-persisted intermediates are cleared
-        # before each run so every measurement pays the full cold cost
+        # before every run so each measurement pays the full cold cost
         # (numbers stay comparable with the pre-seam baselines).
         clear_intermediate_cache()
         force(spec.build(spark, sf_dir))
-        clear_intermediate_cache()
-        t0 = time.perf_counter()
-        force(spec.build(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timed_median(
+            name,
+            timings,
+            lambda spec=spec: force(spec.build(spark, sf_dir)),
+            pre=clear_intermediate_cache,
+        )
+        print(
+            f"# {name}: {timings[name]:.3f}s (runs: "
+            + ", ".join(f"{r:.3f}" for r in RUN_LOG[name])
+            + ")",
+            file=sys.stderr,
+        )
 
     _skew_stress(spark, timings, force)
     _chain_stress(spark, timings)
@@ -110,6 +144,8 @@ def main() -> int:
             "ratio_violations": ratio_violations,
             "loadavg_start": load_start,
             "loadavg_end": load_end,
+            "runs_per_row": BENCH_RUNS,
+            "runs": RUN_LOG,
         }
     )
     # The driver's BENCH_r0N.json artifact keeps only the LAST 2000
@@ -135,6 +171,7 @@ def main() -> int:
         "ratio_violations": ratio_violations,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "runs_per_row": BENCH_RUNS,
         "queries_file": "BENCH_LOCAL.json",
         "slowest_10": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:10]
@@ -313,9 +350,10 @@ def _skew_stress(spark, timings: dict[str, float], force) -> None:
     via the spark.graft.lshBucketCap knob: the band self-join goes
     all-pairs, ~8M pairs per band in single buckets). The ratio is the
     measured value of the guard — recorded in BASELINE.md so the
-    bounded-vs-quadratic claim is numbers, not argument. Single
-    measured run each (no warm pass: the quadratic side IS the cost
-    being demonstrated)."""
+    bounded-vs-quadratic claim is numbers, not argument. No warm pass
+    (the quadratic side IS the cost being demonstrated); median of
+    BENCH_RUNS cold-equivalent runs so one steal burst cannot invert
+    the pair (the r13 driver run did exactly that)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -341,14 +379,14 @@ def _skew_stress(spark, timings: dict[str, float], force) -> None:
         .parquet(os.path.join(sf_dir, "documents.parquet"))
     )
     for mode, cap in (("on", None), ("off", 100_000_000)):
-        llmops.clear_intermediate_cache()
         if cap is not None:
             spark.conf.set(llmops.LSH_BUCKET_CAP_CONF, str(cap))
         try:
-            t0 = time.perf_counter()
-            force(llmops.d04_minhash_lsh_pairs(spark, sf_dir))
-            timings[f"d04_skew_guard_{mode}"] = round(
-                time.perf_counter() - t0, 4
+            timed_median(
+                f"d04_skew_guard_{mode}",
+                timings,
+                lambda: force(llmops.d04_minhash_lsh_pairs(spark, sf_dir)),
+                pre=llmops.clear_intermediate_cache,
             )
         finally:
             if cap is not None:
@@ -367,8 +405,9 @@ def _chain_stress(spark, timings: dict[str, float]) -> None:
     uncapped propagation would need 4,095 full edge-list shuffles).
     The alternating-star algorithm (d21, operators/graph.py) must
     label it exactly in O(log^2 n) alternations; the row records the
-    wall time and BASELINE.md the round count. Single measured run
-    (the iteration count, not JIT warmth, dominates)."""
+    wall time and BASELINE.md the round count. Median of BENCH_RUNS
+    runs (the iteration count, not JIT warmth, dominates — the median
+    guards against steal bursts, not cold code)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from real_time_genai_embeddings_for_rag_with_apache_flink_spark.operators.graph import (
@@ -379,15 +418,16 @@ def _chain_stress(spark, timings: dict[str, float]) -> None:
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
     ).coalesce(8)
-    t0 = time.perf_counter()
-    labels = connected_components_star(edges)
-    n_labeled = labels.count()
-    bad = labels.filter("component != 0").limit(1).count()
-    timings["d21_chain_stress"] = round(time.perf_counter() - t0, 4)
-    if bad or n_labeled != n:
-        raise AssertionError(
-            f"chain stress wrong: {n_labeled}/{n} nodes labeled, bad={bad}"
-        )
+    def run():
+        labels = connected_components_star(edges)
+        n_labeled = labels.count()
+        bad = labels.filter("component != 0").limit(1).count()
+        if bad or n_labeled != n:
+            raise AssertionError(
+                f"chain stress wrong: {n_labeled}/{n} nodes labeled, bad={bad}"
+            )
+
+    timed_median("d21_chain_stress", timings, run)
     print(
         f"# d21_chain_stress: {timings['d21_chain_stress']:.3f}s",
         file=sys.stderr,
@@ -404,8 +444,8 @@ def _sweep_stress(spark, timings: dict[str, float]) -> None:
     paths run to a 1-row answer that is asserted EQUAL (the ratio is
     only meaningful if the decomposition is exact); the pair of rows
     prices the hot-key hazard the same way d04_skew_guard prices the
-    LSH bucket blowup. Single measured run each (the serialized sort,
-    not JIT warmth, dominates the one-phase side)."""
+    LSH bucket blowup. Median of BENCH_RUNS runs each (the serialized
+    sort, not JIT warmth, dominates the one-phase side)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -435,25 +475,30 @@ def _sweep_stress(spark, timings: dict[str, float]) -> None:
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t0 = time.perf_counter()
-    one = (
-        pts.select("event_type", F.sum("delta").over(w).alias("conc"))
-        .groupBy("event_type")
-        .agg(F.max("conc").alias("peak_concurrency"))
-        .collect()
-    )
-    timings["w13_sweep_hot_onephase"] = round(time.perf_counter() - t0, 4)
+    res: dict[str, list] = {}
 
-    t0 = time.perf_counter()
-    two = (
-        sweep_line_peaks_twophase(pts, n_buckets=32)
-        .select("event_type", "peak_concurrency")
-        .collect()
-    )
-    timings["w13_sweep_hot_twophase"] = round(time.perf_counter() - t0, 4)
+    def one():
+        res["one"] = (
+            pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+            .groupBy("event_type")
+            .agg(F.max("conc").alias("peak_concurrency"))
+            .collect()
+        )
+
+    def two():
+        res["two"] = (
+            sweep_line_peaks_twophase(pts, n_buckets=32)
+            .select("event_type", "peak_concurrency")
+            .collect()
+        )
+
+    timed_median("w13_sweep_hot_onephase", timings, one)
+    timed_median("w13_sweep_hot_twophase", timings, two)
     pts.unpersist()
-    if {tuple(r) for r in one} != {tuple(r) for r in two}:
-        raise AssertionError(f"sweep stress mismatch: {one} != {two}")
+    if {tuple(r) for r in res["one"]} != {tuple(r) for r in res["two"]}:
+        raise AssertionError(
+            f"sweep stress mismatch: {res['one']} != {res['two']}"
+        )
     for k in ("w13_sweep_hot_onephase", "w13_sweep_hot_twophase"):
         print(f"# {k}: {timings[k]:.3f}s", file=sys.stderr)
 
@@ -499,15 +544,16 @@ def _bpe_stress(spark, timings: dict[str, float]) -> None:
         wc[w] = wc.get(w, 0) + rng.randint(1, 50)
     vocab = spark.createDataFrame(list(wc.items()), "word string, n long").persist()
     vocab.count()
-    t0 = time.perf_counter()
-    merges = bpe_merges_local(vocab, n_merges=1000)
-    elapsed = round(time.perf_counter() - t0, 4)
+
+    def run():
+        merges = bpe_merges_local(vocab, n_merges=1000)
+        if len(merges) != 1000:
+            raise AssertionError(
+                f"t22b stress short-circuited: {len(merges)} merges != 1000"
+            )
+
+    timed_median("t22b_stress_1000merges_50kvocab", timings, run)
     vocab.unpersist()
-    if len(merges) != 1000:
-        raise AssertionError(
-            f"t22b stress short-circuited: {len(merges)} merges != 1000"
-        )
-    timings["t22b_stress_1000merges_50kvocab"] = elapsed
     print(
         f"# t22b_stress: {timings['t22b_stress_1000merges_50kvocab']:.3f}s "
         f"for 1000 merges / {len(wc)} words",
@@ -551,17 +597,20 @@ def _pca_stress(spark, timings: dict[str, float]) -> None:
         .persist()
     )
     df.count()
-    t0 = time.perf_counter()
-    W, vals, _ = pca_fit(df, "embedding", dim=dim, k=16)
-    elapsed = round(time.perf_counter() - t0, 4)
+
+    def run():
+        W, vals, _ = pca_fit(df, "embedding", dim=dim, k=16)
+        if W.shape != (dim, 16) or len(vals) != 16:
+            raise AssertionError(
+                f"pca stress bad fit: W {W.shape}, {len(vals)} eigenvalues"
+            )
+
+    timed_median("s21_stress_pca_1024d_20k", timings, run)
     df.unpersist()
-    if W.shape != (dim, 16) or len(vals) != 16:
-        raise AssertionError(
-            f"pca stress bad fit: W {W.shape}, {len(vals)} eigenvalues"
-        )
-    timings["s21_stress_pca_1024d_20k"] = elapsed
     print(
-        f"# s21_stress: {elapsed:.3f}s for {n} x {dim}d fit", file=sys.stderr
+        f"# s21_stress: {timings['s21_stress_pca_1024d_20k']:.3f}s "
+        f"for {n} x {dim}d fit",
+        file=sys.stderr,
     )
 
 
@@ -621,39 +670,47 @@ def _binary_stress(spark, timings: dict[str, float]) -> None:
         for w in range(32)
     ]
     small = df.filter(F.col("vec_id") < 5_000)
-    t0 = time.perf_counter()
-    small.select("vec_id", *flat_words).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["s23_stress_flatsum_1024d_5k"] = round(time.perf_counter() - t0, 4)
+    timed_median(
+        "s23_stress_flatsum_1024d_5k",
+        timings,
+        lambda: small.select("vec_id", *flat_words)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
-    # scale path: arrow pack of all 20k + popcount coarse top-40
-    t0 = time.perf_counter()
-    bits = pack_sign_words_arrow(df, dim=dim).persist()
-    bits.count()
-    qb = F.broadcast(
-        bits.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("q_id"), F.col("words").alias("q_words")
+    # scale path: arrow pack of all 20k + popcount coarse top-40 (the
+    # pack's persist/count/unpersist lifecycle is part of the timed
+    # region — it is the work the path does; unpersist is async/cheap)
+    def pack_and_coarse():
+        bits = pack_sign_words_arrow(df, dim=dim).persist()
+        bits.count()
+        qb = F.broadcast(
+            bits.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("q_id"), F.col("words").alias("q_words")
+            )
         )
-    )
-    wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
-    shortlist = (
-        bits.filter(F.col("vec_id") >= 8)
-        .join(qb, F.lit(True))
-        .select(
-            "q_id",
-            "vec_id",
-            hamming_words(F.col("words"), F.col("q_words")).alias("hamming"),
+        wc = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+        shortlist = (
+            bits.filter(F.col("vec_id") >= 8)
+            .join(qb, F.lit(True))
+            .select(
+                "q_id",
+                "vec_id",
+                hamming_words(F.col("words"), F.col("q_words")).alias(
+                    "hamming"
+                ),
+            )
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= 40)
         )
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= 40)
-    )
-    n_rows = shortlist.count()
-    timings["s23_stress_pack1024d_20k"] = round(time.perf_counter() - t0, 4)
-    bits.unpersist()
+        n_rows = shortlist.count()
+        bits.unpersist()
+        if n_rows != 8 * 40:
+            raise AssertionError(f"binary stress shortlist {n_rows} rows")
+
+    timed_median("s23_stress_pack1024d_20k", timings, pack_and_coarse)
     df.unpersist()
-    if n_rows != 8 * 40:
-        raise AssertionError(f"binary stress shortlist {n_rows} rows")
     print(
         f"# s23_stress: flatsum(5k) {timings['s23_stress_flatsum_1024d_5k']:.3f}s"
         f"  arrow(20k)+coarse {timings['s23_stress_pack1024d_20k']:.3f}s",
@@ -791,12 +848,16 @@ def _maxsim_stress(spark, timings: dict[str, float]) -> None:
     if key(topk(expr_scored).collect()) != key(topk(gemm_scored).collect()):
         raise AssertionError("expression and GEMM MaxSim top-k must agree")
 
-    t0 = time.perf_counter()
-    topk(expr_scored).write.format("noop").mode("overwrite").save()
-    timings["s26_stress_expr_100kx64tok"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    topk(gemm_scored).write.format("noop").mode("overwrite").save()
-    timings["s26_stress_gemm_100kx64tok"] = round(time.perf_counter() - t0, 4)
+    timed_median(
+        "s26_stress_expr_100kx64tok",
+        timings,
+        lambda: topk(expr_scored).write.format("noop").mode("overwrite").save(),
+    )
+    timed_median(
+        "s26_stress_gemm_100kx64tok",
+        timings,
+        lambda: topk(gemm_scored).write.format("noop").mode("overwrite").save(),
+    )
     corpus.unpersist()
 
 
@@ -844,9 +905,14 @@ def _divergence_stress(spark, timings: dict[str, float]) -> None:
         .persist()
     )
     counts.count()
-    t0 = time.perf_counter()
-    js_divergence_matrix(counts).write.format("noop").mode("overwrite").save()
-    timings["t25_stress_100kvocab_20src"] = round(time.perf_counter() - t0, 4)
+    timed_median(
+        "t25_stress_100kvocab_20src",
+        timings,
+        lambda: js_divergence_matrix(counts)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     counts.unpersist()
 
 
@@ -895,15 +961,19 @@ def _rank_stress(spark, timings: dict[str, float]) -> None:
     if c1 != c2:
         raise RuntimeError(f"rank stress checksum mismatch: {c1} != {c2}")
 
-    t0 = time.perf_counter()
-    naive.write.format("noop").mode("overwrite").save()
-    timings["rank_stress_naive_global_5m"] = round(time.perf_counter() - t0, 4)
-
-    t0 = time.perf_counter()
-    distributed_rank(base, ["k", "id"], "rnk").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["rank_stress_bucketed_5m"] = round(time.perf_counter() - t0, 4)
+    timed_median(
+        "rank_stress_naive_global_5m",
+        timings,
+        lambda: naive.write.format("noop").mode("overwrite").save(),
+    )
+    timed_median(
+        "rank_stress_bucketed_5m",
+        timings,
+        lambda: distributed_rank(base, ["k", "id"], "rnk")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     base.unpersist()
     print(
         f"# rank_stress: naive {timings['rank_stress_naive_global_5m']:.2f}s "
@@ -1010,11 +1080,12 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
         )
 
     # -- full path (the s26 GEMM scale path, no pruning) ----------------
-    t0 = time.perf_counter()
-    full = topk(scored_from(corpus)).collect()
-    timings["plaid_stress_maxsim_full_200kx64tok"] = round(
-        time.perf_counter() - t0, 4
-    )
+    res: dict[str, object] = {}
+
+    def full_run():
+        res["full"] = topk(scored_from(corpus)).collect()
+
+    timed_median("plaid_stress_maxsim_full_200kx64tok", timings, full_run)
 
     # -- pruned path (index build + bounds + shortlist + exact) ---------
     def centroid_radius(it):
@@ -1055,65 +1126,88 @@ def _plaid_stress(spark, timings: dict[str, float]) -> None:
             )
 
     # build phase (offline in production — centroids/radii/bounds are
-    # per-corpus, amortized across every query that ever arrives)
-    t0 = time.perf_counter()
-    cr = (
-        corpus.repartition(32, "doc_id")
-        .mapInPandas(
-            centroid_radius, "doc_id long, centroid array<double>, cos_min double"
+    # per-corpus, amortized across every query that ever arrives).
+    # Each timed build run produces a fresh persisted index; the prior
+    # run's pinned intermediates are released inside the run (async
+    # unpersist, negligible) so BENCH_RUNS runs never stack copies.
+    state: dict[str, object] = {}
+
+    def build_run():
+        cr = (
+            corpus.repartition(32, "doc_id")
+            .mapInPandas(
+                centroid_radius,
+                "doc_id long, centroid array<double>, cos_min double",
+            )
+            .persist()
         )
-        .persist()
-    )
-    # the centroid pass assumes each hash partition arrives as ONE
-    # Arrow batch (6,250 rows < the 10k default) so no doc straddles
-    # batches; a violated assumption would emit duplicate per-doc rows
-    # with partial radii — invalid bounds that would surface later as a
-    # confusing certificate failure. Assert it where it breaks.
-    n_cent = cr.count()
-    if n_cent != n_docs:
-        raise AssertionError(
-            f"centroid pass emitted {n_cent} rows for {n_docs} docs — a "
-            "doc straddled Arrow batches; lower partitions or raise "
-            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        # the centroid pass assumes each hash partition arrives as ONE
+        # Arrow batch (6,250 rows < the 10k default) so no doc straddles
+        # batches; a violated assumption would emit duplicate per-doc
+        # rows with partial radii — invalid bounds that would surface
+        # later as a confusing certificate failure. Assert where it
+        # breaks.
+        n_cent = cr.count()
+        if n_cent != n_docs:
+            raise AssertionError(
+                f"centroid pass emitted {n_cent} rows for {n_docs} docs — a "
+                "doc straddled Arrow batches; lower partitions or raise "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
+        cents = cr.mapInPandas(
+            bounds, "doc_id long, q_id long, ub_scaled long"
         )
-    cents = cr.mapInPandas(bounds, "doc_id long, q_id long, ub_scaled long")
-    wb = Window.partitionBy("q_id").orderBy(F.desc("ub_scaled"), "doc_id")
-    ranked_ub = cents.withColumn("ubrank", F.row_number().over(wb)).persist()
-    shortlist = ranked_ub.filter(F.col("ubrank") <= width).select(
-        "q_id", "doc_id"
-    ).persist()
-    shortlist.count()
-    ub_next = {
-        r.q_id: r.ub_scaled
-        for r in ranked_ub.filter(F.col("ubrank") == width + 1).collect()
-    }
-    timings["plaid_stress_build"] = round(time.perf_counter() - t0, 4)
+        wb = Window.partitionBy("q_id").orderBy(F.desc("ub_scaled"), "doc_id")
+        ranked_ub = cents.withColumn(
+            "ubrank", F.row_number().over(wb)
+        ).persist()
+        shortlist = (
+            ranked_ub.filter(F.col("ubrank") <= width)
+            .select("q_id", "doc_id")
+            .persist()
+        )
+        shortlist.count()
+        ub_next = {
+            r.q_id: r.ub_scaled
+            for r in ranked_ub.filter(F.col("ubrank") == width + 1).collect()
+        }
+        for key in ("cr", "ranked_ub", "shortlist"):
+            if key in state:
+                state[key].unpersist()
+        state.update(
+            cr=cr, ranked_ub=ranked_ub, shortlist=shortlist, ub_next=ub_next
+        )
+
+    timed_median("plaid_stress_build", timings, build_run)
 
     # serve phase (the per-query-batch cost a running deployment pays)
-    t0 = time.perf_counter()
-    cand_docs = shortlist.select("doc_id").distinct()
-    pruned_scored = scored_from(
-        corpus.join(F.broadcast(cand_docs), "doc_id")
-    ).join(F.broadcast(shortlist), ["q_id", "doc_id"])
-    pruned = topk(pruned_scored).collect()
-    timings["plaid_stress_serve"] = round(time.perf_counter() - t0, 4)
-    ranked_ub.unpersist()
-    shortlist.unpersist()
-    cr.unpersist()
+    def serve_run():
+        shortlist = state["shortlist"]
+        cand_docs = shortlist.select("doc_id").distinct()
+        pruned_scored = scored_from(
+            corpus.join(F.broadcast(cand_docs), "doc_id")
+        ).join(F.broadcast(shortlist), ["q_id", "doc_id"])
+        state["pruned"] = topk(pruned_scored).collect()
+
+    timed_median("plaid_stress_serve", timings, serve_run)
+    state["ranked_ub"].unpersist()
+    state["shortlist"].unpersist()
+    state["cr"].unpersist()
     corpus.unpersist()
 
+    pruned = state["pruned"]
     kth = {}
     for r in pruned:
         if r.rnk == k:
             kth[r.q_id] = r.maxsim_scaled
-    for q, nxt in ub_next.items():
+    for q, nxt in state["ub_next"].items():
         if not (nxt < kth[q]):
             raise AssertionError(
                 f"pruning certificate failed for q={q}: "
                 f"ub_next={nxt} >= kth_exact={kth[q]}"
             )
     keyf = lambda rows: {(r.q_id, r.doc_id, r.rnk) for r in rows}
-    if keyf(pruned) != keyf(full):
+    if keyf(pruned) != keyf(res["full"]):
         raise AssertionError("pruned and full MaxSim top-k must agree")
 
 

@@ -4908,6 +4908,24 @@ _S30_BEAM = 16  # frontier kept per hop (HNSW's ef)
 _S30_HOPS = 5  # FIXED unrolled hops — the d32b iterative recipe
 _S30_SHORT = _S23_COARSE  # re-rank width: equal-width comparable to s23
 _S30_K = _S23_K
+# _banded_topk cell guard (r14 verdict #2): one (band, bkey) cell is one
+# task, and the kernel's dominant allocation is the |new| x |cell|
+# float64 similarity block. Cells past this element budget switch to
+# row-chunked accumulation — identical keep sets and bit-identical sims
+# (each row still sees its full candidate column set within its chunk),
+# peak kernel memory bounded at ~a few blocks x 8 B x this budget
+# regardless of how hot a band gets. 2^24 doubles = 128 MiB per block.
+_S30_CELL_BLOCK_ELEMS = 1 << 24
+# _graph_beam_serve driver guard (r14 verdict #3): the serve path
+# collects the corpus bit table (3 longs/row) and the edge list
+# (<= nodes * 2 sym * _S30_BANDS * _S30_KG ints) to the driver and ships
+# them in ONE broadcast — the same memory class the per-hop join
+# formulation broadcast five times. The ceiling must FAIL LOUDLY before
+# the collect instead of OOMing the driver: 4M nodes ~= 100 MB of bit
+# rows + ~1 GB of edge rows pre-dedup at degree 24 — comfortably inside
+# the 16 GiB bench driver; a corpus past it needs graph partitioning,
+# which is out of scope for either formulation (see the docstring).
+_S30_MAX_GRAPH_NODES = 4_000_000
 
 
 def _s30_oracle() -> str:
@@ -5242,9 +5260,16 @@ def _banded_topk(
     (IEEE multiply commutes term-for-term, fold order unchanged).
 
     Scale note: one cell = one task, like one LSH bucket in d04 — the
-    kernel assumes the banding keeps cells task-sized (the bucket-cap
-    discipline); _banded_pairs remains the reference semantics and the
-    spill-friendly fallback for a pathological cell."""
+    banding is expected to keep cells task-sized (the bucket-cap
+    discipline), and the kernel no longer ASSUMES it: a cell whose
+    |new| x |cell| block would exceed _S30_CELL_BLOCK_ELEMS doubles
+    accumulates in row chunks (identical keep sets — every row still
+    sees its full candidate column set — and bit-identical sims; the
+    settled direction recomputes its blocks from the same element-order
+    rank-1 updates, exact because IEEE multiply commutes term-for-term
+    when rows and columns swap roles), so a pathologically hot band
+    costs time, never an executor OOM. _banded_pairs remains the
+    reference semantics."""
     bkey = None
     for j in range(_S30_BANDS):
         val = F.shiftright(F.col("bucket"), 2 * j)
@@ -5273,6 +5298,11 @@ def _banded_topk(
         .withColumn("bkey", bkey)
     )
 
+    # captured by VALUE at build time so the kernel closure ships the
+    # bound to executors (a worker-side module re-import would not see
+    # a driver-side monkeypatch — and the tests rely on patching it)
+    max_elems = _S30_CELL_BLOCK_ELEMS
+
     def cell_topk(pdf):
         import numpy as np
         import pandas as pd
@@ -5294,15 +5324,6 @@ def _banded_topk(
         if nidx.size == 0 or len(ids) < 2:
             return empty
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # element-order rank-1 accumulation == the dot fold, bit-exact
-        R = np.zeros((nidx.size, len(ids)))
-        Mn = M[nidx]
-        for d in range(M.shape[1]):
-            R += Mn[:, d : d + 1] * M[:, d]
-        sims = R / (nrm[nidx][:, None] * nrm[None, :])
-        finite = np.broadcast_to(valid, sims.shape).copy()
-        finite[np.arange(nidx.size), nidx] = False  # self-pairs
-        neg = np.where(finite, sims, -np.inf)
 
         def margin_rows(block, row_ids, col_ids, fin):
             if block.shape[1] > k:
@@ -5320,17 +5341,81 @@ def _banded_topk(
                 }
             )
 
-        out = [margin_rows(neg, ids[nidx], ids, finite)]
         sidx = np.flatnonzero(~new & valid)
-        if sidx.size:
-            # settled srcs: candidates are exactly the new arrivals —
-            # the transposed block holds their bit-identical sims
-            blockT = neg[:, sidx].T
+        if nidx.size * len(ids) <= max_elems:
+            # fast path (every well-banded cell): one block, the
+            # settled direction read from its transpose for free.
+            # element-order rank-1 accumulation == the dot fold,
+            # bit-exact
+            R = np.zeros((nidx.size, len(ids)))
+            Mn = M[nidx]
+            for d in range(M.shape[1]):
+                R += Mn[:, d : d + 1] * M[:, d]
+            sims = R / (nrm[nidx][:, None] * nrm[None, :])
+            finite = np.broadcast_to(valid, sims.shape).copy()
+            finite[np.arange(nidx.size), nidx] = False  # self-pairs
+            neg = np.where(finite, sims, -np.inf)
+            out = [margin_rows(neg, ids[nidx], ids, finite)]
+            if sidx.size:
+                # settled srcs: candidates are exactly the new
+                # arrivals — the transposed block holds their
+                # bit-identical sims
+                blockT = neg[:, sidx].T
+                out.append(
+                    margin_rows(
+                        blockT, ids[sidx], ids[nidx], blockT != -np.inf
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        # guarded path (a pathologically hot cell): row-chunked
+        # accumulation. Each chunk still spans the FULL column set, so
+        # every row's kth/margin cut sees exactly the candidates the
+        # monolithic block did — the keep set is identical and peak
+        # memory is ~max_elems doubles per block instead of
+        # |new| x |cell|. The settled direction recomputes its
+        # (settled x new) blocks with the same element-order updates
+        # instead of transposing the monolithic one: entry (j, i)
+        # accumulates M[j,d]*M[i,d] in the identical d order, and IEEE
+        # multiply commutes term-for-term, so the values are unchanged
+        # to the bit.
+        out = []
+        step = max(1, max_elems // len(ids))
+        for s in range(0, nidx.size, step):
+            r = nidx[s : s + step]
+            R = np.zeros((r.size, len(ids)))
+            Mr = M[r]
+            for d in range(M.shape[1]):
+                R += Mr[:, d : d + 1] * M[:, d]
+            sims = R / (nrm[r][:, None] * nrm[None, :])
+            finite = np.broadcast_to(valid, sims.shape).copy()
+            finite[np.arange(r.size), r] = False  # self-pairs
             out.append(
                 margin_rows(
-                    blockT, ids[sidx], ids[nidx], blockT != -np.inf
+                    np.where(finite, sims, -np.inf), ids[r], ids, finite
                 )
             )
+        if sidx.size:
+            Mn = M[nidx]
+            nn = nrm[nidx]
+            step = max(1, max_elems // nidx.size)
+            for s in range(0, sidx.size, step):
+                r = sidx[s : s + step]
+                R = np.zeros((r.size, nidx.size))
+                Mr = M[r]
+                for d in range(M.shape[1]):
+                    R += Mr[:, d : d + 1] * Mn[:, d]
+                sims = R / (nrm[r][:, None] * nn[None, :])
+                # settled and new ids are disjoint and both sides are
+                # valid, so no self-pair/zero-norm masking applies
+                out.append(
+                    margin_rows(
+                        sims,
+                        ids[r],
+                        ids[nidx],
+                        np.ones(sims.shape, dtype=bool),
+                    )
+                )
         return pd.concat(out, ignore_index=True)
 
     return banded.groupBy("band", "bkey").applyInPandas(
@@ -5379,6 +5464,20 @@ def _graph_beam_serve(
     from ..functions.vector import cosine_similarity
 
     # ---- driver-bounded graph artifacts (the former broadcasts) -----
+    # r14 verdict #3: the ceiling on what this path may pull to the
+    # driver is ENFORCED, not just documented — fail loudly BEFORE the
+    # collect instead of OOMing the driver on a misuse. The count is a
+    # column-pruned pass over the corpus (no plan change to the query's
+    # own DataFrame); the edge list is bounded by construction
+    # (symmetrized per-band top-k), re-checked after its collect.
+    n_nodes = corpus.count()
+    if n_nodes > _S30_MAX_GRAPH_NODES:
+        raise ValueError(
+            f"_graph_beam_serve: corpus has {n_nodes} nodes, past the "
+            f"{_S30_MAX_GRAPH_NODES}-node driver-resident graph ceiling "
+            "(_S30_MAX_GRAPH_NODES) — a graph beyond replica memory "
+            "needs graph partitioning, not a bigger collect"
+        )
     entry_ids = [
         r.vec_id
         for r in corpus.select("vec_id")
@@ -5391,6 +5490,14 @@ def _graph_beam_serve(
     ]
     bit_rows = corpus.select("vec_id", "b0", "b1").collect()
     edge_rows = edges.collect()
+    max_edges = n_nodes * 2 * _S30_BANDS * _S30_KG
+    if len(edge_rows) > max_edges:
+        raise ValueError(
+            f"_graph_beam_serve: {len(edge_rows)} edges exceed the "
+            f"{max_edges} ceiling implied by {n_nodes} nodes x "
+            f"2 (sym) x {_S30_BANDS} bands x {_S30_KG} out-edges — the "
+            "edge table is not this graph's banded top-k output"
+        )
 
     import numpy as np
 

@@ -484,3 +484,76 @@ def test_banded_topk_settled_matches_b_flag_join(spark):
     for r in culled.collect():
         if r.src in settled_ids:
             assert r.dst in new_ids
+
+def test_banded_topk_fat_cell_chunked_path_is_identical(spark, monkeypatch):
+    """The cell-size guard (r14 verdict #2): a cell whose similarity
+    block would exceed _S30_CELL_BLOCK_ELEMS doubles must take the
+    row-chunked path and emit EXACTLY the rows the monolithic fast path
+    emits — same keep set, bit-identical sims — for both the plain
+    (s30 build) and settled (st39 trigger) calls. The bound is captured
+    by value at build time, so patching the module constant before
+    building the DataFrame forces every cell through the guarded path
+    (64 elements << any cell's |new| x |cell| at this fixture size)."""
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        pipeline_extra,
+    )
+
+    sides = _graph_sides(spark, 150)
+    all_nodes = sides.withColumn("settled", F.col("vec_id") % 3 == 0)
+
+    def rows(df):
+        return sorted(
+            (r.band, r.src, r.dst, r.sim) for r in df.collect()
+        )
+
+    plain_fast = rows(pipeline_extra._banded_topk(sides))
+    settled_fast = rows(
+        pipeline_extra._banded_topk(all_nodes, settled_col="settled")
+    )
+    monkeypatch.setattr(pipeline_extra, "_S30_CELL_BLOCK_ELEMS", 64)
+    plain_chunked = rows(pipeline_extra._banded_topk(sides))
+    settled_chunked = rows(
+        pipeline_extra._banded_topk(all_nodes, settled_col="settled")
+    )
+    assert plain_fast, "fixture produced no candidate rows"
+    assert plain_chunked == plain_fast
+    assert settled_chunked == settled_fast
+
+
+def test_graph_beam_serve_enforces_the_driver_graph_ceiling(
+    spark, monkeypatch
+):
+    """The serve path's driver-resident graph has an ENFORCED ceiling
+    (r14 verdict #3): an oversized corpus fails loudly before the bit
+    table is collected, and an edge table bigger than the banded
+    top-k construction could produce is rejected after its collect."""
+    import pytest
+
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans import (
+        pipeline_extra,
+    )
+    from real_time_genai_embeddings_for_rag_with_apache_flink_spark.plans.pipeline_extra import (
+        _graph_beam_serve,
+        _sign_bits_split,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    queries, corpus = _sign_bits_split(em)
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+
+    monkeypatch.setattr(pipeline_extra, "_S30_MAX_GRAPH_NODES", 3)
+    with pytest.raises(ValueError, match="driver-resident graph ceiling"):
+        _graph_beam_serve(queries, corpus, edges)
+
+    # restore the node ceiling; an implausibly fat edge table still fails
+    monkeypatch.setattr(pipeline_extra, "_S30_MAX_GRAPH_NODES", 4_000_000)
+    n_nodes = corpus.count()
+    fat = (
+        spark.range(
+            n_nodes * 2 * pipeline_extra._S30_BANDS * pipeline_extra._S30_KG
+            + 5
+        )
+        .selectExpr("id % 7 AS src", "id % 11 AS dst")
+    )
+    with pytest.raises(ValueError, match="edges exceed"):
+        _graph_beam_serve(queries, corpus, fat)
