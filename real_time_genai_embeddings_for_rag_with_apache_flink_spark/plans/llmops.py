@@ -307,8 +307,22 @@ def signatures_from_docs(docs: DataFrame) -> DataFrame:
     shuffle carries only (doc_id, h1, h2) pre-min rows and partial
     aggregation collapses them map-side. Shared by the seam-cached
     corpus path and st14's per-micro-batch arrival signatures, so both
-    produce bit-identical signatures by construction."""
-    ex = _shingle_docs(docs).select("doc_id", F.explode("grams").alias("g"))
+    produce bit-identical signatures by construction.
+
+    explode_OUTER, not explode (r15, guide §1.2/§2.5): plain explode
+    makes Catalyst infer `size(grams) > 0 AND grams IS NOT NULL`
+    (InferFiltersFromGenerate) and predicate pushdown sinks that below
+    the upstream repartition/spread_compute exchange — where the whole
+    zip_with gram tree is re-evaluated 2-3x per row ON THE UNSPREAD
+    INPUT (one task for a file-stream micro-batch, few tasks for the
+    corpus scan): the r14 st28 after-plan showed exactly this (ADVICE
+    r14), defeating the spread it documented. outer infers no filter,
+    and the two are row-identical here: _shingle_docs keeps only docs
+    with >= 3 tokens, whose trigram array has size n-2 >= 1 — never
+    empty, never null."""
+    ex = _shingle_docs(docs).select(
+        "doc_id", F.explode_outer("grams").alias("g")
+    )
     hashed = ex.select(
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 7), 16, 10)

@@ -381,6 +381,30 @@ LAST_RESULT_DIRS: dict[str, str] = {}
 from contextlib import contextmanager
 
 
+_STATE_PARTITIONS_CONF = "spark.graft.statePartitions"
+
+
+def default_state_partitions(spark: SparkSession) -> int:
+    """The per-run state/batch shuffle-partition count for the
+    streaming family — a DEPLOYMENT knob (spark.graft.statePartitions),
+    never a constant tuned to one box. Default 4 at fixture scale,
+    measured r15 (guide §2.2 fewer-larger partitions + §5: per-store
+    fixed costs dominate tiny state): every stateful operator opens and
+    commits one state store PER PARTITION per trigger — a stream-stream
+    join keeps FOUR stores per partition — so 8 partitions meant up to
+    32 concurrent store commits per trigger over a few thousand state
+    rows. Halving to 4 collapsed st13's summed per-trigger commit time
+    22.8 s -> 0.86 s (26x — the commit storms contended, they did not
+    parallelize) and the family's post-warm medians: st13 21.6 -> 5.0 s,
+    st16 8.8 -> 5.3 s, st17 2.8 -> 2.0 s, st23 6.7 -> 4.9 s, st26 flat
+    (same-session warm+3 medians, RocksDB A/B'd too — it beat HDFS at
+    8 partitions but lost to HDFS at <= 4, so the provider stays).
+    At 100 TB state volume the same conf goes UP (hundreds+): size it
+    to state rows per partition, not to this fixture."""
+    v = spark.conf.get(_STATE_PARTITIONS_CONF, None)
+    return int(v) if v else 4
+
+
 @contextmanager
 def state_partitions(spark: SparkSession, n: int):
     """Temporarily size spark.sql.shuffle.partitions for a streaming
@@ -415,16 +439,24 @@ def state_partitions(spark: SparkSession, n: int):
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str, n_state_partitions: int = 8
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the sink contents as a batch DataFrame.
 
-    Runs under state_partitions(n_state_partitions): at catalog test
-    scale every stateful operator's state fits in a handful of
-    partitions, and inheriting the batch shuffle default (32) just
-    multiplies per-trigger task scheduling (measured 2.4x on st13).
+    Runs under state_partitions(n or the spark.graft.statePartitions
+    deployment default — see default_state_partitions for the measured
+    sizing): at catalog test scale every stateful operator's state fits
+    in a handful of partitions, and inheriting the batch shuffle
+    default (32) just multiplies per-trigger task scheduling (measured
+    2.4x on st13 at 32 -> 8 in r-early rounds, another 4x at 8 -> 4 in
+    r15 — the per-partition store commits dominate, not the rows).
     State partitioning never changes results — only task counts."""
+    if n_state_partitions is None:
+        n_state_partitions = default_state_partitions(df.sparkSession)
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="ssq_ckpt_"), sink)
     with state_partitions(df.sparkSession, n_state_partitions):
@@ -1206,7 +1238,7 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id") % 3 == 0
     ).select("doc_id", "text")
     work_root = _stream_work_root(spark, sf_dir, "st14")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_incremental_dedup(
             spark, arrivals, corpus_fps, corpus_bands, work_root
         )
@@ -1309,7 +1341,7 @@ def st14b_stream_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id") % 3 == 0
     ).select("doc_id", "text")
     work_root = _stream_work_root(spark, sf_dir, "st14b")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         run_incremental_dedup(
             spark,
             arrivals,
@@ -2090,7 +2122,7 @@ def st20_stream_quota_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas = t24_temperature_mixture(spark, sf_dir)
     arrivals = stream_documents(spark, sf_dir).select("doc_id", "source")
     work_root = _stream_work_root(spark, sf_dir, "st20")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_quota_sampling(spark, arrivals, quotas, work_root)
 
 
@@ -2240,7 +2272,7 @@ def st21_stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     work_root = _stream_work_root(spark, sf_dir, "st21", table="events")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_rolling_zscore(spark, arrivals, work_root)
 
 
@@ -2348,7 +2380,7 @@ def st22_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     work_root = _stream_work_root(spark, sf_dir, "st22", table="events")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_cdc_apply(spark, arrivals, work_root)
 
 
@@ -2481,7 +2513,7 @@ def st23_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     work_root = _stream_work_root(spark, sf_dir, "st23", table="events")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_stream_ivm(spark, arrivals, work_root)
 
 
@@ -2639,7 +2671,7 @@ def st24_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     work_root = _stream_work_root(spark, sf_dir, "st24", table="documents")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_stream_compaction(spark, arrivals, work_root)
 
 
@@ -2868,7 +2900,7 @@ def st25_stream_maxsim_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("doc_label"), "embedding")
     )
     work_root = _stream_work_root(spark, sf_dir, "st25", table="embeddings")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_maxsim_serving(
             spark, arrivals, corpus, work_root, _ST25_TOKS, _ST25_TOPK
         )
@@ -3006,7 +3038,7 @@ def st26_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "ts", "event_id", "event_type"
     )
     work_root = _stream_work_root(spark, sf_dir, "st26", table="events")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_stream_transitions(spark, arrivals, work_root)
 
 
@@ -3143,7 +3175,7 @@ def st27_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_chars"
     )
     work_root = _stream_work_root(spark, sf_dir, "st27", table="documents")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_stream_quality_gate(spark, arrivals, work_root)
 
 
@@ -3435,7 +3467,7 @@ def st28_stream_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.graft.streamStateDir for a resumable work root."""
     arrivals = stream_documents(spark, sf_dir).select("doc_id", "text")
     work_root = _stream_work_root(spark, sf_dir, "st28", table="documents")
-    with state_partitions(spark, 8):
+    with state_partitions(spark, default_state_partitions(spark)):
         return run_stream_dup_components(spark, arrivals, work_root)
 
 
