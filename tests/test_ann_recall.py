@@ -8,6 +8,7 @@ nprobe=K (no pruning) the search is exact."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -40,6 +41,7 @@ def _recall(got_df, truth):
     return sum(per_q) / len(per_q)
 
 
+@pytest.mark.slow
 def test_ivf_recall_tradeoff_and_pruning(spark):
     em = load_table(spark, SF_SMOKE, "embeddings")
     queries = em.filter(F.col("vec_id") < 4).select(

@@ -86,6 +86,7 @@ def test_pq_codes_match_numpy(spark, corpus):
     assert (got == np_codes).all()
 
 
+@pytest.mark.slow
 def test_pq_recall_floor(spark, corpus):
     """ADC top-10 must recover a solid fraction of the exact top-10
     (the testdata embeddings are label-clustered, so PQ with 16 codes
@@ -101,6 +102,7 @@ def test_pq_recall_floor(spark, corpus):
     assert recall >= 0.5, f"recall@10 = {recall}"
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_floor_and_determinism(spark, corpus):
     """IVF-PQ (coarse cells + residual PQ + per-cell ADC) must recover
     a solid fraction of the exact top-10 when probing 4 of 10 cells,
@@ -131,6 +133,7 @@ def test_ivfpq_recall_floor_and_determinism(spark, corpus):
     assert recall >= 0.5, f"recall@10 = {recall}"
 
 
+@pytest.mark.slow
 def test_pq_compression_beats_random(spark, corpus):
     """Reconstruction MSE from the trained codebooks must be far below
     the corpus variance (i.e. the codes carry real information)."""
@@ -148,6 +151,7 @@ def test_pq_compression_beats_random(spark, corpus):
     assert mse < 0.5 * var, f"mse={mse:.4f} var={var:.4f}"
 
 
+@pytest.mark.slow
 def test_pq_encode_broadcast_equals_literal(spark, corpus):
     """The GEMM encode path (assign_mode='broadcast') must emit exactly
     the literal path's codes at the same codebooks — and 'auto' must

@@ -49,6 +49,7 @@ def _exact_topk(chunk_vecs, qvec, k):
     ]
 
 
+@pytest.mark.slow
 def test_candidate_stage_recall_floor(spark, chunk_vecs):
     """The approximate candidate fetch must retain >= 50% of the exact
     top-10 inside its 50 candidates — the same floor test_pq.py holds
@@ -62,6 +63,7 @@ def test_candidate_stage_recall_floor(spark, chunk_vecs):
     assert recall >= 0.5, f"candidate recall@10 = {recall}"
 
 
+@pytest.mark.slow
 def test_p09_output_invariants_and_determinism(spark):
     rows1 = p09_rag_query(spark, SF).collect()
     assert len(rows1) == _RAG_K

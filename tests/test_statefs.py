@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_genai_embeddings_for_rag_with_apache_flink_spark.streaming import (
@@ -388,6 +389,7 @@ def test_split_source_dir_remote_state_uri_stays_local(spark):
         sq._SPLIT_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_fp_state_compaction_bounds_listing_with_identical_results(
     spark, tmp_path
 ):

@@ -14,6 +14,7 @@ to tune.
 
 from __future__ import annotations
 
+import pytest
 import json
 
 from pyspark.sql import functions as F
@@ -522,6 +523,7 @@ def _arrivals_stream(spark, src):
     )
 
 
+@pytest.mark.slow
 def test_stream_verified_neardups_multibatch(spark, tmp_path):
     """st14b's runner contract: each micro-batch's LSH candidates are
     exact-Jaccard verified against the matched corpus docs, the
@@ -1196,6 +1198,7 @@ def test_stream_compaction_fold_is_split_invariant(spark, tmp_path):
     assert got["oneshot"] == want
 
 
+@pytest.mark.slow
 def test_stream_compaction_fold_randomized_split_sweep(spark, tmp_path):
     """st24's fold under a seeded randomized sweep: random listings
     (random sizes straddling the small threshold, multiple sources)
