@@ -2795,6 +2795,16 @@ def prefix_filter_pairs(sh: DataFrame, tau: float) -> DataFrame:
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg")
         )
+        # NOTE (r15, measured): the candidate stage self-joins the
+        # prefix explode over this subtree, and its build side is a
+        # BroadcastExchange no ReusedExchange can bridge, so the df
+        # aggregate + sort-collect execute twice per run (one tower per
+        # join side in the plan). Cutting the duplication with a lazy
+        # localCheckpoint here was A/B'd and made d27 2.4x SLOWER
+        # (4.75 -> 11.45 s within-session medians): materializing the
+        # wide sorted-struct arrays through the RDD block path costs
+        # far more than the duplicated aggregation saves. Left as the
+        # double-computed codegen subtree deliberately.
     )
     n = F.size("sg")
     # ceil(tau*n) in EXACT integer arithmetic: tau as a fraction p/q,
@@ -2835,7 +2845,14 @@ def prefix_filter_pairs(sh: DataFrame, tau: float) -> DataFrame:
             & (F.col("b.n_grams").cast("long") * q >= F.col("a.n_grams") * p),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            # carry both sizes through the candidate stage (functionally
+            # dependent on the ids, so the distinct's cardinality is
+            # unchanged): the verify stage derives the union size from
+            # them instead of materializing array_union
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
         )
         .distinct()
     )
@@ -2843,7 +2860,15 @@ def prefix_filter_pairs(sh: DataFrame, tau: float) -> DataFrame:
     ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("a_grams"))
     gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("b_grams"))
     inter = F.size(F.array_intersect("a_grams", "b_grams"))
-    union = F.size(F.array_union("a_grams", "b_grams"))
+    # grams are DISTINCT per doc (freq's COUNT(*) relies on it above),
+    # so |A ∪ B| = |A| + |B| - |A ∩ B| exactly. The verify stage paid
+    # array_intersect AND array_union per candidate; union re-hashes
+    # both arrays and allocates |A|+|B| elements just to be counted
+    # (guide §1.2 per-task work), so deriving the size from the n_grams
+    # already carried by the candidate rows drops it — same integers,
+    # bit-identical jaccard. Within-session interleaved A/B at sf0.1:
+    # d27 4.75 -> 3.91 s median over 5 alternating pairs (-18%).
+    union = F.col("na") + F.col("nb") - inter
     jacc = F.round(
         F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
         6,

@@ -3290,7 +3290,18 @@ def run_stream_dup_components(
                 F.coalesce(F.col("cand"), F.col("rep")),
             ).alias("rep"),
         )
-        new_reps = merged.select("band_idx", "band_key", "rep").persist()
+        # r15 (guide §5 caching, §2.4 fewer exchanges): ``merged`` is
+        # consumed three times (new_reps for the commit + the mem_edges
+        # join + chg_edges) — persist IT once instead of new_reps so
+        # chg_edges stops re-running the old_reps⋈cand join per
+        # trigger. new_edges is NOT distinct'd/persisted any more: the
+        # pre-contraction distinct paid a full exchange on the widest
+        # edge set per trigger, and ``ce`` already collapses duplicates
+        # AFTER contraction (same rows collected either way); ce —
+        # contracted, merge-event-sized — is what the else branch
+        # reuses, so it takes the persist instead.
+        merged = merged.persist()
+        new_reps = merged.select("band_idx", "band_key", "rep")
         mem_edges = (
             bands_b.join(new_reps, ["band_idx", "band_key"])
             .filter(F.col("doc_id") != F.col("rep"))
@@ -3301,9 +3312,15 @@ def run_stream_dup_components(
         ).select(
             F.col("old_rep").alias("id_a"), F.col("rep").alias("id_b")
         )
-        new_edges = mem_edges.unionByName(chg_edges).distinct().persist()
+        new_edges = mem_edges.unionByName(chg_edges)
 
-        prev = state.read_table("labels", labels_schema)
+        # labels are referenced up to FIVE times per trigger in the
+        # common path (two contraction lookups + relabeled/untouched/
+        # new_docs) — each a fresh parquet scan of the state table
+        # without this persist. Safe against _prune: every consumer
+        # runs inside commit_tables' writes, before the old version
+        # directory is deleted.
+        prev = state.read_table("labels", labels_schema).persist()
         # CONTRACT the new edges through the current labels first: an
         # endpoint already in a cluster is replaced by its component
         # root, so the merge graph has one node per TOUCHED COMPONENT
@@ -3330,6 +3347,7 @@ def run_stream_dup_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .persist()
         )
         rows = ce.limit(_ST28_DRIVER_CAP + 1).collect()
         if profile:
@@ -3416,8 +3434,9 @@ def run_stream_dup_components(
             )
         if profile:
             _phase("resolve-and-commit", batch_id, t)
-        new_edges.unpersist()
-        new_reps.unpersist()
+        ce.unpersist()
+        merged.unpersist()
+        prev.unpersist()
         bands_b.unpersist()
 
     q = (
