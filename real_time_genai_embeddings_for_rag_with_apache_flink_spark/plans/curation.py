@@ -1011,14 +1011,29 @@ def t23_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen. Output per doc: words, learned-subword tokens, and chars —
     the compression ladder a tokenizer report cares about. Rows-only;
     merge learning and encode are pinned vs the Python reference in
-    tests/test_bpe.py."""
-    from ..operators.bpe import bpe_encode_words, bpe_merges, corpus_word_counts
+    tests/test_bpe.py.
+
+    r15 (guide §1.2 — fix the algorithm before the per-task work): the
+    merge table comes from bpe_merges_local, the vocabulary-local
+    trainer, not the per-round distributed loop. The two are pinned
+    per-rank EQUAL in tests/test_bpe.py (and both equal the pure-Python
+    reference), so the output is bit-identical; but at 10 merges the
+    distributed loop pays 10 sequential vocabulary jobs — measured
+    5.2 s warm at sf0.1 vs 0.85 s for the local trainer, ~all of t23's
+    5.3 s total. The distributed path stays exercised where it IS the
+    subject: t22 (the priced per-round row), t27 and t23b (the
+    oracle-certified training/encode certifications)."""
+    from ..operators.bpe import (
+        bpe_encode_words,
+        bpe_merges_local,
+        corpus_word_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     norm = normalized_text(F.col("text"))
     wc = corpus_word_counts(docs, norm)
-    merges = bpe_merges(wc, n_merges=10)
+    merges = bpe_merges_local(wc, n_merges=10)
     vocab = bpe_encode_words(wc.select("word"), merges)
 
     doc_words = docs.select(
