@@ -223,10 +223,20 @@ _BANDS: dict[str, tuple[float, float]] = {
     "d21_chain_stress": (4.5, 14.0),
     "w13_sweep_hot_onephase": (4.0, 12.5),
     "s26_stress_expr_100kx64tok": (5.0, 18.0),
-    "plaid_stress_maxsim_full_200kx64tok": (2.0, 9.0),
+    "plaid_stress_maxsim_full_200kx64tok": (1.5, 9.0),
     "rank_stress_naive_global_5m": (3.5, 11.0),
     "s23_stress_flatsum_1024d_5k": (1.5, 4.5),
     "s23_stress_pack1024d_20k": (0.4, 2.0),
+    # r15 (r14 ADVICE): the two rows that dominated the r14 committed
+    # freeze via steal bursts and had NO band — s21_stress read 32.6 s
+    # frozen (median-of-3 quiet readings: 2.3-2.8 s; the old 7.3-8.2
+    # "quiet" singles carried burst mass) and st23 12.9 s (quiet
+    # 3.7-5.9; ~3.7 after the r15 state-partition change). Envelopes
+    # bracket the quiet readings with the usual ~30%+ headroom so a
+    # load-poisoned reading can never again freeze silently. Low edges
+    # warn only; the r15 freezes read s21 at 2.3/2.8, hence 1.5.
+    "s21_stress_pca_1024d_20k": (1.5, 16.0),
+    "st23_stream_ivm": (1.5, 9.0),
     # the round-14 rows, re-enveloped after the optimization round's
     # cell-kernel build + per-query serving walk (quiet medians: s30
     # 3.95 s, st39 11.0 s on the r14-opt box)
